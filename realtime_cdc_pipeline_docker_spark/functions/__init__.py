@@ -1,0 +1,227 @@
+"""Scalar / higher-order function helpers.
+
+Everything here is built from ``pyspark.sql.functions`` (JVM-side,
+whole-stage-codegen eligible) — no Python UDFs.  That is the difference
+between an operator that survives 100 TB and one that doesn't: a
+row-at-a-time Python UDF serializes every row across the JVM/Python
+boundary; these expressions stay inside Tungsten codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Oracle-stable aggregation
+# ---------------------------------------------------------------------------
+
+
+def fixed_units(col: Column | str, scale: int = 2) -> Column:
+    """Convert a fixed-point-valued double to exact integer units (long).
+
+    The fixture money/value columns are 2- or 4-decimal fixed-point
+    stored as doubles.  Doubles summed in different partition orders
+    differ in final ulps, which breaks exact-hash comparison against any
+    oracle (and makes re-runs non-reproducible at scale).
+    ``round(x * 10^scale) :: bigint`` recovers the exact integer payload
+    (the stored double is within ~1e-9 of it, so every engine rounds to
+    the same integer); integer sums are exact and order-independent, and
+    map-side partial aggregation still applies.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c * F.lit(10**scale), 0).cast("long")
+
+
+def fixed_sum(col: Column | str, scale: int = 2) -> Column:
+    """Order-independent exact sum of a fixed-point double column → double."""
+    return F.sum(fixed_units(col, scale)) / F.lit(float(10**scale))
+
+
+def fixed_avg(col: Column | str, scale: int = 2) -> Column:
+    """Order-independent average of a fixed-point double column → double."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(fixed_units(col, scale)) / F.lit(float(10**scale)) / F.count(c)
+
+
+def revenue_units(price_col: str = "l_extendedprice", disc_col: str = "l_discount") -> Column:
+    """``price * (1 - discount)`` in exact 1e-4 integer units (long).
+
+    price is 2-dec cents, discount is 2-dec percent points, so
+    ``cents * (100 - pts)`` is an exact bigint — divide the final sum by
+    1e4 to get dollars.
+    """
+    return fixed_units(price_col, 2) * (F.lit(100) - fixed_units(disc_col, 2))
+
+
+# ---------------------------------------------------------------------------
+# Vector algebra over array<float/double> columns (higher-order functions)
+# ---------------------------------------------------------------------------
+
+
+def vec_dot(a: Column | str, b: Column | str) -> Column:
+    """Dot product of two array columns, accumulated in double.
+
+    ``zip_with`` + ``aggregate`` run inside codegen over the array —
+    no explode, no shuffle, no Python.  Sequential fold keeps the
+    summation order deterministic for a given array.
+    """
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def vec_norm(a: Column | str) -> Column:
+    """L2 norm of an array column (double)."""
+    a = F.col(a) if isinstance(a, str) else a
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def vec_cosine(a: Column | str, b: Column | str) -> Column:
+    """Cosine similarity between two array columns (double)."""
+    return vec_dot(a, b) / (vec_norm(a) * vec_norm(b))
+
+
+def vec_normalize(a: Column | str) -> Column:
+    """Unit-normalize an array column (array<double>).
+
+    Pre-normalizing embeddings once turns every downstream cosine into a
+    bare dot product — at 100 TB you normalize at ingest, not per query.
+    """
+    a = F.col(a) if isinstance(a, str) else a
+    n = vec_norm(a)
+    return F.transform(a, lambda x: x.cast("double") / n)
+
+
+# ---------------------------------------------------------------------------
+# Text primitives (shared by dedup / text-analysis operators)
+# ---------------------------------------------------------------------------
+
+# BPE-ish word/number/punct tokenizer pattern (kept in sync with the
+# DuckDB oracle SQL in plans/).
+TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+# Small English stopword list for the language-ID heuristic and quality
+# scoring.  Frozen: oracle SQL embeds the same list.
+EN_STOPWORDS = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "for", "on", "with", "as", "at", "by", "this", "that", "be", "are",
+)
+
+
+def ws_tokens(col: Column | str) -> Column:
+    """Whitespace tokenization (trim first so no empty edge tokens)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), r"\s+")
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count (int)."""
+    return F.size(ws_tokens(col))
+
+
+def regex_token_count(col: Column | str) -> Column:
+    """BPE-ish token count: words / numbers / single punctuation marks."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(TOKEN_PATTERN), F.lit(0)))
+
+
+def stopword_ratio(col: Column | str) -> Column:
+    """Fraction of whitespace tokens that are English stopwords (double)."""
+    toks = F.transform(ws_tokens(col), lambda t: F.lower(t))
+    hits = F.size(F.filter(toks, lambda t: t.isin(*EN_STOPWORDS)))
+    return hits.cast("double") / F.size(toks)
+
+
+def char_shingles(col: Column | str, k: int = 5) -> Column:
+    """Distinct character k-shingles of a string (array<string>).
+
+    Built with sequence+transform (codegen) — the standard MinHash
+    preprocessing step.  Lowercased, whitespace-collapsed first so
+    formatting differences don't defeat near-dup detection.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    norm = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    n = F.length(norm)
+    return F.array_distinct(
+        F.when(
+            n >= k,
+            F.transform(F.sequence(F.lit(1), n - (k - 1)), lambda i: F.substring(norm, i, k)),
+        ).otherwise(F.array(norm))
+    )
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
+    """MinHash signature: array of ``num_hashes`` min-xxhash64 values.
+
+    Each hash family member is xxhash64 with a distinct integer seed —
+    computed per shingle inside a single ``transform``/``array_min``
+    pipeline, entirely in codegen.  O(|shingles| * num_hashes) per row,
+    zero shuffles.
+    """
+    return F.array(
+        *[
+            F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, F.lit(i))))
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def simhash_votes(tokens: Column) -> Column:
+    """Per-bit SimHash votes of a token array: 64-slot int array where
+    slot j is the sum over tokens of ±1 for bit j of the token's
+    xxhash64.  A fold over the token array — pure codegen, no explode.
+    (Bit positions are unrolled in Python: Spark's shift functions take
+    literal shift amounts only.)"""
+
+    def bits(t: Column) -> Column:
+        h = F.xxhash64(t)
+        return F.array(
+            *[
+                F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(
+                    F.lit(-1)
+                )
+                for j in range(64)
+            ]
+        )
+
+    return F.aggregate(
+        tokens,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, t: F.zip_with(acc, bits(t), lambda a, b: a + b),
+    )
+
+
+def simhash_from_votes(votes: Column | str) -> Column:
+    """Collapse a 64-slot vote array to the 64-bit SimHash long.
+
+    Materialize the votes with ``withColumn`` first — this references
+    the vote column 64 times, so inlining the full fold expression here
+    would blow up the plan.
+    """
+    v = F.col(votes) if isinstance(votes, str) else votes
+    sig = F.lit(0).cast("long")
+    for j in range(64):
+        sig = sig.bitwiseOR(
+            F.when(v[j] > 0, F.lit(1 << j if j < 63 else -(1 << 63)).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return sig
+
+
+def hamming64(a: Column | str, b: Column | str) -> Column:
+    """Hamming distance between two 64-bit longs (popcount of XOR)."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return F.bit_count(a.bitwiseXOR(b))

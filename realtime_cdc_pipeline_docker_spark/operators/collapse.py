@@ -1,0 +1,74 @@
+"""Latest-state collapse — native ``ReplacingMergeTree(ts_ms, sign)`` semantics.
+
+The reference's OLAP sink keeps every change row and lets ClickHouse
+collapse to the latest version asynchronously
+(init-clickhouse.sql:11-53): among rows with equal ``ORDER BY`` key,
+keep the max-``ts_ms`` row; if that row carries ``sign = -1`` the key is
+deleted.  This module implements the same semantics as a DataFrame
+operator (merge-on-read) plus a compaction form (merge-on-write).
+
+Scale notes: the collapse is one hash-partitioned shuffle on the key —
+the minimum any versioned-upsert semantics can cost.  At 100 TB:
+
+- partition the append log by ingest date and cluster by key
+  (``sortWithinPartitions``) so the window sort is partial;
+- run ``compact()`` periodically so merge-on-read windows see only the
+  recent tail plus a compacted base (exactly ClickHouse's background
+  merge, made explicit);
+- AQE skew-join/partition splitting handles hot keys.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def latest_state(
+    df: DataFrame,
+    key_cols: Sequence[str] = ("id",),
+    version_col: str = "ts_ms",
+    sign_col: str = "sign",
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Collapse an append-only signed/versioned log to current state.
+
+    Reproduces ``ReplacingMergeTree(ts_ms, sign) ORDER BY id``
+    (init-clickhouse.sql:18-19): rank rows per key by version desc —
+    tie-breaking on ``sign`` desc then any caller-supplied monotonic
+    columns (ClickHouse keeps the last-inserted among equal versions;
+    a deterministic engine needs an explicit tiebreak) — keep rank 1,
+    drop the key if its winning row is a delete.
+
+    Also the idempotence point of the pipeline: re-delivered micro-batches
+    (at-least-once sources) produce duplicate (key, version) rows that all
+    lose the rank-1 race identically, so the collapsed view is stable.
+    """
+    order = [F.col(version_col).desc(), F.col(sign_col).desc()] + [
+        F.col(c).desc() for c in tiebreak_cols
+    ]
+    w = Window.partitionBy(*[F.col(k) for k in key_cols]).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("__rn") == 1) & (F.col(sign_col) == 1))
+        .drop("__rn")
+    )
+
+
+def compact(
+    df: DataFrame,
+    key_cols: Sequence[str] = ("id",),
+    version_col: str = "ts_ms",
+    sign_col: str = "sign",
+) -> DataFrame:
+    """Merge-on-write form: materialize the collapsed state (keeps the
+    sign/version columns so further appends can layer on top).
+
+    Equivalent to ClickHouse's background merge (init-clickhouse.sql:18);
+    call it from a maintenance job and rewrite the base table.
+    """
+    order = [F.col(version_col).desc(), F.col(sign_col).desc()]
+    w = Window.partitionBy(*[F.col(k) for k in key_cols]).orderBy(*order)
+    return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")

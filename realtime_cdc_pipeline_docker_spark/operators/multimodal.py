@@ -1,0 +1,112 @@
+"""Multimodal column plumbing (SURVEY §2.J5).
+
+Images/audio/video are opaque ``binary`` payload columns with a typed
+metadata struct — parquet stores them natively (BinaryType) and Spark
+moves them without interpretation.  The decode / feature-extract step is
+the only part that needs a media library, which this container does not
+have, so it is STUBBED behind a deterministic fake (clearly marked) —
+the Spark-side plumbing (schema, Arrow batch shape, ``mapInPandas``
+signature, partition sizing) is real and tested.
+
+Scale notes: media blobs dominate row size, so
+``spark.sql.files.maxPartitionBytes`` governs batch memory, and the
+``mapInPandas`` iterator form processes one Arrow batch at a time —
+bounded memory regardless of corpus size.  Feature extraction is
+embarrassingly parallel; no shuffle anywhere in this path.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType()),
+                    T.StructField("n_bytes", T.LongType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def attach_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Wrap a text corpus as multimodal rows: UTF-8 bytes payload +
+    metadata struct.  (Real pipelines read media files the same way:
+    ``spark.read.format("binaryFile")`` yields path/length/content.)"""
+    payload = F.encode(F.col(text_col), "UTF-8")
+    return df.select(
+        "doc_id",
+        payload.alias("payload"),
+        F.struct(
+            F.lit("text/plain").alias("mime"),
+            F.length(payload).cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def _decode_media(payload: bytes) -> tuple[int, int, list[float]]:
+    """STUB media decoder.
+
+    A real deployment would decode with PIL/ffmpeg here; those libraries
+    are not in this container, so this produces a deterministic fake:
+    pseudo-dimensions from the byte length and a 4-dim byte-statistics
+    feature vector.  The function signature and batch shape are what a
+    real decoder plugs into.
+    """
+    n = len(payload)
+    width, height = (n % 640) + 1, (n % 480) + 1
+    if n:
+        head = payload[:256]
+        mean = sum(head) / len(head)
+        feature = [float(n), float(mean), float(head[0]), float(head[-1])]
+    else:
+        feature = [0.0, 0.0, 0.0, 0.0]
+    return width, height, feature
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Decode/feature-extract media rows via ``mapInPandas``.
+
+    Arrow-batched: each call receives a pandas batch (vectorized column
+    access), not per-row Python calls through pickling.  Output schema is
+    declared (FEATURE_SCHEMA) so downstream stays fully typed.
+    """
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [_decode_media(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "mime": [m["mime"] for m in pdf["meta"]],
+                    "n_bytes": [m["n_bytes"] for m in pdf["meta"]],
+                    "width": [d[0] for d in decoded],
+                    "height": [d[1] for d in decoded],
+                    "feature": [d[2] for d in decoded],
+                }
+            )
+
+    return media.mapInPandas(decode_batches, FEATURE_SCHEMA)

@@ -1,0 +1,153 @@
+"""Similarity search over embedding columns (SURVEY §2.J3).
+
+Two paths, as a 100 TB design requires:
+
+- **Brute-force cosine top-k** — the exact baseline.  Query vectors are
+  broadcast (they are few); the corpus scan is embarrassingly parallel;
+  per-partition top-k then a tiny global merge.  Exact, O(|corpus|·|Q|).
+- **Random-hyperplane LSH (SimHash for vectors)** — the ANN scale path.
+  Sign-pattern of h dot products buckets the corpus; queries probe only
+  their bucket (optionally multi-probe neighbors).  Hyperplanes are a
+  deterministic seeded matrix, broadcast as a literal — the bucketing is
+  a pure column expression, so the corpus can be *pre-bucketed at ingest*
+  and bucket-partitioned on disk: a query then touches one partition,
+  which is the property that survives 100 TB.
+
+An IVF variant would replace random hyperplanes with k-means centroids
+(better recall per probe, needs a training pass); the plumbing below is
+centroid-agnostic — assign-to-bucket + in-bucket exact rerank.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import vec_cosine, vec_dot
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k for each query vector.
+
+    ``queries`` must be small (broadcast side).  Returns
+    (query_id, neighbor_id, sim, rnk) with rank 1..k, ties broken by
+    neighbor id for determinism."""
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("__qvec")
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(
+            query_id_col,
+            F.col(id_col).alias("neighbor_id"),
+            vec_cosine("__qvec", vec_col).alias("sim"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("sim").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+    )
+
+
+def _hyperplanes(num_planes: int, dim: int, seed: str = "rtcdc") -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes from SHA-256 — no RNG
+    state, reproducible across runs/machines (resume-safe)."""
+    planes = []
+    for p in range(num_planes):
+        row = []
+        for i in range(0, dim, 8):
+            digest = hashlib.sha256(f"{seed}:{p}:{i}".encode()).digest()
+            row.extend(
+                struct.unpack("<8i", digest[:32])
+            )
+        planes.append([(v / 2**31) for v in row[:dim]])
+    return planes
+
+
+def lsh_bucket_expr(vec_col: str, planes: list[list[float]]) -> F.Column:
+    """Sign-pattern bucket id of a vector under the given hyperplanes —
+    a pure column expression (computable at ingest for pre-bucketing)."""
+    bucket = F.lit(0).cast("long")
+    for j, plane in enumerate(planes):
+        dot = vec_dot(F.col(vec_col), F.array(*[F.lit(float(v)) for v in plane]))
+        bucket = bucket.bitwiseOR(
+            F.when(dot > 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(F.lit(0).cast("long"))
+        )
+    return bucket
+
+
+def lsh_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    num_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: bucket corpus + queries by hyperplane signs,
+    exact-rerank within the bucket.  2^num_planes buckets; recall is
+    tested against brute_force_topk in tests/test_similarity.py."""
+    planes = _hyperplanes(num_planes, dim)
+    c = corpus.withColumn("__bucket", lsh_bucket_expr(vec_col, planes))
+    q = queries.select(query_id_col, F.col(vec_col).alias("__qvec")).withColumn(
+        "__bucket", lsh_bucket_expr("__qvec", planes)
+    )
+    scored = (
+        c.join(F.broadcast(q), "__bucket")
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(
+            query_id_col,
+            F.col(id_col).alias("neighbor_id"),
+            vec_cosine("__qvec", vec_col).alias("sim"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("sim").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+    )
+
+
+def embedding_neardup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    num_planes: int = 12,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: LSH-bucket self-join +
+    exact cosine verification.  Near-identical vectors agree on all
+    hyperplane signs with high probability, so candidates = in-bucket
+    pairs only.  Returns (id_a, id_b, sim)."""
+    planes = _hyperplanes(num_planes, dim)
+    b = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+    ).withColumn("__bucket", lsh_bucket_expr("vec", planes))
+    x, y = b.alias("x"), b.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.__bucket") == F.col("y.__bucket")) & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(
+            F.col("x.id").alias("id_a"),
+            F.col("y.id").alias("id_b"),
+            vec_cosine("x.vec", "y.vec").alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )

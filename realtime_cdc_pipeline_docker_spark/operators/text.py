@@ -1,0 +1,80 @@
+"""Text-analysis operators (SURVEY §2.J4): language ID, quality scoring,
+token counting, fingerprinting.  All pure column expressions (codegen);
+each has an exact DuckDB oracle in plans/text_queries.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..functions import regex_token_count, token_count, ws_tokens
+
+# Tiny per-language marker lists for the n-gram/stopword heuristic.
+# Frozen — the oracle SQL embeds the same lists.  Priority order breaks
+# ties deterministically.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "to", "is", "in", "that", "it", "for"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "una", "los", "por"),
+    "fr": ("le", "la", "les", "de", "et", "un", "une", "que", "pour", "dans"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "eine", "nicht", "mit", "für"),
+    "zh": ("的", "是", "了", "在", "我", "有", "和", "不", "人", "这"),
+}
+LANG_PRIORITY = ("en", "es", "fr", "de", "zh")
+
+
+def _lower_tokens(text_col) -> Column:
+    return F.transform(ws_tokens(text_col), lambda t: F.lower(t))
+
+
+def lang_scores(text_col="text") -> dict[str, Column]:
+    """Marker-hit count per language (int column each)."""
+    toks = _lower_tokens(text_col)
+    return {
+        lang: F.size(F.filter(toks, lambda t: t.isin(*markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def lang_id(text_col="text") -> Column:
+    """Predicted language: argmax marker-hit count, 'und' if no hits.
+
+    Ties resolve by LANG_PRIORITY order — deterministic, mirrored in SQL.
+    """
+    scores = lang_scores(text_col)
+    best = F.greatest(*scores.values())
+    expr = F.when(best == 0, F.lit("und"))
+    for lang in LANG_PRIORITY:
+        expr = expr.when(scores[lang] == best, F.lit(lang))
+    return expr.otherwise(F.lit("und"))
+
+
+def quality_score(text_col="text") -> Column:
+    """Composite quality score in [0,1]:
+    0.5·min(tokens/100, 1) + 0.5·alpha_char_ratio.
+
+    Deterministic double arithmetic (int counts + IEEE division), so the
+    oracle matches bit-exactly."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    n_tok = token_count(c)
+    alpha_ratio = F.length(F.regexp_replace(c, "[^A-Za-z]", "")).cast("double") / F.length(c)
+    return F.least(n_tok / F.lit(100.0), F.lit(1.0)) * 0.5 + alpha_ratio * 0.5
+
+
+def fingerprint(text_col="text") -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text
+    (lowercase, collapsed whitespace).  Engine-portable (md5 everywhere)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.md5(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "))
+
+
+__all__ = [
+    "LANG_MARKERS",
+    "LANG_PRIORITY",
+    "lang_id",
+    "lang_scores",
+    "quality_score",
+    "fingerprint",
+    "token_count",
+    "regex_token_count",
+]

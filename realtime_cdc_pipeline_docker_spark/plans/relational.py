@@ -1,0 +1,745 @@
+"""Relational operator queries (SURVEY.md §2.B–§2.G).
+
+Every query pairs an idiomatic-PySpark plan with a DuckDB oracle.
+Conventions that make the driver's exact value-hash comparison pass:
+
+- money/fixed-point doubles aggregate via exact integer units
+  (``functions.fixed_units`` — see its docstring);
+- Spark int-typed outputs (``size``/``row_number``/``datediff``…) are
+  cast to long where the DuckDB equivalent is BIGINT, and vice versa;
+- every computed column is aliased identically on both sides;
+- window orderings always carry a unique tiebreak column.
+
+Scale notes are on each query: joins broadcast their dimension side
+(part/customer/supplier/nation/region stay orders of magnitude smaller
+than the fact tables at any sf), aggregations are all map-side
+combinable, and filters/projections sit directly over the parquet scan
+so Catalyst pushes them into the reader.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions import fixed_units, revenue_units
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# §2.B — projection / filter / scalar expressions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "b03_projection_flatten",
+    oracle="""
+    SELECT o_orderkey AS id, o_custkey AS customer_id, o_orderstatus AS status,
+           CAST(o_orderkey AS VARCHAR) AS key_str, 'orders' AS source
+    FROM orders
+    """,
+)
+def b03_projection_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct pack → flatten (B3), cast (B1), literal (B6), withColumn (B7),
+    alias (B8) — the projection surface of cdc_processor.py:75-98.
+    Pure narrow ops: no shuffle, whole-stage codegen over the scan."""
+    orders = load_table(spark, sf_dir, "orders")
+    packed = orders.select(
+        F.struct("o_orderkey", "o_custkey", "o_orderstatus").alias("o")
+    )
+    return (
+        packed.select("o.*")
+        .withColumn("key_str", F.col("o_orderkey").cast("string"))
+        .withColumn("source", F.lit("orders"))
+        .select(
+            F.col("o_orderkey").alias("id"),
+            F.col("o_custkey").alias("customer_id"),
+            F.col("o_orderstatus").alias("status"),
+            "key_str",
+            "source",
+        )
+    )
+
+
+@register(
+    "b04_case_when",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice >= 300000 THEN 'high'
+                WHEN o_totalprice >= 100000 THEN 'mid'
+                ELSE 'low' END AS price_band,
+           CASE WHEN o_orderstatus = 'F' THEN -1 ELSE 1 END AS sign
+    FROM orders
+    """,
+)
+def b04_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN routing — the op='d' → before/sign branch of
+    cdc_processor.py:85-93 expressed over the fixture."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") >= 300000, "high")
+        .when(F.col("o_totalprice") >= 100000, "mid")
+        .otherwise("low")
+        .alias("price_band"),
+        F.when(F.col("o_orderstatus") == "F", F.lit(-1)).otherwise(F.lit(1)).alias("sign"),
+    )
+
+
+@register(
+    "b09_filter_eq",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+    FROM lineitem WHERE l_returnflag = 'R'
+    """,
+)
+def b09_filter_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equality filter (WHERE status = …, data-generator/main.py:149).
+    The predicate and 4-column projection push into the parquet scan
+    (PushedFilters + pruned ReadSchema — verified in tests)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
+    )
+
+
+@register(
+    "b10_hash_sample",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey LIMIT 10
+    """,
+)
+def b10_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic random sample — ORDER BY RANDOM() LIMIT n
+    (data-generator/main.py:95) made reproducible by hashing the key
+    (md5 agrees across engines, unlike rand()).  At scale this is a
+    total-order sort only of the top-k via Spark's TakeOrdered."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.md5(F.col("o_orderkey").cast("string")), "o_orderkey")
+        .limit(10)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.C — aggregations
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "c01_global_sum",
+    oracle="""
+    SELECT SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+               * (100 - CAST(round(l_discount*100) AS BIGINT))) / 10000.0 AS total_revenue
+    FROM lineitem
+    """,
+)
+def c01_global_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grand-total sum, no grouping keys — daily_report.py:17 parity.
+    Partial-aggregates map-side; one row crosses the exchange."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg((F.sum(revenue_units()) / F.lit(10000.0)).alias("total_revenue"))
+
+
+@register("c02_count_star", oracle="SELECT COUNT(*) AS n_rows FROM lineitem")
+def c02_count_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(*) existence gate (data-generator/main.py:38-39)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+@register(
+    "c03_order_totals",
+    oracle="""
+    SELECT l_orderkey,
+           SUM(CAST(round(p_retailprice*100) AS BIGINT) * CAST(l_quantity AS BIGINT)) / 100.0
+               AS order_total
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY l_orderkey
+    """,
+)
+def c03_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational form of the generator's imperative basket total
+    (total_amount += price*quantity, data-generator/main.py:111-119).
+    `part` is broadcast — the fact side never shuffles for the join;
+    the groupBy is the single unavoidable shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_orderkey")
+        .agg(
+            (
+                F.sum(fixed_units("p_retailprice") * F.col("l_quantity").cast("long"))
+                / F.lit(100.0)
+            ).alias("order_total")
+        )
+    )
+
+
+@register(
+    "c05_daily_revenue",
+    oracle="""
+    SELECT CAST(o_orderdate AS DATE) AS order_day,
+           SUM(CAST(round(o_totalprice*100) AS BIGINT)) / 100.0 AS daily_revenue,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY 1
+    """,
+)
+def c05_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The daily revenue report the reference's Airflow DAG exists to
+    produce (dags/trigger_spark_job.py:13, SURVEY §2 C5)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy(F.to_date("o_orderdate").alias("order_day")).agg(
+        (F.sum(fixed_units("o_totalprice")) / F.lit(100.0)).alias("daily_revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@register(
+    "c06_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           SUM(l_quantity) AS sum_qty,
+           SUM(CAST(round(l_extendedprice*100) AS BIGINT)) / 100.0 AS sum_base_price,
+           SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+               * (100 - CAST(round(l_discount*100) AS BIGINT))) / 10000.0 AS sum_disc_price,
+           SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+               * (100 - CAST(round(l_discount*100) AS BIGINT))
+               * (100 + CAST(round(l_tax*100) AS BIGINT))) / 1000000.0 AS sum_charge,
+           AVG(l_quantity) AS avg_qty,
+           SUM(CAST(round(l_extendedprice*100) AS BIGINT)) / 100.0 / COUNT(*) AS avg_price,
+           SUM(CAST(round(l_discount*100) AS BIGINT)) / 100.0 / COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def c06_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: multi-aggregate groupBy with
+    sum/avg/count over derived expressions.  Date predicate pushes to
+    the scan; 6 groups total so the final exchange is negligible —
+    the classic map-side-combine aggregation shape that scales linearly."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            (F.sum(fixed_units("l_extendedprice")) / F.lit(100.0)).alias("sum_base_price"),
+            (F.sum(revenue_units()) / F.lit(10000.0)).alias("sum_disc_price"),
+            (
+                F.sum(revenue_units() * (F.lit(100) + fixed_units("l_tax")))
+                / F.lit(1000000.0)
+            ).alias("sum_charge"),
+            F.avg("l_quantity").alias("avg_qty"),
+            (
+                F.sum(fixed_units("l_extendedprice")) / F.lit(100.0) / F.count(F.lit(1))
+            ).alias("avg_price"),
+            (F.sum(fixed_units("l_discount")) / F.lit(100.0) / F.count(F.lit(1))).alias(
+                "avg_disc"
+            ),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "c07_count_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def c07_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation (expand+two-phase under the hood).
+    At 100 TB prefer approx_count_distinct (HLL, no expand) — exposed
+    as c07b with a rows-only check since HLL estimates are engine-specific."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@register("c07b_approx_count_distinct", oracle=None)
+def c07b_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct estimate — the 100 TB path for cardinality
+    (mergeable sketch, no expand, fixed memory per group).  No SQL oracle
+    (estimator internals are engine-specific); invariant-tested instead."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey", 0.01).alias("approx_customers")
+    )
+
+
+@register(
+    "c08_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
+           SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+               * (100 - CAST(round(l_discount*100) AS BIGINT))) / 10000.0 AS revenue
+    FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+)
+def c08_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (subtotals + grand total in one pass)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        (F.sum(revenue_units()) / F.lit(10000.0)).alias("revenue"),
+    )
+
+
+@register(
+    "c08b_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
+    FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+)
+def c08b_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.D — joins
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "d1_join_inner_fk",
+    oracle="""
+    SELECT c_mktsegment,
+           SUM(CAST(round(o_totalprice*100) AS BIGINT)) / 100.0 AS segment_revenue,
+           COUNT(*) AS n_orders
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def d1_join_inner_fk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FK equi inner join orders ⋈ customers (init-db.sql:28).
+    customer is the broadcast side: at sf0.1 it's 15k rows and even at
+    100 TB a customer dim is GBs vs the fact's TBs — if it ever outgrows
+    the broadcast threshold, AQE falls back to sort-merge on the FK."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            (F.sum(fixed_units("o_totalprice")) / F.lit(100.0)).alias("segment_revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "d2_d3_join_three_way",
+    oracle="""
+    SELECT p_brand, o_orderstatus,
+           SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+               * (100 - CAST(round(l_discount*100) AS BIGINT))) / 10000.0 AS revenue,
+           SUM(l_quantity) AS total_qty
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN part   ON l_partkey = p_partkey
+    WHERE p_type IN ('PROMO', 'ECONOMY')
+    GROUP BY p_brand, o_orderstatus
+    """,
+)
+def d2_d3_join_three_way(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """order_items ⋈ orders ⋈ products (init-db.sql:36-37) — the
+    fact-to-fact join shuffles both sides on l_orderkey (sort-merge /
+    AQE's choice); the part dim is broadcast and its p_type filter is
+    applied before broadcast so only matching parts ship to executors."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type").isin("PROMO", "ECONOMY"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "o_orderstatus")
+        .agg(
+            (F.sum(revenue_units()) / F.lit(10000.0)).alias("revenue"),
+            F.sum("l_quantity").alias("total_qty"),
+        )
+    )
+
+
+@register(
+    "d4_join_left_outer",
+    oracle="""
+    SELECT c_custkey, c_name,
+           COUNT(o_orderkey) AS n_orders,
+           COALESCE(SUM(CAST(round(o_totalprice*100) AS BIGINT)) / 100.0, 0.0) AS total_spend
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_name
+    """,
+)
+def d4_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving customers with no orders (and NULL
+    total_amount rows, init-db.sql:31 / main.py:103-128)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(
+                F.sum(fixed_units("o_totalprice")) / F.lit(100.0), F.lit(0.0)
+            ).alias("total_spend"),
+        )
+    )
+
+
+@register(
+    "d5a_join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+    """,
+)
+def d5a_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: customers with ≥1 open order.  Semi joins ship
+    only the join key of the right side — at scale, far cheaper than
+    inner-join + distinct."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "d5b_join_anti",
+    oracle="""
+    SELECT p_partkey, p_name FROM part
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+    """,
+)
+def d5b_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: products never ordered."""
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    return part.join(li, part.p_partkey == li.l_partkey, "left_anti").select(
+        "p_partkey", "p_name"
+    )
+
+
+@register(
+    "d6_join_star_snowflake",
+    oracle="""
+    SELECT r_name AS region, n_name AS nation,
+           SUM(CAST(round(o_totalprice*100) AS BIGINT)) / 100.0 AS revenue
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+)
+def d6_join_star_snowflake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snowflake join chain fact→dim→dim→dim, all dims broadcast —
+    zero shuffles until the final (tiny) aggregation exchange."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg((F.sum(fixed_units("o_totalprice")) / F.lit(100.0)).alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.E — window functions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "e2a_window_topn",
+    oracle="""
+    SELECT p_brand, p_partkey, part_revenue, rnk FROM (
+      SELECT p_brand, p_partkey, part_revenue,
+             CAST(row_number() OVER (PARTITION BY p_brand
+                                     ORDER BY part_revenue DESC, p_partkey) AS BIGINT) AS rnk
+      FROM (
+        SELECT p_brand, p_partkey,
+               SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+                   * (100 - CAST(round(l_discount*100) AS BIGINT))) / 10000.0 AS part_revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand, p_partkey
+      )
+    ) WHERE rnk <= 3
+    """,
+)
+def e2a_window_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 parts by revenue per brand (E2 ranking).  Partitioned
+    window after a pre-aggregation, so the window input is |parts| rows,
+    not |lineitem| — the shape that survives 100×."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_partkey")
+        .agg((F.sum(revenue_units()) / F.lit(10000.0)).alias("part_revenue"))
+    )
+    w = Window.partitionBy("p_brand").orderBy(F.col("part_revenue").desc(), "p_partkey")
+    return (
+        rev.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select("p_brand", "p_partkey", "part_revenue", "rnk")
+    )
+
+
+@register(
+    "e2b_window_lag",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(date_diff('day',
+                CAST(lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                            ORDER BY o_orderdate, o_orderkey) AS DATE),
+                CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since_prev
+    FROM orders
+    """,
+)
+def e2b_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag() analytic: days between a customer's consecutive orders."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(F.to_date("o_orderdate"), F.to_date(F.lag("o_orderdate").over(w)))
+        .cast("long")
+        .alias("days_since_prev"),
+    )
+
+
+@register(
+    "e2c_window_running_sum",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           SUM(CAST(round(o_totalprice*100) AS BIGINT))
+             OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS UNBOUNDED PRECEDING) / 100.0 AS cum_spend
+    FROM orders
+    """,
+)
+def e2c_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total per customer (frame-bounded window aggregate)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        (F.sum(fixed_units("o_totalprice")).over(w) / F.lit(100.0)).alias("cum_spend"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.F — sorts / limits / set ops
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f1_sort_limit",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def f1_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 orders by value.  Spark executes as TakeOrderedAndProject
+    (per-partition top-k + driver merge) — no global sort materialized."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(10)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+@register(
+    "f3a_union",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    UNION
+    SELECT c_custkey AS custkey FROM customer WHERE c_acctbal < 0
+    """,
+)
+def f3a_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) of two key sets."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    a = orders.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    b = customer.filter(F.col("c_acctbal") < 0).select(F.col("c_custkey").alias("custkey"))
+    return a.union(b).distinct()
+
+
+@register(
+    "f3b_intersect",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def f3b_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: customers with both finished and open orders."""
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    b = orders.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey"))
+    return a.intersect(b)
+
+
+@register(
+    "f3c_except",
+    oracle="""
+    SELECT c_custkey AS custkey FROM customer
+    EXCEPT
+    SELECT o_custkey AS custkey FROM orders
+    """,
+)
+def f3c_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT: customers who never ordered (set-op form of d5b)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    a = customer.select(F.col("c_custkey").alias("custkey"))
+    b = orders.select(F.col("o_custkey").alias("custkey"))
+    return a.exceptAll(b).distinct()
+
+
+# ---------------------------------------------------------------------------
+# §2.G — scalar function surface
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "g1_string_scalars",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name) AS name_upper,
+           concat_ws('-', p_brand, p_type) AS brand_type,
+           CAST(length(p_name) AS BIGINT) AS name_len,
+           substring(p_name, 1, 5) AS name_prefix,
+           CAST(floor(p_retailprice) AS BIGINT) AS price_floor,
+           abs(p_size - 25) AS size_dev
+    FROM part
+    """,
+)
+def g1_string_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String/number scalar surface (§2.G: concat, length, round-family,
+    abs) — all codegen built-ins, no UDFs."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.concat_ws("-", "p_brand", "p_type").alias("brand_type"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.substring("p_name", 1, 5).alias("name_prefix"),
+        F.floor("p_retailprice").alias("price_floor"),
+        F.abs(F.col("p_size") - 25).alias("size_dev"),
+    )
+
+
+@register(
+    "g2_date_scalars",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INTEGER) AS order_year,
+           CAST(month(o_orderdate) AS INTEGER) AS order_month,
+           CAST(day(o_orderdate) AS INTEGER) AS order_dom,
+           date_trunc('month', o_orderdate) AS month_start,
+           CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS BIGINT)
+               AS days_to_ref,
+           CAST(o_orderdate AS DATE) + 30 AS due_date
+    FROM orders
+    """,
+)
+def g2_date_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time scalar surface (§2.G: to_date, date_trunc, datediff,
+    date_add, year/month/day — implied by the daily report C5)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_dom"),
+        F.trunc(F.to_date("o_orderdate"), "month").alias("month_start"),
+        F.datediff(F.lit("2002-01-01").cast("date"), F.to_date("o_orderdate"))
+        .cast("long")
+        .alias("days_to_ref"),
+        F.date_add(F.to_date("o_orderdate"), 30).alias("due_date"),
+    )
+
+
+@register(
+    "g3_string_match",
+    oracle="""
+    SELECT p_partkey, p_name, p_type FROM part
+    WHERE regexp_matches(p_name, '^(blue|green)\\s') OR p_type LIKE '%PROMO%'
+    """,
+)
+def g3_string_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIKE + regexp predicates (string-match filter surface)."""
+    part = load_table(spark, sf_dir, "part")
+    return part.filter(
+        F.col("p_name").rlike(r"^(blue|green)\s") | F.col("p_type").like("%PROMO%")
+    ).select("p_partkey", "p_name", "p_type")
+
+
+# ---------------------------------------------------------------------------
+# Flagship (entry() smoke query)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "flagship_revenue_report",
+    oracle="""
+    SELECT o_orderstatus AS status,
+           date_trunc('month', o_orderdate) AS order_month,
+           SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+               * (100 - CAST(round(l_discount*100) AS BIGINT))) / 10000.0 AS revenue,
+           SUM(l_quantity) AS total_qty,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderstatus, date_trunc('month', o_orderdate)
+    """,
+)
+def flagship_revenue_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: the reference's daily-revenue purpose generalized —
+    monthly revenue by order status over the order_items⋈orders join
+    (daily_report.py + C5 + D2 in one plan)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("o_orderstatus").alias("status"),
+            F.trunc(F.to_date("o_orderdate"), "month").alias("order_month"),
+        )
+        .agg(
+            (F.sum(revenue_units()) / F.lit(10000.0)).alias("revenue"),
+            F.sum("l_quantity").alias("total_qty"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )

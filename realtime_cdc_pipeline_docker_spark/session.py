@@ -1,0 +1,71 @@
+"""SparkSession builder.
+
+Mirrors the reference's runtime configuration (AQE enabled —
+reference script/spark-entrypoint.sh:39) and adds the settings a
+100 TB deployment needs from day one:
+
+- Adaptive Query Execution with partition coalescing and skew-join
+  handling: at 1000-executor scale, static shuffle partitioning is
+  always wrong for at least one stage; AQE re-plans from runtime stats.
+- ``spark.sql.shuffle.partitions`` sized for the test scale by default
+  but overridable via ``SPARK_GRAFT_SHUFFLE_PARTITIONS``; on a real
+  cluster this should be ~2-3x total cores (or left to AQE coalescing
+  from a high initial value).
+- UTC session timezone so event-time semantics are deployment-independent.
+- Arrow enabled for the Pandas-UDF extension operators (vectorized
+  batch transfer instead of per-row pickling).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = 32
+
+
+def get_session(
+    app: str = "realtime-cdc-pipeline-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the configured SparkSession.
+
+    Local test harness runs ``local[$SPARK_GRAFT_CPUS]``; on a cluster
+    the master comes from spark-submit and this builder only sets SQL conf.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(
+            os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS)
+        )
+
+    builder = (
+        SparkSession.builder.appName(app)
+        .master(master)
+        # AQE: runtime re-planning — coalesce tiny shuffle partitions,
+        # demote to broadcast joins, split skewed partitions.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Deterministic event-time semantics regardless of host TZ.
+        .config("spark.sql.session.timeZone", "UTC")
+        # Arrow for the pandas-UDF extension operators.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Keep the UI off in tests/bench (less noise, faster startup).
+        .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        # The fixture parquet stores TIMESTAMP(NANOS), which Spark's
+        # reader rejects by default; read as long, catalog converts to
+        # micros timestamps (matching DuckDB's nanos→micros truncation).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

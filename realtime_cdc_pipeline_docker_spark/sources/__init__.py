@@ -1,0 +1,6 @@
+from .cdc import (  # noqa: F401
+    DEBEZIUM_ENVELOPE_SCHEMA,
+    ORDERS_PAYLOAD_SCHEMA,
+    decode_envelope,
+    synth_orders_envelope,
+)

@@ -1,0 +1,157 @@
+"""Debezium-envelope CDC decode — the reference's core streaming transform.
+
+The reference consumes Kafka topics of Debezium change events and decodes
+them in two phases (reference spark-jobs/cdc_processor.py:50-55, 74-98):
+
+1. parse the envelope ``{before, after, op, ts_ms}`` where ``before`` /
+   ``after`` are *raw JSON strings* (deliberately: one generic envelope
+   decoder, pluggable per-table payload schemas);
+2. route ``op='d'`` → ``before`` else ``after``, stamp ``sign`` (+1
+   upsert / -1 delete, cdc_processor.py:90-93), parse the payload with
+   the table schema, flatten.
+
+This module reproduces those semantics batch/stream agnostically: the
+transform is a pure DataFrame→DataFrame function, so the same code runs
+under ``spark.read`` in tests and ``spark.readStream`` in production —
+Structured Streaming's core design point (incrementalized batch plan).
+
+Scale notes: the decode is stateless row-local work (JSON parse + CASE),
+fully inside whole-stage codegen — it pipelines with the Kafka scan and
+never shuffles.  Correctness under out-of-order delivery is delegated to
+the versioned sink + latest-state collapse (operators/collapse.py),
+exactly like the reference's ReplacingMergeTree design.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Envelope: before/after kept as StringType on purpose (two-phase parse,
+# cdc_processor.py:50-55).
+DEBEZIUM_ENVELOPE_SCHEMA = T.StructType(
+    [
+        T.StructField("before", T.StringType(), True),
+        T.StructField("after", T.StringType(), True),
+        T.StructField("op", T.StringType(), True),
+        T.StructField("ts_ms", T.LongType(), True),
+    ]
+)
+
+# Payload schema for the synthetic orders change stream (mirrors the
+# reference's orders table, init-db.sql:26-32 / cdc_processor.py:32-40,
+# remapped onto the driver's TPC-H-ish `orders` fixture).
+ORDERS_PAYLOAD_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), True),
+        T.StructField("customer_id", T.LongType(), True),
+        T.StructField("order_date", T.TimestampType(), True),
+        T.StructField("status", T.StringType(), True),
+        T.StructField("total_amount", T.DoubleType(), True),
+    ]
+)
+
+
+def parse_envelope(raw: DataFrame, value_col: str = "value") -> DataFrame:
+    """Phase-1 parse: raw JSON (bytes or string) → envelope columns.
+
+    Mirrors cdc_processor.py:74-76 (`cast("string")` → ``from_json`` →
+    ``select("data.*")``).
+    """
+    return raw.select(
+        F.from_json(F.col(value_col).cast("string"), DEBEZIUM_ENVELOPE_SCHEMA).alias("data")
+    ).select("data.*")
+
+
+def decode_envelope(envelope: DataFrame, payload_schema: T.StructType) -> DataFrame:
+    """Phase-2 decode: envelope rows → signed, versioned payload rows.
+
+    Semantics of cdc_processor.py:84-98:
+      payload = before if op='d' else after    (CASE WHEN)
+      sign    = -1     if op='d' else +1
+      output  = payload.* + ts_ms + sign
+    """
+    routed = envelope.withColumn(
+        "payload_json",
+        F.when(F.col("op") == "d", F.col("before")).otherwise(F.col("after")),
+    ).withColumn(
+        "sign",
+        F.when(F.col("op") == "d", F.lit(-1)).otherwise(F.lit(1)),
+    )
+    return routed.select(
+        F.from_json("payload_json", payload_schema).alias("payload"),
+        "op",
+        "ts_ms",
+        "sign",
+    ).select("payload.*", "op", "ts_ms", "sign")
+
+
+def decode_raw_stream(raw: DataFrame, payload_schema: T.StructType) -> DataFrame:
+    """Full two-phase decode from a raw key/value source (Kafka-shaped)."""
+    return decode_envelope(parse_envelope(raw), payload_schema)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic envelope fixture (FIXTURES.md §B1)
+# ---------------------------------------------------------------------------
+
+# Scripted per-key event sequence derived from the driver's `orders`
+# table, mirroring the reference generator's lifecycle
+# (data-generator/main.py:103-128, 154-160): INSERT with NULL
+# total_amount → UPDATE setting total_amount + final status → DELETE for
+# every 10th key.  ts_ms offsets make versions strictly increasing per key.
+_DELETE_MOD = 10
+
+
+def synth_orders_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build the Debezium-envelope change stream for the orders fixture.
+
+    Returns envelope rows ``(before, after, op, ts_ms)`` with JSON-string
+    payloads — byte-compatible with what the phase-1 parser emits, so
+    tests can feed it straight into ``decode_envelope`` (or serialize it
+    to JSON files for a Structured Streaming file source).
+    """
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    base = orders.select(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_custkey").alias("customer_id"),
+        F.col("o_orderdate").alias("order_date"),
+        F.col("o_orderstatus").alias("final_status"),
+        F.col("o_totalprice").alias("total_amount"),
+        (F.unix_timestamp("o_orderdate") * 1000).alias("ts0"),
+    )
+
+    def payload(status, amount):
+        return F.to_json(
+            F.struct(
+                F.col("id"),
+                F.col("customer_id"),
+                F.col("order_date"),
+                status.alias("status"),
+                amount.alias("total_amount"),
+            )
+        )
+
+    insert_p = payload(F.lit("processing"), F.lit(None).cast("double"))
+    update_p = payload(F.col("final_status"), F.col("total_amount"))
+
+    inserts = base.select(
+        F.lit(None).cast("string").alias("before"),
+        insert_p.alias("after"),
+        F.lit("c").alias("op"),
+        F.col("ts0").alias("ts_ms"),
+    )
+    updates = base.select(
+        insert_p.alias("before"),
+        update_p.alias("after"),
+        F.lit("u").alias("op"),
+        (F.col("ts0") + 3_600_000).alias("ts_ms"),
+    )
+    deletes = base.filter(F.col("id") % _DELETE_MOD == 0).select(
+        update_p.alias("before"),
+        F.lit(None).cast("string").alias("after"),
+        F.lit("d").alias("op"),
+        (F.col("ts0") + 7_200_000).alias("ts_ms"),
+    )
+    return inserts.unionByName(updates).unionByName(deletes)
