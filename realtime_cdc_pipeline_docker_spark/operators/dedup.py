@@ -73,10 +73,18 @@ def minhash_lsh_pairs(
     they are near-identical boilerplate better handled by exact dedup).
     """
     rows_per_band = num_hashes // bands
-    base = df.select(
-        F.col(id_col).alias("id"),
-        char_shingles(text_col, shingle_k).alias("shingles"),
-    ).withColumn("sig", minhash_signature(F.col("shingles"), num_hashes))
+    base = (
+        df.select(
+            F.col(id_col).alias("id"),
+            char_shingles(text_col, shingle_k).alias("shingles"),
+        )
+        .withColumn("sig", minhash_signature(F.col("shingles"), num_hashes))
+        # The signature table feeds the band explode AND both sides of
+        # the candidate self-join AND the verification join; without
+        # materialization Spark recomputes shingling+hashing 4x.  At
+        # 100 TB this is a written signature table; locally, persist.
+        .persist()
+    )
 
     banded = base.select(
         "id",
@@ -157,6 +165,7 @@ def simhash_pairs(
         )
         .withColumn("sim", simhash_from_votes("votes"))
         .drop("votes")
+        .persist()  # referenced by both sides of the band self-join
     )
     banded = sigs.select(
         "id",
@@ -214,28 +223,37 @@ def ngram_jaccard_pairs(
     only pairs sharing ≥1 n-gram.  At 100 TB, drop stop-grams (df-top
     frequent n-grams) before the join to kill the skew; here the data is
     small enough not to."""
-    grams = df.select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(
-            F.transform(
-                F.filter(
-                    F.transform(
-                        F.sequence(
-                            F.lit(0),
-                            F.greatest(
-                                F.size(ws_tokens(normalize_text(text_col))) - n, F.lit(0)
+    grams = (
+        df.select(
+            F.col(id_col).alias("id"),
+            # Materialize the token array once; referencing the
+            # tokenization expression inside the lambdas below would
+            # re-run it per n-gram (no CSE across lambda boundaries).
+            ws_tokens(normalize_text(text_col)).alias("toks"),
+        )
+        .select(
+            "id",
+            F.array_distinct(
+                F.transform(
+                    F.filter(
+                        F.transform(
+                            F.sequence(
+                                F.lit(0), F.greatest(F.size("toks") - n, F.lit(0))
                             ),
+                            lambda i: F.slice(F.col("toks"), i + 1, n),
                         ),
-                        lambda i: F.slice(ws_tokens(normalize_text(text_col)), i + 1, n),
+                        lambda arr: F.size(arr) == n,
                     ),
-                    lambda arr: F.size(arr) == n,
-                ),
-                lambda arr: F.xxhash64(F.concat_ws(" ", arr)),
-            )
-        ).alias("grams"),
-    ).withColumn("n_grams", F.size("grams"))
+                    lambda arr: F.xxhash64(F.concat_ws(" ", arr)),
+                )
+            ).alias("grams"),
+        )
+        .withColumn("n_grams", F.size("grams"))
+    )
 
-    inv = grams.select("id", "n_grams", F.explode("grams").alias("gram"))
+    inv = grams.select(
+        "id", "n_grams", F.explode("grams").alias("gram")
+    ).persist()  # both sides of the inverted-index self-join
     x, y = inv.alias("x"), inv.alias("y")
     co = (
         x.join(y, (F.col("x.gram") == F.col("y.gram")) & (F.col("x.id") < F.col("y.id")))

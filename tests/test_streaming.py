@@ -1,0 +1,183 @@
+"""Structured Streaming CDC tests (SURVEY §5.2-5.3).
+
+Golden-sequence semantics, the stream==batch invariant, checkpoint
+restart (no reprocessing, no duplicates), and the concurrent multi-table
+runner mirroring the reference's 4-stream layout (cdc_processor.py:139-145).
+
+All streams run file-source + ``trigger(availableNow=True)`` so results
+are deterministic and the suite needs no Kafka.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from realtime_cdc_pipeline_docker_spark.operators.collapse import latest_state
+from realtime_cdc_pipeline_docker_spark.sources.cdc import (
+    ORDERS_PAYLOAD_SCHEMA,
+    decode_envelope,
+)
+from realtime_cdc_pipeline_docker_spark.streaming.pipeline import (
+    run_cdc_stream,
+    run_multi_table_streams,
+)
+
+PAYLOAD = T.StructType(
+    [
+        T.StructField("id", T.LongType(), True),
+        T.StructField("status", T.StringType(), True),
+        T.StructField("total_amount", T.DoubleType(), True),
+    ]
+)
+
+
+def _env(op, ts, before=None, after=None):
+    return {
+        "before": json.dumps(before) if before else None,
+        "after": json.dumps(after) if after else None,
+        "op": op,
+        "ts_ms": ts,
+    }
+
+
+# Golden sequence (FIXTURES.md §B1 / SURVEY §5.2): key 1 insert→update,
+# key 2 insert→delete, key 3 insert then LATE stale update (lower ts_ms
+# arrives after a newer version — must lose the collapse), key 4
+# insert+update sharing ts_ms with a delete (sign tiebreak).
+GOLDEN = [
+    _env("c", 100, after={"id": 1, "status": "processing", "total_amount": None}),
+    _env("u", 200, before={"id": 1, "status": "processing", "total_amount": None},
+         after={"id": 1, "status": "shipped", "total_amount": 42.5}),
+    _env("c", 100, after={"id": 2, "status": "processing", "total_amount": 10.0}),
+    _env("d", 300, before={"id": 2, "status": "processing", "total_amount": 10.0}),
+    _env("c", 100, after={"id": 3, "status": "processing", "total_amount": None}),
+    _env("u", 500, before={"id": 3, "status": "processing", "total_amount": None},
+         after={"id": 3, "status": "delivered", "total_amount": 99.0}),
+    # late, stale (ts 250 < 500) — must NOT win
+    _env("u", 250, before={"id": 3, "status": "processing", "total_amount": None},
+         after={"id": 3, "status": "cancelled", "total_amount": 0.0}),
+    _env("c", 100, after={"id": 4, "status": "processing", "total_amount": 7.0}),
+    # delete and update share ts_ms=400: ClickHouse keeps last-inserted;
+    # our deterministic tiebreak is sign desc → the upsert (+1) wins.
+    _env("d", 400, before={"id": 4, "status": "processing", "total_amount": 7.0}),
+    _env("u", 400, before={"id": 4, "status": "processing", "total_amount": 7.0},
+         after={"id": 4, "status": "shipped", "total_amount": 7.0}),
+]
+
+EXPECTED_FINAL = {
+    1: ("shipped", 42.5),
+    # 2 deleted
+    3: ("delivered", 99.0),
+    4: ("shipped", 7.0),
+}
+
+
+def _write_jsonl(path: str, events: list[dict], name: str = "part-0.json") -> None:
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, name), "w") as f:
+        for e in events:
+            f.write(json.dumps(e) + "\n")
+
+
+def _final_state(log_df):
+    rows = latest_state(log_df, key_cols=("id",)).collect()
+    return {r["id"]: (r["status"], r["total_amount"]) for r in rows}
+
+
+def test_golden_cdc_semantics(spark, tmp_path):
+    src = str(tmp_path / "src")
+    _write_jsonl(src, GOLDEN)
+    log = run_cdc_stream(
+        spark, src, str(tmp_path / "log"), str(tmp_path / "ckpt"), PAYLOAD
+    )
+    assert log.count() == len(GOLDEN)  # append-only log keeps every version
+    assert _final_state(log) == EXPECTED_FINAL
+
+
+def test_stream_equals_batch(spark, tmp_path):
+    """Structured Streaming invariant: the incremental plan over a file
+    source produces the same rows as the batch plan over the same files."""
+    src = str(tmp_path / "src")
+    _write_jsonl(src, GOLDEN)
+    streamed = run_cdc_stream(
+        spark, src, str(tmp_path / "log"), str(tmp_path / "ckpt"), PAYLOAD
+    )
+    batch = decode_envelope(
+        spark.read.schema(
+            T.StructType(
+                [
+                    T.StructField("before", T.StringType()),
+                    T.StructField("after", T.StringType()),
+                    T.StructField("op", T.StringType()),
+                    T.StructField("ts_ms", T.LongType()),
+                ]
+            )
+        ).json(src),
+        PAYLOAD,
+    )
+    key = ["id", "ts_ms", "sign", "op", "status"]
+    assert sorted(map(tuple, streamed.select(key).collect())) == sorted(
+        map(tuple, batch.select(key).collect())
+    )
+
+
+def test_checkpoint_restart_no_duplicates(spark, tmp_path):
+    """H2/H5: a restarted query resumes from the checkpoint — already-
+    committed files are not re-appended, new files are picked up."""
+    src, log, ckpt = (str(tmp_path / d) for d in ("src", "log", "ckpt"))
+    first, second = GOLDEN[:6], GOLDEN[6:]
+    _write_jsonl(src, first, "a.json")
+    log_df = run_cdc_stream(spark, src, log, ckpt, PAYLOAD)
+    assert log_df.count() == len(first)
+
+    _write_jsonl(src, second, "b.json")
+    log_df = run_cdc_stream(spark, src, log, ckpt, PAYLOAD)  # same checkpoint
+    assert log_df.count() == len(GOLDEN)  # 6 + 4, no re-append of a.json
+    assert _final_state(log_df) == EXPECTED_FINAL
+
+
+def test_restart_with_no_new_data_is_noop(spark, tmp_path):
+    src, log, ckpt = (str(tmp_path / d) for d in ("src", "log", "ckpt"))
+    _write_jsonl(src, GOLDEN)
+    run_cdc_stream(spark, src, log, ckpt, PAYLOAD)
+    log_df = run_cdc_stream(spark, src, log, ckpt, PAYLOAD)
+    assert log_df.count() == len(GOLDEN)
+
+
+def test_multi_table_runner(spark, tmp_path):
+    """4 concurrent per-table queries, one SparkSession — the reference's
+    stream-per-table layout (cdc_processor.py:139-145)."""
+    tables = {}
+    for t in ("customers", "products", "orders", "order_items"):
+        src = str(tmp_path / t / "src")
+        events = [
+            _env("c", 100, after={"id": 1, "status": t, "total_amount": 1.0}),
+            _env("u", 200, before={"id": 1, "status": t, "total_amount": 1.0},
+                 after={"id": 1, "status": t + "_v2", "total_amount": 2.0}),
+        ]
+        _write_jsonl(src, events)
+        tables[t] = (src, PAYLOAD)
+
+    logs = run_multi_table_streams(spark, tables, str(tmp_path / "work"))
+    assert set(logs) == set(tables)
+    for t, df in logs.items():
+        assert df.count() == 2
+        state = _final_state(df)
+        assert state == {1: (t + "_v2", 2.0)}
+
+
+def test_late_data_idempotent_redelivery(spark, tmp_path):
+    """At-least-once redelivery: feeding the same file content again under
+    a FRESH checkpoint double-appends the log, but the collapsed view is
+    unchanged (idempotent end state — H5)."""
+    src, log = str(tmp_path / "src"), str(tmp_path / "log")
+    _write_jsonl(src, GOLDEN)
+    run_cdc_stream(spark, src, log, str(tmp_path / "ckpt1"), PAYLOAD)
+    log_df = run_cdc_stream(spark, src, log, str(tmp_path / "ckpt2"), PAYLOAD)
+    assert log_df.count() == 2 * len(GOLDEN)
+    assert _final_state(log_df) == EXPECTED_FINAL
