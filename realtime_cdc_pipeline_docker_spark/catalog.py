@@ -61,6 +61,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Widen a narrow scan to the cluster's parallelism — no-op if wide.
+
+    File-splitting assigns partitions by input *bytes*
+    (``maxPartitionBytes``), which under-parallelizes CPU-bound operators
+    whose work per byte is large (shingling ≈ k hashes/char expands rows
+    ~2000×): a small parquet file lands on one core.  At 100 TB the scan
+    is already thousands of partitions and this returns the input
+    unchanged — the repartition only fires when partitions < cores."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 

@@ -200,13 +200,20 @@ def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
     set under an affine hash family.
 
     Each shingle is string-hashed ONCE (xxhash64, masked to 31 bits);
-    the family members are ``a_i·h + b_i`` — long multiply-adds, ~100×
-    cheaper than re-hashing the string per family member.  All minima
-    are tracked in a single fold over the shingle array (one pass,
-    codegen, no shuffle).  31-bit operands keep products < 2^62 so ANSI
-    overflow checking never trips.
+    the family members are ``(a_i·h + b_i) mod (2^31-1)`` — universal
+    hashing; the prime modulus is load-bearing (without it the affine map
+    is monotonic in h and every member collapses to a function of
+    min(h)).  All minima are tracked in a single fold over the shingle
+    array.  31-bit operands keep products < 2^62 so ANSI overflow
+    checking never trips.
+
+    NOTE: this expression form evaluates its lambdas interpreted (no
+    codegen for higher-order functions) — fine for ad-hoc use on arrays
+    already in hand; the bulk path is ``operators.dedup``'s explode +
+    hash-aggregate formulation of the same family, which is ~30× faster.
     """
     params = _affine_params(num_hashes)
+    prime = F.lit((1 << 31) - 1)
     base = F.transform(shingles, lambda s: F.xxhash64(s).bitwiseAND(F.lit(0x7FFFFFFF)))
     init = F.array(*[F.lit(1 << 62).cast("long") for _ in range(num_hashes)])
     return F.aggregate(
@@ -214,7 +221,7 @@ def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
         init,
         lambda acc, h: F.array(
             *[
-                F.least(acc[i], h * F.lit(a) + F.lit(b))
+                F.least(acc[i], (h * F.lit(a) + F.lit(b)) % prime)
                 for i, (a, b) in enumerate(params)
             ]
         ),

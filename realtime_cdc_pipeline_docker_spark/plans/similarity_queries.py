@@ -80,9 +80,46 @@ def j2b_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs)
 
 
-@register("j2d_embedding_neardup", oracle=None)
+_N_PLANTED = 50
+
+
+@register(
+    "j2d_embedding_neardup",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000,
+             list_transform(CAST(embedding AS DOUBLE[]), x -> x * 1.5)
+      FROM embeddings WHERE vec_id < {_N_PLANTED}
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_cosine_similarity(a.e, b.e), 3) AS sim
+    FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.e, b.e) >= 0.9
+    """,
+)
 def j2d_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (J2/J3): hyperplane-LSH bucket
-    self-join + exact cosine ≥ 0.9 verification."""
+    self-join + exact cosine ≥ 0.9 verification.
+
+    The fixture's random embeddings have no pairs above cosine 0.52, so
+    the query plants near-duplicates: a positively-scaled copy of each of
+    the first {_N_PLANTED} vectors.  Scaling never flips a hyperplane
+    sign, so every planted pair lands in its original's bucket with
+    probability 1 — which is why this LSH query can carry an *exact*
+    oracle: result = all pairs with cosine ≥ 0.9 = exactly the planted
+    pairs, deterministically.
+    """
     emb = load_table(spark, sf_dir, "embeddings")
-    return embedding_neardup_pairs(emb, threshold=0.9)
+    planted = emb.filter(F.col("vec_id") < _N_PLANTED).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda x: (x * F.lit(1.5)).cast("float")).alias(
+            "embedding"
+        ),
+        "label",
+    )
+    corpus = emb.unionByName(planted)
+    return embedding_neardup_pairs(corpus, threshold=0.9).select(
+        "id_a", "id_b", F.round("sim", 3).alias("sim")
+    )

@@ -1,0 +1,97 @@
+"""Planted-duplicate tests for the dedup operator family (SURVEY §2.J1/J2).
+
+Oracle-style SQL can't express LSH candidate generation, so these tests
+verify the semantics directly: plant known exact/near/unrelated document
+groups, assert every planted pair is found and no unrelated pair is.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from realtime_cdc_pipeline_docker_spark.operators.dedup import (
+    dedup_exact,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+
+BASE_A = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the old oak tree "
+    "as morning light spreads across the quiet garden"
+)
+BASE_B = (
+    "stock prices rallied sharply on tuesday as investors weighed fresh "
+    "inflation data against central bank guidance and corporate earnings "
+    "that broadly exceeded consensus estimates for the third quarter"
+)
+
+
+def _docs(spark):
+    rows = [
+        (1, BASE_A),
+        (2, BASE_A + " tonight"),            # near-dup of 1 (tiny suffix edit)
+        (3, "  The Quick Brown Fox jumps over the lazy dog while the cat watches "
+            "from the warm windowsill and the birds sing in the old oak tree "
+            "as morning light spreads across the quiet garden  "),  # exact dup of 1 modulo case/ws
+        (4, BASE_B),
+        (5, BASE_B.replace("tuesday", "wednesday")),  # near-dup of 4
+        (6, "completely different text about deep sea creatures and the "
+            "bioluminescent organisms that inhabit the midnight zone far "
+            "below the reach of sunlight in the open ocean"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def _pairs(df):
+    return {(r["id_a"], r["id_b"]) for r in df.collect()}
+
+
+def test_dedup_exact_collapses_normalized(spark):
+    out = dedup_exact(_docs(spark)).orderBy("doc_id").collect()
+    # 1 and 3 are the same normalized text -> keeper id 1, dup_count 2
+    by_id = {r["doc_id"]: r["dup_count"] for r in out}
+    assert by_id[1] == 2
+    assert 3 not in by_id
+    assert by_id[2] == 1 and by_id[4] == 1
+
+
+def test_minhash_finds_planted_neardups(spark):
+    got = _pairs(minhash_lsh_pairs(_docs(spark), jaccard_threshold=0.5))
+    assert (1, 2) in got and (4, 5) in got  # planted near-dups
+    assert (1, 3) in got                     # exact dup is jaccard 1
+    assert not any(6 in p for p in got)      # unrelated doc pairs with nothing
+    assert not any((a in (1, 2, 3)) and (b in (4, 5)) for a, b in got)
+
+
+def test_minhash_jaccard_values_exact(spark):
+    rows = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(_docs(spark)).collect()
+    }
+    assert rows[(1, 3)] == pytest.approx(1.0)      # identical normalized text
+    assert 0.8 < rows[(1, 2)] < 1.0                # suffix edit: high but < 1
+
+
+def test_simhash_finds_exact_and_near(spark):
+    got = _pairs(simhash_pairs(_docs(spark), max_hamming=3))
+    assert (1, 3) in got  # identical token multiset -> hamming 0
+    assert not any(6 in p for p in got)
+
+
+def test_ngram_jaccard_planted(spark):
+    got = _pairs(ngram_jaccard_pairs(_docs(spark), jaccard_threshold=0.5))
+    assert (1, 3) in got and (1, 2) in got and (4, 5) in got
+    assert not any(6 in p for p in got)
+
+
+def test_minhash_on_fixture_is_symmetric_and_thresholded(spark, sf_dir):
+    from realtime_cdc_pipeline_docker_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = minhash_lsh_pairs(docs).collect()
+    for r in out:
+        assert r["id_a"] < r["id_b"]
+        assert 0.5 <= r["jaccard"] <= 1.0

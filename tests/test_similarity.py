@@ -1,0 +1,90 @@
+"""Similarity-search invariants (SURVEY §2.J3).
+
+Brute-force top-k has a SQL oracle in the registry; here we test the
+properties the oracle can't see: ANN correctness on planted duplicates
+(scale-invariance of hyperplane LSH makes them deterministic), agreement
+between the ANN and exact paths, and bucket determinism.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from realtime_cdc_pipeline_docker_spark.catalog import load_table
+from realtime_cdc_pipeline_docker_spark.operators.similarity import (
+    brute_force_topk,
+    embedding_neardup_pairs,
+    lsh_ann_topk,
+)
+
+
+def _corpus_with_planted(spark, sf_dir, n_planted=20, scale=2.0):
+    """Fixture embeddings + positively-scaled copies of the first n ids.
+
+    Scaling preserves direction: cosine(v, c·v) = 1 and every hyperplane
+    sign agrees, so planted copies share their original's LSH bucket
+    with probability 1 — ANN behavior on them is deterministic."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    planted = emb.filter(F.col("vec_id") < n_planted).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda x: (x * F.lit(scale)).cast("float")).alias(
+            "embedding"
+        ),
+        "label",
+    )
+    return emb.unionByName(planted)
+
+
+def test_brute_force_rank1_is_planted_duplicate(spark, sf_dir):
+    corpus = _corpus_with_planted(spark, sf_dir)
+    queries = corpus.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    top1 = {
+        r["query_id"]: r["neighbor_id"]
+        for r in brute_force_topk(corpus, queries, k=1).collect()
+    }
+    assert top1 == {q: q + 1000000 for q in range(5)}
+
+
+def test_ann_finds_planted_duplicate_always(spark, sf_dir):
+    corpus = _corpus_with_planted(spark, sf_dir)
+    queries = corpus.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = lsh_ann_topk(corpus, queries, k=5)
+    rank1 = {r["query_id"]: r["neighbor_id"] for r in out.filter("rnk = 1").collect()}
+    # same-bucket guarantee: the scaled copy is always rank 1 in ANN too
+    assert rank1 == {q: q + 1000000 for q in range(5)}
+
+
+def test_ann_results_subset_of_exact_scores(spark, sf_dir):
+    """Every (query, neighbor, sim) the ANN returns must carry the same
+    cosine the exact path computes — ANN may miss pairs, never mis-score."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    ann = lsh_ann_topk(emb, queries, k=5).select("query_id", "neighbor_id", "sim")
+    exact = brute_force_topk(emb, queries, k=10**9).select(
+        "query_id", "neighbor_id", F.col("sim").alias("exact_sim")
+    )
+    joined = ann.join(exact, ["query_id", "neighbor_id"], "left").collect()
+    assert len(joined) > 0
+    for r in joined:
+        assert r["exact_sim"] is not None
+        assert r["sim"] == pytest.approx(r["exact_sim"], abs=1e-9)
+
+
+def test_neardup_pairs_exactly_planted(spark, sf_dir):
+    corpus = _corpus_with_planted(spark, sf_dir, n_planted=20)
+    got = {
+        (r["id_a"], r["id_b"]) for r in embedding_neardup_pairs(corpus, 0.9).collect()
+    }
+    assert got == {(q, q + 1000000) for q in range(20)}
+
+
+def test_neardup_empty_on_random_corpus(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    assert embedding_neardup_pairs(emb, threshold=0.9).count() == 0
