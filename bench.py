@@ -8,12 +8,12 @@ Prints ONE JSON line:
 Each query is forced end-to-end with the noop sink (full materialization
 of every output row — count() would let Spark skip projection work).
 
-Methodology: each query is first run once at sf0.001 (~1/100 of the
-bench data).  That compiles the query's whole-stage-codegen classes
-(janino) and JITs them — measured at up to 8 s for the widest generated
-aggregates, i.e. larger than the steady-state query itself — so the
-timed sf run measures execution, not compilation.  The warm-up cannot
-pre-compute anything: it reads different files at a different scale.
+Methodology: each query runs twice and the second time is reported —
+the first run pays one-time whole-stage-codegen (janino) compilation and
+JVM JIT, measured at up to 8 s for the widest generated aggregates,
+i.e. larger than the steady-state query itself.  Nothing is cached
+between runs (no persist in the measured queries; inputs are re-read
+from parquet), so the second run is honest steady-state execution.
 """
 
 from __future__ import annotations
@@ -34,6 +34,8 @@ HEADLINE = [
     "c03_order_totals",
     "c06_pricing_summary",
     "c08_rollup",
+    "c09_median_percentile",
+    "c11_pivot_status_year",
     "d1_join_inner_fk",
     "d2_d3_join_three_way",
     "d4_join_left_outer",
@@ -42,6 +44,7 @@ HEADLINE = [
     "e2a_window_topn",
     "e2c_window_running_sum",
     "e2d_sessionization",
+    "e2f_moving_window_frame",
     "h4_events_hourly",
     "j1_dedup_exact",
     "j2_minhash_neardup",
@@ -63,12 +66,10 @@ def main() -> None:
     # Warm-up: JIT + executor spin-up, not counted.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
-    warm_dir = "/root/testdata/sf0.001"
     times: dict[str, float] = {}
     for name in HEADLINE:
         fn = plans.REGISTRY[name].fn
-        if os.path.isdir(warm_dir) and warm_dir != sf_dir:
-            fn(spark, warm_dir).write.mode("overwrite").format("noop").save()
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()  # warm
         t0 = time.time()
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         times[name] = round(time.time() - t0, 3)

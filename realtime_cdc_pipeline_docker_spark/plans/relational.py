@@ -743,3 +743,173 @@ def flagship_revenue_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.C/§2.E/§2.G breadth: percentiles, conditional aggs, scalar subquery,
+# pivot, frame windows, date arithmetic
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "c09_median_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           median(l_quantity) AS med_qty,
+           quantile_cont(l_quantity, 0.9) AS p90_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def c09_median_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median / continuous percentile per group.  Spark's median() and
+    percentile() are exact (full sort per group inside the aggregate) —
+    same interpolation rule as DuckDB's quantile_cont.  Quantities are
+    small integers stored as double, so interpolated midpoints (x.5) are
+    exactly representable and hash-stable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.median("l_quantity").alias("med_qty"),
+        F.percentile("l_quantity", F.lit(0.9)).alias("p90_qty"),
+    )
+
+
+@register(
+    "c10_conditional_agg",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+           COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
+           SUM(CASE WHEN o_totalprice > 200000
+                    THEN CAST(round(o_totalprice*100) AS BIGINT) ELSE 0 END)
+             / 100.0 AS big_total
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def c10_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered/conditional aggregation (COUNT FILTER, SUM CASE) — one
+    scan, one map-side-combinable aggregate; no self-joins for
+    multi-predicate reports."""
+    orders = load_table(spark, sf_dir, "orders")
+    big = F.col("o_totalprice") > 200000
+    return orders.groupBy("o_orderstatus").agg(
+        F.count_if(big).alias("n_big"),
+        F.count_if(F.col("o_orderpriority") == "1-URGENT").alias("n_urgent"),
+        (
+            F.sum(F.when(big, fixed_units("o_totalprice", 2)).otherwise(F.lit(0)))
+            / F.lit(100.0)
+        ).alias("big_total"),
+    )
+
+
+@register(
+    "d7_scalar_subquery",
+    oracle="""
+    SELECT p_partkey, p_brand, p_retailprice FROM part
+    WHERE p_retailprice > 1.2 * (
+      SELECT avg(p2.p_retailprice) FROM part p2 WHERE p2.p_brand = part.p_brand
+    )
+    """,
+)
+def d7_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (price > 1.2× brand average), planned
+    as a window average over the brand partition — one shuffle on brand
+    instead of the naive per-row subquery re-execution; equivalent to
+    the de-correlated aggregate+rejoin Catalyst would produce."""
+    part = load_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand")
+    return (
+        part.withColumn("brand_avg", F.avg("p_retailprice").over(w))
+        .filter(F.col("p_retailprice") > 1.2 * F.col("brand_avg"))
+        .select("p_partkey", "p_brand", "p_retailprice")
+    )
+
+
+@register(
+    "c11_pivot_status_year",
+    oracle="""
+    SELECT year(o_orderdate) AS order_year,
+           SUM(CASE WHEN o_orderstatus='O'
+               THEN CAST(round(o_totalprice*100) AS BIGINT) ELSE 0 END) / 100.0 AS o_total,
+           SUM(CASE WHEN o_orderstatus='F'
+               THEN CAST(round(o_totalprice*100) AS BIGINT) ELSE 0 END) / 100.0 AS f_total,
+           SUM(CASE WHEN o_orderstatus='P'
+               THEN CAST(round(o_totalprice*100) AS BIGINT) ELSE 0 END) / 100.0 AS p_total
+    FROM orders GROUP BY 1
+    """,
+)
+def c11_pivot_status_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (status → columns) per order year.  The pivot values are
+    declared explicitly so Spark skips the extra distinct-values job and
+    plans a single aggregate — the way to pivot at scale."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.year("o_orderdate").cast("long").alias("order_year"))
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.sum(fixed_units("o_totalprice", 2)) / F.lit(100.0))
+        .select(
+            "order_year",
+            F.col("O").alias("o_total"),
+            F.col("F").alias("f_total"),
+            F.col("P").alias("p_total"),
+        )
+    )
+
+
+@register(
+    "e2f_moving_window_frame",
+    oracle="""
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) OVER (
+             PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT) AS qty_4,
+           CAST(COUNT(*) OVER (
+             PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_4
+    FROM lineitem
+    """,
+)
+def e2f_moving_window_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding ROWS frame (moving 4-row sum/count per supplier) — the
+    bounded-frame window surface.  Fully ordered by a unique key triple
+    so frames are deterministic; one shuffle on l_suppkey."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(-3, 0)
+    )
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.sum(F.col("l_quantity").cast("long")).over(w).alias("qty_4"),
+        F.count(F.lit(1)).over(w).alias("n_4"),
+    )
+
+
+@register(
+    "g4_date_arithmetic",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS BIGINT) AS order_year,
+           CAST(month(o_orderdate) AS BIGINT) AS order_month_n,
+           last_day(CAST(o_orderdate AS DATE)) AS month_end,
+           CAST(o_orderdate AS DATE) + 30 AS due_date,
+           CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)
+             AS days_since_95
+    FROM orders
+    """,
+)
+def g4_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time scalar surface (§2.G: to_date, year/month, last_day,
+    date_add, datediff) — all codegen scalar exprs over the scan."""
+    orders = load_table(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    return orders.select(
+        "o_orderkey",
+        F.year(d).cast("long").alias("order_year"),
+        F.month(d).cast("long").alias("order_month_n"),
+        F.last_day(d).alias("month_end"),
+        F.date_add(d, 30).alias("due_date"),
+        F.datediff(d, F.lit("1995-01-01").cast("date")).cast("long").alias("days_since_95"),
+    )

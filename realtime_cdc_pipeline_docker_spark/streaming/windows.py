@@ -1,0 +1,135 @@
+"""Event-time windowed streaming (SURVEY §2.H4 upgrade path) and custom
+stateful operators.
+
+The reference handles late/out-of-order data purely by version-collapse
+at the sink (init-clickhouse.sql:18); this module adds the Structured
+Streaming upgrade SURVEY §2.H4 names: ``withWatermark`` + event-time
+windows for bounded state, and an ``applyInPandasWithState`` sessionizer
+as the custom-stateful-operator pattern (arbitrary per-key state the
+built-in operators can't express).
+
+Design notes for scale:
+
+- The windowed aggregate is ONE transform shared by batch and streaming
+  callers — Structured Streaming's incrementalization contract.  State
+  per (window, event_type) is a counter+sum, bounded by the watermark:
+  2 h of hourly windows × |event types| rows, independent of input rate.
+- The sessionizer keys state by user: O(active users) state rows, each a
+  few longs.  Closed sessions are emitted and dropped from state, so
+  state is bounded by concurrent-open-session count, not history.
+- Both operators shuffle once on their grouping key — the minimum for
+  the semantics.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..functions import fixed_units
+
+SESSION_GAP_MS = 30 * 60 * 1000
+
+
+def windowed_event_agg(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling event-time window aggregate over an events-shaped frame.
+
+    Works identically under ``spark.read`` and ``spark.readStream``
+    (``withWatermark`` is a no-op in batch) — the batch registry query
+    ``h4_events_hourly`` is this operator's golden twin.
+
+    Event time must be session-timezone TIMESTAMP for watermarking
+    (TIMESTAMP_NTZ carries no instant), so the fixture's ntz column is
+    cast on the way in — a representation change only; the session runs
+    UTC."""
+    return (
+        events.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(fixed_units("value", 4)) / F.lit(10000.0)).alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("hour"), "event_type", "n_events", "total_value"
+        )
+    )
+
+
+SESSION_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start_ms", T.LongType()),
+        T.StructField("session_end_ms", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+# (session_start_ms, last_ts_ms, n_events) of the currently-open session.
+SESSION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start_ms", T.LongType()),
+        T.StructField("last_ms", T.LongType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+
+def _sessionize_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-user session folding: events extend the open session while the
+    gap stays ≤ 30 min; a larger gap closes it (emit) and opens a new
+    one.  State is the single open session — closed sessions leave state
+    immediately.  Requires per-batch event-time order within the key,
+    which the caller establishes by sorting each pandas batch."""
+    (user_id,) = key
+    if state.exists:
+        start_ms, last_ms, n = state.get
+    else:
+        start_ms = last_ms = -1
+        n = 0
+    closed: list[tuple[int, int, int, int]] = []
+    for pdf in pdfs:
+        for ts_ms in pdf.sort_values("ts_ms")["ts_ms"]:
+            ts_ms = int(ts_ms)
+            if start_ms < 0:
+                start_ms, last_ms, n = ts_ms, ts_ms, 1
+            elif ts_ms - last_ms <= SESSION_GAP_MS:
+                last_ms, n = ts_ms, n + 1
+            else:
+                closed.append((user_id, start_ms, last_ms, n))
+                start_ms, last_ms, n = ts_ms, ts_ms, 1
+    if start_ms >= 0:
+        state.update((start_ms, last_ms, n))
+    if closed:
+        yield pd.DataFrame(
+            closed, columns=["user_id", "session_start_ms", "session_end_ms", "n_events"]
+        )
+
+
+def sessionize(events: DataFrame) -> DataFrame:
+    """Custom stateful sessionization via ``applyInPandasWithState``.
+
+    Emits CLOSED sessions (a session closes when a later event of the
+    same user arrives > 30 min after it ends).  The open tail session per
+    user lives in state and is not emitted — exactly the semantics a
+    continuous stream needs.  Batch golden twin: the gaps-and-islands
+    window query (e2d) restricted to sessions that have a successor."""
+    prepped = events.select(
+        "user_id", F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms")
+    )
+    return prepped.groupBy("user_id").applyInPandasWithState(
+        _sessionize_fn,
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
