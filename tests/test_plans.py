@@ -1,0 +1,87 @@
+"""Physical-plan assertions — the scale contract (SURVEY §4).
+
+Correctness tests prove the queries compute the right rows; these prove
+they compute them the way a 100 TB run needs: filters and projections
+reach the parquet reader, small dimensions broadcast instead of
+shuffling the fact table, window+groupBy chains reuse one partitioning,
+and hot paths stay inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from realtime_cdc_pipeline_docker_spark import plans
+
+
+def _formatted(spark, name, sf_dir):
+    df = plans.REGISTRY[name].fn(spark, sf_dir)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    plan = _formatted(spark, "b09_filter_eq", sf_dir)
+    assert "PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)]" in plan
+    # column pruning: only the 4 projected columns are read
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and sorted(c.split(":")[0] for c in m.group(1).split(",")) == [
+        "l_linenumber",
+        "l_orderkey",
+        "l_quantity",
+        "l_returnflag",
+    ]
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "flagship_revenue_report",
+        "d1_join_inner_fk",
+        "d2_d3_join_three_way",
+        "d6_join_star_snowflake",
+    ],
+)
+def test_fact_dim_joins_broadcast(spark, sf_dir, name):
+    """No shuffle of the fact table for dimension joins: every join in
+    these plans is a BroadcastHashJoin (dims are orders of magnitude
+    smaller than lineitem at every sf)."""
+    plan = _formatted(spark, name, sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_sessionization_single_shuffle(spark, sf_dir):
+    """The lag() window and the groupBy both key on user_id — Catalyst
+    must plan ONE exchange, reusing the window's partitioning for the
+    aggregate."""
+    plan = _formatted(spark, "e2d_sessionization", sf_dir)
+    assert plan.count("+- Exchange") == 1
+
+
+def test_aggregates_partial_before_shuffle(spark, sf_dir):
+    """Map-side combine: the flagship aggregate runs partial_sum before
+    its exchange, so the shuffle carries group partials, not rows."""
+    plan = _formatted(spark, "flagship_revenue_report", sf_dir)
+    assert re.search(r"partial_sum", plan)
+    exchange_pos = plan.index("Exchange")
+    assert plan.index("partial_sum") > exchange_pos  # formatted: details after tree
+
+
+def test_no_python_udfs_in_relational_paths(spark, sf_dir):
+    """Every §2.B-§2.G query stays JVM-side: no BatchEvalPython /
+    ArrowEvalPython nodes (Python is reserved for §2.J5 media decode)."""
+    for name in sorted(plans.REGISTRY):
+        if name.startswith(("b", "c", "d", "e", "f", "g", "flagship", "h4")):
+            plan = _formatted(spark, name, sf_dir)
+            assert "EvalPython" not in plan, name
+
+
+def test_topn_window_uses_limit_pushdown(spark, sf_dir):
+    """rank<=k window filters plan a WindowGroupLimit (partial top-k
+    before the shuffle) rather than ranking every row."""
+    plan = _formatted(spark, "e2a_window_topn", sf_dir)
+    assert "WindowGroupLimit" in plan
