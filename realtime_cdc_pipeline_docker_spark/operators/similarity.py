@@ -151,3 +151,150 @@ def embedding_neardup_pairs(
         )
         .filter(F.col("sim") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the centroid-based alternative to hyperplane
+# LSH (SURVEY §2.J3 "IVF or LSH-bucketed variant").
+# ---------------------------------------------------------------------------
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    n_iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[float]]:
+    """Spherical k-means centroids, trained with Lloyd iterations.
+
+    - **Deterministic init**: the ``n_centroids`` corpus vectors with the
+      smallest ``xxhash64(id)`` — a seedless reproducible sample.
+    - **Spherical**: vectors are unit-normalized and assignment is
+      max-dot-product, so cluster membership is scale-invariant (a
+      positively-scaled duplicate always lands with its original).
+    - Each iteration: one broadcast-assignment pass + one
+      posexplode/groupBy mean — both map-side combinable.  Centroid
+      state (n_centroids × dim doubles) is collected to the driver
+      between iterations, as any iterative-refinement loop must; at
+      100 TB you train on a sample and only the final *assignment* scan
+      touches the full corpus.
+    """
+    from ..functions import vec_normalize
+
+    normed = corpus.select(
+        F.col(id_col).alias("id"), vec_normalize(vec_col).alias("v")
+    ).persist()
+    seeds = (
+        normed.orderBy(F.xxhash64(F.col("id").cast("string")), "id")
+        .limit(n_centroids)
+        .collect()
+    )
+    centroids = [list(r["v"]) for r in seeds]
+
+    for _ in range(n_iters):
+        assigned = normed.withColumn(
+            "cluster", nearest_centroid_expr("v", centroids)
+        )
+        means = (
+            assigned.select("cluster", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("cluster", F.col("pm.m").alias("centroid"))
+            .collect()
+        )
+        new = {r["cluster"]: list(r["centroid"]) for r in means}
+        # keep the old centroid for clusters that lost every member
+        centroids = [new.get(i, c) for i, c in enumerate(centroids)]
+        # re-normalize (spherical k-means projects means back to the sphere)
+        centroids = [
+            [x / (sum(y * y for y in c) ** 0.5 or 1.0) for x in c] for c in centroids
+        ]
+    normed.unpersist()
+    return centroids
+
+
+def nearest_centroid_expr(vec_col: str, centroids: list[list[float]]) -> F.Column:
+    """Index of the max-dot-product centroid — a pure column expression
+    (centroids are literals), computable at ingest for pre-partitioning
+    the corpus by cluster."""
+    scored = F.array(
+        *[
+            F.struct(
+                vec_dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c])).alias(
+                    "dot"
+                ),
+                F.lit(i).alias("idx"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return F.array_max(scored)["idx"]
+
+
+def centroid_ranks_expr(vec_col: str, centroids: list[list[float]]) -> F.Column:
+    """Centroid indices sorted by descending dot product (for nprobe)."""
+    scored = F.array(
+        *[
+            F.struct(
+                (-vec_dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c]))).alias(
+                    "neg"
+                ),
+                F.lit(i).alias("idx"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return F.array_sort(scored)["idx"]
+
+
+def ivf_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: assign corpus rows to their nearest
+    centroid (the inverted file), probe each query's ``nprobe`` nearest
+    lists, exact-rerank inside.  At scale the corpus is written
+    partitioned by ``cluster`` so a query touches nprobe partitions —
+    same pre-partitioning property as the LSH bucket path, with
+    data-adapted cells instead of random hyperplanes.
+
+    Recall expectation: on *clustered* real embeddings IVF recall is
+    high at small nprobe; on the fixture's near-orthogonal random
+    vectors (the hardest case — neighbors barely correlate with cells)
+    measured recall@5 is 0.37/0.56/0.71 at nprobe 2/4/6 of 16 cells.
+    nprobe is the recall↔cost dial; planted true duplicates are found
+    at any nprobe ≥ 1 (scale-invariant assignment)."""
+    if centroids is None:
+        centroids = train_ivf_centroids(corpus, n_centroids, vec_col=vec_col, id_col=id_col)
+    c = corpus.withColumn("__cluster", nearest_centroid_expr(vec_col, centroids))
+    q = (
+        queries.select(query_id_col, F.col(vec_col).alias("__qvec"))
+        .withColumn(
+            "__cluster",
+            F.explode(F.slice(centroid_ranks_expr("__qvec", centroids), 1, nprobe)),
+        )
+    )
+    scored = (
+        c.join(F.broadcast(q), "__cluster")
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(
+            query_id_col,
+            F.col(id_col).alias("neighbor_id"),
+            vec_cosine("__qvec", vec_col).alias("sim"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("sim").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+    )

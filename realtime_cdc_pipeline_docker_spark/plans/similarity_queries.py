@@ -123,3 +123,19 @@ def j2d_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup_pairs(corpus, threshold=0.9).select(
         "id_a", "id_b", F.round("sim", 3).alias("sim")
     )
+
+
+@register("j3c_ivf_ann_topk", oracle=None)
+def j3c_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k (J3 scale path, centroid variant): spherical
+    k-means inverted lists, nprobe=2 probing, in-list exact rerank.
+    Planted-duplicate determinism tested in tests/test_similarity.py."""
+    from ..operators.similarity import ivf_ann_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_ann_topk(emb, queries, k=_TOP_K).select(
+        "query_id", "neighbor_id", "rnk"
+    )

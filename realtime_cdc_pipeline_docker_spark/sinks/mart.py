@@ -1,0 +1,55 @@
+"""Versioned mart table sink — the engine-native form of the reference's
+ClickHouse JDBC sink (cdc_processor.py:104-114 + init-clickhouse.sql).
+
+The reference appends micro-batches over JDBC (batchsize 5000,
+isolation NONE) into ``ReplacingMergeTree(ts_ms, sign) ORDER BY id``
+tables, delegating clustering and collapse to ClickHouse.  Here the same
+storage contract is expressed with parquet primitives:
+
+- **append-only** versioned rows (``mode("append")``) — the write is
+  idempotent-by-layering, collapse is merge-on-read
+  (``operators.collapse.latest_state``) or merge-on-write (``compact``);
+- **date partitioning** (``partitionBy``) — static + dynamic partition
+  pruning replace ClickHouse's PARTITION BY, so time-bounded readers
+  touch only their partitions;
+- **key clustering** (``sortWithinPartitions``) — the ``ORDER BY id``
+  primary-index analog (init-clickhouse.sql:19): parquet row-group
+  min/max stats on the sorted key let point/range scans skip row groups;
+- **file sizing** (``maxRecordsPerFile``) — the batchsize analog: keeps
+  files splittable and bounded instead of one file per task.
+
+At 100 TB: partitions bound compaction scope (compact only partitions
+that received appends), clustering bounds collapse-read amplification,
+and nothing here is local-filesystem specific.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_mart(
+    df: DataFrame,
+    path: str,
+    partition_cols: Sequence[str] = (),
+    cluster_cols: Sequence[str] = ("id",),
+    max_records_per_file: int = 1_000_000,
+    mode: str = "append",
+) -> None:
+    """Append a (micro-)batch to a versioned mart table."""
+    out = df
+    if cluster_cols:
+        out = out.sortWithinPartitions(*cluster_cols)
+    writer = out.write.option("maxRecordsPerFile", max_records_per_file).mode(mode)
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(path)
+
+
+def read_mart(spark: SparkSession, path: str) -> DataFrame:
+    """Read a mart table (partition columns come back as columns;
+    predicates on them prune directories before any file is opened)."""
+    return spark.read.parquet(path)

@@ -155,3 +155,125 @@ def synth_orders_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("ts0") + 7_200_000).alias("ts_ms"),
     )
     return inserts.unionByName(updates).unionByName(deletes)
+
+
+# ---------------------------------------------------------------------------
+# Reference 4-table CDC surface (register-postgres.json:11-12 includes
+# customers, products, orders, order_items), remapped onto the driver's
+# fixture tables.  Each entry: (payload schema, fixture table, column
+# projection to the reference's payload shape, key column).
+# ---------------------------------------------------------------------------
+
+CUSTOMERS_PAYLOAD_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), True),            # customers.id
+        T.StructField("name", T.StringType(), True),        # customers.name
+        T.StructField("nation_id", T.IntegerType(), True),  # ~ address region
+        T.StructField("acctbal", T.DoubleType(), True),
+        T.StructField("segment", T.StringType(), True),
+    ]
+)
+
+PRODUCTS_PAYLOAD_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), True),          # products.id
+        T.StructField("name", T.StringType(), True),      # products.name
+        T.StructField("category", T.StringType(), True),  # products.category
+        T.StructField("price", T.DoubleType(), True),     # products.price
+    ]
+)
+
+ORDER_ITEMS_PAYLOAD_SCHEMA = T.StructType(
+    [
+        T.StructField("order_id", T.LongType(), True),    # order_items.order_id
+        T.StructField("line_no", T.IntegerType(), True),  # (composite key part)
+        T.StructField("product_id", T.LongType(), True),  # order_items.product_id
+        T.StructField("quantity", T.DoubleType(), True),  # order_items.quantity
+    ]
+)
+
+# table name (reference topic suffix) → (payload schema, fixture table,
+# select-exprs producing the payload columns, key columns)
+CDC_TABLES = {
+    "customers": (
+        CUSTOMERS_PAYLOAD_SCHEMA,
+        "customer",
+        [
+            "c_custkey AS id",
+            "c_name AS name",
+            "c_nationkey AS nation_id",
+            "c_acctbal AS acctbal",
+            "c_mktsegment AS segment",
+        ],
+        ("id",),
+    ),
+    "products": (
+        PRODUCTS_PAYLOAD_SCHEMA,
+        "part",
+        [
+            "p_partkey AS id",
+            "p_name AS name",
+            "p_type AS category",
+            "p_retailprice AS price",
+        ],
+        ("id",),
+    ),
+    "orders": (
+        ORDERS_PAYLOAD_SCHEMA,
+        "orders",
+        [
+            "o_orderkey AS id",
+            "o_custkey AS customer_id",
+            "o_orderdate AS order_date",
+            "o_orderstatus AS status",
+            "o_totalprice AS total_amount",
+        ],
+        ("id",),
+    ),
+    "order_items": (
+        ORDER_ITEMS_PAYLOAD_SCHEMA,
+        "lineitem",
+        [
+            "l_orderkey AS order_id",
+            "l_linenumber AS line_no",
+            "l_partkey AS product_id",
+            "l_quantity AS quantity",
+        ],
+        ("order_id", "line_no"),
+    ),
+}
+
+
+def synth_table_envelope(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Generic deterministic envelope stream for any CDC_TABLES entry:
+    INSERT of every row, then UPDATE of every 3rd key (re-image, +1 h),
+    then DELETE of every 10th key (+2 h) — the reference generator's
+    insert/update lifecycle (data-generator/main.py:103-160) applied
+    uniformly so multi-table tests exercise real per-table schemas."""
+    schema, fixture, select_exprs, key_cols = CDC_TABLES[table]
+    base = spark.read.parquet(f"{sf_dir}/{fixture}.parquet").selectExpr(*select_exprs)
+    key0 = F.col(key_cols[0])
+    ts0 = (F.xxhash64(key0).bitwiseAND(F.lit(0x7FFFFFFF)) + F.lit(1_000_000_000)).alias(
+        "ts0"
+    )
+    payload = F.to_json(F.struct(*[F.col(f.name) for f in schema.fields]))
+    rows = base.select(payload.alias("img"), key0.alias("k"), ts0)
+    inserts = rows.select(
+        F.lit(None).cast("string").alias("before"),
+        F.col("img").alias("after"),
+        F.lit("c").alias("op"),
+        F.col("ts0").alias("ts_ms"),
+    )
+    updates = rows.filter(F.col("k") % 3 == 0).select(
+        F.col("img").alias("before"),
+        F.col("img").alias("after"),
+        F.lit("u").alias("op"),
+        (F.col("ts0") + 3_600_000).alias("ts_ms"),
+    )
+    deletes = rows.filter(F.col("k") % 10 == 0).select(
+        F.col("img").alias("before"),
+        F.lit(None).cast("string").alias("after"),
+        F.lit("d").alias("op"),
+        (F.col("ts0") + 7_200_000).alias("ts_ms"),
+    )
+    return inserts.unionByName(updates).unionByName(deletes)

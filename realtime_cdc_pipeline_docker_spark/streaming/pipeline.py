@@ -96,9 +96,10 @@ def run_multi_table_streams(
         log_dir = os.path.join(work_dir, name, "log")
 
         def write_batch(batch_df: DataFrame, batch_id: int, _log_dir=log_dir) -> None:
-            batch_df.dropDuplicates(["id", "ts_ms", "sign"]).write.mode("append").parquet(
-                _log_dir
-            )
+            # Exact-row dedup: key-agnostic idempotence for redelivered
+            # events (a replayed change event is identical in every
+            # column; per-key versions differ in ts_ms/op).
+            batch_df.dropDuplicates().write.mode("append").parquet(_log_dir)
 
         queries[name] = (
             decoded.writeStream.foreachBatch(write_batch)

@@ -1,0 +1,73 @@
+"""Mart sink tests: partition pruning, key clustering, layered appends +
+compaction equivalence (SURVEY §2.A2 / §2.F2 / §4 partition pruning)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from realtime_cdc_pipeline_docker_spark.operators.collapse import compact, latest_state
+from realtime_cdc_pipeline_docker_spark.sinks import read_mart, write_mart
+from realtime_cdc_pipeline_docker_spark.sources.cdc import (
+    ORDERS_PAYLOAD_SCHEMA,
+    decode_envelope,
+    synth_orders_envelope,
+)
+
+
+def _decoded(spark, sf_dir):
+    return decode_envelope(
+        synth_orders_envelope(spark, sf_dir), ORDERS_PAYLOAD_SCHEMA
+    ).withColumn("order_month", F.date_format("order_date", "yyyy-MM"))
+
+
+def test_partition_pruning_reaches_scan(spark, sf_dir, tmp_path):
+    mart = str(tmp_path / "mart")
+    write_mart(_decoded(spark, sf_dir), mart, partition_cols=("order_month",))
+    df = read_mart(spark, mart)
+    months = [r[0] for r in df.select("order_month").distinct().collect()]
+    one = sorted(months)[0]
+    q = df.filter(F.col("order_month") == one)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    # directory-level pruning: the partition predicate is a PartitionFilter,
+    # not a data filter evaluated per row
+    assert "PartitionFilters: [isnotnull(order_month" in plan
+    assert q.count() > 0
+
+
+def test_clustering_orders_rows_within_files(spark, sf_dir, tmp_path):
+    mart = str(tmp_path / "mart")
+    write_mart(_decoded(spark, sf_dir), mart, cluster_cols=("id",))
+    import glob
+
+    files = glob.glob(mart + "/*.parquet")
+    assert files
+    for f in files[:4]:
+        ids = [r[0] for r in spark.read.parquet(f).select("id").collect()]
+        assert ids == sorted(ids)
+
+
+def test_layered_appends_collapse_to_same_state(spark, sf_dir, tmp_path):
+    """Append → compact → append more → collapse == collapse of the full
+    uncompacted log (compaction is transparent to readers)."""
+    mart1 = str(tmp_path / "layered")
+    mart2 = str(tmp_path / "compacted")
+    decoded = _decoded(spark, sf_dir).drop("order_month")
+    inserts = decoded.filter(F.col("op") == "c")
+    rest = decoded.filter(F.col("op") != "c")
+
+    # layered: everything appended, never compacted
+    write_mart(inserts, mart1)
+    write_mart(rest, mart1)
+
+    # compacted: inserts written, compacted, then the rest appended
+    write_mart(inserts, mart2)
+    compacted = compact(read_mart(spark, mart2), key_cols=("id",))
+    write_mart(compacted, mart2 + "_base", mode="overwrite")
+    write_mart(rest, mart2 + "_base")
+
+    a = latest_state(read_mart(spark, mart1), key_cols=("id",))
+    b = latest_state(read_mart(spark, mart2 + "_base"), key_cols=("id",))
+    cols = ["id", "status", "total_amount", "ts_ms"]
+    assert sorted(map(tuple, a.select(cols).collect())) == sorted(
+        map(tuple, b.select(cols).collect())
+    )

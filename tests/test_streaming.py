@@ -181,3 +181,41 @@ def test_late_data_idempotent_redelivery(spark, tmp_path):
     log_df = run_cdc_stream(spark, src, log, str(tmp_path / "ckpt2"), PAYLOAD)
     assert log_df.count() == 2 * len(GOLDEN)
     assert _final_state(log_df) == EXPECTED_FINAL
+
+
+def test_four_table_cdc_end_to_end(spark, sf_dir, tmp_path):
+    """The reference's full topology (cdc_processor.py:139-145): four
+    concurrent streaming queries, one per table, each with its own
+    payload schema, checkpoint, and log — collapsed states must match
+    the per-table expected survivors (deletes at key%10==0 vanish)."""
+    from realtime_cdc_pipeline_docker_spark.sources.cdc import (
+        CDC_TABLES,
+        synth_table_envelope,
+    )
+
+    tables = {}
+    for name, (schema, _, _, _) in CDC_TABLES.items():
+        src = str(tmp_path / name / "src")
+        synth_table_envelope(spark, sf_dir, name).coalesce(2).write.mode(
+            "overwrite"
+        ).json(src)
+        tables[name] = (src, schema)
+
+    logs = run_multi_table_streams(spark, tables, str(tmp_path / "work"))
+    assert set(logs) == set(CDC_TABLES)
+
+    for name, (schema, fixture, select_exprs, key_cols) in CDC_TABLES.items():
+        base = spark.read.parquet(f"{sf_dir}/{fixture}.parquet").selectExpr(
+            *select_exprs
+        )
+        k = F.col(key_cols[0])
+        # distinct keys: the fixture's order_items reuses line numbers,
+        # and versioned-upsert semantics keep one row per key
+        expected = base.filter(k % 10 != 0).select(*key_cols).distinct().count()
+        collapsed = latest_state(logs[name], key_cols=key_cols)
+        assert collapsed.count() == expected, name
+        # updated keys (k%3==0, not deleted) carry the update version
+        upd = collapsed.filter((F.col(key_cols[0]) % 3 == 0)).select("ts_ms")
+        assert upd.count() > 0
+        mods = upd.withColumn("mod", (F.col("ts_ms") - 3_600_000) >= 1_000_000_000)
+        assert mods.filter(~F.col("mod")).count() == 0, name
