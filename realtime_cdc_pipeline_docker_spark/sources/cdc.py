@@ -277,3 +277,29 @@ def synth_table_envelope(spark: SparkSession, sf_dir: str, table: str) -> DataFr
         (F.col("ts0") + 7_200_000).alias("ts_ms"),
     )
     return inserts.unionByName(updates).unionByName(deletes)
+
+
+def kafka_envelope_stream(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+) -> DataFrame:
+    """Production CDC source: one Kafka topic of Debezium envelopes →
+    parsed envelope stream (§2.A1, cdc_processor.py:64-70 verbatim
+    semantics: subscribe one topic, earliest offsets, value bytes →
+    two-phase decode downstream).
+
+    Requires the spark-sql-kafka package on the classpath (the reference
+    submits with --packages spark-sql-kafka-0-10, spark-entrypoint.sh:37).
+    Tests use the file-based envelope source instead — the transform
+    stack after this function is identical, which is the point: swap the
+    source, keep the pipeline."""
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+    return parse_envelope(raw, value_col="value")
