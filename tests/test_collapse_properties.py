@@ -1,0 +1,97 @@
+"""Property-based tests for the latest-state collapse (SURVEY §5.4).
+
+The golden-sequence test pins a handful of hand-written cases; here
+hypothesis drives arbitrary event interleavings (duplicate versions,
+redeliveries, delete-then-reinsert, multi-key) against an independent
+Python model of ReplacingMergeTree(ts_ms, sign) semantics.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from realtime_cdc_pipeline_docker_spark.operators.collapse import latest_state
+
+# An event: (key, ts_ms, sign, payload)
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),    # few keys → dense collisions
+        st.integers(min_value=0, max_value=8),    # few versions → ts ties
+        st.sampled_from([1, -1]),
+        st.integers(min_value=0, max_value=100),
+    ),
+    min_size=0,
+    max_size=60,
+)
+
+
+def model_collapse(events):
+    """Independent model: per key keep max (ts, sign) row — sign breaks
+    version ties (+1 beats -1, matching the operator's deterministic
+    tiebreak); drop the key if the winner is a delete.  Duplicate
+    (key, ts, sign) rows must not affect the outcome (idempotence), and
+    among exact duplicates the surviving payload is whichever sorts
+    last — the operator guarantees *a* deterministic winner only when
+    the ordering columns are unique, so the model compares payload sets
+    only when the winner is unique."""
+    state = {}
+    for k, ts, sign, payload in events:
+        cur = state.get(k)
+        if cur is None or (ts, sign) >= (cur[0], cur[1]):
+            # collect all rows tying on the max (ts, sign)
+            if cur is not None and (ts, sign) == (cur[0], cur[1]):
+                cur[2].add(payload)
+            else:
+                state[k] = [ts, sign, {payload}]
+    return {
+        k: (ts, sign, payloads)
+        for k, (ts, sign, payloads) in state.items()
+        if sign == 1
+    }
+
+
+@pytest.fixture(scope="module")
+def _spark(spark):
+    return spark
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(events=events_strategy)
+def test_collapse_matches_model(spark, events):
+    expected = model_collapse(events)
+    df = spark.createDataFrame(
+        events or [(0, 0, 1, 0)], ["id", "ts_ms", "sign", "payload"]
+    )
+    if not events:
+        df = df.filter("id < 0")
+    out = latest_state(df, key_cols=("id",)).collect()
+    got = {r["id"]: (r["ts_ms"], r["sign"], r["payload"]) for r in out}
+    assert set(got) == set(expected)
+    for k, (ts, sign, payloads) in expected.items():
+        gts, gsign, gpayload = got[k]
+        assert (gts, gsign) == (ts, sign)
+        assert gpayload in payloads
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(events=events_strategy)
+def test_collapse_idempotent_under_redelivery(spark, events):
+    """collapse(log ∪ log) == collapse(log): at-least-once delivery can
+    never change the collapsed state (H5)."""
+    if not events:
+        return
+    df = spark.createDataFrame(events, ["id", "ts_ms", "sign", "payload"])
+    doubled = df.unionAll(df)
+    a = latest_state(df, key_cols=("id",)).select("id", "ts_ms", "sign").collect()
+    b = latest_state(doubled, key_cols=("id",)).select("id", "ts_ms", "sign").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
