@@ -338,3 +338,76 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def connected_components(
+    pairs: DataFrame, max_iters: int = 10, a_col: str = "id_a", b_col: str = "id_b"
+) -> DataFrame:
+    """Connected components of the near-duplicate pair graph by
+    min-label propagation: every node repeatedly adopts the smallest
+    label reachable over an edge, converging in O(component diameter)
+    rounds.  Near-dup components are shallow (chains of a few edits), so
+    the loop exits early via a per-round convergence check.
+
+    Returns (id, component) with component = min node id in the
+    component.  Scale shape: each round is one join + one min-aggregate,
+    both on the node id — the standard large-graph CC pattern (a full
+    GraphX/Pregel run would converge identically; this stays pure
+    DataFrame).  Persist per round keeps lineage from growing
+    exponentially across iterations.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .persist()
+    )
+    for _ in range(max_iters):
+        msgs = edges.join(
+            labels.withColumnRenamed("id", "src"), "src"
+        ).select(F.col("dst").alias("id"), "component")
+        new_labels = (
+            labels.unionByName(msgs)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def dedup_keepers(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Resolve near-dup pairs to a keep/drop decision per document:
+    cluster pairs into components, keep the min-id doc per component;
+    documents in no pair keep themselves.  Returns
+    (id_col, keeper, is_keeper) for every input document."""
+    comp = connected_components(pairs)
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(comp, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("component", "id").alias("keeper"),
+            (F.coalesce("component", "id") == F.col("id")).alias("is_keeper"),
+        )
+    )

@@ -139,3 +139,16 @@ def j3c_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_ann_topk(emb, queries, k=_TOP_K).select(
         "query_id", "neighbor_id", "rnk"
     )
+
+
+@register("j2e_neardup_keepers", oracle=None)
+def j2e_neardup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full dedup decision (J2): MinHash-LSH pairs → connected
+    components (min-label propagation) → one keeper per component,
+    keep/drop flag for every document.  Component semantics tested in
+    tests/test_dedup.py."""
+    from ..operators.dedup import dedup_keepers
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs)
+    return dedup_keepers(docs, pairs)

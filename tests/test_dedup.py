@@ -95,3 +95,31 @@ def test_minhash_on_fixture_is_symmetric_and_thresholded(spark, sf_dir):
     for r in out:
         assert r["id_a"] < r["id_b"]
         assert 0.5 <= r["jaccard"] <= 1.0
+
+
+def test_connected_components_chains_and_islands(spark):
+    from realtime_cdc_pipeline_docker_spark.operators.dedup import connected_components
+
+    # chain 1-2-3-4-5-6 (diameter 5), pair {10,11}, singleton edge {20,21}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (10, 11), (20, 21)],
+        ["id_a", "id_b"],
+    )
+    got = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_dedup_keepers_end_to_end(spark):
+    from realtime_cdc_pipeline_docker_spark.operators.dedup import dedup_keepers
+
+    docs = _docs(spark)
+    pairs = minhash_lsh_pairs(docs, jaccard_threshold=0.5)
+    out = {r["doc_id"]: (r["keeper"], r["is_keeper"]) for r in
+           dedup_keepers(docs, pairs).collect()}
+    # component {1,2,3} keeps 1; {4,5} keeps 4; 6 keeps itself
+    assert out[1] == (1, True) and out[2] == (1, False) and out[3] == (1, False)
+    assert out[4] == (4, True) and out[5] == (4, False)
+    assert out[6] == (6, True)
+    # exactly one keeper per component
+    keepers = {k for k, (kp, is_k) in out.items() if is_k}
+    assert keepers == {1, 4, 6}
