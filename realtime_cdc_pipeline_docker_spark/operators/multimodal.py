@@ -110,3 +110,74 @@ def extract_features(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(decode_batches, FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def resize_images(media: DataFrame, width: int = 224, height: int = 224) -> DataFrame:
+    """Resize stub over ``mapInPandas`` (real pipelines swap the body for
+    PIL/opencv; the Arrow batch shape, declared output schema, and
+    binary-payload round trip are the production plumbing).
+
+    STUB semantics: deterministic byte-resampling of the payload to
+    width*height bytes (repeat/truncate), so output sizes are exact and
+    testable without an image library."""
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        target = width * height
+        for pdf in batches:
+            out = []
+            for payload in pdf["payload"]:
+                b = bytes(payload or b"")
+                resized = (b * (target // max(len(b), 1) + 1))[:target] if b else bytes(target)
+                out.append(resized)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": width,
+                    "height": height,
+                    "payload": out,
+                }
+            )
+
+    return media.mapInPandas(resize_batches, RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_no", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 8) -> DataFrame:
+    """Frame-sampling stub: one output row per sampled frame (a real
+    decoder emits every k-th video frame; the stub emits fixed-width
+    byte windows).  Demonstrates the 1→N row expansion shape — in
+    Spark, a ``mapInPandas`` iterator may yield more rows than it
+    receives, which is exactly how frame extraction distributes: no
+    explode of a pre-materialized frame array, frames stream out of the
+    decoder batch by batch."""
+
+    def frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nos, frames = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload or b"")
+                for i in range(min(max_frames, max(len(b) // every_n_bytes, 0))):
+                    ids.append(doc_id)
+                    nos.append(i)
+                    frames.append(b[i * every_n_bytes : (i + 1) * every_n_bytes])
+            yield pd.DataFrame({"doc_id": ids, "frame_no": nos, "frame": frames})
+
+    return media.mapInPandas(frame_batches, FRAMES_SCHEMA)

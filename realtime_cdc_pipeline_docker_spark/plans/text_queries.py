@@ -164,3 +164,24 @@ def j5b_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = multimodal.attach_binary_payload(docs)
     return multimodal.extract_features(media)
+
+
+@register("j5c_image_resize", oracle=None)
+def j5c_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media resize path (J5): binary payloads through the Arrow-batched
+    mapInPandas resize stub — exact output sizing tested in
+    tests/test_multimodal.py."""
+    from ..operators.multimodal import attach_binary_payload, resize_images
+
+    docs = load_table(spark, sf_dir, "documents")
+    return resize_images(attach_binary_payload(docs), width=32, height=32)
+
+
+@register("j5d_frame_sample", oracle=None)
+def j5d_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling (J5): 1→N row expansion streaming out of the
+    decoder iterator (no pre-materialized frame arrays)."""
+    from ..operators.multimodal import attach_binary_payload, sample_frames
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_frames(attach_binary_payload(docs))

@@ -53,3 +53,35 @@ def read_mart(spark: SparkSession, path: str) -> DataFrame:
     """Read a mart table (partition columns come back as columns;
     predicates on them prune directories before any file is opened)."""
     return spark.read.parquet(path)
+
+
+def write_jdbc_append(
+    df: DataFrame,
+    url: str,
+    table: str,
+    driver: str,
+    batchsize: int = 5000,
+    user: str | None = None,
+    password: str | None = None,
+) -> None:
+    """JDBC append sink with the reference's exact write profile
+    (cdc_processor.py:104-114): mode append, batchsize 5000,
+    isolationLevel NONE (the OLAP store is not transactional; the
+    versioned collapse makes redelivery safe, so relaxed isolation is
+    correct, not sloppy).  Untested here (no database in the container);
+    `write_mart` is the engine-native sink with the same layering
+    semantics."""
+    writer = (
+        df.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("driver", driver)
+        .option("batchsize", batchsize)
+        .option("isolationLevel", "NONE")
+        .mode("append")
+    )
+    if user is not None:
+        writer = writer.option("user", user)
+    if password is not None:
+        writer = writer.option("password", password)
+    writer.save()

@@ -51,48 +51,50 @@ def test_stream_windowed_agg_equals_batch(spark, sf_dir, tmp_path):
 
 
 def test_watermark_drops_late_event(spark, sf_dir, tmp_path):
-    """update mode + maxFilesPerTrigger=1: a second file carrying an
-    event 3 h older than the watermark (2 h) must not re-open its
-    window — the window's count never increases past the on-time value."""
+    """Two availableNow runs sharing one checkpoint: run 1 processes the
+    fixture and persists its watermark (max ts − 2 h); run 2 sees a file
+    holding one event 3 h old — beyond the restored watermark — which
+    must be dropped, never emitted.  (Two separate runs make the
+    ordering deterministic; a single multi-file run would depend on file
+    mtime ordering.)"""
     events = load_table(spark, sf_dir, "events").select(
         "user_id", "event_id", "ts", "event_type", "value"
     )
-    bounds = events.agg(
-        F.min("ts").alias("lo"), F.max("ts").alias("hi")
-    ).collect()[0]
+    hi = events.agg(F.max("ts").alias("hi")).collect()[0]["hi"]
     src = str(tmp_path / "src")
     os.makedirs(src, exist_ok=True)
-    # file 1 (processed first): the full fixture
-    events.coalesce(1).write.mode("overwrite").parquet(src + "/f1.parquet")
-    # file 2 (processed second): one late event, 3h before max ts
-    late_ts = bounds["hi"] - F.expr("INTERVAL 3 HOURS")
+
+    out_dir = str(tmp_path / "out")
+
+    def run_once():
+        stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(src)
+
+        def sink(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(out_dir)
+
+        q = (
+            windowed_event_agg(stream)
+            .writeStream.outputMode("update")
+            .foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(out_dir)
+
+    events.coalesce(1).write.mode("append").parquet(src)
+    run_once()  # run 1: establishes watermark = hi - 2h in the checkpoint
+
     late = spark.range(1).select(
         F.lit(999999).alias("user_id"),
         F.lit(999999).alias("event_id"),
-        F.lit(bounds["hi"]).cast("timestamp_ntz").alias("ts"),
+        (F.lit(hi).cast("timestamp_ntz") - F.expr("INTERVAL 3 HOURS")).alias("ts"),
         F.lit("late_probe").alias("event_type"),
         F.lit(0.0).alias("value"),
-    ).withColumn("ts", late_ts)
-    late.write.mode("overwrite").parquet(src + "/f2.parquet")
-
-    stream = (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(src + "/*.parquet")
     )
-    q = (
-        windowed_event_agg(stream)
-        .writeStream.outputMode("update")
-        .format("memory")
-        .queryName("late_agg")
-        .option("checkpointLocation", str(tmp_path / "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    out = spark.table("late_agg")
-    # The late probe's window/type combination must never have been
-    # emitted: the event was dropped by the watermark.
+    late.write.mode("append").parquet(src)
+    out = run_once()  # run 2: resumes from checkpoint, late event dropped
     assert out.filter(F.col("event_type") == "late_probe").count() == 0
 
 
