@@ -70,6 +70,8 @@ def spread(df: DataFrame) -> DataFrame:
     ~2000×): a small parquet file lands on one core.  At 100 TB the scan
     is already thousands of partitions and this returns the input
     unchanged — the repartition only fires when partitions < cores."""
+    if df.isStreaming:  # .rdd is undefined on streams; micro-batches
+        return df       # inherit source parallelism instead
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
