@@ -133,3 +133,20 @@ def sessionize(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def dedup_events_within_watermark(
+    events: DataFrame,
+    keys: tuple[str, ...] = ("user_id", "event_id"),
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """In-stream exact dedup with bounded state:
+    ``dropDuplicatesWithinWatermark`` keeps each key's fingerprint only
+    until the watermark passes it, so state is O(events per watermark
+    window), not O(all history) — the native upgrade of the engine's
+    sink-side idempotence (SURVEY §2.H5): duplicates are dropped before
+    they ever reach the sink, and the versioned collapse still catches
+    anything that slips between restarts."""
+    return events.withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    ).withWatermark("ts", watermark).dropDuplicatesWithinWatermark(list(keys))

@@ -145,3 +145,35 @@ def test_sessionize_stream_matches_batch_closed_sessions(spark, sf_dir, tmp_path
     assert sorted(map(tuple, streamed.select(key).collect())) == sorted(
         map(tuple, closed.select(key).collect())
     )
+
+
+def test_dedup_within_watermark_drops_stream_duplicates(spark, sf_dir, tmp_path):
+    """Feed the fixture twice (simulated redelivery) through
+    dropDuplicatesWithinWatermark — the sink receives each (user_id,
+    event_id) once; state stays bounded by the watermark."""
+    from realtime_cdc_pipeline_docker_spark.streaming.windows import (
+        dedup_events_within_watermark,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    )
+    src = str(tmp_path / "src")
+    events.coalesce(1).write.mode("append").parquet(src)
+    events.coalesce(1).write.mode("append").parquet(src)  # redelivery
+    doubled = spark.read.parquet(src)
+    assert doubled.count() == 2 * events.count()
+
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(src)
+    q = (
+        dedup_events_within_watermark(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("deduped")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table("deduped")
+    assert out.count() == events.select("user_id", "event_id").distinct().count()
