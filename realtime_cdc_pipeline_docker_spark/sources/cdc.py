@@ -24,6 +24,8 @@ exactly like the reference's ReplacingMergeTree design.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -303,3 +305,22 @@ def kafka_envelope_stream(
         .load()
     )
     return parse_envelope(raw, value_col="value")
+
+
+def split_quarantine(
+    decoded: DataFrame, key_cols: Sequence[str] = ("id",)
+) -> tuple[DataFrame, DataFrame]:
+    """Route decoded CDC rows into (good, quarantine).
+
+    PERMISSIVE decoding (the engine's stance, tested in
+    tests/test_cdc_robustness.py) turns malformed payloads into all-null
+    rows instead of failing the stream; a null KEY makes a row useless to
+    the versioned collapse, so such rows go to a dead-letter side
+    (op/ts_ms preserved for diagnosis) while everything else proceeds.
+    Call inside foreachBatch and write each side to its own location —
+    the filter is a narrow op evaluated once per side off the same scan."""
+    null_key = None
+    for k in key_cols:
+        cond = F.col(k).isNull()
+        null_key = cond if null_key is None else (null_key | cond)
+    return decoded.filter(~null_key), decoded.filter(null_key)

@@ -87,3 +87,19 @@ def test_delete_with_null_before_survives(spark):
     out = _decode(spark, [(None, None, "d", 100)]).collect()
     assert len(out) == 1
     assert out[0]["sign"] == -1 and out[0]["id"] is None
+
+
+def test_split_quarantine_routes_null_keys(spark):
+    from realtime_cdc_pipeline_docker_spark.sources.cdc import split_quarantine
+
+    rows = [
+        (None, json.dumps({"id": 1, "status": "ok"}), "c", 100),
+        (None, '{"broken', "c", 200),          # malformed -> null key
+        (None, None, "d", 300),                # null-before delete -> null key
+        (json.dumps({"id": 2, "status": "x"}), None, "d", 400),
+    ]
+    good, bad = split_quarantine(_decode(spark, rows))
+    assert sorted(r["id"] for r in good.collect()) == [1, 2]
+    bad_rows = bad.collect()
+    assert len(bad_rows) == 2
+    assert {r["ts_ms"] for r in bad_rows} == {200, 300}  # diagnosable

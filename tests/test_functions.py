@@ -1,0 +1,107 @@
+"""Expression-level function tests, including equivalence between the
+HOF expression forms (functions/) and the explode+aggregate operator
+forms (operators/dedup.py) — two implementations of the same math that
+must never drift."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from realtime_cdc_pipeline_docker_spark.functions import (
+    char_shingles,
+    hamming64,
+    minhash_signature,
+    simhash_from_votes,
+    simhash_votes,
+    vec_cosine,
+    vec_norm,
+    vec_normalize,
+    ws_tokens,
+)
+from realtime_cdc_pipeline_docker_spark.operators.dedup import (
+    normalize_text,
+    simhash_signatures,
+)
+
+DOCS = [
+    (1, "The quick brown fox jumps over the lazy dog"),
+    (2, "the  QUICK   brown fox jumps over the lazy dog"),
+    (3, "completely different content about deep sea life"),
+    (4, "ab"),  # shorter than shingle k
+]
+
+
+def _df(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_minhash_expression_equals_operator_path(spark):
+    """min over the HOF fold == min over the explode aggregate, slot by
+    slot (same shingles, same affine family, same modulus)."""
+    from realtime_cdc_pipeline_docker_spark.functions import _affine_params
+    from realtime_cdc_pipeline_docker_spark.operators.dedup import shingle_hashes
+
+    expr_sig = {
+        r["doc_id"]: list(r["sig"])
+        for r in _df(spark)
+        .select(
+            "doc_id",
+            minhash_signature(char_shingles("text", 5), 32).alias("sig"),
+        )
+        .collect()
+    }
+    params = _affine_params(32)
+    p = F.lit((1 << 31) - 1)
+    op_sig = {
+        r["id"]: [r[f"m{i}"] for i in range(32)]
+        for r in shingle_hashes(_df(spark), "text", "doc_id", 5)
+        .groupBy("id")
+        .agg(
+            *[
+                F.min((F.col("h") * F.lit(a) + F.lit(b)) % p).alias(f"m{i}")
+                for i, (a, b) in enumerate(params)
+            ]
+        )
+        .collect()
+    }
+    assert expr_sig == op_sig
+    # normalization-equivalent docs share the signature; different don't
+    assert expr_sig[1] == expr_sig[2] != expr_sig[3]
+
+
+def test_simhash_expression_equals_operator_path(spark):
+    expr = {
+        r["doc_id"]: r["sim"]
+        for r in _df(spark)
+        .select(
+            "doc_id",
+            simhash_from_votes(
+                simhash_votes(ws_tokens(normalize_text("text")))
+            ).alias("sim"),
+        )
+        .collect()
+    }
+    op = {r["id"]: r["sim"] for r in simhash_signatures(_df(spark)).collect()}
+    assert expr == op
+    assert expr[1] == expr[2] != expr[3]
+
+
+def test_hamming64(spark):
+    row = spark.range(1).select(
+        hamming64(F.lit(0b1011).cast("long"), F.lit(0b0010).cast("long")).alias("h"),
+        hamming64(F.lit(-1).cast("long"), F.lit(0).cast("long")).alias("h64"),
+    ).collect()[0]
+    assert row["h"] == 2 and row["h64"] == 64
+
+
+def test_vector_algebra(spark):
+    df = spark.createDataFrame([(1, [3.0, 4.0])], ["id", "v"])
+    r = df.select(
+        vec_norm("v").alias("n"),
+        vec_cosine("v", "v").alias("self_sim"),
+        vec_norm(vec_normalize("v")).alias("unit_n"),
+    ).collect()[0]
+    assert r["n"] == pytest.approx(5.0)
+    assert r["self_sim"] == pytest.approx(1.0)
+    assert r["unit_n"] == pytest.approx(1.0)
