@@ -78,3 +78,44 @@ __all__ = [
     "token_count",
     "regex_token_count",
 ]
+
+
+def winnow_fingerprints(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    window: int = 4,
+):
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the
+    MOSS algorithm): hash every k-gram, slide a window of ``window``
+    consecutive hashes, keep each window's minimum.  Guarantees any match
+    of length ≥ window+k-1 shares a fingerprint, while storing only
+    ~2/(window+1) of the hashes — the standard rolling-hash document
+    fingerprint for plagiarism/overlap detection at corpus scale.
+
+    Execution shape: positions explode off a ``sequence`` (codegen), the
+    window minimum is a bounded ROWS frame per doc ordered by position —
+    one shuffle on the doc id — and the distinct minima are the
+    fingerprint set.  Returns (id, fingerprint) rows, one per distinct
+    fingerprint.  (xxhash64 replaces the classic polynomial rolling hash:
+    Spark evaluates it natively per substring, so the O(1)-update
+    recurrence buys nothing while costing codegen.)"""
+    from pyspark.sql import Window as W
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ").alias("t"),
+    )
+    grams = base.select(
+        "id",
+        "t",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.length("t") - (k - 1), F.lit(1)))
+        ).alias("pos"),
+    ).select("id", "pos", F.xxhash64(F.substring(F.col("t"), F.col("pos"), k)).alias("h"))
+    w = W.partitionBy("id").orderBy("pos").rowsBetween(0, window - 1)
+    return (
+        grams.select("id", F.min("h").over(w).alias("fingerprint"))
+        .distinct()
+    )

@@ -185,3 +185,15 @@ def j5d_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return sample_frames(attach_binary_payload(docs))
+
+
+@register("j4e_winnow_fingerprints", oracle=None)
+def j4e_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (rolling-hash) document fingerprints (J4, MOSS
+    algorithm): windowed minima over k-gram hashes — shared-region
+    guarantee and density tested in tests/test_dedup.py.  Rows-only:
+    fingerprints are xxhash64 values (no cross-engine hash oracle)."""
+    from ..operators.text import winnow_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents")
+    return winnow_fingerprints(docs)

@@ -123,3 +123,37 @@ def test_dedup_keepers_end_to_end(spark):
     # exactly one keeper per component
     keepers = {k for k, (kp, is_k) in out.items() if is_k}
     assert keepers == {1, 4, 6}
+
+
+def test_winnowing_shared_region_shares_fingerprints(spark):
+    from realtime_cdc_pipeline_docker_spark.operators.text import winnow_fingerprints
+
+    shared = "this exact sentence appears verbatim in both documents"
+    docs = spark.createDataFrame(
+        [
+            (1, "prefix one before. " + shared + " and then a unique tail here"),
+            (2, "a totally different opening line. " + shared + " closing words"),
+            (3, "nothing in common with the others at all whatsoever today"),
+        ],
+        ["doc_id", "text"],
+    )
+    fp = winnow_fingerprints(docs)
+    a = {r["fingerprint"] for r in fp.filter("id = 1").collect()}
+    b = {r["fingerprint"] for r in fp.filter("id = 2").collect()}
+    c = {r["fingerprint"] for r in fp.filter("id = 3").collect()}
+    # the guarantee: a shared region of length >= window+k-1 shares >=1 fingerprint
+    assert len(a & b) >= 3
+    # density: winnowing keeps far fewer than all k-gram hashes
+    n_grams_1 = len(docs.filter("doc_id = 1").collect()[0]["text"]) - 4
+    assert len(a) < n_grams_1 / 2
+    # unrelated doc shares (near) nothing
+    assert len(a & c) == 0 and len(b & c) == 0
+
+
+def test_winnowing_is_deterministic(spark):
+    from realtime_cdc_pipeline_docker_spark.operators.text import winnow_fingerprints
+
+    docs = _docs(spark)
+    a = sorted(map(tuple, winnow_fingerprints(docs).collect()))
+    b = sorted(map(tuple, winnow_fingerprints(docs).collect()))
+    assert a == b and len(a) > 0
