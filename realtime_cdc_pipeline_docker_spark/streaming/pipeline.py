@@ -50,22 +50,37 @@ def run_cdc_stream(
     payload_schema: T.StructType,
     key_cols: Sequence[str] = ("id",),
     available_now: bool = True,
+    partition_cols: Sequence[str] = (),
+    cluster_cols: Sequence[str] | None = None,
 ) -> DataFrame:
     """Run the CDC pipeline over a file-based envelope stream.
 
     Returns the appended versioned log (read back as a batch DataFrame).
     Pass the result to ``operators.latest_state`` for the current-state
     view (init-clickhouse.sql:18 semantics).
+
+    ``partition_cols``/``cluster_cols`` route the log through the mart
+    sink (sinks/mart.py): date-partitioned, key-clustered appends — the
+    production layout where compaction scope and collapse reads are
+    bounded per partition.
     """
+    from ..sinks.mart import write_mart
+
     stream = spark.readStream.schema(DEBEZIUM_ENVELOPE_SCHEMA).json(envelope_dir)
     decoded = decode_envelope(stream, payload_schema)
     dedup_cols = [*key_cols, "ts_ms", "sign"]
+    cluster = tuple(cluster_cols) if cluster_cols is not None else tuple(key_cols)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         # Idempotence point (H5): replayed events inside a redelivered
         # batch collapse to one row; cross-batch duplicates are handled
         # by latest_state's deterministic rank.
-        batch_df.dropDuplicates(dedup_cols).write.mode("append").parquet(log_dir)
+        write_mart(
+            batch_df.dropDuplicates(dedup_cols),
+            log_dir,
+            partition_cols=tuple(partition_cols),
+            cluster_cols=cluster,
+        )
 
     writer = decoded.writeStream.foreachBatch(write_batch).option(
         "checkpointLocation", checkpoint_dir

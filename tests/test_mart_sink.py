@@ -71,3 +71,36 @@ def test_layered_appends_collapse_to_same_state(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, a.select(cols).collect())) == sorted(
         map(tuple, b.select(cols).collect())
     )
+
+
+def test_streaming_pipeline_into_partitioned_mart(spark, sf_dir, tmp_path):
+    """End-to-end integration: envelope stream → decode → partitioned,
+    clustered mart log → collapse == the e1 golden state (orders with
+    key%10!=0 at their final version)."""
+    from realtime_cdc_pipeline_docker_spark.sources.cdc import synth_orders_envelope
+    from realtime_cdc_pipeline_docker_spark.streaming.pipeline import run_cdc_stream
+
+    src = str(tmp_path / "src")
+    env = synth_orders_envelope(spark, sf_dir)
+    env.coalesce(2).write.mode("overwrite").json(src)
+
+    log = run_cdc_stream(
+        spark,
+        src,
+        str(tmp_path / "mart"),
+        str(tmp_path / "ckpt"),
+        ORDERS_PAYLOAD_SCHEMA,
+        partition_cols=("op",),  # deterministic low-cardinality partition
+        cluster_cols=("id",),
+    )
+    # partition directories exist (pruned reads)
+    import os
+
+    assert sorted(
+        d for d in os.listdir(str(tmp_path / "mart")) if d.startswith("op=")
+    ) == ["op=c", "op=d", "op=u"]
+
+    state = latest_state(log, key_cols=("id",))
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    expected = orders.filter(F.col("o_orderkey") % 10 != 0).count()
+    assert state.count() == expected
