@@ -63,21 +63,73 @@ def j3b_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("j2_minhash_neardup", oracle=None)
+@register(
+    "j2_minhash_neardup",
+    oracle=r"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(length(t)-4,1)+1),
+                                          i -> substr(t, CAST(i AS INT), 5))) AS s
+      FROM (SELECT doc_id, lower(trim(regexp_replace(text,'\s+',' ','g'))) AS t
+            FROM documents)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(CAST(len(list_intersect(a.s,b.s)) AS DOUBLE)
+                 / (len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))), 4) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.s,b.s)) AS DOUBLE)
+          / (len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))) >= 0.5
+    """,
+)
 def j2_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-duplicate pairs (J2): shingle → 32-hash MinHash
     signature → 8×4 band buckets → candidate join → exact Jaccard ≥ 0.5.
-    Planted-duplicate detection tested in tests/test_dedup.py."""
+
+    Carries an EXACT all-pairs oracle even though LSH is approximate in
+    general: the fixture's true ≥0.5 pairs all sit at Jaccard ≥ 0.92,
+    where the 8-band miss probability is ~2e-5 per pair — and the run is
+    deterministic (fixed data, SHA-derived hash family); operator ==
+    brute force == oracle verified on the fixture.  Output rounds
+    jaccard to 4 decimals; hashed-shingle set sizes were verified
+    collision-free against string-set sizes."""
     docs = load_table(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(docs)
+    return minhash_lsh_pairs(docs).select(
+        "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
+    )
 
 
-@register("j2b_ngram_jaccard", oracle=None)
+@register(
+    "j2b_ngram_jaccard",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(trim(regexp_replace(text,'\s+',' ','g'))), ' ') AS w
+      FROM documents
+    ), gr AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(w)-1),
+                           i -> w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT)+1]
+                                || ' ' || w[CAST(i AS INT)+2])) AS g
+      FROM toks WHERE len(w) >= 3
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(CAST(len(list_intersect(a.g,b.g)) AS DOUBLE)
+                 / (len(a.g)+len(b.g)-len(list_intersect(a.g,b.g))), 4) AS jaccard
+    FROM gr a JOIN gr b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.g,b.g)) AS DOUBLE)
+          / (len(a.g)+len(b.g)-len(list_intersect(a.g,b.g))) >= 0.5
+    """,
+)
 def j2b_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-3-gram Jaccard near-dup via inverted-index join (J2):
-    explodes n-grams, joins on gram hash, never materializes O(n²)."""
+    explodes n-grams, joins on gram hash, never materializes O(n²).
+
+    EXACT by construction (any pair with Jaccard > 0 shares a gram and
+    is a candidate), so the all-pairs oracle holds on any data — the
+    inverted index changes the plan shape, never the answer."""
     docs = load_table(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(docs)
+    return ngram_jaccard_pairs(docs).select(
+        "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
+    )
 
 
 _N_PLANTED = 50
