@@ -193,11 +193,42 @@ def j3c_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("j2e_neardup_keepers", oracle=None)
+@register(
+    "j2e_neardup_keepers",
+    oracle=r"""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(length(t)-4,1)+1),
+                                          i -> substr(t, CAST(i AS INT), 5))) AS s
+      FROM (SELECT doc_id, lower(trim(regexp_replace(text,'\s+',' ','g'))) AS t
+            FROM documents)
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.s,b.s)) AS DOUBLE)
+            / (len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))) >= 0.5
+    ), edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ), reach AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE r.a <> e.b
+    )
+    SELECT d.doc_id,
+           COALESCE(least(d.doc_id, m.mn), d.doc_id) AS keeper,
+           COALESCE(least(d.doc_id, m.mn), d.doc_id) = d.doc_id AS is_keeper
+    FROM documents d
+    LEFT JOIN (SELECT a, min(b) AS mn FROM reach GROUP BY a) m ON m.a = d.doc_id
+    """,
+)
 def j2e_neardup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full dedup decision (J2): MinHash-LSH pairs → connected
     components (min-label propagation) → one keeper per component,
-    keep/drop flag for every document.  Component semantics tested in
+    keep/drop flag for every document.  Oracle: all-pairs Jaccard (same
+    exactness argument as j2) + recursive-CTE transitive closure with
+    min-reachable-id as the component label — the SQL mirror of
+    min-label propagation.  Component semantics also tested in
     tests/test_dedup.py."""
     from ..operators.dedup import dedup_keepers
 
