@@ -40,6 +40,7 @@ HEADLINE = [
     "d2_d3_join_three_way",
     "d4_join_left_outer",
     "d6_join_star_snowflake",
+    "d9_tpch_q5_shape",
     "e1_cdc_latest_state",
     "e2a_window_topn",
     "e2c_window_running_sum",

@@ -43,6 +43,9 @@ def test_filter_pushdown_reaches_scan(spark, sf_dir):
         "d1_join_inner_fk",
         "d2_d3_join_three_way",
         "d6_join_star_snowflake",
+        "d8_tpch_q3_shape",
+        "d9_tpch_q5_shape",
+        "d10_tpch_q10_shape",
     ],
 )
 def test_fact_dim_joins_broadcast(spark, sf_dir, name):
