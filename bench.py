@@ -36,6 +36,7 @@ HEADLINE = [
     "c08_rollup",
     "c09_median_percentile",
     "c11_pivot_status_year",
+    "c13_tpch_q6_shape",
     "d1_join_inner_fk",
     "d2_d3_join_three_way",
     "d4_join_left_outer",

@@ -1069,3 +1069,106 @@ def d10_tpch_q10_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
     )
+
+
+@register(
+    "c13_tpch_q6_shape",
+    oracle="""
+    SELECT SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+               * CAST(round(l_discount*100) AS BIGINT)) / 10000.0 AS revenue_delta
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def c13_tpch_q6_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape (forecast revenue change): pure scan-side
+    computation — every predicate pushes into the parquet reader, the
+    aggregate is a single partial+final sum, no join, no wide shuffle.
+    The canonical 'is your scan path fast' query."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        (
+            F.sum(fixed_units("l_extendedprice", 2) * fixed_units("l_discount", 2))
+            / F.lit(10000.0)
+        ).alias("revenue_delta")
+    )
+
+
+@register(
+    "c14_tpch_q14_shape",
+    oracle="""
+    SELECT 100.0 * SUM(CASE WHEN p_type LIKE 'PROMO%%'
+                            THEN CAST(round(l_extendedprice*100) AS BIGINT)
+                                 * (100 - CAST(round(l_discount*100) AS BIGINT))
+                            ELSE 0 END)
+           / SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+                 * (100 - CAST(round(l_discount*100) AS BIGINT))) AS promo_share
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+      AND l_shipdate <  TIMESTAMP '1996-10-01'
+    """,
+)
+def c14_tpch_q14_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion effect): month filter pushes into the
+    lineitem scan, part broadcasts, one conditional-ratio aggregate.
+    Integer-unit revenue keeps the ratio bit-exact across engines."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-09-01") & (F.col("l_shipdate") < "1996-10-01")
+    )
+    p = load_table(spark, sf_dir, "part")
+    rev = revenue_units()
+    return (
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0)))
+                / F.sum(rev)
+            ).alias("promo_share")
+        )
+    )
+
+
+@register(
+    "d11_tpch_q19_shape",
+    oracle="""
+    SELECT SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+               * (100 - CAST(round(l_discount*100) AS BIGINT))) / 10000.0 AS revenue,
+           COUNT(*) AS n
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
+       OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
+       OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)
+    """,
+)
+def d11_tpch_q19_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue, disjunctive predicates):
+    the join carries an OR-of-ANDs residual condition spanning both
+    sides — the planner must still broadcast the dim and keep the
+    disjunction as a post-join filter rather than falling back to a
+    cartesian product."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    q, b, sz = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    cond = (
+        ((b == "Brand#1") & q.between(1, 11) & sz.between(1, 5))
+        | ((b == "Brand#2") & q.between(10, 20) & sz.between(1, 10))
+        | ((b == "Brand#3") & q.between(20, 30) & sz.between(1, 15))
+    )
+    return (
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .agg(
+            (F.sum(revenue_units()) / F.lit(10000.0)).alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
