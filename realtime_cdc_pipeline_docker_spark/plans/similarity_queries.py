@@ -49,11 +49,45 @@ def j3_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("j3b_ann_lsh_topk", oracle=None)
+def _lsh_oracle_sql() -> str:
+    """Generate the DuckDB mirror of the hyperplane bucketing.
+
+    The planes are deterministic SHA-derived constants (the operator's
+    spec, not its output), so inlining them as SQL literals lets DuckDB
+    recompute buckets + in-bucket exact rerank independently — an exact
+    oracle for an ANN query, possible because the approximation is a
+    deterministic function of fixed data and fixed planes."""
+    from ..operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(8, 64)
+
+    def lit(pl):
+        return "[" + ",".join(repr(float(x)) for x in pl) + "]"
+
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {lit(pl)}) > 0 THEN {1 << j} ELSE 0 END)"
+        for j, pl in enumerate(planes)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    b AS (SELECT vec_id, v, {bucket} AS bucket FROM e),
+    q AS (SELECT vec_id AS qid, v AS qv, bucket FROM b WHERE vec_id < {_N_QUERIES})
+    SELECT qid AS query_id, c.vec_id AS neighbor_id,
+           CAST(row_number() OVER (PARTITION BY qid
+                ORDER BY list_cosine_similarity(c.v, q.qv) DESC, c.vec_id) AS BIGINT)
+             AS rnk
+    FROM b c JOIN q ON c.bucket = q.bucket AND c.vec_id <> q.qid
+    QUALIFY rnk <= {_TOP_K}
+    """
+
+
+@register("j3b_ann_lsh_topk", oracle=_lsh_oracle_sql())
 def j3b_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via random-hyperplane LSH buckets (J3 scale
     path): corpus pre-bucketable at ingest, queries probe one bucket.
-    Recall vs brute force asserted in tests/test_similarity.py."""
+    Oracle: DuckDB recomputes the bucketing from the same plane
+    constants (see _lsh_oracle_sql).  Recall vs brute force asserted in
+    tests/test_similarity.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "embedding"
