@@ -195,20 +195,35 @@ def minhash_lsh_pairs(
     )
 
 
+def portable_token_hash(col) -> F.Column:
+    """60-bit token hash computable identically in Spark and DuckDB:
+    first 15 hex chars of md5, parsed base-16.  Used when a cross-engine
+    oracle must recompute signatures; xxhash64 is the faster default."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
 def simhash_signatures(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    token_hash: str = "xxhash64",
 ) -> DataFrame:
     """64-bit SimHash per document as (id, sim) — codegen aggregate form.
 
     Explode the token multiset (duplicates count, per SimHash), hash each
     token once, then one hash-aggregate with 64 ±1-vote sums; the final
-    sign-collapse to a long is a flat 64-term bitwise expression."""
+    sign-collapse to a long is a flat 64-term bitwise expression.
+    ``token_hash="md5"`` switches to the engine-portable hash (see
+    ``portable_token_hash``) so SQL oracles can recompute signatures."""
+    tok = F.col("tok")
+    hashed = portable_token_hash(tok) if token_hash == "md5" else F.xxhash64(tok)
     toks = spread(
         df.select(
             F.col(id_col).alias("id"),
             F.explode(ws_tokens(normalize_text(text_col))).alias("tok"),
         )
-    ).select("id", F.xxhash64("tok").alias("h"))
+    ).select("id", hashed.alias("h"))
     votes = toks.groupBy("id").agg(
         *[
             F.sum(
@@ -233,6 +248,7 @@ def simhash_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    token_hash: str = "xxhash64",
 ) -> DataFrame:
     """Near-duplicate pairs via 64-bit SimHash with 4×16-bit banding.
 
@@ -242,7 +258,7 @@ def simhash_pairs(
     Returns (id_a, id_b, hamming)."""
     from ..functions import hamming64
 
-    sigs = simhash_signatures(df, text_col, id_col).persist()
+    sigs = simhash_signatures(df, text_col, id_col, token_hash).persist()
     banded = sigs.select(
         "id",
         "sim",

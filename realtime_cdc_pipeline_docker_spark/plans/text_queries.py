@@ -123,13 +123,103 @@ def j4d_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", fingerprint("text").alias("fingerprint"))
 
 
-@register("j2c_simhash_neardup", oracle=None)
+@register(
+    "j2c_simhash_neardup",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(t, ' ')) AS tok
+      FROM (SELECT doc_id, lower(trim(regexp_replace(text,'\\s+',' ','g'))) AS t
+            FROM documents)
+    ), h AS (
+      SELECT doc_id, CAST('0x' || substr(md5(tok),1,15) AS BIGINT) AS hv FROM toks
+    ), votes AS (
+      SELECT doc_id,
+             SUM(CASE WHEN (hv >> 0) & 1 = 1 THEN 1 ELSE -1 END) AS v0,
+             SUM(CASE WHEN (hv >> 1) & 1 = 1 THEN 1 ELSE -1 END) AS v1,
+             SUM(CASE WHEN (hv >> 2) & 1 = 1 THEN 1 ELSE -1 END) AS v2,
+             SUM(CASE WHEN (hv >> 3) & 1 = 1 THEN 1 ELSE -1 END) AS v3,
+             SUM(CASE WHEN (hv >> 4) & 1 = 1 THEN 1 ELSE -1 END) AS v4,
+             SUM(CASE WHEN (hv >> 5) & 1 = 1 THEN 1 ELSE -1 END) AS v5,
+             SUM(CASE WHEN (hv >> 6) & 1 = 1 THEN 1 ELSE -1 END) AS v6,
+             SUM(CASE WHEN (hv >> 7) & 1 = 1 THEN 1 ELSE -1 END) AS v7,
+             SUM(CASE WHEN (hv >> 8) & 1 = 1 THEN 1 ELSE -1 END) AS v8,
+             SUM(CASE WHEN (hv >> 9) & 1 = 1 THEN 1 ELSE -1 END) AS v9,
+             SUM(CASE WHEN (hv >> 10) & 1 = 1 THEN 1 ELSE -1 END) AS v10,
+             SUM(CASE WHEN (hv >> 11) & 1 = 1 THEN 1 ELSE -1 END) AS v11,
+             SUM(CASE WHEN (hv >> 12) & 1 = 1 THEN 1 ELSE -1 END) AS v12,
+             SUM(CASE WHEN (hv >> 13) & 1 = 1 THEN 1 ELSE -1 END) AS v13,
+             SUM(CASE WHEN (hv >> 14) & 1 = 1 THEN 1 ELSE -1 END) AS v14,
+             SUM(CASE WHEN (hv >> 15) & 1 = 1 THEN 1 ELSE -1 END) AS v15,
+             SUM(CASE WHEN (hv >> 16) & 1 = 1 THEN 1 ELSE -1 END) AS v16,
+             SUM(CASE WHEN (hv >> 17) & 1 = 1 THEN 1 ELSE -1 END) AS v17,
+             SUM(CASE WHEN (hv >> 18) & 1 = 1 THEN 1 ELSE -1 END) AS v18,
+             SUM(CASE WHEN (hv >> 19) & 1 = 1 THEN 1 ELSE -1 END) AS v19,
+             SUM(CASE WHEN (hv >> 20) & 1 = 1 THEN 1 ELSE -1 END) AS v20,
+             SUM(CASE WHEN (hv >> 21) & 1 = 1 THEN 1 ELSE -1 END) AS v21,
+             SUM(CASE WHEN (hv >> 22) & 1 = 1 THEN 1 ELSE -1 END) AS v22,
+             SUM(CASE WHEN (hv >> 23) & 1 = 1 THEN 1 ELSE -1 END) AS v23,
+             SUM(CASE WHEN (hv >> 24) & 1 = 1 THEN 1 ELSE -1 END) AS v24,
+             SUM(CASE WHEN (hv >> 25) & 1 = 1 THEN 1 ELSE -1 END) AS v25,
+             SUM(CASE WHEN (hv >> 26) & 1 = 1 THEN 1 ELSE -1 END) AS v26,
+             SUM(CASE WHEN (hv >> 27) & 1 = 1 THEN 1 ELSE -1 END) AS v27,
+             SUM(CASE WHEN (hv >> 28) & 1 = 1 THEN 1 ELSE -1 END) AS v28,
+             SUM(CASE WHEN (hv >> 29) & 1 = 1 THEN 1 ELSE -1 END) AS v29,
+             SUM(CASE WHEN (hv >> 30) & 1 = 1 THEN 1 ELSE -1 END) AS v30,
+             SUM(CASE WHEN (hv >> 31) & 1 = 1 THEN 1 ELSE -1 END) AS v31,
+             SUM(CASE WHEN (hv >> 32) & 1 = 1 THEN 1 ELSE -1 END) AS v32,
+             SUM(CASE WHEN (hv >> 33) & 1 = 1 THEN 1 ELSE -1 END) AS v33,
+             SUM(CASE WHEN (hv >> 34) & 1 = 1 THEN 1 ELSE -1 END) AS v34,
+             SUM(CASE WHEN (hv >> 35) & 1 = 1 THEN 1 ELSE -1 END) AS v35,
+             SUM(CASE WHEN (hv >> 36) & 1 = 1 THEN 1 ELSE -1 END) AS v36,
+             SUM(CASE WHEN (hv >> 37) & 1 = 1 THEN 1 ELSE -1 END) AS v37,
+             SUM(CASE WHEN (hv >> 38) & 1 = 1 THEN 1 ELSE -1 END) AS v38,
+             SUM(CASE WHEN (hv >> 39) & 1 = 1 THEN 1 ELSE -1 END) AS v39,
+             SUM(CASE WHEN (hv >> 40) & 1 = 1 THEN 1 ELSE -1 END) AS v40,
+             SUM(CASE WHEN (hv >> 41) & 1 = 1 THEN 1 ELSE -1 END) AS v41,
+             SUM(CASE WHEN (hv >> 42) & 1 = 1 THEN 1 ELSE -1 END) AS v42,
+             SUM(CASE WHEN (hv >> 43) & 1 = 1 THEN 1 ELSE -1 END) AS v43,
+             SUM(CASE WHEN (hv >> 44) & 1 = 1 THEN 1 ELSE -1 END) AS v44,
+             SUM(CASE WHEN (hv >> 45) & 1 = 1 THEN 1 ELSE -1 END) AS v45,
+             SUM(CASE WHEN (hv >> 46) & 1 = 1 THEN 1 ELSE -1 END) AS v46,
+             SUM(CASE WHEN (hv >> 47) & 1 = 1 THEN 1 ELSE -1 END) AS v47,
+             SUM(CASE WHEN (hv >> 48) & 1 = 1 THEN 1 ELSE -1 END) AS v48,
+             SUM(CASE WHEN (hv >> 49) & 1 = 1 THEN 1 ELSE -1 END) AS v49,
+             SUM(CASE WHEN (hv >> 50) & 1 = 1 THEN 1 ELSE -1 END) AS v50,
+             SUM(CASE WHEN (hv >> 51) & 1 = 1 THEN 1 ELSE -1 END) AS v51,
+             SUM(CASE WHEN (hv >> 52) & 1 = 1 THEN 1 ELSE -1 END) AS v52,
+             SUM(CASE WHEN (hv >> 53) & 1 = 1 THEN 1 ELSE -1 END) AS v53,
+             SUM(CASE WHEN (hv >> 54) & 1 = 1 THEN 1 ELSE -1 END) AS v54,
+             SUM(CASE WHEN (hv >> 55) & 1 = 1 THEN 1 ELSE -1 END) AS v55,
+             SUM(CASE WHEN (hv >> 56) & 1 = 1 THEN 1 ELSE -1 END) AS v56,
+             SUM(CASE WHEN (hv >> 57) & 1 = 1 THEN 1 ELSE -1 END) AS v57,
+             SUM(CASE WHEN (hv >> 58) & 1 = 1 THEN 1 ELSE -1 END) AS v58,
+             SUM(CASE WHEN (hv >> 59) & 1 = 1 THEN 1 ELSE -1 END) AS v59,
+             SUM(CASE WHEN (hv >> 60) & 1 = 1 THEN 1 ELSE -1 END) AS v60,
+             SUM(CASE WHEN (hv >> 61) & 1 = 1 THEN 1 ELSE -1 END) AS v61,
+             SUM(CASE WHEN (hv >> 62) & 1 = 1 THEN 1 ELSE -1 END) AS v62,
+             SUM(CASE WHEN (hv >> 63) & 1 = 1 THEN 1 ELSE -1 END) AS v63
+      FROM h GROUP BY doc_id
+    ), sig AS (
+      SELECT doc_id, (CASE WHEN v0 > 0 THEN 1 ELSE 0 END) + (CASE WHEN v1 > 0 THEN 2 ELSE 0 END) + (CASE WHEN v2 > 0 THEN 4 ELSE 0 END) + (CASE WHEN v3 > 0 THEN 8 ELSE 0 END) + (CASE WHEN v4 > 0 THEN 16 ELSE 0 END) + (CASE WHEN v5 > 0 THEN 32 ELSE 0 END) + (CASE WHEN v6 > 0 THEN 64 ELSE 0 END) + (CASE WHEN v7 > 0 THEN 128 ELSE 0 END) + (CASE WHEN v8 > 0 THEN 256 ELSE 0 END) + (CASE WHEN v9 > 0 THEN 512 ELSE 0 END) + (CASE WHEN v10 > 0 THEN 1024 ELSE 0 END) + (CASE WHEN v11 > 0 THEN 2048 ELSE 0 END) + (CASE WHEN v12 > 0 THEN 4096 ELSE 0 END) + (CASE WHEN v13 > 0 THEN 8192 ELSE 0 END) + (CASE WHEN v14 > 0 THEN 16384 ELSE 0 END) + (CASE WHEN v15 > 0 THEN 32768 ELSE 0 END) + (CASE WHEN v16 > 0 THEN 65536 ELSE 0 END) + (CASE WHEN v17 > 0 THEN 131072 ELSE 0 END) + (CASE WHEN v18 > 0 THEN 262144 ELSE 0 END) + (CASE WHEN v19 > 0 THEN 524288 ELSE 0 END) + (CASE WHEN v20 > 0 THEN 1048576 ELSE 0 END) + (CASE WHEN v21 > 0 THEN 2097152 ELSE 0 END) + (CASE WHEN v22 > 0 THEN 4194304 ELSE 0 END) + (CASE WHEN v23 > 0 THEN 8388608 ELSE 0 END) + (CASE WHEN v24 > 0 THEN 16777216 ELSE 0 END) + (CASE WHEN v25 > 0 THEN 33554432 ELSE 0 END) + (CASE WHEN v26 > 0 THEN 67108864 ELSE 0 END) + (CASE WHEN v27 > 0 THEN 134217728 ELSE 0 END) + (CASE WHEN v28 > 0 THEN 268435456 ELSE 0 END) + (CASE WHEN v29 > 0 THEN 536870912 ELSE 0 END) + (CASE WHEN v30 > 0 THEN 1073741824 ELSE 0 END) + (CASE WHEN v31 > 0 THEN 2147483648 ELSE 0 END) + (CASE WHEN v32 > 0 THEN 4294967296 ELSE 0 END) + (CASE WHEN v33 > 0 THEN 8589934592 ELSE 0 END) + (CASE WHEN v34 > 0 THEN 17179869184 ELSE 0 END) + (CASE WHEN v35 > 0 THEN 34359738368 ELSE 0 END) + (CASE WHEN v36 > 0 THEN 68719476736 ELSE 0 END) + (CASE WHEN v37 > 0 THEN 137438953472 ELSE 0 END) + (CASE WHEN v38 > 0 THEN 274877906944 ELSE 0 END) + (CASE WHEN v39 > 0 THEN 549755813888 ELSE 0 END) + (CASE WHEN v40 > 0 THEN 1099511627776 ELSE 0 END) + (CASE WHEN v41 > 0 THEN 2199023255552 ELSE 0 END) + (CASE WHEN v42 > 0 THEN 4398046511104 ELSE 0 END) + (CASE WHEN v43 > 0 THEN 8796093022208 ELSE 0 END) + (CASE WHEN v44 > 0 THEN 17592186044416 ELSE 0 END) + (CASE WHEN v45 > 0 THEN 35184372088832 ELSE 0 END) + (CASE WHEN v46 > 0 THEN 70368744177664 ELSE 0 END) + (CASE WHEN v47 > 0 THEN 140737488355328 ELSE 0 END) + (CASE WHEN v48 > 0 THEN 281474976710656 ELSE 0 END) + (CASE WHEN v49 > 0 THEN 562949953421312 ELSE 0 END) + (CASE WHEN v50 > 0 THEN 1125899906842624 ELSE 0 END) + (CASE WHEN v51 > 0 THEN 2251799813685248 ELSE 0 END) + (CASE WHEN v52 > 0 THEN 4503599627370496 ELSE 0 END) + (CASE WHEN v53 > 0 THEN 9007199254740992 ELSE 0 END) + (CASE WHEN v54 > 0 THEN 18014398509481984 ELSE 0 END) + (CASE WHEN v55 > 0 THEN 36028797018963968 ELSE 0 END) + (CASE WHEN v56 > 0 THEN 72057594037927936 ELSE 0 END) + (CASE WHEN v57 > 0 THEN 144115188075855872 ELSE 0 END) + (CASE WHEN v58 > 0 THEN 288230376151711744 ELSE 0 END) + (CASE WHEN v59 > 0 THEN 576460752303423488 ELSE 0 END) + (CASE WHEN v60 > 0 THEN 1152921504606846976 ELSE 0 END) + (CASE WHEN v61 > 0 THEN 2305843009213693952 ELSE 0 END) + (CASE WHEN v62 > 0 THEN 4611686018427387904 ELSE 0 END) AS s FROM votes
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.s, b.s)) <= 3
+""",
+)
 def j2c_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (J2): 64-bit signatures, 4×16-bit band
-    candidate join, exact hamming verify ≤3.  No SQL oracle (xxhash64 is
-    Spark-specific); invariant-tested in tests/test_dedup.py."""
+    candidate join, exact hamming verify ≤3.
+
+    EXACT oracle for any data: the query uses the engine-portable md5
+    token hash (operators.dedup.portable_token_hash), DuckDB recomputes
+    all signatures and compares ALL pairs, and pigeonhole over the 4
+    bands guarantees the banded operator finds every hamming≤3 pair —
+    the banding changes the plan shape, never the answer.  (The Spark
+    default stays xxhash64 for speed; invariant tests cover it.)"""
     docs = load_table(spark, sf_dir, "documents")
-    return simhash_pairs(docs)
+    return simhash_pairs(docs, token_hash="md5")
 
 
 @register(
