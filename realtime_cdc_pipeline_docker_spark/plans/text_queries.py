@@ -245,12 +245,36 @@ def j5_multimodal_plumbing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("j5b_multimodal_features", oracle=None)
+@register(
+    "j5b_multimodal_features",
+    oracle="""
+    SELECT doc_id,
+           'text/plain' AS mime,
+           CAST(length(text) AS BIGINT) AS n_bytes,
+           CAST((length(text) % 640) + 1 AS INT) AS width,
+           CAST((length(text) % 480) + 1 AS INT) AS height,
+           [CAST(CAST(length(text) AS DOUBLE) AS FLOAT),
+            CAST(CAST(list_sum(list_transform(range(1, least(length(text),256)+1),
+                      i -> ord(substr(text, CAST(i AS INT), 1)))) AS DOUBLE)
+                 / least(length(text),256) AS FLOAT),
+            CAST(CAST(ord(substr(text,1,1)) AS DOUBLE) AS FLOAT),
+            CAST(CAST(ord(substr(text,least(length(text),256),1)) AS DOUBLE) AS FLOAT)
+           ] AS feature
+    FROM documents
+    """,
+)
 def j5b_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode / feature extraction (J5): Arrow-batched
     ``mapInPandas`` with a declared output schema.  The media decoder is
     a deterministic STUB (no media libs in this container) — the batch
-    plumbing is the real deliverable; rows-only check + pytest."""
+    plumbing is the real deliverable; rows-only check + pytest.
+
+    Oracle rationale: the fixture text is pure ASCII (verified), so byte
+    stats equal code-point stats; sums of ≤256 byte values are exact
+    integers in both engines, the single division is identical IEEE, and
+    casting each element to FLOAT on the SQL side reproduces the Arrow
+    float32 schema bit-for-bit — an exact SQL gate on a Python
+    mapInPandas path."""
     docs = load_table(spark, sf_dir, "documents")
     media = multimodal.attach_binary_payload(docs)
     return multimodal.extract_features(media)
