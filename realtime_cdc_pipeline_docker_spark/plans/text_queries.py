@@ -280,21 +280,40 @@ def j5b_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_features(media)
 
 
-@register("j5c_image_resize", oracle=None)
+@register(
+    "j5c_image_resize",
+    oracle="""
+    SELECT doc_id, 32 AS width, 32 AS height,
+           encode(substr(repeat(text, CAST(1024/length(text) AS INT)+1), 1, 1024))
+             AS payload
+    FROM documents
+    """,
+)
 def j5c_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Media resize path (J5): binary payloads through the Arrow-batched
     mapInPandas resize stub — exact output sizing tested in
-    tests/test_multimodal.py."""
+    tests/test_multimodal.py.  ASCII fixture ⇒ the byte-resample stub is
+    SQL-computable (repeat+truncate+encode), giving the binary-payload
+    round trip an exact oracle."""
     from ..operators.multimodal import attach_binary_payload, resize_images
 
     docs = load_table(spark, sf_dir, "documents")
     return resize_images(attach_binary_payload(docs), width=32, height=32)
 
 
-@register("j5d_frame_sample", oracle=None)
+@register(
+    "j5d_frame_sample",
+    oracle="""
+    SELECT doc_id, CAST(i AS INT) AS frame_no,
+           encode(substr(text, CAST(i*64+1 AS INT), 64)) AS frame
+    FROM documents, unnest(range(0, least(8, length(text)//64))) AS t(i)
+    """,
+)
 def j5d_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling (J5): 1→N row expansion streaming out of the
-    decoder iterator (no pre-materialized frame arrays)."""
+    decoder iterator (no pre-materialized frame arrays).  ASCII fixture
+    ⇒ the fixed-width byte windows are SQL-computable, oracle-gating the
+    row-expansion semantics (count, numbering, and frame bytes)."""
     from ..operators.multimodal import attach_binary_payload, sample_frames
 
     docs = load_table(spark, sf_dir, "documents")
