@@ -78,6 +78,33 @@ def spread(df: DataFrame) -> DataFrame:
     return df
 
 
+# ---------------------------------------------------------------------------
+# Persisted-intermediate tracking.  Operators that .persist() an
+# intermediate consumed by their (lazy) result — minhash fingerprints,
+# simhash signatures, inverted indexes, CC labels — cannot unpersist it
+# before the caller materializes the result, so they register it here and
+# the CALLER releases after materialization.  Unpersisting an
+# already-released or still-referenced frame is safe (Spark falls back to
+# recompute), so release_persisted() can be called after every query.
+# ---------------------------------------------------------------------------
+
+_PERSISTED: list[DataFrame] = []
+
+
+def track_persisted(df: DataFrame) -> DataFrame:
+    """Register a persisted intermediate for later release_persisted()."""
+    _PERSISTED.append(df)
+    return df
+
+
+def release_persisted() -> None:
+    """Unpersist every tracked intermediate (call once results are
+    materialized — bench.py and the test harness do this per query, so
+    cached blocks don't accumulate over a long session)."""
+    while _PERSISTED:
+        _PERSISTED.pop().unpersist()
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 

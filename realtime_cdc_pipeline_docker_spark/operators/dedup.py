@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..catalog import spread
+from ..catalog import spread, track_persisted
 from ..functions import _affine_params, ws_tokens
 
 
@@ -134,6 +134,7 @@ def minhash_lsh_pairs(
             for i, (a, b) in enumerate(params)
         ],
     ).persist()
+    track_persisted(fp)
     banded = fp.select(
         "id",
         F.explode(
@@ -258,7 +259,7 @@ def simhash_pairs(
     Returns (id_a, id_b, hamming)."""
     from ..functions import hamming64
 
-    sigs = simhash_signatures(df, text_col, id_col, token_hash).persist()
+    sigs = track_persisted(simhash_signatures(df, text_col, id_col, token_hash).persist())
     banded = sigs.select(
         "id",
         "sim",
@@ -336,6 +337,7 @@ def ngram_jaccard_pairs(
         .distinct()
         .persist()  # feeds sizes and both sides of the inverted-index join
     )
+    track_persisted(inv)
     sizes = inv.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
 
     x, y = inv.alias("x"), inv.alias("y")
@@ -369,8 +371,19 @@ def connected_components(
     component.  Scale shape: each round is one join + one min-aggregate,
     both on the node id — the standard large-graph CC pattern (a full
     GraphX/Pregel run would converge identically; this stays pure
-    DataFrame).  Persist per round keeps lineage from growing
-    exponentially across iterations.
+    DataFrame).  Each round ends in ``localCheckpoint``: persist alone
+    caches *execution* but the logical plan still doubles per round (the
+    union refers to the previous labels twice), so any deep iteration
+    OOMs the driver on plan construction — checkpointing truncates the
+    lineage to the materialized result.  (On a real cluster prefer
+    ``checkpoint()`` to reliable storage: localCheckpoint blocks die
+    with an executor.)
+
+    ``max_iters`` is a safety bound, not a silent truncation: if the
+    per-round convergence check still sees label changes after
+    ``max_iters`` rounds (a component with diameter > max_iters),
+    this RAISES rather than return labels that would split one
+    component into several keepers.
     """
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
@@ -382,8 +395,9 @@ def connected_components(
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("component", F.col("id"))
-        .persist()
+        .localCheckpoint()
     )
+    changed = -1
     for _ in range(max_iters):
         msgs = edges.join(
             labels.withColumnRenamed("id", "src"), "src"
@@ -392,7 +406,7 @@ def connected_components(
             labels.unionByName(msgs)
             .groupBy("id")
             .agg(F.min("component").alias("component"))
-            .persist()
+            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")
@@ -400,11 +414,16 @@ def connected_components(
             .filter(F.col("n.component") != F.col("o.component"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
     edges.unpersist()
+    if changed != 0:
+        raise RuntimeError(
+            f"connected_components did not converge within max_iters={max_iters} "
+            f"({changed} labels still changing); a component's diameter exceeds "
+            f"the bound — raise max_iters rather than emit split components"
+        )
     return labels
 
 

@@ -68,8 +68,21 @@ def salted_join(
     """Inner equi-join that spreads hot probe keys over ``n_salts``
     tasks: the probe side gets a deterministic salt, the (small) build
     side is replicated once per salt value, and the join keys on
-    (key, salt).  Output equals ``probe.join(build, on)`` exactly."""
-    probe_u = probe_unique_cols or [on]
+    (key, salt).  Output equals ``probe.join(build, on)`` exactly.
+
+    The salt must NOT be a function of the join key alone — every row of
+    a hot key would hash to one salt and nothing would spread.  Callers
+    pass ``probe_unique_cols`` (columns that vary within a key); without
+    them the salt is derived from ALL probe columns, which spreads any
+    hot key whose rows differ anywhere (rows identical in every column
+    still co-locate — they carry no distinguishing bits to salt on)."""
+    if probe_unique_cols is not None and list(probe_unique_cols) == [on]:
+        raise ValueError(
+            "probe_unique_cols=[join key] derives the salt from the key itself, "
+            "so a hot key maps to ONE salt and the join spreads nothing; pass "
+            "columns that vary within a key, or omit to salt on all columns"
+        )
+    probe_u = probe_unique_cols or probe.columns
     p = with_salt(probe, probe_u, n_salts)
     b = build.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))

@@ -10,6 +10,9 @@ oracles therefore express the *expected end state* directly over
 
 from __future__ import annotations
 
+import hashlib
+import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -20,6 +23,21 @@ from ..operators.collapse import latest_state
 from ..sources.cdc import ORDERS_PAYLOAD_SCHEMA, decode_envelope, synth_orders_envelope
 from ..streaming.pipeline import run_cdc_stream
 from .registry import register
+
+def _work_dir(query: str, sf_dir: str) -> str:
+    """Deterministic per-(query, sf) scratch dir, reset on entry.
+
+    ``tempfile.mkdtemp`` would leak one tree per invocation across
+    repeated driver/bench runs; a name derived from (query, sf_dir) is
+    reused and wiped instead, so N runs occupy one dir, not N.  The wipe
+    also clears the streaming checkpoint, which must not outlive its
+    (rewritten) input."""
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    work = os.path.join(tempfile.gettempdir(), f"rtcdc_{query}_{tag}")
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(work)
+    return work
+
 
 _FINAL_STATE_ORACLE = """
     SELECT o_orderkey AS id, o_custkey AS customer_id, o_orderdate AS order_date,
@@ -102,7 +120,7 @@ def h_stream_cdc_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     file-based envelope source → availableNow micro-batches →
     foreachBatch idempotent append (H1/H2/H3/H5) → collapse.  Shares the
     e1 oracle — stream result == batch result == SQL golden state."""
-    work = tempfile.mkdtemp(prefix="cdc_stream_")
+    work = _work_dir("cdc_stream", sf_dir)
     envelope = synth_orders_envelope(spark, sf_dir)
     envelope.coalesce(4).write.mode("overwrite").json(f"{work}/input")
     log = run_cdc_stream(

@@ -109,6 +109,21 @@ def test_connected_components_chains_and_islands(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1, 10: 10, 11: 10, 20: 20, 21: 20}
 
 
+def test_connected_components_raises_when_not_converged(spark):
+    """A chain with diameter > max_iters must RAISE, not silently emit
+    labels that split one component into several keepers."""
+    from realtime_cdc_pipeline_docker_spark.operators.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 15)], ["id_a", "id_b"]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iters=2)
+    # with enough rounds the same chain converges to one component
+    got = {r["component"] for r in connected_components(chain, max_iters=20).collect()}
+    assert got == {1}
+
+
 def test_dedup_keepers_end_to_end(spark):
     from realtime_cdc_pipeline_docker_spark.operators.dedup import dedup_keepers
 

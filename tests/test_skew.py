@@ -3,6 +3,7 @@ unsalted results (salting changes the execution shape, never the answer)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from realtime_cdc_pipeline_docker_spark.catalog import load_table
@@ -46,3 +47,31 @@ def test_salted_join_matches_plain(spark, sf_dir):
     assert sorted(map(tuple, salted.select(cols).collect())) == sorted(
         map(tuple, plain.select(cols).collect())
     )
+
+
+def test_salted_join_default_salt_spreads_hot_key(spark):
+    """Without explicit unique cols the salt derives from ALL probe
+    columns — a hot key whose rows differ in any column must spread
+    across multiple salts (the bug fixed here: salting on the join key
+    alone put every hot-key row in one salt)."""
+    from realtime_cdc_pipeline_docker_spark.operators.skew import with_salt
+
+    df = _skewed(spark)
+    build = df.select("k").distinct().withColumn("tag", F.concat(F.lit("t"), F.col("k")))
+    salted = salted_join(df, build, "k", n_salts=8)
+    plain = df.join(build, "k")
+    assert sorted(map(tuple, salted.select("k", "v", "tag").collect())) == sorted(
+        map(tuple, plain.select("k", "v", "tag").collect())
+    )
+    # the hot key's rows occupy every salt value, not one
+    n_salts_hot = (
+        with_salt(df, df.columns, 8).filter("k = 0").select("__salt").distinct().count()
+    )
+    assert n_salts_hot == 8
+
+
+def test_salted_join_rejects_key_only_salt(spark):
+    df = _skewed(spark)
+    build = df.select("k").distinct()
+    with pytest.raises(ValueError, match="hot key"):
+        salted_join(df, build, "k", probe_unique_cols=["k"])
