@@ -94,6 +94,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     jaccard_threshold: float = 0.5,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash LSH + exact-Jaccard verification.
 
@@ -109,10 +110,16 @@ def minhash_lsh_pairs(
        join for exact Jaccard                       [shuffle on id]
 
     Scale: band-bucket keys are (band_id, 8-byte hash); a bucket with B
-    docs yields B² candidates — at 100 TB add a bucket-size cap (drop
-    degenerate mega-buckets: they are near-identical boilerplate better
-    handled by exact dedup first).  Verification touches only candidate
-    ids, never the full corpus pair space.
+    docs yields B² candidates, so ``max_bucket_size`` drops buckets
+    larger than the cap before the self-join — *the* guard against
+    web-corpus degeneracy (boilerplate pages put thousands of docs in
+    one bucket and make the join quadratic).  Members of a dropped
+    bucket keep their other bands; clusters big enough to overflow every
+    band are near-identical boilerplate that ``dedup_exact`` catches
+    first (run it upstream — that is the documented contract).  The
+    default cap is far above any honest bucket (collisions of
+    *dissimilar* docs on 4 concatenated minhashes are ~impossible), so
+    it only fires on degenerate data; ``None`` disables.
     """
     rows_per_band = num_hashes // bands
     params = _affine_params(num_hashes)
@@ -159,6 +166,18 @@ def minhash_lsh_pairs(
             )
         ).alias("band"),
     ).select("id", "band.band_id", "band.band_hash")
+
+    if max_bucket_size is not None:
+        # Count per bucket (map-side combinable) and keep only sane
+        # buckets.  One extra shuffle on the band key — the same key the
+        # self-join shuffles on — in exchange for a hard quadratic bound.
+        ok = (
+            banded.groupBy("band_id", "band_hash")
+            .agg(F.count(F.lit(1)).alias("__bsz"))
+            .filter(F.col("__bsz") <= max_bucket_size)
+            .select("band_id", "band_hash")
+        )
+        banded = banded.join(ok, ["band_id", "band_hash"])
 
     left = banded.alias("x")
     right = banded.alias("y")
@@ -250,13 +269,21 @@ def simhash_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     token_hash: str = "xxhash64",
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """Near-duplicate pairs via 64-bit SimHash with 4×16-bit banding.
 
     Any pair with hamming ≤ 3 shares at least one exact 16-bit band
     (pigeonhole over 4 bands), so banding finds every such pair without
     a cross join; candidates are verified with an exact popcount.
-    Returns (id_a, id_b, hamming)."""
+    Returns (id_a, id_b, hamming).
+
+    ``max_bucket_size`` bounds the self-join: 16-bit bands have only
+    65 536 values, so at corpus scale a band bucket holds ~n/65 536
+    *dissimilar* docs by chance alone, plus any boilerplate cluster.
+    Dropping an over-cap bucket weakens the pigeonhole guarantee only
+    for pairs whose sole agreeing band overflowed — boilerplate that
+    exact dedup should have removed upstream.  ``None`` disables."""
     from ..functions import hamming64
 
     sigs = track_persisted(simhash_signatures(df, text_col, id_col, token_hash).persist())
@@ -277,6 +304,15 @@ def simhash_pairs(
             )
         ).alias("band"),
     ).select("id", "sim", "band.band_id", "band.band_val")
+
+    if max_bucket_size is not None:
+        ok = (
+            banded.groupBy("band_id", "band_val")
+            .agg(F.count(F.lit(1)).alias("__bsz"))
+            .filter(F.col("__bsz") <= max_bucket_size)
+            .select("band_id", "band_val")
+        )
+        banded = banded.join(ok, ["band_id", "band_val"])
 
     x, y = banded.alias("x"), banded.alias("y")
     candidates = (
@@ -307,6 +343,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     jaccard_threshold: float = 0.5,
+    max_gram_df: int | None = 1000,
 ) -> DataFrame:
     """Word n-gram Jaccard near-dup via inverted-index join.
 
@@ -315,8 +352,18 @@ def ngram_jaccard_pairs(
     position, hash.  The inverted index joins on the n-gram hash, counts
     co-occurrences per pair, and computes |A∩B| / (|A|+|B|-|A∩B|) —
     never materializes the O(n²) pair space, only pairs sharing ≥1
-    n-gram.  At 100 TB, drop stop-grams (df-top frequent n-grams) before
-    the join to kill the skew; here the data is small enough not to."""
+    n-gram.
+
+    ``max_gram_df`` drops stop-grams — n-grams occurring in more than
+    that many documents — from the index before the join.  A gram with
+    document frequency d contributes d² join rows, so one boilerplate
+    phrase ("all rights reserved …") makes the join quadratic at corpus
+    scale; dropping it bounds every gram's contribution.  Sizes and
+    intersections are both computed over the filtered gram universe, so
+    jaccard stays a true Jaccard — of the informative grams (pairs
+    similar ONLY via boilerplate stop-grams intentionally don't pair).
+    The default is inactive on non-degenerate corpora; ``None``
+    disables."""
     toks = spread(
         df.select(
             F.col(id_col).alias("id"), ws_tokens(normalize_text(text_col)).alias("toks")
@@ -335,9 +382,21 @@ def ngram_jaccard_pairs(
             ),
         )
         .distinct()
-        .persist()  # feeds sizes and both sides of the inverted-index join
+        .persist()  # feeds the df-count, sizes, and both join sides
     )
     track_persisted(inv)
+    if max_gram_df is not None:
+        # Document frequency per gram (map-side combinable) → keep the
+        # informative grams.  The join is on the same gram key the
+        # inverted-index self-join shuffles on, and reads the cached
+        # index, not the shingle explode.
+        keep = (
+            inv.groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_gram_df)
+            .select("gram")
+        )
+        inv = inv.join(keep, "gram")
     sizes = inv.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
 
     x, y = inv.alias("x"), inv.alias("y")

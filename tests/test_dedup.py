@@ -87,6 +87,48 @@ def test_ngram_jaccard_planted(spark):
     assert not any(6 in p for p in got)
 
 
+def test_minhash_bucket_cap_drops_degenerate_megacluster(spark):
+    """A 1000-doc identical-text cluster (web boilerplate shape) puts
+    1000 docs in one bucket per band — quadratic candidates.  The cap
+    must drop those buckets (bounding the join) while normal near-dup
+    pairs outside the cluster are still found."""
+    degenerate = [(100 + i, BASE_A) for i in range(1000)]
+    normal = [(1, BASE_B), (2, BASE_B.replace("tuesday", "wednesday"))]
+    docs = spark.createDataFrame(normal + degenerate, ["doc_id", "text"])
+    pairs = _pairs(minhash_lsh_pairs(docs, max_bucket_size=100))
+    assert (1, 2) in pairs
+    assert not any(a >= 100 and b >= 100 for a, b in pairs)
+
+
+def test_minhash_bucket_cap_inactive_on_sane_corpus(spark):
+    """Default cap (1000) must not change results on non-degenerate data."""
+    capped = _pairs(minhash_lsh_pairs(_docs(spark)))
+    uncapped = _pairs(minhash_lsh_pairs(_docs(spark), max_bucket_size=None))
+    assert capped == uncapped and len(capped) > 0
+
+
+def test_simhash_bucket_cap_drops_degenerate_megacluster(spark):
+    degenerate = [(100 + i, BASE_A) for i in range(500)]
+    docs = spark.createDataFrame(degenerate, ["doc_id", "text"])
+    assert simhash_pairs(docs, max_bucket_size=100).count() == 0
+    assert simhash_pairs(docs, max_bucket_size=None).count() == 500 * 499 // 2
+
+
+def test_ngram_stop_gram_cap_prevents_boilerplate_pairing(spark):
+    """Docs similar ONLY through a shared boilerplate tail: every
+    boilerplate gram has df=50, so with the cap the grams drop from the
+    index, the join has no co-occurrences, and nothing pairs — the
+    uncapped run pairs everything (the quadratic blowup the cap kills)."""
+    boiler = (
+        "all rights reserved contact the licensing department for terms "
+        "and conditions of reuse redistribution or archival in any form"
+    )
+    rows = [(i, f"doc number {i} " + boiler) for i in range(50)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    assert ngram_jaccard_pairs(docs, max_gram_df=None).count() == 50 * 49 // 2
+    assert ngram_jaccard_pairs(docs, max_gram_df=10).count() == 0
+
+
 def test_minhash_on_fixture_is_symmetric_and_thresholded(spark, sf_dir):
     from realtime_cdc_pipeline_docker_spark.catalog import load_table
 
