@@ -1,1 +1,1 @@
-from .mart import read_mart, write_mart  # noqa: F401
+from .mart import compact_mart_partitions, read_mart, write_mart  # noqa: F401

@@ -55,6 +55,66 @@ def read_mart(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def compact_mart_partitions(
+    spark: SparkSession,
+    path: str,
+    touched_partitions: Sequence,
+    partition_col: str,
+    key_cols: Sequence[str] = ("id",),
+    version_col: str = "ts_ms",
+    sign_col: str = "sign",
+    cluster_cols: Sequence[str] = ("id",),
+    max_records_per_file: int = 1_000_000,
+) -> None:
+    """Incremental background merge: compact ONLY the partitions that
+    received appends, leaving every other partition's files untouched —
+    the explicit form of ClickHouse's per-part background merge
+    (init-clickhouse.sql:18), which never rewrites quiescent parts.
+
+    Correctness does not depend on a key's versions living in one
+    partition: compaction within the touched set only removes rows
+    *dominated inside that set*, and a dominated row can never win the
+    global ``latest_state`` rank — so merge-on-read over the compacted
+    table equals merge-on-read over the full log, always.
+
+    Mechanics: read the touched partitions (partition-pruned scan),
+    collapse to max-version per key (delete markers retained so later
+    appends still layer), materialize via ``localCheckpoint`` (the
+    overwrite deletes the files the plan would otherwise still be
+    reading), then dynamic-partition-overwrite — Spark replaces exactly
+    the partition directories present in the written data.  At 100 TB
+    each maintenance cycle therefore costs O(appended partitions), not
+    O(table); a production deployment on an object store would stage +
+    swap directories instead of localCheckpoint for crash-atomicity
+    (or use a table format whose metadata commit provides it).
+    """
+    from ..operators.collapse import compact
+
+    touched = read_mart(spark, path).filter(
+        F.col(partition_col).isin(list(touched_partitions))
+    )
+    compacted = compact(
+        touched, key_cols=key_cols, version_col=version_col, sign_col=sign_col
+    )
+    if cluster_cols:
+        compacted = compacted.repartition(F.col(partition_col)).sortWithinPartitions(
+            *cluster_cols
+        )
+    compacted = compacted.localCheckpoint()
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            compacted.write.option("maxRecordsPerFile", max_records_per_file)
+            .mode("overwrite")
+            .partitionBy(partition_col)
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    compacted.unpersist()
+
+
 def write_jdbc_append(
     df: DataFrame,
     url: str,

@@ -6,7 +6,11 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from realtime_cdc_pipeline_docker_spark.operators.collapse import compact, latest_state
-from realtime_cdc_pipeline_docker_spark.sinks import read_mart, write_mart
+from realtime_cdc_pipeline_docker_spark.sinks import (
+    compact_mart_partitions,
+    read_mart,
+    write_mart,
+)
 from realtime_cdc_pipeline_docker_spark.sources.cdc import (
     ORDERS_PAYLOAD_SCHEMA,
     decode_envelope,
@@ -71,6 +75,61 @@ def test_layered_appends_collapse_to_same_state(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, a.select(cols).collect())) == sorted(
         map(tuple, b.select(cols).collect())
     )
+
+
+def test_incremental_compaction_rewrites_only_touched_partitions(spark, sf_dir, tmp_path):
+    """The incremental background merge: after appends touching a subset
+    of partitions, compacting just that subset (1) preserves the
+    merge-on-read state exactly — including keys whose older versions
+    live in untouched partitions — and (2) leaves untouched partition
+    files byte-identical."""
+    import glob
+
+    def partition_bytes(mart, month):
+        return {
+            f: open(f, "rb").read()
+            for f in sorted(glob.glob(f"{mart}/order_month={month}/*.parquet"))
+        }
+
+    mart = str(tmp_path / "mart")
+    log_copy = str(tmp_path / "log_copy")
+    decoded = _decoded(spark, sf_dir)
+    months = sorted(
+        r[0] for r in decoded.select("order_month").distinct().collect()
+    )
+    assert len(months) >= 4
+    untouched_months, touched_months = months[:2], months[2:]
+
+    # base load: everything; then a second append wave touching only the
+    # later months (their UPDATE/DELETE rows re-delivered = new versions
+    # layered on top)
+    write_mart(decoded, mart, partition_cols=("order_month",))
+    wave2 = decoded.filter(
+        (F.col("order_month").isin(touched_months)) & (F.col("op") != "c")
+    )
+    write_mart(wave2, mart, partition_cols=("order_month",))
+    write_mart(read_mart(spark, mart), log_copy)  # uncompacted reference
+
+    before = {m: partition_bytes(mart, m) for m in untouched_months}
+    compact_mart_partitions(
+        spark, mart, touched_months, "order_month", key_cols=("id",)
+    )
+    after = {m: partition_bytes(mart, m) for m in untouched_months}
+    assert before == after  # untouched partitions byte-identical
+
+    # compaction really shrank the touched partitions (dominated versions gone)
+    full = read_mart(spark, log_copy)
+    compacted_log = read_mart(spark, mart)
+    n_touched_before = full.filter(F.col("order_month").isin(touched_months)).count()
+    n_touched_after = compacted_log.filter(
+        F.col("order_month").isin(touched_months)
+    ).count()
+    assert n_touched_after < n_touched_before
+
+    cols = ["id", "status", "total_amount", "ts_ms"]
+    a = latest_state(full, key_cols=("id",)).select(cols)
+    b = latest_state(compacted_log, key_cols=("id",)).select(cols)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
 
 
 def test_streaming_pipeline_into_partitioned_mart(spark, sf_dir, tmp_path):
