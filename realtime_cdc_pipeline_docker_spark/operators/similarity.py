@@ -88,32 +88,126 @@ def lsh_bucket_expr(vec_col: str, planes: list[list[float]]) -> F.Column:
     return bucket
 
 
+def lsh_table_seeds(num_tables: int) -> list[str]:
+    """Seeds for the independent hash tables (table 0 keeps the original
+    seed so single-table callers and pre-bucketed corpora stay valid)."""
+    return ["rtcdc" if t == 0 else f"rtcdc:tbl{t}" for t in range(num_tables)]
+
+
+def probe_masks(num_planes: int, hamming: int) -> list[int]:
+    """XOR masks for every bucket within the given hamming radius of the
+    query's bucket (0 → just the bucket, 1 → +num_planes single-bit
+    flips, 2 → +all two-bit flips)."""
+    masks = [0]
+    if hamming >= 1:
+        masks += [1 << j for j in range(num_planes)]
+    if hamming >= 2:
+        masks += [
+            (1 << i) | (1 << j)
+            for i in range(num_planes)
+            for j in range(i + 1, num_planes)
+        ]
+    return masks
+
+
 def lsh_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    num_planes: int = 8,
+    num_planes: int = 6,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    num_tables: int = 6,
+    hamming_probe: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: bucket corpus + queries by hyperplane signs,
-    exact-rerank within the bucket.  2^num_planes buckets; recall is
-    tested against brute_force_topk in tests/test_similarity.py."""
-    planes = _hyperplanes(num_planes, dim)
-    c = corpus.withColumn("__bucket", lsh_bucket_expr(vec_col, planes))
-    q = queries.select(query_id_col, F.col(vec_col).alias("__qvec")).withColumn(
-        "__bucket", lsh_bucket_expr("__qvec", planes)
+    """Approximate top-k via multi-table, multi-probe hyperplane LSH.
+
+    A single sign-pattern table recalls a neighbor at angle θ with
+    probability (1-θ/π)^planes — on near-orthogonal corpora (θ≈65°)
+    that's a few percent, useless.  Two standard amplifiers fix it
+    without giving up the equi-join plan shape:
+
+    - **num_tables independent tables** (E2LSH-style OR-construction):
+      a neighbor is found if ANY table collides — recall
+      1-(1-p^planes)^tables;
+    - **multi-probe** (Lv et al., VLDB'07): each query also probes the
+      buckets within ``hamming_probe`` bit-flips of its own, the
+      next-most-likely homes of a near neighbor, trading a few extra
+      probes for many fewer tables.
+
+    Defaults (6 planes × 6 tables, hamming≤1 ⇒ 42 probe buckets)
+    measure recall@5 ≈ 0.9 vs brute force on the *random* fixture —
+    the adversarial case; clustered real embeddings recall higher with
+    far smaller candidate sets (tests/test_similarity.py).
+
+    Scale shape: the per-table bucket ids are pure column expressions →
+    at ingest the corpus stores num_tables bucket columns (or is
+    directory-partitioned by table-0 bucket).  The in-plan
+    ``explode`` to (table, bucket) long form keeps this a single corpus
+    scan feeding one broadcast equi-join — never a hamming-distance
+    ⋈-predicate, which would be a cross join.  Duplicate candidates
+    (hits in several tables) collapse in a map-side-combinable
+    max aggregate before ranking."""
+    tables = [
+        _hyperplanes(num_planes, dim, seed) for seed in lsh_table_seeds(num_tables)
+    ]
+    c = corpus.select(
+        id_col,
+        vec_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        lsh_bucket_expr(vec_col, planes).alias("bkt"),
+                    )
+                    for t, planes in enumerate(tables)
+                ]
+            )
+        ).alias("__tb"),
+    ).select(
+        id_col,
+        vec_col,
+        F.col("__tb.tbl").alias("__tbl"),
+        F.col("__tb.bkt").alias("__bkt"),
+    )
+    masks = probe_masks(num_planes, hamming_probe)
+    q = queries.select(query_id_col, F.col(vec_col).alias("__qvec"))
+    for t, planes in enumerate(tables):
+        q = q.withColumn(f"__b{t}", lsh_bucket_expr("__qvec", planes))
+    q = q.select(
+        query_id_col,
+        "__qvec",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        F.col(f"__b{t}").bitwiseXOR(F.lit(m)).alias("bkt"),
+                    )
+                    for t in range(len(tables))
+                    for m in masks
+                ]
+            )
+        ).alias("__tb"),
+    ).select(
+        query_id_col,
+        "__qvec",
+        F.col("__tb.tbl").alias("__tbl"),
+        F.col("__tb.bkt").alias("__bkt"),
     )
     scored = (
-        c.join(F.broadcast(q), "__bucket")
+        c.join(F.broadcast(q), ["__tbl", "__bkt"])
         .filter(F.col(id_col) != F.col(query_id_col))
         .select(
             query_id_col,
             F.col(id_col).alias("neighbor_id"),
             vec_cosine("__qvec", vec_col).alias("sim"),
         )
+        .groupBy(query_id_col, "neighbor_id")
+        .agg(F.max("sim").alias("sim"))
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("sim").desc(), "neighbor_id")
     return (

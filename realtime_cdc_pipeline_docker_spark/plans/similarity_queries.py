@@ -49,45 +49,61 @@ def j3_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lsh_oracle_sql() -> str:
-    """Generate the DuckDB mirror of the hyperplane bucketing.
+def _lsh_oracle_sql(num_planes: int = 6, num_tables: int = 6, hamming: int = 1) -> str:
+    """Generate the DuckDB mirror of the multi-table hyperplane bucketing.
 
     The planes are deterministic SHA-derived constants (the operator's
     spec, not its output), so inlining them as SQL literals lets DuckDB
-    recompute buckets + in-bucket exact rerank independently — an exact
-    oracle for an ANN query, possible because the approximation is a
-    deterministic function of fixed data and fixed planes."""
-    from ..operators.similarity import _hyperplanes
+    recompute every table's bucket independently — an exact oracle for
+    an ANN query, possible because the approximation is a deterministic
+    function of fixed data and fixed planes.  The operator's probe set
+    (per table: the query's bucket + every bucket within
+    ``hamming`` bit flips) is mirrored as
+    ``bit_count(xor(corpus_bucket, query_bucket)) <= hamming`` ORed
+    over tables — mathematically the same candidate set the exploded
+    equi-join produces."""
+    from ..operators.similarity import _hyperplanes, lsh_table_seeds
 
-    planes = _hyperplanes(8, 64)
+    tables = [_hyperplanes(num_planes, 64, s) for s in lsh_table_seeds(num_tables)]
 
     def lit(pl):
         return "[" + ",".join(repr(float(x)) for x in pl) + "]"
 
-    bucket = " + ".join(
-        f"(CASE WHEN list_dot_product(v, {lit(pl)}) > 0 THEN {1 << j} ELSE 0 END)"
-        for j, pl in enumerate(planes)
+    buckets = ",\n           ".join(
+        "("
+        + " + ".join(
+            f"(CASE WHEN list_dot_product(v, {lit(pl)}) > 0 THEN {1 << j} ELSE 0 END)"
+            for j, pl in enumerate(planes)
+        )
+        + f") AS b{t}"
+        for t, planes in enumerate(tables)
     )
+    collide = " OR ".join(
+        f"bit_count(xor(c.b{t}, q.b{t})) <= {hamming}" for t in range(num_tables)
+    )
+    qcols = ", ".join(f"b{t}" for t in range(num_tables))
     return f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-    b AS (SELECT vec_id, v, {bucket} AS bucket FROM e),
-    q AS (SELECT vec_id AS qid, v AS qv, bucket FROM b WHERE vec_id < {_N_QUERIES})
+    b AS (SELECT vec_id, v, {buckets} FROM e),
+    q AS (SELECT vec_id AS qid, v AS qv, {qcols} FROM b WHERE vec_id < {_N_QUERIES})
     SELECT qid AS query_id, c.vec_id AS neighbor_id,
            CAST(row_number() OVER (PARTITION BY qid
                 ORDER BY list_cosine_similarity(c.v, q.qv) DESC, c.vec_id) AS BIGINT)
              AS rnk
-    FROM b c JOIN q ON c.bucket = q.bucket AND c.vec_id <> q.qid
+    FROM b c JOIN q ON ({collide}) AND c.vec_id <> q.qid
     QUALIFY rnk <= {_TOP_K}
     """
 
 
 @register("j3b_ann_lsh_topk", oracle=_lsh_oracle_sql())
 def j3b_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k via random-hyperplane LSH buckets (J3 scale
-    path): corpus pre-bucketable at ingest, queries probe one bucket.
-    Oracle: DuckDB recomputes the bucketing from the same plane
-    constants (see _lsh_oracle_sql).  Recall vs brute force asserted in
-    tests/test_similarity.py."""
+    """Approximate top-k via multi-table, multi-probe hyperplane LSH
+    (J3 scale path): corpus pre-bucketable at ingest (one bucket column
+    per table), each query probes its bucket + hamming-1 neighbors in
+    every table.  Oracle: DuckDB recomputes all tables' bucketing from
+    the same plane constants and mirrors the probe set as a hamming
+    predicate (see _lsh_oracle_sql).  Recall@5 ≥ 0.8 vs brute force
+    asserted in tests/test_similarity.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "embedding"

@@ -77,6 +77,27 @@ def test_ann_results_subset_of_exact_scores(spark, sf_dir):
         assert r["sim"] == pytest.approx(r["exact_sim"], abs=1e-9)
 
 
+def test_lsh_ann_recall_on_random_fixture(spark, sf_dir):
+    """Multi-table + hamming-1 multi-probe must recover ≥0.8 of the
+    exact top-5 even on the random fixture — the adversarial case where
+    neighbors sit near 65° and a single sign-pattern table recalls
+    almost nothing."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in lsh_ann_topk(emb, queries, k=5).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, recall
+
+
 def test_neardup_pairs_exactly_planted(spark, sf_dir):
     corpus = _corpus_with_planted(spark, sf_dir, n_planted=20)
     got = {
