@@ -418,7 +418,11 @@ def ngram_jaccard_pairs(
 
 
 def connected_components(
-    pairs: DataFrame, max_iters: int = 10, a_col: str = "id_a", b_col: str = "id_b"
+    pairs: DataFrame,
+    max_iters: int = 10,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components of the near-duplicate pair graph by
     min-label propagation: every node repeatedly adopts the smallest
@@ -443,6 +447,11 @@ def connected_components(
     ``max_iters`` rounds (a component with diameter > max_iters),
     this RAISES rather than return labels that would split one
     component into several keepers.
+
+    ``stats``, if given, receives ``{"rounds": N}`` — the number of
+    propagation rounds actually executed (scale probes assert near-dup
+    graphs converge in a handful of rounds; see
+    ``scripts/scale_probe.py``).
     """
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
@@ -457,7 +466,9 @@ def connected_components(
         .localCheckpoint()
     )
     changed = -1
+    rounds = 0
     for _ in range(max_iters):
+        rounds += 1
         msgs = edges.join(
             labels.withColumnRenamed("id", "src"), "src"
         ).select(F.col("dst").alias("id"), "component")
@@ -477,6 +488,8 @@ def connected_components(
         if changed == 0:
             break
     edges.unpersist()
+    if stats is not None:
+        stats["rounds"] = rounds
     if changed != 0:
         raise RuntimeError(
             f"connected_components did not converge within max_iters={max_iters} "

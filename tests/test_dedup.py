@@ -214,3 +214,48 @@ def test_winnowing_is_deterministic(spark):
     a = sorted(map(tuple, winnow_fingerprints(docs).collect()))
     b = sorted(map(tuple, winnow_fingerprints(docs).collect()))
     assert a == b and len(a) > 0
+
+
+def test_cc_rounds_bounded_on_10x_replicated_corpus(spark, sf_dir):
+    """Scale probe (VERDICT r1 #5): replicate every fixture document 10x
+    (9 extra copies at shifted ids) and run the full j2e pipeline shape —
+    minhash pairs -> connected components.  Replicas form 10-cliques
+    fused with the fixture's own near-dup chains; min-label propagation
+    must still converge in <= 3 rounds (+1 round to observe quiescence),
+    and every replica's keeper must be its origin's component min."""
+    from realtime_cdc_pipeline_docker_spark.catalog import load_table
+    from realtime_cdc_pipeline_docker_spark.operators.dedup import (
+        connected_components,
+        dedup_keepers,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs
+    for r in range(1, 10):
+        corpus = corpus.unionByName(
+            docs.select(
+                (F.col("doc_id") + 1_000_000 * r).alias("doc_id"), "text"
+            )
+        )
+    pairs = minhash_lsh_pairs(corpus, jaccard_threshold=0.5)
+    stats = {}
+    comp = connected_components(pairs, stats=stats).persist()
+    assert stats["rounds"] <= 4, stats
+    # every replica is labeled, and with the same component as its origin
+    n_replicated = comp.filter(F.col("id") >= 1_000_000).count()
+    assert n_replicated == 9 * docs.count()
+    origin = comp.filter(F.col("id") < 1_000_000).withColumnRenamed(
+        "component", "origin_component"
+    )
+    mismatch = (
+        comp.filter(F.col("id") >= 1_000_000)
+        .withColumn("origin_id", F.col("id") % 1_000_000)
+        .join(origin.withColumnRenamed("id", "origin_id"), "origin_id")
+        .filter(F.col("component") != F.col("origin_component"))
+        .count()
+    )
+    assert mismatch == 0
+    # keeper decision on the replicated corpus: keepers are original ids
+    keepers = dedup_keepers(corpus, pairs).filter("is_keeper")
+    assert keepers.filter(F.col("keeper") >= 1_000_000).count() == 0
+    comp.unpersist()
