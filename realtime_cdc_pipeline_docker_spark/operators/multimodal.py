@@ -3,9 +3,10 @@
 Images/audio/video are opaque ``binary`` payload columns with a typed
 metadata struct — parquet stores them natively (BinaryType) and Spark
 moves them without interpretation.  The decode / feature-extract step is
-the only part that needs a media library, which this container does not
-have, so it is STUBBED behind a deterministic fake (clearly marked) —
-the Spark-side plumbing (schema, Arrow batch shape, ``mapInPandas``
+the only part that needs a media library: when Pillow is importable,
+``image/*`` payloads decode for real; otherwise (this container) a
+deterministic STUB stands in (clearly marked) — either way the
+Spark-side plumbing (schema, Arrow batch shape, ``mapInPandas``
 signature, partition sizing) is real and tested.
 
 Scale notes: media blobs dominate row size, so
@@ -67,15 +68,47 @@ def attach_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def _decode_media(payload: bytes) -> tuple[int, int, list[float]]:
-    """STUB media decoder.
+def _pil():
+    """Import-guarded Pillow handle: the real decoder when the library
+    exists, None in containers without it (this one).  Evaluated lazily
+    inside the executor-side batch function, so a heterogeneous cluster
+    degrades per-worker rather than failing at import."""
+    try:
+        from PIL import Image  # noqa: PLC0415
 
-    A real deployment would decode with PIL/ffmpeg here; those libraries
-    are not in this container, so this produces a deterministic fake:
-    pseudo-dimensions from the byte length and a 4-dim byte-statistics
-    feature vector.  The function signature and batch shape are what a
-    real decoder plugs into.
+        return Image
+    except ImportError:
+        return None
+
+
+def _decode_media(payload: bytes, mime: str = "text/plain") -> tuple[int, int, list[float]]:
+    """Media decoder: real for images when Pillow is importable, else a
+    deterministic STUB.
+
+    - ``image/*`` payloads with Pillow present decode for real: true
+      width/height and a 4-dim pixel-statistics feature.
+    - Everything else (and image payloads without Pillow) takes the
+      deterministic fake: pseudo-dimensions from the byte length and a
+      4-dim byte-statistics feature vector.  The fixture queries use
+      ``text/plain`` payloads, so their oracle-exact outputs are
+      identical with or without Pillow installed.
     """
+    if mime.startswith("image/"):
+        Image = _pil()
+        if Image is not None:
+            import io  # noqa: PLC0415
+
+            with Image.open(io.BytesIO(payload)) as img:
+                gray = img.convert("L")
+                px = list(gray.getdata())
+                mean = sum(px) / len(px) if px else 0.0
+                feature = [
+                    float(len(payload)),
+                    float(mean),
+                    float(px[0]) if px else 0.0,
+                    float(px[-1]) if px else 0.0,
+                ]
+                return img.width, img.height, feature
     n = len(payload)
     width, height = (n % 640) + 1, (n % 480) + 1
     if n:
@@ -97,7 +130,10 @@ def extract_features(media: DataFrame) -> DataFrame:
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            decoded = [_decode_media(p) for p in pdf["payload"]]
+            decoded = [
+                _decode_media(p, m["mime"])
+                for p, m in zip(pdf["payload"], pdf["meta"])
+            ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],

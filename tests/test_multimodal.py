@@ -54,3 +54,40 @@ def test_frame_sampling_expands_rows(spark, sf_dir):
     assert per_doc <= 4
     for r in frames.filter("doc_id = 1").collect():
         assert len(r["frame"]) == 64
+
+
+def test_stub_decode_ignores_pil_for_text_payloads():
+    """The oracle-exact stub path must be taken for text/plain whether or
+    not Pillow is installed — only image/* mimes dispatch to a real
+    decoder."""
+    from realtime_cdc_pipeline_docker_spark.operators.multimodal import _decode_media
+
+    payload = b"hello multimodal world"
+    n = len(payload)
+    width, height, feature = _decode_media(payload, "text/plain")
+    assert (width, height) == ((n % 640) + 1, (n % 480) + 1)
+    assert feature[0] == float(n)
+
+
+def test_real_image_decode_when_pil_available(spark):
+    """Import-guarded real path: with Pillow present, image/* payloads
+    report true dimensions through the same mapInPandas plumbing."""
+    import io
+
+    import pytest
+
+    from realtime_cdc_pipeline_docker_spark.operators.multimodal import _pil
+
+    Image = _pil()
+    if Image is None:
+        pytest.skip("Pillow not installed; real-decode path not exercisable here")
+    buf = io.BytesIO()
+    Image.new("L", (17, 11), color=128).save(buf, format="PNG")
+    png = buf.getvalue()
+    media = spark.createDataFrame(
+        [(1, png, ("image/png", len(png)))],
+        "doc_id long, payload binary, meta struct<mime:string,n_bytes:long>",
+    )
+    row = extract_features(media).collect()[0]
+    assert (row["width"], row["height"]) == (17, 11)
+    assert row["feature"][1] == 128.0
