@@ -56,6 +56,8 @@ HEADLINE = [
     "j3_similarity_topk",
     "j4a_text_stats",
     "j4c_quality_score",
+    "k1_asof_order_state",
+    "k2_range_join_incidents",
 ]
 
 

@@ -12,3 +12,4 @@ from . import cdc_queries  # noqa: F401, E402
 from . import events_queries  # noqa: F401, E402
 from . import text_queries  # noqa: F401, E402
 from . import similarity_queries  # noqa: F401, E402
+from . import temporal_queries  # noqa: F401, E402

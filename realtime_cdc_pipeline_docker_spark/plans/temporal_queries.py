@@ -1,0 +1,119 @@
+"""Temporal-join queries (SURVEY §2.K extension family): as-of join and
+interval/range join over `events` × `orders` — the time-series
+operations a user of the reference's versioned mart reaches for next
+(the order state *as of* an event; events falling *inside* a window).
+
+Spark lacks both as built-ins; ``operators/temporal.py`` implements
+them as single-shuffle DataFrame compositions.  DuckDB has native
+``ASOF JOIN``, giving k1 a genuinely independent exact oracle (a
+different algorithm — binary-search per row — must produce the same
+relation).  k2's oracle is a plain inequality join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions import fixed_units
+from ..operators.temporal import asof_join, range_join
+from .registry import register
+
+
+@register(
+    "k1_asof_order_state",
+    oracle="""
+    WITH rd AS (
+      SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice
+      FROM orders
+      QUALIFY row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                                 ORDER BY o_orderkey DESC) = 1
+    )
+    SELECT e.event_id, e.user_id,
+           rd.o_orderkey AS asof_orderkey,
+           rd.o_totalprice AS asof_totalprice
+    FROM events e
+    ASOF LEFT JOIN rd ON e.user_id = rd.o_custkey AND e.ts >= rd.o_orderdate
+    """,
+)
+def k1_asof_order_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (K1): for every event, the user's most recent order at
+    or before the event time — the canonical feature-store/point-in-time
+    lookup.  Implemented as union-markers + one keyed window (single
+    shuffle, no pair explosion; operators/temporal.py); the oracle is
+    DuckDB's native ASOF JOIN over a tie-broken right side, an
+    independent algorithm producing the same relation."""
+    events = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    out = asof_join(
+        events,
+        orders,
+        left_on="user_id",
+        right_on="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        right_cols=["o_orderkey", "o_totalprice"],
+        tiebreak="o_orderkey",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("o_orderkey").alias("asof_orderkey"),
+        F.col("o_totalprice").alias("asof_totalprice"),
+    )
+
+
+@register(
+    "k2_range_join_incidents",
+    oracle="""
+    WITH incidents AS (
+      SELECT event_id AS incident_id, user_id, ts AS t0,
+             ts + INTERVAL 1 HOUR AS t1
+      FROM events WHERE event_type = 'error'
+    )
+    SELECT i.incident_id,
+           COUNT(*) AS n_events,
+           SUM(CAST(round(e.value * 10000) AS BIGINT)) / 10000.0 AS sum_value
+    FROM incidents i
+    JOIN events e
+      ON e.user_id = i.user_id
+     AND e.event_type <> 'error'
+     AND e.ts BETWEEN i.t0 AND i.t1
+    GROUP BY i.incident_id
+    """,
+)
+def k2_range_join_incidents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval/range join (K2): each error event opens a 1-hour incident
+    window; count + sum the same user's non-error activity inside it.
+    Implemented by time-bucketing (intervals sequence-explode to covered
+    buckets, points map to one bucket, equi-join + residual BETWEEN —
+    operators/temporal.py), so Catalyst keeps a hash join; the oracle is
+    the plain inequality join.  value is 4-dec fixed-point → exact
+    integer units for an order-independent sum."""
+    events = load_table(spark, sf_dir, "events")
+    incidents = events.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("incident_id"),
+        "user_id",
+        F.col("ts").alias("t0"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("t1"),
+    )
+    points = events.filter(F.col("event_type") != "error").select(
+        "user_id", "ts", "value"
+    )
+    joined = range_join(
+        points,
+        incidents,
+        left_ts="ts",
+        right_start="t0",
+        right_end="t1",
+        left_on=["user_id"],
+        right_on=["user_id"],
+        bucket_seconds=3600,
+    )
+    return joined.groupBy("incident_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.sum(fixed_units("value", 4)) / F.lit(10000.0)).alias("sum_value"),
+    )
