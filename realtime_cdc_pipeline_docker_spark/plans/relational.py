@@ -1172,3 +1172,242 @@ def d11_tpch_q19_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+@register(
+    "d12_tpch_q7_shape",
+    oracle="""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS BIGINT) AS l_year,
+           SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+               * (100 - CAST(round(l_discount*100) AS BIGINT))) / 10000.0 AS revenue
+    FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    GROUP BY 1, 2, 3
+    """,
+)
+def d12_tpch_q7_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping between a nation pair): the same
+    dimension table joins TWICE under different aliases (supplier's
+    nation vs customer's nation) — both broadcast — with an OR-of-ANDs
+    pair predicate that must stay a post-join residual, not degrade the
+    joins.  Lineitem streams once."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    pair = (
+        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    )
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg((F.sum(revenue_units()) / F.lit(10000.0)).alias("revenue"))
+    )
+
+
+@register(
+    "d13_tpch_q13_shape",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    ) GROUP BY c_count
+    """,
+)
+def d13_tpch_q13_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer order-count distribution): left outer
+    join with an extra ON-clause predicate (which must filter the right
+    side BEFORE the join, never drop unmatched customers), COUNT of a
+    nullable column, then a second aggregation over the first's result —
+    the distribution-of-counts double-agg."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "d14_tpch_q4_shape",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def d14_tpch_q4_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order priority checking): correlated EXISTS with
+    a non-equi residual (shipped >60 days after ordering) compiles to a
+    LEFT SEMI join — each order counted once no matter how many
+    lineitems qualify."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-07-01") & (F.col("o_orderdate") < "1996-10-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            li,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "d15_tpch_q18_shape",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey, SUM(CAST(l_quantity AS BIGINT)) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS BIGINT)) > 260
+    )
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+    FROM big JOIN orders ON o_orderkey = l_orderkey
+             JOIN customer ON c_custkey = o_custkey
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+    """,
+)
+def d15_tpch_q18_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): HAVING over a grouped
+    sum (integer quantity units — exact), the qualifying-keys set joined
+    back to the fact+dim side, deterministic top-100.  The aggregate
+    runs BEFORE the joins, so only qualifying orders shuffle onward."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 260)
+    )
+    return (
+        big.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
+@register(
+    "d16_tpch_q22_shape",
+    oracle="""
+    WITH s AS (
+      SELECT SUM(CAST(round(c_acctbal*100) AS BIGINT)) AS su, COUNT(*) AS cnt
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT n_name,
+           COUNT(*) AS n_cust,
+           SUM(CAST(round(c_acctbal*100) AS BIGINT)) / 100.0 AS total_acctbal
+    FROM customer
+    CROSS JOIN s
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE CAST(round(c_acctbal*100) AS BIGINT) * s.cnt > s.su
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    GROUP BY n_name
+    """,
+)
+def d16_tpch_q22_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity): scalar aggregate
+    threshold (above-average balance — compared in exact integer units,
+    ``bal_units * cnt > sum_units``, so no double-ulp boundary flip),
+    NOT EXISTS as a LEFT ANTI join against recent orders, grouped
+    rollup by nation.  The 1-row aggregate broadcasts."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    stats = c.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(fixed_units("c_acctbal")).alias("__su"),
+        F.count(F.lit(1)).alias("__cnt"),
+    )
+    recent = o.filter(F.col("o_orderdate") >= "2000-01-01")
+    return (
+        c.crossJoin(F.broadcast(stats))
+        .filter(fixed_units("c_acctbal") * F.col("__cnt") > F.col("__su"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            (F.sum(fixed_units("c_acctbal")) / F.lit(100.0)).alias("total_acctbal"),
+        )
+    )
+
+
+@register(
+    "c15_tpch_q17_shape",
+    oracle="""
+    WITH li AS (
+      SELECT l_partkey, CAST(l_quantity AS BIGINT) AS q,
+             CAST(round(l_extendedprice*100) AS BIGINT) AS ep
+      FROM lineitem
+    ), agg AS (
+      SELECT l_partkey, SUM(q) AS sq, COUNT(*) AS cnt FROM li GROUP BY l_partkey
+    )
+    SELECT SUM(li.ep) / 700.0 AS avg_yearly
+    FROM li JOIN agg USING (l_partkey)
+            JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#1' AND li.q * 5 * agg.cnt < agg.sq
+    """,
+)
+def c15_tpch_q17_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): a correlated
+    per-group average subquery (quantity < 20% of the part's average)
+    becomes an aggregate-then-self-join; the 20%-of-average comparison
+    is integer-exact (``q*5*cnt < sum``) so both engines agree at the
+    boundary.  Part is broadcast; the per-part aggregate reuses the
+    lineitem scan."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.col("l_quantity").cast("long").alias("q"),
+        fixed_units("l_extendedprice").alias("ep"),
+    )
+    agg = li.groupBy("l_partkey").agg(
+        F.sum("q").alias("sq"), F.count(F.lit(1)).alias("cnt")
+    )
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    return (
+        li.join(agg, "l_partkey")
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(F.col("q") * 5 * F.col("cnt") < F.col("sq"))
+        .agg((F.sum("ep") / F.lit(700.0)).alias("avg_yearly"))
+    )

@@ -46,6 +46,7 @@ def test_filter_pushdown_reaches_scan(spark, sf_dir):
         "d8_tpch_q3_shape",
         "d9_tpch_q5_shape",
         "d10_tpch_q10_shape",
+        "d12_tpch_q7_shape",
     ],
 )
 def test_fact_dim_joins_broadcast(spark, sf_dir, name):
@@ -81,6 +82,18 @@ def test_no_python_udfs_in_relational_paths(spark, sf_dir):
         if name.startswith(("b", "c", "d", "e", "f", "g", "flagship", "h4")):
             plan = _formatted(spark, name, sf_dir)
             assert "EvalPython" not in plan, name
+
+
+def test_exists_shapes_plan_semi_and_anti_joins(spark, sf_dir):
+    """Correlated EXISTS / NOT EXISTS must compile to LeftSemi/LeftAnti
+    hash joins (each outer row tested once), never a nested-loop or a
+    join-then-distinct."""
+    q4 = _formatted(spark, "d14_tpch_q4_shape", sf_dir)
+    assert "LeftSemi" in q4 and "NestedLoop" not in q4
+    q22 = _formatted(spark, "d16_tpch_q22_shape", sf_dir)
+    assert "BroadcastHashJoin LeftAnti" in q22
+    # the only nested-loop allowed is the 1-row scalar-aggregate broadcast
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", q22)) <= 1
 
 
 def test_topn_window_uses_limit_pushdown(spark, sf_dir):
