@@ -58,6 +58,8 @@ HEADLINE = [
     "j4c_quality_score",
     "k1_asof_order_state",
     "k2_range_join_incidents",
+    "d17_tpch_q8_shape",
+    "d23_tpch_q21_shape",
 ]
 
 

@@ -1411,3 +1411,488 @@ def c15_tpch_q17_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("q") * 5 * F.col("cnt") < F.col("sq"))
         .agg((F.sum("ep") / F.lit(700.0)).alias("avg_yearly"))
     )
+
+# ---------------------------------------------------------------------------
+# §2.D/§2.C — remaining TPC-H shapes (Q2, Q8, Q9, Q11, Q12, Q15, Q16, Q20,
+# Q21), completing the 22-query family.  The fixture has no partsupp table,
+# so the part↔supplier relation is derived from lineitem (the "bridge"):
+# every adaptation keeps the original query's *plan shape* — correlated
+# min/agg subqueries, nested EXISTS, scalar thresholds — on the tables that
+# exist.  All money math is in exact integer units (see functions.fixed_units).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "d17_tpch_q8_shape",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           SUM(CASE WHEN n1.n_name = 'NATION_1'
+                    THEN CAST(round(l_extendedprice*100) AS BIGINT)
+                         * (100 - CAST(round(l_discount*100) AS BIGINT))
+                    ELSE 0 END)
+           / SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+                 * (100 - CAST(round(l_discount*100) AS BIGINT))) AS mkt_share
+    FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN part     ON l_partkey = p_partkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      JOIN region    ON n2.n_regionkey = r_regionkey
+    WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY 1
+    """,
+)
+def d17_tpch_q8_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): the widest join tree in
+    the family — fact lineitem against five broadcast dimensions, with
+    nation joined twice (supplier's for the share numerator, customer's
+    for the region filter).  The share is a ratio of two exact
+    integer-unit sums computed in ONE aggregate pass (conditional sum),
+    so both engines divide identical bigints.  Lineitem streams once;
+    only the grouped per-year rows shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    c = load_table(spark, sf_dir, "customer")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    n1 = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk"))
+    vol = revenue_units()
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(r), F.col("c_rk") == F.col("r_regionkey"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            (
+                F.sum(F.when(F.col("supp_nation") == "NATION_1", vol).otherwise(F.lit(0)))
+                / F.sum(vol)
+            ).alias("mkt_share")
+        )
+    )
+
+
+@register(
+    "d18_tpch_q9_shape",
+    oracle="""
+    SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+                 * (100 - CAST(round(l_discount*100) AS BIGINT))
+               - CAST(round(p_retailprice*100) AS BIGINT)
+                 * CAST(l_quantity AS BIGINT) * 100) / 10000.0 AS sum_profit
+    FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN part     ON l_partkey = p_partkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%gear%'
+    GROUP BY 1, 2
+    """,
+)
+def d18_tpch_q9_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit): profit per supplier-nation
+    per year for parts matching a name substring.  The reference query's
+    ``ps_supplycost`` has no fixture table, so cost is the part's retail
+    price times quantity (same plan shape: a per-row arithmetic of fact
+    and dimension columns inside the aggregate).  Profit stays an exact
+    1e-4-unit bigint — revenue units minus cents*qty*100 — so partial
+    aggregation is order-independent.  The substring filter prunes part
+    BEFORE its broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").contains("gear"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    profit = revenue_units() - (
+        fixed_units("p_retailprice") * F.col("l_quantity").cast("long") * F.lit(100)
+    )
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg((F.sum(profit) / F.lit(10000.0)).alias("sum_profit"))
+    )
+
+
+@register(
+    "d19_tpch_q12_shape",
+    oracle="""
+    SELECT l_returnflag,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_returnflag IN ('R', 'A')
+      AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+      AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_returnflag
+    """,
+)
+def d19_tpch_q12_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping mode / priority): join with a
+    non-equi lateness residual (shipped >90 days after ordering —
+    standing in for the commit/receipt columns the fixture lacks), then
+    a conditional two-way count split by order priority.  The category
+    and date filters are fact-side and push into the parquet scan; the
+    residual evaluates post-join without degrading the equi hash join."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("R", "A")
+        & (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+    )
+    o = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(
+            o,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "c16_tpch_q11_shape",
+    oracle="""
+    WITH v AS (
+      SELECT l_partkey,
+             SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS value_units
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+                    JOIN nation   ON s_nationkey = n_nationkey
+                    JOIN region   ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+      GROUP BY l_partkey
+    ), t AS (SELECT SUM(value_units) AS total_units FROM v)
+    SELECT l_partkey, value_units / 100.0 AS value
+    FROM v CROSS JOIN t
+    WHERE value_units * 1000 > total_units
+    """,
+)
+def c16_tpch_q11_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock): per-part value held by one
+    region's suppliers, kept only where the part exceeds a fixed
+    fraction (1/1000) of the region's total.  The fraction threshold is
+    the Q11 scalar subquery: a 1-row aggregate over the SAME grouped
+    result, broadcast back — compared in integer units
+    (``value*1000 > total``), so no double-precision boundary flip.
+    The grouped value CTE is computed once and reused for both sides."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    v = (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(fixed_units("l_extendedprice")).alias("value_units"))
+    )
+    total = v.agg(F.sum("value_units").alias("total_units"))
+    return (
+        v.crossJoin(F.broadcast(total))
+        .filter(F.col("value_units") * 1000 > F.col("total_units"))
+        .select("l_partkey", (F.col("value_units") / F.lit(100.0)).alias("value"))
+    )
+
+
+@register(
+    "c17_tpch_q15_shape",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey,
+             SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+                 * (100 - CAST(round(l_discount*100) AS BIGINT))) AS rev_units
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, rev_units / 10000.0 AS total_revenue
+    FROM rev JOIN supplier ON s_suppkey = l_suppkey
+    WHERE rev_units = (SELECT MAX(rev_units) FROM rev)
+    """,
+)
+def c17_tpch_q15_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): quarterly revenue per supplier,
+    then the supplier(s) achieving the maximum — the Q15 view+scalar-max
+    pattern.  The grouped revenue is computed once; the 1-row max
+    broadcasts back and the equality compares exact bigints, so ties
+    (kept, as in Q15) are engine-independent.  Supplier joins broadcast
+    AFTER the aggregate — only ~max-row survivors reach it."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(F.sum(revenue_units()).alias("rev_units"))
+    mx = rev.agg(F.max("rev_units").alias("__mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("rev_units") == F.col("__mx"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select(
+            "s_suppkey", "s_name", (F.col("rev_units") / F.lit(10000.0)).alias("total_revenue")
+        )
+    )
+
+
+@register(
+    "d20_tpch_q2_shape",
+    oracle="""
+    WITH pairs AS (
+      SELECT l_partkey, l_suppkey,
+             MIN(CAST(round(l_extendedprice*100) AS BIGINT)) AS cost_units
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+                    JOIN nation   ON s_nationkey = n_nationkey
+                    JOIN region   ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+      GROUP BY l_partkey, l_suppkey
+    ), best AS (
+      SELECT l_partkey, MIN(cost_units) AS min_units FROM pairs GROUP BY l_partkey
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_type,
+           cost_units / 100.0 AS min_cost
+    FROM pairs
+      JOIN best ON pairs.l_partkey = best.l_partkey
+              AND pairs.cost_units = best.min_units
+      JOIN part ON p_partkey = pairs.l_partkey
+      JOIN supplier ON s_suppkey = pairs.l_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+    WHERE p_size >= 40 AND p_type = 'LARGE'
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def d20_tpch_q2_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier): for each qualifying part,
+    the region's supplier(s) offering the minimum cost — Q2's correlated
+    MIN subquery, de-correlated as aggregate-then-join-back on
+    ``(part, min_units)``.  Cost is the minimum observed lineitem price
+    for the (part, supplier) pair (the fixture's stand-in for
+    ``ps_supplycost``), in exact cents so the min and the equality
+    join-back are engine-independent.  Part is filtered before its
+    broadcast; ties at the minimum are kept, as in Q2."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") >= 40) & (F.col("p_type") == "LARGE")
+    )
+    pairs = (
+        li.join(F.broadcast(s.select("s_suppkey", "s_nationkey")),
+                F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n.select("n_nationkey", "n_regionkey")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(fixed_units("l_extendedprice")).alias("cost_units"))
+    )
+    best = pairs.groupBy(F.col("l_partkey").alias("b_partkey")).agg(
+        F.min("cost_units").alias("min_units")
+    )
+    return (
+        pairs.join(
+            best,
+            (F.col("l_partkey") == F.col("b_partkey"))
+            & (F.col("cost_units") == F.col("min_units")),
+        )
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_type",
+            (F.col("cost_units") / F.lit(100.0)).alias("min_cost"),
+        )
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "d21_tpch_q16_shape",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE NOT (p_brand = 'Brand#1' AND p_type = 'PROMO')
+      AND p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def d21_tpch_q16_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (supplier-part relationship count): distinct
+    suppliers per (brand, type, size) bucket, excluding one brand/type
+    combination and a blocklist of suppliers (negative balance standing
+    in for Q16's complaint comment scan) via NOT IN → LEFT ANTI.  The
+    part↔supplier relation is the lineitem bridge.  COUNT(DISTINCT)
+    expands to a two-level aggregate — partial distinct map-side, so
+    the shuffle carries (bucket, suppkey) pairs, not raw lineitems."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        ~((F.col("p_brand") == "Brand#1") & (F.col("p_type") == "PROMO"))
+        & F.col("p_size").isin(1, 5, 9, 14, 19, 23, 36, 45)
+    )
+    bad = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0)
+    return (
+        li.join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+    )
+
+
+@register(
+    "d22_tpch_q20_shape",
+    oracle="""
+    WITH pair_qty AS (
+      SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS BIGINT)) AS pq
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+      GROUP BY l_partkey, l_suppkey
+    ), part_qty AS (
+      SELECT l_partkey, SUM(pq) AS tq FROM pair_qty GROUP BY l_partkey
+    )
+    SELECT s_name, s_acctbal
+    FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND EXISTS (
+        SELECT 1 FROM pair_qty JOIN part_qty USING (l_partkey)
+        WHERE pair_qty.l_suppkey = s_suppkey AND pair_qty.pq * 4 > part_qty.tq
+      )
+    """,
+)
+def d22_tpch_q20_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (part promotion candidates): suppliers in one
+    region who shipped a dominant share (>25%) of some qualifying
+    part's yearly volume — Q20's nested-subquery chain (part-name semi
+    filter → per-pair quantity vs a per-part threshold → semi join to
+    suppliers).  The share test is Q20's ``availqty > 0.5*sum(qty)``
+    with the lineitem bridge, compared in integer quantity units.
+    The dominant-pair set is tiny, so it broadcasts into the final
+    LEFT SEMI."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").startswith("small"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    pair_qty = (
+        li.join(F.broadcast(p.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"),
+                "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("pq"))
+    )
+    part_qty = pair_qty.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        F.sum("pq").alias("tq")
+    )
+    dominant = (
+        pair_qty.join(part_qty, F.col("l_partkey") == F.col("t_partkey"))
+        .filter(F.col("pq") * 4 > F.col("tq"))
+        .select("l_suppkey")
+    )
+    return (
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(F.broadcast(dominant), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+    )
+
+
+@register(
+    "d23_tpch_q21_shape",
+    oracle="""
+    SELECT s_name, COUNT(*) AS numwait
+    FROM lineitem l1
+      JOIN orders   ON o_orderkey = l1.l_orderkey
+      JOIN supplier ON s_suppkey = l1.l_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+    WHERE o_orderstatus = 'F' AND r_name = 'AFRICA'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+    """,
+)
+def d23_tpch_q21_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): the
+    hardest EXISTS pattern in the family — a fact self-join three ways.
+    A late line (shipped >60 days after ordering, the fixture's
+    lateness stand-in) on a finished order counts against its supplier
+    iff ANOTHER supplier contributed to the order (EXISTS → LEFT SEMI)
+    and NO other supplier was also late (NOT EXISTS → LEFT ANTI, with
+    the non-equi lateness residual referencing the left side's order
+    date).  Both self-joins are equi on l_orderkey, so the three passes
+    co-partition — one shuffle key throughout."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AFRICA")
+    l2 = li.select(F.col("l_orderkey").alias("l2_ok"), F.col("l_suppkey").alias("l2_sk"))
+    l3 = li.select(
+        F.col("l_orderkey").alias("l3_ok"),
+        F.col("l_suppkey").alias("l3_sk"),
+        F.col("l_shipdate").alias("l3_ship"),
+    )
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(late)
+        .join(
+            l2,
+            (F.col("l2_ok") == F.col("l_orderkey")) & (F.col("l2_sk") != F.col("l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l3_ok") == F.col("l_orderkey"))
+            & (F.col("l3_sk") != F.col("l_suppkey"))
+            & (F.col("l3_ship") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+            "left_anti",
+        )
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )

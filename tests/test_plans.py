@@ -47,6 +47,8 @@ def test_filter_pushdown_reaches_scan(spark, sf_dir):
         "d9_tpch_q5_shape",
         "d10_tpch_q10_shape",
         "d12_tpch_q7_shape",
+        "d17_tpch_q8_shape",
+        "d18_tpch_q9_shape",
     ],
 )
 def test_fact_dim_joins_broadcast(spark, sf_dir, name):
@@ -94,6 +96,10 @@ def test_exists_shapes_plan_semi_and_anti_joins(spark, sf_dir):
     assert "BroadcastHashJoin LeftAnti" in q22
     # the only nested-loop allowed is the 1-row scalar-aggregate broadcast
     assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", q22)) <= 1
+    # Q21: double EXISTS against the fact itself — semi AND anti, both
+    # equi on l_orderkey (the non-equi lateness stays a join residual)
+    q21 = _formatted(spark, "d23_tpch_q21_shape", sf_dir)
+    assert "LeftSemi" in q21 and "LeftAnti" in q21 and "NestedLoop" not in q21
 
 
 def test_topn_window_uses_limit_pushdown(spark, sf_dir):
