@@ -123,3 +123,28 @@ def e2e_event_topn_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 5)
         .select("event_type", "user_id", "user_value", "rnk")
     )
+
+
+@register(
+    "h6_stream_stream_attribution",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id AS user_id,
+           p.ts AS purchase_ts, p.value AS amount,
+           v.event_id AS view_id, v.ts AS view_ts
+    FROM events p JOIN events v
+      ON v.user_id = p.user_id
+     AND p.event_type = 'purchase' AND v.event_type = 'view'
+     AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR
+    """,
+)
+def h6_stream_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch golden twin of the stream-stream attribution join
+    (streaming/joins.py): purchase×prior-view pairs of the same user
+    within a 1-hour horizon.  The equi key (user_id) carries the join;
+    the time range is a residual — the same plan a co-partitioned
+    streaming join runs, with state bounded by watermark + horizon.
+    The streaming run of the SAME function is asserted equal in
+    tests/test_streaming_join.py."""
+    from ..streaming.joins import attribute_purchases
+
+    return attribute_purchases(load_table(spark, sf_dir, "events"))
