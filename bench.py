@@ -60,6 +60,8 @@ HEADLINE = [
     "k2_range_join_incidents",
     "d17_tpch_q8_shape",
     "d23_tpch_q21_shape",
+    "j4f_repetition_signals",
+    "j6b_sequence_packing",
 ]
 
 

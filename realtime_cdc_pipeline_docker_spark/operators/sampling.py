@@ -1,0 +1,84 @@
+"""Corpus-shaping operators for training-data pipelines: stratified
+sampling and sequence packing.
+
+Neither exists in the reference (its corpus is relational CDC rows);
+both are core moves when the table is *documents* feeding an LLM run:
+re-weight the source mix, then pack variable-length documents into
+fixed context windows.
+
+Scale design:
+
+- ``stratified_sample`` is a PURE FILTER — the accept decision is a
+  deterministic hash of the row key against a per-stratum rate, so it
+  needs no shuffle, no per-stratum state, and no second pass.  At
+  100 TB it runs at scan speed inside the parquet reader's codegen
+  stage, and the same row set is accepted on every rerun (unlike
+  ``df.sample``, whose seed interacts with partitioning).
+- ``pack_sequences`` is ONE window (partition by stratum, order by the
+  key) + one aggregate on the same key prefix — the minimal shuffle
+  for an order-dependent packing.  The greedy bin rule assigns each
+  document to the window its *exclusive* prefix-sum starts in, the
+  standard streaming approximation of first-fit packing (a document
+  straddling a boundary overflows its bin rather than splitting; bins
+  stay within ``ctx + max_doc_tokens``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import token_count
+
+
+def portable_row_hash(col: Column | str, buckets: int = 100) -> Column:
+    """Deterministic engine-portable bucket in [0, buckets): first 15
+    hex chars of md5 parsed base-16 (same construction as
+    ``operators.dedup.portable_token_hash``), mod buckets."""
+    c = F.col(col) if isinstance(col, str) else col
+    h = F.conv(F.substring(F.md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+    return F.pmod(h, F.lit(buckets))
+
+
+def stratified_sample(
+    df: DataFrame,
+    rate_pct: Column,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Keep each row iff ``hash(key) % 100 < rate_pct`` — a per-stratum
+    Bernoulli sample that is deterministic, rerun-stable, and
+    shuffle-free.  ``rate_pct`` is a column (0-100), so the stratum
+    rate can be any expression of the row (source, language, quality
+    bucket...)."""
+    return df.filter(portable_row_hash(key_col) < rate_pct)
+
+
+def pack_sequences(
+    df: DataFrame,
+    ctx_tokens: int = 512,
+    stratum_col: str = "source",
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Greedy sequence-packing plan: bin documents (in deterministic
+    ``key_col`` order per stratum) into context windows of
+    ``ctx_tokens``, returning one row per packed sequence with its
+    document count, token total, and fill ratio.
+
+    The bin index is ``exclusive_prefix_sum(tokens) div ctx`` — integer
+    arithmetic end-to-end, so every engine agrees on bin boundaries."""
+    tok = token_count(text_col).cast("long")
+    w = Window.partitionBy(stratum_col).orderBy(key_col)
+    with_bin = (
+        df.select(stratum_col, key_col, tok.alias("n_tok"))
+        .withColumn("cum_excl", F.sum("n_tok").over(w) - F.col("n_tok"))
+        .withColumn("seq_id", F.expr(f"cum_excl div {ctx_tokens}"))
+    )
+    return (
+        with_bin.groupBy(stratum_col, "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("seq_tokens"),
+        )
+        .withColumn("fill_ratio", F.col("seq_tokens") / F.lit(float(ctx_tokens)))
+    )

@@ -5,7 +5,7 @@ each has an exact DuckDB oracle in plans/text_queries.py.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import regex_token_count, token_count, ws_tokens
@@ -77,6 +77,7 @@ __all__ = [
     "fingerprint",
     "token_count",
     "regex_token_count",
+    "repetition_signals",
 ]
 
 
@@ -118,4 +119,50 @@ def winnow_fingerprints(
     return (
         grams.select("id", F.min("h").over(w).alias("fingerprint"))
         .distinct()
+    )
+
+
+def repetition_signals(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Gopher-style repetition quality signals per document: the
+    fraction of tokens taken by the most frequent word, the duplicate-
+    word fraction, and the most-frequent-bigram fraction — the standard
+    filters for boilerplate / degenerate repetition in web corpora
+    (Rae et al. 2021, §A1.1 heuristics, public paper).
+
+    Plan shape: explode → two (id, term) count aggregates → per-doc
+    rollup — every aggregate keys on ``id_col`` first, so at scale the
+    three stages share one hash partitioning of the corpus and the
+    shuffle carries (id, term, count) partials, never raw text.  All
+    ratios are bigint-over-bigint IEEE divisions: engine-exact."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    d = df.select(id_col, toks.alias("__toks"))
+    words = d.select(id_col, F.explode("__toks").alias("tok"))
+    wc = words.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("c"))
+    ws = wc.groupBy(id_col).agg(
+        F.max("c").alias("mx"), F.sum("c").alias("n"), F.count(F.lit(1)).alias("nd")
+    )
+    bigrams = F.expr(
+        "transform(slice(__toks, 1, size(__toks)-1),"
+        " (x, i) -> concat(x, ' ', element_at(__toks, i + 2)))"
+    )
+    b = d.select(
+        id_col,
+        F.explode(
+            F.when(F.size("__toks") > 1, bigrams).otherwise(F.array().cast("array<string>"))
+        ).alias("bg"),
+    )
+    bc = b.groupBy(id_col, "bg").agg(F.count(F.lit(1)).alias("c"))
+    bs = bc.groupBy(id_col).agg(F.max("c").alias("mxb"))
+    return ws.join(bs, id_col, "left").select(
+        id_col,
+        F.col("n").alias("n_tokens"),
+        (F.col("mx") / F.col("n")).alias("top_word_frac"),
+        ((F.col("n") - F.col("nd")) / F.col("n")).alias("dup_word_frac"),
+        F.when(F.col("n") > 1, F.col("mxb") / (F.col("n") - 1))
+        .otherwise(F.lit(0.0))
+        .alias("top_bigram_frac"),
     )

@@ -13,3 +13,4 @@ from . import events_queries  # noqa: F401, E402
 from . import text_queries  # noqa: F401, E402
 from . import similarity_queries  # noqa: F401, E402
 from . import temporal_queries  # noqa: F401, E402
+from . import pipeline_queries  # noqa: F401, E402

@@ -1,0 +1,152 @@
+"""Training-data pipeline queries over `documents` (SURVEY §2.J
+extensions): repetition quality signals, stratified source sampling,
+sequence packing.  All pure DataFrame plans with exact DuckDB oracles —
+no UDFs, no collect."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators.sampling import pack_sequences, stratified_sample
+from ..operators.text import repetition_signals
+from .registry import register
+
+
+@register(
+    "j4f_repetition_signals",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS l FROM documents
+    ), tok AS (
+      SELECT doc_id, generate_subscripts(l, 1) AS i, unnest(l) AS tok FROM t
+    ), big AS (
+      SELECT doc_id, tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY i) AS bg
+      FROM tok QUALIFY bg IS NOT NULL
+    ), wc AS (SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+       ws AS (SELECT doc_id, MAX(c) AS mx, CAST(SUM(c) AS BIGINT) AS n,
+                     COUNT(*) AS nd FROM wc GROUP BY 1),
+       bc AS (SELECT doc_id, bg, COUNT(*) AS c FROM big GROUP BY 1, 2),
+       bs AS (SELECT doc_id, MAX(c) AS mxb FROM bc GROUP BY 1)
+    SELECT ws.doc_id AS doc_id, n AS n_tokens,
+           mx / n AS top_word_frac,
+           (n - nd) / n AS dup_word_frac,
+           CASE WHEN n > 1 THEN mxb / (n - 1) ELSE 0.0 END AS top_bigram_frac
+    FROM ws LEFT JOIN bs ON ws.doc_id = bs.doc_id
+    """,
+)
+def j4f_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (top-word / duplicate-word /
+    top-bigram fractions) — see operators/text.py:repetition_signals
+    for the plan-shape notes."""
+    return repetition_signals(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "j6a_stratified_sample",
+    oracle="""
+    SELECT doc_id, source, lang, n_chars
+    FROM documents
+    WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100
+          < 20 + (CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT) % 3) * 20
+    """,
+)
+def j6a_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-mix re-weighting: per-source Bernoulli rates (20/40/60 %
+    here, derived from the source id — in production a quality-tier
+    map) applied as a deterministic hash filter.  No shuffle, no
+    state: the accept set is a pure function of (doc_id, source), so
+    the sample is identical on every rerun and on any cluster layout —
+    the property ``df.sample`` cannot give."""
+    docs = load_table(spark, sf_dir, "documents")
+    rate = 20 + (
+        F.regexp_extract("source", r"([0-9]+)", 1).cast("long") % 3
+    ) * 20
+    return stratified_sample(docs, rate).select("doc_id", "source", "lang", "n_chars")
+
+
+@register(
+    "j6b_sequence_packing",
+    oracle=r"""
+    WITH d AS (
+      SELECT source, doc_id,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok
+      FROM documents
+    ), binned AS (
+      SELECT source, doc_id, n_tok,
+             (SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id) - n_tok)
+               // 512 AS seq_id
+      FROM d
+    )
+    SELECT source, seq_id, COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS seq_tokens,
+           CAST(SUM(n_tok) AS BIGINT) / 512.0 AS fill_ratio
+    FROM binned GROUP BY 1, 2
+    """,
+)
+def j6b_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing plan: documents binned into 512-token
+    sequences per source in deterministic doc_id order — one window +
+    one aggregate, both keyed on source (see
+    operators/sampling.py:pack_sequences)."""
+    return pack_sequences(load_table(spark, sf_dir, "documents"), ctx_tokens=512)
+
+
+@register(
+    "j6c_corpus_filter_stats",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+      FROM documents
+    ), wc AS (SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+       ws AS (SELECT doc_id, MAX(c) AS mx, CAST(SUM(c) AS BIGINT) AS n,
+                     COUNT(*) AS nd FROM wc GROUP BY 1),
+       q AS (
+      SELECT doc_id,
+             least(len(string_split_regex(trim(text), '\s+')) / 100.0, 1.0) * 0.5
+               + length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                 / length(text) * 0.5 AS quality
+      FROM documents
+    ), flags AS (
+      SELECT d.source,
+             CASE WHEN ws.n >= 20 AND q.quality >= 0.55
+                   AND ws.mx / ws.n <= 0.12
+                   AND (ws.n - ws.nd) / ws.n <= 0.75
+                  THEN 1 ELSE 0 END AS keep
+      FROM documents d JOIN ws ON d.doc_id = ws.doc_id
+                       JOIN q  ON d.doc_id = q.doc_id
+    )
+    SELECT source, COUNT(*) AS n_docs, CAST(SUM(keep) AS BIGINT) AS n_kept,
+           CAST(SUM(keep) AS BIGINT) * 1.0 / COUNT(*) AS kept_frac
+    FROM flags GROUP BY source
+    """,
+)
+def j6c_corpus_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation gate: length + composite quality +
+    repetition thresholds (the j4c/j4f signals composed), reported as
+    per-source survival stats — the yield dashboard a corpus run
+    watches.  All three signal computations key on doc_id, so the
+    joins are co-partitioned with the signal aggregates; only
+    per-source counters leave the final stage.  Every gate compares
+    doubles derived from exact integer counts — engine-identical."""
+    from ..operators.text import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    rep = repetition_signals(docs)
+    qual = docs.select("doc_id", quality_score().alias("quality"))
+    keep = (
+        (F.col("n_tokens") >= 20)
+        & (F.col("quality") >= 0.55)
+        & (F.col("top_word_frac") <= 0.12)
+        & (F.col("dup_word_frac") <= 0.75)
+    )
+    return (
+        docs.select("doc_id", "source")
+        .join(rep, "doc_id")
+        .join(qual, "doc_id")
+        .withColumn("keep", keep.cast("long"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("keep").alias("n_kept"))
+        .withColumn("kept_frac", F.col("n_kept") * F.lit(1.0) / F.col("n_docs"))
+    )

@@ -1,0 +1,65 @@
+"""Property tests for corpus-shaping operators (operators/sampling.py,
+operators/text.py:repetition_signals) — determinism, mass conservation,
+planted-value checks.  Oracle parity runs in test_oracle_parity."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from realtime_cdc_pipeline_docker_spark.catalog import load_table
+from realtime_cdc_pipeline_docker_spark.operators.sampling import (
+    pack_sequences,
+    stratified_sample,
+)
+from realtime_cdc_pipeline_docker_spark.operators.text import repetition_signals
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_stratified_sample_deterministic_and_bounded(spark):
+    docs = load_table(spark, SF, "documents")
+    rate = F.lit(30)
+    a = sorted(r.doc_id for r in stratified_sample(docs, rate).select("doc_id").collect())
+    b = sorted(
+        r.doc_id
+        for r in stratified_sample(docs.repartition(7), rate).select("doc_id").collect()
+    )
+    assert a == b and 0 < len(a) < docs.count()
+    assert stratified_sample(docs, F.lit(0)).count() == 0
+    assert stratified_sample(docs, F.lit(100)).count() == docs.count()
+
+
+def test_pack_sequences_conserves_tokens(spark):
+    docs = load_table(spark, SF, "documents")
+    packed = pack_sequences(docs, ctx_tokens=512)
+    total_packed = packed.agg(
+        F.sum("seq_tokens").alias("t"), F.sum("n_docs").alias("d")
+    ).first()
+    total_docs = docs.select(
+        F.sum(F.size(F.split(F.trim("text"), r"\s+")).cast("long")).alias("t"),
+        F.count(F.lit(1)).alias("d"),
+    ).first()
+    assert total_packed.t == total_docs.t and total_packed.d == total_docs.d
+    # greedy overflow bound: every bin except a stratum's last holds
+    # >= ctx - max_doc_tokens... weaker invariant checked exactly:
+    # bins are dense 0..max per source
+    per_src = packed.groupBy("source").agg(
+        F.min("seq_id").alias("lo"), F.max("seq_id").alias("hi"), F.count(F.lit(1)).alias("n")
+    )
+    bad = per_src.filter((F.col("lo") != 0) | (F.col("n") != F.col("hi") + 1)).count()
+    assert bad == 0
+
+
+def test_repetition_signals_planted(spark):
+    df = spark.createDataFrame(
+        [(1, "a a a b"), (2, "x y"), (3, "w")], ["doc_id", "text"]
+    )
+    rows = {r.doc_id: r for r in repetition_signals(df).collect()}
+    r1 = rows[1]
+    assert r1.n_tokens == 4
+    assert r1.top_word_frac == 3 / 4
+    assert r1.dup_word_frac == 2 / 4  # 4 tokens, 2 distinct
+    assert r1.top_bigram_frac == 2 / 3  # "a a" twice of 3 bigrams
+    assert rows[2].top_bigram_frac == 1 / 1
+    r3 = rows[3]  # single token: no bigrams, no division blowup
+    assert r3.n_tokens == 1 and r3.top_bigram_frac == 0.0
