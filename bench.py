@@ -62,6 +62,7 @@ HEADLINE = [
     "d23_tpch_q21_shape",
     "j4f_repetition_signals",
     "j6b_sequence_packing",
+    "j7_corpus_pipeline_e2e",
 ]
 
 

@@ -148,3 +148,98 @@ def h6_stream_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.joins import attribute_purchases
 
     return attribute_purchases(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "e3_cohort_retention",
+    oracle="""
+    WITH cohort AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day FROM events GROUP BY 1
+    ), activity AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS act_day FROM events
+    )
+    SELECT cohort_day,
+           CAST(datediff('day', cohort_day, act_day) AS BIGINT) AS day_offset,
+           COUNT(*) AS n_active
+    FROM activity JOIN cohort USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def e3_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention (classic product-analytics rollup): users
+    cohorted by first-activity day, counted once per active day at
+    each day offset.  Both the cohort min and the distinct-activity
+    set key on user_id, so the two aggregates and the join share ONE
+    hash partitioning of the events table; only (cohort_day, offset)
+    counters leave it.  The cohort side is |users| rows — broadcast."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("act_day")
+    )
+    cohort = ev.groupBy("user_id").agg(F.min("act_day").alias("cohort_day"))
+    activity = ev.distinct()
+    return (
+        activity.join(F.broadcast(cohort), "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff("act_day", "cohort_day").cast("long").alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+
+
+@register(
+    "e4_funnel_conversion",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, MIN(ts) AS signup_ts FROM events
+      WHERE event_type = 'signup' GROUP BY 1
+    ), conv AS (
+      SELECT DISTINCT s.user_id
+      FROM s JOIN events e ON e.user_id = s.user_id
+      WHERE e.event_type = 'purchase'
+        AND e.ts > s.signup_ts AND e.ts <= s.signup_ts + INTERVAL 7 DAY
+    )
+    SELECT CAST(s.signup_ts AS DATE) AS signup_day,
+           COUNT(*) AS n_signups,
+           CAST(SUM(CASE WHEN conv.user_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_converted
+    FROM s LEFT JOIN conv ON s.user_id = conv.user_id
+    GROUP BY 1
+    """,
+)
+def e4_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-step funnel (signup → purchase within 7 days), rolled up by
+    signup day.  The conversion test is an EXISTS with a non-equi
+    time-bound residual → LEFT SEMI on user_id; the flag joins back
+    LEFT so non-converters stay counted.  Every stage keys on user_id
+    until the final small rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    conv = (
+        s.join(
+            purch,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_ts") > F.col("signup_ts"))
+            & (F.col("p_ts") <= F.col("signup_ts") + F.expr("INTERVAL 7 DAYS")),
+            "left_semi",
+        )
+        .select("user_id")
+        .withColumn("__conv", F.lit(1))
+    )
+    return (
+        s.join(conv, "user_id", "left")
+        .groupBy(F.to_date("signup_ts").alias("signup_day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_signups"),
+            F.sum(F.when(F.col("__conv").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_converted"),
+        )
+    )

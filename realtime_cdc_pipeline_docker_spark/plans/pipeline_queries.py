@@ -150,3 +150,85 @@ def j6c_corpus_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("keep").alias("n_kept"))
         .withColumn("kept_frac", F.col("n_kept") * F.lit(1.0) / F.col("n_docs"))
     )
+
+
+@register(
+    "j7_corpus_pipeline_e2e",
+    oracle=r"""
+    WITH dedup AS (
+      SELECT MIN(doc_id) AS doc_id
+      FROM documents
+      GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+    ), base AS (
+      SELECT d.* FROM documents d JOIN dedup USING (doc_id)
+    ), tok AS (
+      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+      FROM base
+    ), wc AS (SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+       ws AS (SELECT doc_id, MAX(c) AS mx, CAST(SUM(c) AS BIGINT) AS n,
+                     COUNT(*) AS nd FROM wc GROUP BY 1),
+       kept AS (
+      SELECT b.source, b.doc_id, ws.n AS n_tok
+      FROM base b JOIN ws ON b.doc_id = ws.doc_id
+      WHERE ws.n >= 20
+        AND least(len(string_split_regex(trim(b.text), '\s+')) / 100.0, 1.0) * 0.5
+            + length(regexp_replace(b.text, '[^A-Za-z]', '', 'g'))
+              / length(b.text) * 0.5 >= 0.55
+        AND ws.mx / ws.n <= 0.12
+        AND (ws.n - ws.nd) / ws.n <= 0.75
+        AND CAST('0x' || substr(md5(CAST(b.doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100
+            < 20 + (CAST(regexp_extract(b.source, '([0-9]+)', 1) AS BIGINT) % 3) * 20
+    ), binned AS (
+      SELECT source, doc_id, n_tok,
+             (SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id) - n_tok)
+               // 512 AS seq_id
+      FROM kept
+    )
+    SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           CAST(MAX(seq_id) + 1 AS BIGINT) AS n_seqs
+    FROM binned GROUP BY source
+    """,
+)
+def j7_corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship training-data pipeline, end to end in ONE declarative
+    plan: exact dedup (min-id per normalized-text digest) → curation
+    gates (length, composite quality, repetition) → stratified source
+    sampling (deterministic hash rates) → context-window packing →
+    per-source yield report (docs, tokens, packed sequences).
+
+    Catalyst sees the whole chain, so column pruning reaches the scan
+    and the doc_id-keyed stages (dedup semi-join, signal joins) share
+    partitionings.  Stage costs at 100 TB: two text passes (digest +
+    tokenize), both map-side combined; the sample filter is free; the
+    packing window shuffles only (source, doc_id, n_tok) triplets of
+    survivors."""
+    from ..operators.dedup import dedup_exact
+    from ..operators.sampling import portable_row_hash
+    from ..operators.text import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.join(dedup_exact(docs).select("doc_id"), "doc_id", "left_semi")
+    rep = repetition_signals(base)
+    qual = base.select("doc_id", quality_score().alias("quality"))
+    rate = 20 + (F.regexp_extract("source", r"([0-9]+)", 1).cast("long") % 3) * 20
+    kept = (
+        base.select("doc_id", "source")
+        .join(rep, "doc_id")
+        .join(qual, "doc_id")
+        .filter(
+            (F.col("n_tokens") >= 20)
+            & (F.col("quality") >= 0.55)
+            & (F.col("top_word_frac") <= 0.12)
+            & (F.col("dup_word_frac") <= 0.75)
+            & (portable_row_hash("doc_id") < rate)
+        )
+        .select("source", "doc_id", F.col("n_tokens").alias("n_tok"))
+    )
+    binned = kept.withColumn(
+        "seq_id", F.expr("(sum(n_tok) over (partition by source order by doc_id) - n_tok) div 512")
+    )
+    return binned.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        (F.max("seq_id") + 1).alias("n_seqs"),
+    )
