@@ -63,3 +63,31 @@ def test_repetition_signals_planted(spark):
     assert rows[2].top_bigram_frac == 1 / 1
     r3 = rows[3]  # single token: no bigrams, no division blowup
     assert r3.n_tokens == 1 and r3.top_bigram_frac == 0.0
+
+
+def test_pack_sequences_overflow_bounded(spark):
+    """Greedy prefix-sum packing bound: a bin's token total never
+    exceeds ctx + (max doc tokens in its stratum) — the straddling
+    document overflows its bin, nothing else joins it."""
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (f"s{i % 3}", i, "w " * rng.randint(1, 300))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, ["source", "doc_id", "text"])
+    packed = pack_sequences(df, ctx_tokens=256)
+    max_doc = (
+        df.select(
+            "source", F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("t")
+        )
+        .groupBy("source")
+        .agg(F.max("t").alias("mx"))
+    )
+    viol = (
+        packed.join(max_doc, "source")
+        .filter(F.col("seq_tokens") > 256 + F.col("mx"))
+        .count()
+    )
+    assert viol == 0
