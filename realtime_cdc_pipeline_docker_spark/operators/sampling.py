@@ -59,6 +59,7 @@ def pack_sequences(
     stratum_col: str = "source",
     key_col: str = "doc_id",
     text_col: str = "text",
+    docs_per_shard: int | None = None,
 ) -> DataFrame:
     """Greedy sequence-packing plan: bin documents (in deterministic
     ``key_col`` order per stratum) into context windows of
@@ -66,13 +67,30 @@ def pack_sequences(
     document count, token total, and fill ratio.
 
     The bin index is ``exclusive_prefix_sum(tokens) div ctx`` — integer
-    arithmetic end-to-end, so every engine agrees on bin boundaries."""
+    arithmetic end-to-end, so every engine agrees on bin boundaries.
+
+    A single-column window partition means one Spark partition per
+    stratum: with few/skewed strata that serializes the sort at scale.
+    ``docs_per_shard`` bounds it — the window partitions by
+    ``(stratum, key div docs_per_shard)``, so no partition exceeds
+    ``docs_per_shard`` rows and a 100 TB stratum packs in parallel.
+    The prefix sum resets per shard (at most one underfull trailing
+    bin per shard — bounded waste for unbounded parallelism), and
+    ``seq_id = shard * docs_per_shard + local_bin`` stays unique and
+    deterministic because a bin holds at least one document."""
     tok = token_count(text_col).cast("long")
-    w = Window.partitionBy(stratum_col).orderBy(key_col)
+    base = df.select(stratum_col, key_col, tok.alias("n_tok"))
+    if docs_per_shard is None:
+        w = Window.partitionBy(stratum_col).orderBy(key_col)
+        seq = F.expr(f"cum_excl div {ctx_tokens}")
+    else:
+        shard = F.expr(f"{key_col} div {docs_per_shard}")
+        base = base.withColumn("__shard", shard)
+        w = Window.partitionBy(stratum_col, "__shard").orderBy(key_col)
+        seq = F.col("__shard") * docs_per_shard + F.expr(f"cum_excl div {ctx_tokens}")
     with_bin = (
-        df.select(stratum_col, key_col, tok.alias("n_tok"))
-        .withColumn("cum_excl", F.sum("n_tok").over(w) - F.col("n_tok"))
-        .withColumn("seq_id", F.expr(f"cum_excl div {ctx_tokens}"))
+        base.withColumn("cum_excl", F.sum("n_tok").over(w) - F.col("n_tok"))
+        .withColumn("seq_id", seq)
     )
     return (
         with_bin.groupBy(stratum_col, "seq_id")

@@ -91,3 +91,27 @@ def test_pack_sequences_overflow_bounded(spark):
         .count()
     )
     assert viol == 0
+
+
+def test_pack_sequences_sharded_scales_and_conserves(spark):
+    """docs_per_shard bounds the window partition size without losing
+    tokens or determinism; seq_ids stay unique per stratum."""
+    docs = load_table(spark, SF, "documents")
+    packed = pack_sequences(docs, ctx_tokens=512, docs_per_shard=50)
+    plain = pack_sequences(docs, ctx_tokens=512)
+    for df in (packed, plain):
+        t = df.agg(F.sum("seq_tokens").alias("t"), F.sum("n_docs").alias("d")).first()
+        assert t.d == docs.count()
+    assert (
+        packed.agg(F.sum("seq_tokens")).first()[0]
+        == plain.agg(F.sum("seq_tokens")).first()[0]
+    )
+    # unique (source, seq_id)
+    assert packed.groupBy("source", "seq_id").count().filter("count > 1").count() == 0
+    # every shard contributes at most docs_per_shard docs per bin range
+    assert packed.filter(F.col("n_docs") > 50).count() == 0
+    # rerun determinism under a different layout
+    again = pack_sequences(docs.repartition(13), ctx_tokens=512, docs_per_shard=50)
+    a = sorted(map(tuple, packed.collect()))
+    b = sorted(map(tuple, again.collect()))
+    assert a == b
