@@ -417,6 +417,61 @@ def ngram_jaccard_pairs(
     )
 
 
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    min_overlaps: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs that share ≥
+    ``min_overlaps`` distinct word ``n``-grams with ANY benchmark/eval
+    document (the overlap check every training-data pipeline runs before
+    a model sees the corpus — cf. the 13-gram collision rule popularized
+    by the GPT-3 and PaLM data cards).
+
+    Returns one row per contaminated doc: ``(doc_id,
+    n_contaminated_grams)`` where the count is over DISTINCT offending
+    grams in that doc.
+
+    100 TB shape: the benchmark side is small by nature (eval suites are
+    thousands of documents, not billions), so its distinct gram-hash set
+    is built first and **broadcast** — the corpus side then streams
+    through a broadcast hash join with NO shuffle of corpus grams; the
+    only exchange is the final map-side-combinable count per doc_id.
+    Gram keys are 8-byte xxhash64 values, never gram text.
+    """
+    def grams(df: DataFrame) -> DataFrame:
+        toks = df.select(
+            F.col(id_col).alias("id"),
+            ws_tokens(normalize_text(text_col)).alias("toks"),
+        ).filter(F.size("toks") >= n)
+        return (
+            toks.select(
+                "id",
+                F.explode(F.sequence(F.lit(1), F.size("toks") - (n - 1))).alias("i"),
+                "toks",
+            )
+            .select(
+                "id",
+                F.xxhash64(
+                    F.concat_ws(" ", F.slice(F.col("toks"), F.col("i"), n))
+                ).alias("gram"),
+            )
+            .distinct()
+        )
+
+    bench_grams = F.broadcast(grams(benchmark).select("gram").distinct())
+    return (
+        grams(corpus)
+        .join(bench_grams, "gram")
+        .groupBy(F.col("id").alias(id_col))
+        .agg(F.count(F.lit(1)).alias("n_contaminated_grams"))
+        .filter(F.col("n_contaminated_grams") >= min_overlaps)
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     max_iters: int = 10,
