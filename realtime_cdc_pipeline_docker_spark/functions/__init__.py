@@ -55,6 +55,48 @@ def revenue_units(price_col: str = "l_extendedprice", disc_col: str = "l_discoun
 
 
 # ---------------------------------------------------------------------------
+# Timezone-independent epoch extraction
+# ---------------------------------------------------------------------------
+# The fixture timestamp columns read as TIMESTAMP_NTZ (naive wall-clock;
+# the nanos-as-long fixtures of earlier rounds read as plain TIMESTAMP).
+# ``unix_millis``/``unix_timestamp``/``cast(double)`` either reject NTZ
+# outright (Spark 4) or interpret it in the session timezone — both
+# wrong for an engine whose oracle (DuckDB ``epoch()``) treats naive
+# timestamps as UTC.  These helpers dispatch on the column's DataType and
+# stay exact integers (no double round-trip), JVM-side and codegen-able.
+
+_TS_TYPES = ("timestamp", "timestamp_ntz")
+
+
+def epoch_us(col: Column | str, dtype) -> Column:
+    """Exact epoch microseconds (bigint) of a timestamp column.
+
+    ``dtype`` is the column's ``DataType`` (so struct fields and lag/window
+    expressions — where no DataFrame is at hand — work too).  NTZ is read
+    as naive-UTC via ``timestampdiff`` from an NTZ epoch literal, which no
+    session-timezone setting can shift; LTZ uses ``unix_micros`` (already
+    an absolute instant)."""
+    c = F.col(col) if isinstance(col, str) else col
+    name = dtype.typeName()
+    if name == "timestamp_ntz":
+        return F.timestamp_diff(
+            "MICROSECOND", F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"), c
+        )
+    if name == "timestamp":
+        return F.unix_micros(c)
+    raise TypeError(f"epoch_us expects a timestamp column, got {name}")
+
+
+def epoch_ms(col: Column | str, dtype) -> Column:
+    """Exact epoch milliseconds (bigint); see ``epoch_us``."""
+    return F.floor(epoch_us(col, dtype) / F.lit(1000)).cast("long")
+
+
+def is_timestamp_type(dtype) -> bool:
+    return dtype.typeName() in _TS_TYPES
+
+
+# ---------------------------------------------------------------------------
 # Vector algebra over array<float/double> columns (higher-order functions)
 # ---------------------------------------------------------------------------
 

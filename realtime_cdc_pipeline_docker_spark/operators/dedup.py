@@ -435,39 +435,67 @@ def decontaminate(
     n_contaminated_grams)`` where the count is over DISTINCT offending
     grams in that doc.
 
+    Short eval items are NOT silently excluded: a benchmark doc with
+    fewer than ``n`` tokens contributes its whole normalized text as one
+    gram (the GPT-3 data card's min(13, len)-gram rule, mirroring
+    ``shingle_hashes``), and the corpus side additionally emits sliding
+    windows of exactly those short lengths — driven by the benchmark,
+    so when no short eval docs exist (the common case) the corpus does
+    one n-gram pass and nothing more.
+
     100 TB shape: the benchmark side is small by nature (eval suites are
     thousands of documents, not billions), so its distinct gram-hash set
     is built first and **broadcast** — the corpus side then streams
-    through a broadcast hash join with NO shuffle of corpus grams; the
-    only exchange is the final map-side-combinable count per doc_id.
-    Gram keys are 8-byte xxhash64 values, never gram text.
+    through a broadcast hash join with NO shuffle of corpus grams (no
+    pre-join ``.distinct()``: de-duplication happens AFTER the join via
+    ``count_distinct``, where cardinality is contaminated-grams-only —
+    tests/test_dedup.py asserts the corpus subtree is exchange-free).
+    The benchmark side needs no id column at all.  Gram keys are 8-byte
+    xxhash64 values, never gram text.
     """
-    def grams(df: DataFrame) -> DataFrame:
+    def windows(df: DataFrame, id_expr, size) -> DataFrame:
+        """All ``size``-token sliding-window gram hashes per row."""
         toks = df.select(
-            F.col(id_col).alias("id"),
+            id_expr.alias("id"),
             ws_tokens(normalize_text(text_col)).alias("toks"),
-        ).filter(F.size("toks") >= n)
-        return (
-            toks.select(
-                "id",
-                F.explode(F.sequence(F.lit(1), F.size("toks") - (n - 1))).alias("i"),
-                "toks",
-            )
-            .select(
-                "id",
-                F.xxhash64(
-                    F.concat_ws(" ", F.slice(F.col("toks"), F.col("i"), n))
-                ).alias("gram"),
-            )
-            .distinct()
+        ).filter(F.size("toks") >= size)
+        return toks.select(
+            "id",
+            F.explode(F.sequence(F.lit(1), F.size("toks") - (size - 1))).alias("i"),
+            "toks",
+        ).select(
+            "id",
+            F.xxhash64(
+                F.concat_ws(" ", F.slice(F.col("toks"), F.col("i"), size))
+            ).alias("gram"),
         )
 
-    bench_grams = F.broadcast(grams(benchmark).select("gram").distinct())
+    # Benchmark grams: n-token windows, plus whole-text grams for
+    # sub-n-token docs.  Tiny by nature → distinct + broadcast is cheap.
+    bench_toks = benchmark.select(ws_tokens(normalize_text(text_col)).alias("toks"))
+    short = bench_toks.filter((F.size("toks") > 0) & (F.size("toks") < n))
+    bench_grams = (
+        windows(benchmark, F.lit(0), n)
+        .select("gram")
+        .unionByName(short.select(F.xxhash64(F.concat_ws(" ", "toks")).alias("gram")))
+        .distinct()
+    )
+
+    # Which short window sizes must the corpus emit?  Driven by the
+    # benchmark's actual short-doc lengths — a driver-side collect of at
+    # most n-1 integers from the (small, broadcastable) eval side.
+    short_sizes = sorted(
+        r[0] for r in short.select(F.size("toks").alias("m")).distinct().collect()
+    )
+
+    corpus_grams = windows(corpus, F.col(id_col), n)
+    for m in short_sizes:
+        corpus_grams = corpus_grams.unionByName(windows(corpus, F.col(id_col), m))
+
     return (
-        grams(corpus)
-        .join(bench_grams, "gram")
+        corpus_grams.join(F.broadcast(bench_grams), "gram")
         .groupBy(F.col("id").alias(id_col))
-        .agg(F.count(F.lit(1)).alias("n_contaminated_grams"))
+        .agg(F.count_distinct("gram").alias("n_contaminated_grams"))
         .filter(F.col("n_contaminated_grams") >= min_overlaps)
     )
 

@@ -34,9 +34,22 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions import epoch_us, is_timestamp_type
+
 
 def _as_list(x) -> list[str]:
     return [x] if isinstance(x, str) else list(x)
+
+
+def _as_seconds(col: Column, dtype) -> Column:
+    """Timeline column → seconds-scale double: timestamps (LTZ and NTZ —
+    the latter rejects a plain double cast in Spark 4) via exact integer
+    epoch-micros, numerics via cast.  Epoch-micros stay < 2^53, so the
+    one double division at the end is exact-to-rounding and
+    order-independent."""
+    if is_timestamp_type(dtype):
+        return epoch_us(col, dtype) / F.lit(1e6)
+    return col.cast("double")
 
 
 def asof_join(
@@ -97,7 +110,7 @@ def asof_join(
         *[F.col(k).alias(f"__k{i}") for i, k in enumerate(rkeys)],
         F.col(right_ts).alias("__t"),
         F.lit(r_side).alias("__side"),
-        F.col(tiebreak).cast("double").alias("__tb"),
+        _as_seconds(F.col(tiebreak), right.schema[tiebreak].dataType).alias("__tb"),
         payload.alias("__r"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(f"__l_{c}") for c in left.columns],
     )
@@ -133,7 +146,8 @@ def asof_join(
         match_ok = match_ok & F.col(k).isNotNull()
     if tolerance_seconds is not None:
         gap = F.abs(
-            F.col("__t").cast("double") - F.col("__pick.__asof_ts").cast("double")
+            _as_seconds(F.col("__t"), left.schema[left_ts].dataType)
+            - _as_seconds(F.col("__pick.__asof_ts"), right.schema[right_ts].dataType)
         )
         match_ok = match_ok & (gap <= F.lit(float(tolerance_seconds)))
     final = F.when(match_ok, F.col("__pick"))
@@ -177,17 +191,21 @@ def range_join(
     if len(lkeys) != len(rkeys):
         raise ValueError("left_on and right_on must have equal length")
 
-    def bucket(col: Column) -> Column:
-        return F.floor(col.cast("double") / F.lit(float(bucket_seconds))).cast("long")
+    def bucket(col: Column, dtype) -> Column:
+        return F.floor(_as_seconds(col, dtype) / F.lit(float(bucket_seconds))).cast("long")
 
     l_tag = left.select(
-        *left.columns, bucket(F.col(left_ts)).alias("__bucket")
+        *left.columns,
+        bucket(F.col(left_ts), left.schema[left_ts].dataType).alias("__bucket"),
     )
     r_cols = [c if c not in left.columns else f"{c}_r" for c in right.columns]
     r_tag = right.select(
         *[F.col(c).alias(a) for c, a in zip(right.columns, r_cols)],
         F.explode(
-            F.sequence(bucket(F.col(right_start)), bucket(F.col(right_end)))
+            F.sequence(
+                bucket(F.col(right_start), right.schema[right_start].dataType),
+                bucket(F.col(right_end), right.schema[right_end].dataType),
+            )
         ).alias("__bucket"),
     )
     def rname(c: str) -> str:

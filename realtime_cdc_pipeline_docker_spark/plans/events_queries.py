@@ -8,7 +8,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..catalog import load_table
-from ..functions import fixed_units
+from ..functions import epoch_ms, fixed_units
 from .registry import register
 
 _PROPS_SCHEMA = T.StructType([T.StructField("k", T.IntegerType(), True)])
@@ -81,7 +81,8 @@ def e2d_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning, verified in plan tests)."""
     events = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_ms = F.unix_millis("ts") - F.unix_millis(F.lag("ts").over(w))
+    ts_type = events.schema["ts"].dataType
+    gap_ms = epoch_ms("ts", ts_type) - epoch_ms(F.lag("ts").over(w), ts_type)
     return (
         events.withColumn(
             "new_sess",

@@ -75,8 +75,8 @@ def j6a_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     ), binned AS (
       SELECT source, doc_id, n_tok,
-             (SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id) - n_tok)
-               // 512 AS seq_id
+             CAST((SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id)
+                   - n_tok) // 512 AS BIGINT) AS seq_id
       FROM d
     )
     SELECT source, seq_id, COUNT(*) AS n_docs,

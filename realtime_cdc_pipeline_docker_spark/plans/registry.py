@@ -36,9 +36,60 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
+# The driver's per-round CORRECTNESS pass verifies the FIRST 50 entries
+# of queries() in insertion order (CORRECTNESS_r01/r02 each contain
+# exactly the first 50 registered names).  With 90+ registered queries,
+# coverage must rotate: this list front-loads every query that has never
+# received a driver row (the §2.J/K extension suite, the CDC/streaming
+# family) plus d15_tpch_q18_shape (red in r02 — oracle emitted HUGEINT —
+# now fixed and needing a green row), then a representative core slice.
+# Queries after position 50 were all driver-green in rounds 1 AND 2.
+DRIVER_PRIORITY: tuple[str, ...] = (
+    # never driver-verified: LLM-pipeline extensions (§2.J)
+    "j1_dedup_exact", "j2_minhash_neardup", "j2b_ngram_jaccard",
+    "j2c_simhash_neardup", "j2d_embedding_neardup", "j2e_neardup_keepers",
+    "j3_similarity_topk", "j3b_ann_lsh_topk", "j3c_ivf_ann_topk",
+    "j4a_text_stats", "j4b_lang_id", "j4c_quality_score", "j4d_fingerprint",
+    "j4e_winnow_fingerprints", "j4f_repetition_signals",
+    "j5_multimodal_plumbing", "j5b_multimodal_features", "j5c_image_resize",
+    "j5d_frame_sample", "j6a_stratified_sample", "j6b_sequence_packing",
+    "j6c_corpus_filter_stats", "j7_corpus_pipeline_e2e", "j8_decontaminate",
+    # never driver-verified: temporal joins (§2.K)
+    "k1_asof_order_state", "k2_range_join_incidents",
+    # never driver-verified: CDC / streaming / events family
+    "m3_cdc_decode_signed", "e1_cdc_latest_state", "e1b_latest_event_state",
+    "h_stream_cdc_orders", "b02_b05_json_two_phase", "h4_events_hourly",
+    "e2d_sessionization", "e2e_event_topn_users",
+    "h6_stream_stream_attribution", "e3_cohort_retention",
+    "e4_funnel_conversion",
+    # never driver-verified: round-2 TPC-H additions
+    "d18_tpch_q9_shape", "d19_tpch_q12_shape", "c16_tpch_q11_shape",
+    "c17_tpch_q15_shape", "d20_tpch_q2_shape", "d21_tpch_q16_shape",
+    "d22_tpch_q20_shape", "d23_tpch_q21_shape",
+    # red in r02 (HUGEINT oracle, fixed this round) — must re-verify
+    "d15_tpch_q18_shape",
+    # representative core slice (green in r01+r02; keeps a canary in-window)
+    "flagship_revenue_report", "c05_daily_revenue", "d8_tpch_q3_shape",
+    "e2a_window_topn",
+)
+
+
+def _ordered() -> list[str]:
+    rank = {n: i for i, n in enumerate(DRIVER_PRIORITY)}
+    names = list(REGISTRY)
+    return sorted(
+        names,
+        key=lambda n: (rank.get(n, len(rank)), names.index(n)),
+    )
+
+
 def queries_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: spec.fn for name, spec in REGISTRY.items()}
+    return {name: REGISTRY[name].fn for name in _ordered()}
 
 
 def oracle_sql_map() -> dict[str, str]:
-    return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None}
+    return {
+        name: REGISTRY[name].oracle
+        for name in _ordered()
+        if REGISTRY[name].oracle is not None
+    }

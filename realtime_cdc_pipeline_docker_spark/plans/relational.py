@@ -1294,7 +1294,8 @@ def d14_tpch_q4_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     "d15_tpch_q18_shape",
     oracle="""
     WITH big AS (
-      SELECT l_orderkey, SUM(CAST(l_quantity AS BIGINT)) AS sum_qty
+      SELECT l_orderkey,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
       FROM lineitem GROUP BY l_orderkey
       HAVING SUM(CAST(l_quantity AS BIGINT)) > 260
     )
@@ -1535,10 +1536,10 @@ def d18_tpch_q9_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     "d19_tpch_q12_shape",
     oracle="""
     SELECT l_returnflag,
-           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     WHERE l_returnflag IN ('R', 'A')
       AND l_shipdate > o_orderdate + INTERVAL 90 DAY

@@ -330,3 +330,36 @@ def j4e_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return winnow_fingerprints(docs)
+
+
+@register(
+    "j8_decontaminate",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, array_to_string(list_slice(t, i, i + 4), ' ') AS gram
+      FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 4)) AS i
+            FROM toks)
+    ), bench AS (
+      SELECT DISTINCT gram FROM grams WHERE doc_id % 101 = 0
+    )
+    SELECT g.doc_id, CAST(COUNT(DISTINCT g.gram) AS BIGINT) AS n_contaminated_grams
+    FROM grams g JOIN bench USING (gram)
+    GROUP BY g.doc_id
+    """,
+)
+def j8_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (J8): flag corpus docs sharing any
+    5-token gram with the eval set (here: every 101st doc standing in
+    for a benchmark suite — the flagged set therefore includes those
+    docs themselves plus their planted near-duplicates).  Spark joins
+    on 8-byte xxhash64 gram keys against the broadcast benchmark set;
+    the oracle joins on gram text — identical counts absent a 64-bit
+    hash collision (none at any fixture scale)."""
+    from ..operators.dedup import decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 101 == 0).select("text")
+    return decontaminate(docs, bench)

@@ -30,6 +30,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..functions import epoch_ms
+
 # Envelope: before/after kept as StringType on purpose (two-phase parse,
 # cdc_processor.py:50-55).
 DEBEZIUM_ENVELOPE_SCHEMA = T.StructType(
@@ -121,7 +123,7 @@ def synth_orders_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate").alias("order_date"),
         F.col("o_orderstatus").alias("final_status"),
         F.col("o_totalprice").alias("total_amount"),
-        (F.unix_timestamp("o_orderdate") * 1000).alias("ts0"),
+        epoch_ms("o_orderdate", orders.schema["o_orderdate"].dataType).alias("ts0"),
     )
 
     def payload(status, amount):

@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from ..functions import fixed_units
+from ..functions import epoch_ms, fixed_units, is_timestamp_type
 
 SESSION_GAP_MS = 30 * 60 * 1000
 
@@ -123,9 +123,12 @@ def sessionize(events: DataFrame) -> DataFrame:
     user lives in state and is not emitted — exactly the semantics a
     continuous stream needs.  Batch golden twin: the gaps-and-islands
     window query (e2d) restricted to sessions that have a successor."""
-    prepped = events.select(
-        "user_id", F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms")
-    )
+    ts_type = events.schema["ts"].dataType
+    if is_timestamp_type(ts_type):
+        ts_ms = epoch_ms("ts", ts_type)
+    else:  # string/long inputs from raw stream sources: parse first
+        ts_ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    prepped = events.select("user_id", ts_ms.alias("ts_ms"))
     return prepped.groupBy("user_id").applyInPandasWithState(
         _sessionize_fn,
         outputStructType=SESSION_OUTPUT_SCHEMA,

@@ -15,10 +15,32 @@ import duckdb
 from realtime_cdc_pipeline_docker_spark.catalog import TABLES
 
 
+# DuckDB output types whose pandas conversion round-trips losslessly to
+# what Spark's toPandas() produces for the same logical type.  HUGEINT
+# (DuckDB's SUM(BIGINT) result) is deliberately NOT here: pandas renders
+# it float64, which hash-mismatches Spark's int64 even when fetchall()
+# values are identical Python ints — the exact failure mode behind the
+# d15_tpch_q18_shape red row in CORRECTNESS_r02.  Oracles must CAST such
+# sums back to BIGINT.
+_PANDAS_SAFE_TYPES = frozenset(
+    {"BIGINT", "BLOB", "BOOLEAN", "DATE", "DOUBLE", "INTEGER", "TIMESTAMP", "VARCHAR"}
+)
+
+
 def run_oracle(sql: str, sf_dir: str) -> tuple[list[str], list[tuple]]:
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    rel = con.sql(sql)
+    unsafe = [
+        (c, str(t))
+        for c, t in zip(rel.columns, rel.types)
+        if str(t) not in _PANDAS_SAFE_TYPES and not str(t).endswith("[]")
+    ]
+    assert not unsafe, (
+        f"oracle emits pandas-unsafe DuckDB types {unsafe}; "
+        "CAST the column (e.g. AS BIGINT) so the driver's pandas-side hash matches Spark"
+    )
     cur = con.execute(sql)
     cols = [d[0] for d in cur.description]
     return cols, cur.fetchall()

@@ -259,3 +259,86 @@ def test_cc_rounds_bounded_on_10x_replicated_corpus(spark, sf_dir):
     keepers = dedup_keepers(corpus, pairs).filter("is_keeper")
     assert keepers.filter(F.col("keeper") >= 1_000_000).count() == 0
     comp.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# decontaminate (benchmark n-gram decontamination)
+# ---------------------------------------------------------------------------
+
+
+def _decon_inputs(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, BASE_A),                                   # contains bench gram
+            (2, "  The QUICK   brown fox Jumps over the lazy cat entirely "
+                "unrelated tail words here padding the document out"),  # case/ws-normalized overlap
+            (3, BASE_B),                                   # clean
+            (4, "alpha beta gamma delta"),                 # short corpus doc (3<4 toks<5)
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [("the quick brown fox jumps over the lazy dog",)], "text string"
+    )
+    return corpus, bench
+
+
+def test_decontaminate_normalization_and_threshold(spark):
+    from realtime_cdc_pipeline_docker_spark.operators.dedup import decontaminate
+
+    corpus, bench = _decon_inputs(spark)
+    got = {r["doc_id"]: r["n_contaminated_grams"]
+           for r in decontaminate(corpus, bench, n=5).collect()}
+    # bench text has 9 tokens -> 5 five-grams; doc 1 contains all of them,
+    # doc 2 (case/whitespace differences normalized away) the first 4 —
+    # its "cat" breaks the fifth gram "jumps over the lazy dog".
+    assert got == {1: 5, 2: 4}
+    # distinct counting: a doc repeating one bench gram twice counts it once
+    rep = spark.createDataFrame(
+        [(9, "the quick brown fox jumps xx the quick brown fox jumps")],
+        "doc_id long, text string",
+    )
+    got = decontaminate(rep, bench, n=5).collect()
+    assert [(r["doc_id"], r["n_contaminated_grams"]) for r in got] == [(9, 1)]
+    # min_overlaps filters below-threshold docs
+    got = {r["doc_id"] for r in decontaminate(corpus, bench, n=5, min_overlaps=5).collect()}
+    assert got == {1}
+
+
+def test_decontaminate_short_benchmark_docs(spark):
+    from realtime_cdc_pipeline_docker_spark.operators.dedup import decontaminate
+
+    corpus, _ = _decon_inputs(spark)
+    bench = spark.createDataFrame(
+        [
+            ("beta gamma",),          # 2-gram: inside corpus doc 4
+            ("quiet garden",),        # 2-gram: tail of doc 1
+            ("zz yy xx",),            # 3-gram: nowhere
+        ],
+        "text string",
+    )
+    got = {r["doc_id"]: r["n_contaminated_grams"]
+           for r in decontaminate(corpus, bench, n=5).collect()}
+    assert got == {1: 1, 4: 1}
+    # benchmark side never needs an id column (only text); corpus id col is configurable
+    renamed = corpus.withColumnRenamed("doc_id", "docid")
+    got = {r["docid"] for r in decontaminate(renamed, bench, n=5, id_col="docid").collect()}
+    assert got == {1, 4}
+
+
+def test_decontaminate_corpus_side_shuffle_free(spark):
+    """The docstring's 100 TB claim, held by the plan: below the
+    BroadcastHashJoin the corpus gram stream must have NO exchange
+    (the round-2 advice caught a pre-join .distinct() shuffling every
+    corpus gram).  In the top-down plan printout, nodes under the join
+    print after it — assert no hashpartitioning exchange there."""
+    from realtime_cdc_pipeline_docker_spark.operators.dedup import decontaminate
+
+    corpus, bench = _decon_inputs(spark)
+    plan = decontaminate(corpus, bench, n=5)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # Children print streamed-side first: the corpus subtree is the text
+    # between the join and the build side's BroadcastExchange (the tiny
+    # benchmark side legitimately distincts inside the broadcast).
+    corpus_subtree = plan.split("BroadcastHashJoin", 1)[1].split("BroadcastExchange", 1)[0]
+    assert "Exchange hashpartitioning" not in corpus_subtree, corpus_subtree

@@ -27,6 +27,35 @@ def test_rows_only_runs(spark, sf_dir, name):
     assert len(df.schema.fields) > 0
 
 
+def test_oracle_output_types_pandas_safe(sf_dir):
+    """Every oracle's DuckDB output schema must survive pandas conversion
+    unchanged — the driver hashes pandas values, and e.g. HUGEINT
+    (SUM(BIGINT)) silently becomes float64 there while matching Spark's
+    int64 under fetchall().  Spark-free scan of all 90 oracles in one go."""
+    from .oracle_harness import _PANDAS_SAFE_TYPES, run_oracle  # noqa: F401
+
+    import duckdb
+
+    from realtime_cdc_pipeline_docker_spark.catalog import TABLES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    offenders = {}
+    for name, spec in plans.REGISTRY.items():
+        if not spec.oracle:
+            continue
+        rel = con.sql(spec.oracle)
+        bad = [
+            (c, str(ty))
+            for c, ty in zip(rel.columns, rel.types)
+            if str(ty) not in _PANDAS_SAFE_TYPES and not str(ty).endswith("[]")
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, f"pandas-unsafe oracle output types: {offenders}"
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 
