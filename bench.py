@@ -62,7 +62,11 @@ HEADLINE = [
     "d23_tpch_q21_shape",
     "j4f_repetition_signals",
     "j6b_sequence_packing",
+    "j6d_corpus_shuffle",
     "j7_corpus_pipeline_e2e",
+    "j8_decontaminate",
+    "j9_vocab_topk",
+    "j9b_top_terms",
 ]
 
 

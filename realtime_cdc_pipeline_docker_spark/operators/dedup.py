@@ -536,9 +536,21 @@ def connected_components(
     graphs converge in a handful of rounds; see
     ``scripts/scale_probe.py``).
     """
+    # Both edge orientations from ONE pass over pairs: a union of
+    # pairs-with-itself-reversed would put the pairs subtree in the DAG
+    # twice, and Spark re-executes duplicated subtrees (no cross-branch
+    # CSE) — for LSH-generated pairs that doubles the dominant cost of
+    # the whole keeper pipeline.  explode keeps a single pairs scan.
     edges = (
-        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-        .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(a_col).alias("src"), F.col(b_col).alias("dst")),
+                    F.struct(F.col(b_col).alias("src"), F.col(a_col).alias("dst")),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
         .distinct()
         .persist()
     )

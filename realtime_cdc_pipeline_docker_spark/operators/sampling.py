@@ -100,3 +100,70 @@ def pack_sequences(
         )
         .withColumn("fill_ratio", F.col("seq_tokens") / F.lit(float(ctx_tokens)))
     )
+
+
+def shuffle_corpus(
+    df: DataFrame,
+    num_shards: int = 1024,
+    key_col: str = "doc_id",
+    salt: str = "shuf",
+) -> DataFrame:
+    """Deterministic global corpus shuffle: the example-order
+    randomization every training run needs before sharding to data
+    loaders.  Each row gets ``(shard, pos_in_shard)`` from an
+    engine-portable md5 of ``salt:key`` — same permutation on every
+    rerun, any cluster layout, any engine (unlike ``orderBy(rand())``,
+    which is neither rerun- nor engine-stable).
+
+    Scale shape: ONE shuffle (the window's hash partitioning on
+    ``shard``), and each window partition holds ~|corpus|/num_shards
+    rows — size num_shards so a shard fits an executor (100 TB / 1024
+    shards ≈ 100 GB; use 64k shards there).  No global sort ever
+    happens: ordering exists only *within* a shard, which is exactly
+    the contract a sharded data loader consumes (shard files are read
+    sequentially, shard assignment is the randomization).
+
+    A different ``salt`` yields an independent permutation — reshuffle
+    between epochs by changing it.
+    """
+    hexkey = F.md5(F.concat(F.lit(f"{salt}:"), F.col(key_col).cast("string")))
+    shard = F.pmod(
+        F.conv(F.substring(hexkey, 1, 15), 16, 10).cast("long"), F.lit(num_shards)
+    )
+    w = Window.partitionBy("shard").orderBy("__hex", key_col)
+    return (
+        df.withColumn("__hex", hexkey)
+        .withColumn("shard", shard)
+        .withColumn("pos_in_shard", F.row_number().over(w).cast("long"))
+        .drop("__hex")
+    )
+
+
+def quantile_filter(
+    df: DataFrame,
+    metric: Column | str,
+    keep_top: float = 0.75,
+    stratum_col: str = "source",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Per-stratum quantile gate: keep the top ``keep_top`` fraction of
+    each stratum by ``metric`` (drop the bottom 1-keep_top quantile) —
+    the "drop the worst quartile per source" curation move.
+
+    Rank-based, not value-threshold-based: the cut is
+    ``percent_rank() >= 1 - keep_top`` over (stratum, metric asc, key),
+    which is exact integer arithmetic ((rank-1)/(n-1)) — identical in
+    every engine, immune to the floating-point-threshold boundary flips
+    a ``metric >= quantile_value`` filter suffers, and it needs no
+    second pass to compute the quantile value first.  One window
+    shuffle on the stratum; at 100 TB pre-aggregate or shard exactly
+    as ``pack_sequences`` does if a stratum exceeds one executor.
+
+    Returns the surviving rows with their ``pct_rank`` attached.
+    """
+    m = F.col(metric) if isinstance(metric, str) else metric
+    w = Window.partitionBy(stratum_col).orderBy(m.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("pct_rank", F.percent_rank().over(w))
+        .filter(F.col("pct_rank") >= F.lit(1.0 - keep_top))
+    )

@@ -5,7 +5,7 @@ each has an exact DuckDB oracle in plans/text_queries.py.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import regex_token_count, token_count, ws_tokens
@@ -165,4 +165,74 @@ def repetition_signals(
         F.when(F.col("n") > 1, F.col("mxb") / (F.col("n") - 1))
         .otherwise(F.lit(0.0))
         .alias("top_bigram_frac"),
+    )
+
+
+def vocab_topk(
+    df: DataFrame,
+    k: int = 20,
+    by: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus vocabulary: the ``k`` most frequent whitespace tokens per
+    ``by`` group (per language here) — the counting pass under any
+    BPE/unigram tokenizer training run and the fastest corpus-drift
+    smoke check.
+
+    Scale shape: explode → count is map-side combined (the shuffle
+    carries (group, token, partial_count), never text bodies), and the
+    rank-filter compiles to WindowGroupLimit, so each shuffle partition
+    keeps only its local top-k before the final per-group selection.
+    Deterministic tie-break: count desc, token asc.
+    """
+    toks = df.select(F.col(by), F.explode(ws_tokens(F.lower(F.trim(F.col(text_col))))).alias("tok"))
+    counts = toks.groupBy(by, "tok").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy(by).orderBy(F.col("n").desc(), F.col("tok").asc())
+    return (
+        counts.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select(by, "tok", "n", "rnk")
+    )
+
+
+def top_terms_tf_rdf(
+    df: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document characteristic terms: rank a doc's tokens by
+    tf × reciprocal document frequency and keep the top ``k`` — the
+    keyword-extraction pass used for corpus topic audits and
+    cluster labeling.
+
+    The weight is the integer ``(tf * 1_000_000) div df`` rather than
+    the textbook ``tf·log(N/df)``: log damping would make the score a
+    transcendental double whose last-ulp differences across engines
+    (Java vs C99 ``log``) can flip rank ties — integer arithmetic is
+    exact everywhere, and for a fixed tf the two weightings order
+    terms identically (both are monotone decreasing in df).
+
+    Scale shape: two map-side-combined counts (per-doc tf; distinct-doc
+    df) joined on the term, then a WindowGroupLimit top-k per doc.  The
+    df side is corpus-wide but only (term, count) wide; at 100 TB cap
+    it with a min-df filter (hapaxes dominate the long tail and can
+    never rank with tf ≥ 2 terms — here the fixture is small enough
+    not to need it).
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(ws_tokens(F.lower(F.trim(F.col(text_col))))).alias("tok")
+    )
+    tf = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(dfreq, "tok").withColumn(
+        "score", F.expr("(tf * 1000000) div df")
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("tok").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select(id_col, "tok", "tf", "df", "score", "rnk")
     )

@@ -122,7 +122,11 @@ def h_stream_cdc_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     e1 oracle — stream result == batch result == SQL golden state."""
     work = _work_dir("cdc_stream", sf_dir)
     envelope = synth_orders_envelope(spark, sf_dir)
-    envelope.coalesce(4).write.mode("overwrite").json(f"{work}/input")
+    # repartition, not coalesce: coalesce(4) would collapse the whole
+    # synth stage (3-way union + to_json) onto 4 threads; the shuffle
+    # boundary keeps synthesis at full parallelism and still emits a
+    # bounded file count for the file-stream source to list.
+    envelope.repartition(8).write.mode("overwrite").json(f"{work}/input")
     log = run_cdc_stream(
         spark,
         envelope_dir=f"{work}/input",

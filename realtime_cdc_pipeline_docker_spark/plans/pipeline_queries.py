@@ -232,3 +232,61 @@ def j7_corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tok").alias("total_tokens"),
         (F.max("seq_id") + 1).alias("n_seqs"),
     )
+
+
+@register(
+    "j6d_corpus_shuffle",
+    oracle=r"""
+    WITH h AS (
+      SELECT doc_id,
+             md5('shuf:' || CAST(doc_id AS VARCHAR)) AS hex,
+             CAST('0x' || substr(md5('shuf:' || CAST(doc_id AS VARCHAR)), 1, 15)
+                  AS BIGINT) % 32 AS shard
+      FROM documents
+    )
+    SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+           CAST(row_number() OVER (PARTITION BY shard ORDER BY hex, doc_id)
+                AS BIGINT) AS pos_in_shard
+    FROM h
+    """,
+)
+def j6d_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global corpus shuffle (J6): every doc assigned a
+    (shard, pos_in_shard) from an engine-portable md5 permutation — the
+    pre-training example-order randomization, rerun-stable by
+    construction (see operators/sampling.py:shuffle_corpus)."""
+    from ..operators.sampling import shuffle_corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    return shuffle_corpus(docs, num_shards=32).select("doc_id", "shard", "pos_in_shard")
+
+
+@register(
+    "j6e_quality_quantile_filter",
+    oracle=r"""
+    WITH q AS (
+      SELECT doc_id, source,
+             least(len(string_split_regex(trim(text), '\s+')) / 100.0, 1.0) * 0.5
+               + length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                 / length(text) * 0.5 AS quality
+      FROM documents
+    )
+    SELECT doc_id, source, quality, pct_rank FROM (
+      SELECT doc_id, source, quality,
+             percent_rank() OVER (PARTITION BY source
+                                  ORDER BY quality ASC, doc_id ASC) AS pct_rank
+      FROM q
+    ) WHERE pct_rank >= 0.25
+    """,
+)
+def j6e_quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quantile gate (J6): drop each source's bottom quality
+    quartile by RANK, not by value threshold — exact integer arithmetic
+    ((rank-1)/(n-1)), so no floating-point quantile boundary can flip a
+    row across engines (see operators/sampling.py:quantile_filter)."""
+    from ..operators.sampling import quantile_filter
+    from ..operators.text import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = docs.select("doc_id", "source", quality_score().alias("quality"))
+    return quantile_filter(q, "quality", keep_top=0.75)

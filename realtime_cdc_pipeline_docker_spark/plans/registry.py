@@ -53,7 +53,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "j4e_winnow_fingerprints", "j4f_repetition_signals",
     "j5_multimodal_plumbing", "j5b_multimodal_features", "j5c_image_resize",
     "j5d_frame_sample", "j6a_stratified_sample", "j6b_sequence_packing",
-    "j6c_corpus_filter_stats", "j7_corpus_pipeline_e2e", "j8_decontaminate",
+    "j6c_corpus_filter_stats", "j6d_corpus_shuffle",
+    "j6e_quality_quantile_filter", "j7_corpus_pipeline_e2e",
+    "j8_decontaminate", "j9_vocab_topk", "j9b_top_terms",
     # never driver-verified: temporal joins (§2.K)
     "k1_asof_order_state", "k2_range_join_incidents",
     # never driver-verified: CDC / streaming / events family
@@ -68,9 +70,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "d22_tpch_q20_shape", "d23_tpch_q21_shape",
     # red in r02 (HUGEINT oracle, fixed this round) — must re-verify
     "d15_tpch_q18_shape",
-    # representative core slice (green in r01+r02; keeps a canary in-window)
-    "flagship_revenue_report", "c05_daily_revenue", "d8_tpch_q3_shape",
-    "e2a_window_topn",
 )
 
 

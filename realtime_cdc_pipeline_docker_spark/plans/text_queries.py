@@ -363,3 +363,55 @@ def j8_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     bench = docs.filter(F.col("doc_id") % 101 == 0).select("text")
     return decontaminate(docs, bench)
+
+
+@register(
+    "j9_vocab_topk",
+    oracle=r"""
+    SELECT lang, tok, n, rnk FROM (
+      SELECT lang, tok, COUNT(*) AS n,
+             CAST(row_number() OVER (PARTITION BY lang
+                                     ORDER BY COUNT(*) DESC, tok ASC) AS BIGINT) AS rnk
+      FROM (SELECT lang, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+            FROM documents)
+      GROUP BY lang, tok
+    ) WHERE rnk <= 20
+    """,
+)
+def j9_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary head (J9): top-20 tokens per language — the counting
+    pass under tokenizer training (see operators/text.py:vocab_topk;
+    WindowGroupLimit plan asserted in tests/test_plans.py)."""
+    from ..operators.text import vocab_topk
+
+    return vocab_topk(load_table(spark, sf_dir, "documents"), k=20)
+
+
+@register(
+    "j9b_top_terms",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, tok, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+    ), dfreq AS (
+      SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1
+    )
+    SELECT doc_id, tok, tf, df, score, rnk FROM (
+      SELECT tf.doc_id, tf.tok, tf.tf, dfreq.df,
+             (tf.tf * 1000000) // dfreq.df AS score,
+             CAST(row_number() OVER (PARTITION BY tf.doc_id
+                                     ORDER BY (tf.tf * 1000000) // dfreq.df DESC,
+                                              tf.tok ASC) AS BIGINT) AS rnk
+      FROM tf JOIN dfreq USING (tok)
+    ) WHERE rnk <= 3
+    """,
+)
+def j9b_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Characteristic terms per document (J9): tf × reciprocal-df in
+    exact integer arithmetic (log-free so both engines rank
+    identically; see operators/text.py:top_terms_tf_rdf)."""
+    from ..operators.text import top_terms_tf_rdf
+
+    return top_terms_tf_rdf(load_table(spark, sf_dir, "documents"), k=3)

@@ -115,3 +115,64 @@ def test_pack_sequences_sharded_scales_and_conserves(spark):
     a = sorted(map(tuple, packed.collect()))
     b = sorted(map(tuple, again.collect()))
     assert a == b
+
+
+def test_shuffle_corpus_deterministic_and_balanced(spark, sf_dir):
+    from realtime_cdc_pipeline_docker_spark.operators.sampling import shuffle_corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count()
+    out = shuffle_corpus(docs, num_shards=16)
+    rows = out.select("doc_id", "shard", "pos_in_shard").collect()
+    assert len(rows) == n
+    # a permutation: every doc exactly once, positions contiguous per shard
+    assert len({r["doc_id"] for r in rows}) == n
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r["pos_in_shard"])
+    assert set(by_shard) <= set(range(16))
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+    # md5 balance: no shard more than 3x the mean at fixture sizes
+    assert max(len(v) for v in by_shard.values()) <= 3 * (n // 16 + 1)
+    # rerun under a different layout → identical permutation
+    again = shuffle_corpus(docs.repartition(7), num_shards=16)
+    assert sorted(map(tuple, rows)) == sorted(
+        map(tuple, again.select("doc_id", "shard", "pos_in_shard").collect())
+    )
+    # a different salt gives a different permutation
+    other = shuffle_corpus(docs, num_shards=16, salt="epoch2")
+    diff = (
+        out.select("doc_id", "shard")
+        .join(other.select("doc_id", F.col("shard").alias("s2")), "doc_id")
+        .filter("shard != s2")
+        .count()
+    )
+    assert diff > 0
+
+
+def test_quantile_filter_keeps_exact_rank_fraction(spark):
+    from realtime_cdc_pipeline_docker_spark.operators.sampling import quantile_filter
+
+    rows = [(s, i, float((i * 37) % 101)) for s in ("a", "b") for i in range(100)]
+    df = spark.createDataFrame(rows, "source string, doc_id long, quality double")
+    kept = quantile_filter(df, "quality", keep_top=0.75)
+    per = {r["source"]: r["count"] for r in kept.groupBy("source").count().collect()}
+    # percent_rank >= 0.25 over 100 rows (ranks 0/99..99/99) keeps ranks 25..99
+    assert per == {"a": 75, "b": 75}
+    # the dropped quarter is exactly the lowest-quality rows per stratum
+    dropped = df.join(kept.select("source", "doc_id"), ["source", "doc_id"], "left_anti")
+    max_dropped = dropped.groupBy("source").agg(F.max("quality").alias("m")).collect()
+    min_kept = kept.groupBy("source").agg(F.min("quality").alias("m")).collect()
+    assert all(
+        d["m"] < k["m"]
+        for d in max_dropped for k in min_kept if True
+    )
+
+
+def test_vocab_topk_plan_uses_window_group_limit(spark, sf_dir):
+    from realtime_cdc_pipeline_docker_spark.operators.text import vocab_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = vocab_topk(docs, k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
