@@ -220,10 +220,19 @@ def top_terms_tf_rdf(
     never rank with tf ≥ 2 terms — here the fixture is small enough
     not to need it).
     """
+    from ..catalog import track_persisted
+
     toks = df.select(
         F.col(id_col), F.explode(ws_tokens(F.lower(F.trim(F.col(text_col))))).alias("tok")
     )
-    tf = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
+    # tf feeds BOTH dfreq and the scoring join; without a persist the
+    # token explode + count subtree sits in the DAG twice and Spark
+    # re-executes it (no cross-branch CSE) — at corpus scale that
+    # doubles the dominant cost.  The caller releases via
+    # catalog.release_persisted() once materialized.
+    tf = track_persisted(
+        toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf")).persist()
+    )
     dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     scored = tf.join(dfreq, "tok").withColumn(
         "score", F.expr("(tf * 1000000) div df")

@@ -1897,3 +1897,65 @@ def d23_tpch_q21_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(100)
     )
+
+
+@register(
+    "c18_salted_skew_agg",
+    oracle="""
+    SELECT l_returnflag,
+           SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+               * (100 - CAST(round(l_discount*100) AS BIGINT))) / 10000.0
+             AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def c18_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase aggregation (§2.C at scale): revenue per
+    return flag — 3 keys over the whole fact table, the textbook
+    hot-key aggregate.  Phase 1 sums per (key, salt) so each hot key
+    spreads over 16 reducers; phase 2 merges 3×16 partials.  Exact
+    integer units keep both phases order-independent, so the result is
+    bit-identical to the naive single-phase oracle.  (Spark's partial
+    aggregation handles this case too when combiners fit; explicit
+    salting is the pattern for holistic aggregates — collect_set,
+    percentile — where map-side combine can't shrink the hot key.)"""
+    from ..operators.skew import with_salt
+
+    li = load_table(spark, sf_dir, "lineitem")
+    partial = (
+        with_salt(li, ("l_orderkey", "l_linenumber"), 16)
+        .groupBy("l_returnflag", "__salt")
+        .agg(
+            F.sum(revenue_units()).alias("__rev"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+    )
+    return partial.groupBy("l_returnflag").agg(
+        (F.sum("__rev") / F.lit(10000.0)).alias("revenue"),
+        F.sum("__n").alias("n_items"),
+    )
+
+
+@register(
+    "e2g_ntile_quartiles",
+    oracle="""
+    SELECT c_nationkey, c_custkey, c_acctbal,
+           CAST(ntile(4) OVER (PARTITION BY c_nationkey
+                               ORDER BY c_acctbal, c_custkey) AS BIGINT) AS quartile
+    FROM customer
+    """,
+)
+def e2g_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE quartile assignment per nation (§2.E2): equal-frequency
+    binning over a deterministic total order — the remaining window
+    family member (rank/lag/sum/rows-frame/top-n are covered by
+    e2a–e2f).  One hash partition on the nation key."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_nationkey",
+        "c_custkey",
+        "c_acctbal",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )

@@ -230,7 +230,8 @@ def j2d_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("j3c_ivf_ann_topk", oracle=None)
 def j3c_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k (J3 scale path, centroid variant): spherical
-    k-means inverted lists, nprobe=2 probing, in-list exact rerank.
+    k-means inverted lists, default nprobe=6/16 probing (recall@5 ≈ 0.7
+    on worst-case random vectors), in-list exact rerank.
     Planted-duplicate determinism tested in tests/test_similarity.py."""
     from ..operators.similarity import ivf_ann_topk
 
@@ -285,3 +286,24 @@ def j2e_neardup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(docs)
     return dedup_keepers(docs, pairs)
+
+
+@register(
+    "b11_posexplode_embedding",
+    oracle="""
+    SELECT vec_id,
+           CAST(generate_subscripts(embedding[1:4], 1) - 1 AS BIGINT) AS pos,
+           CAST(unnest(embedding[1:4]) AS DOUBLE) AS val
+    FROM embeddings
+    """,
+)
+def b11_posexplode_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array flatten with position (§2.B): posexplode of the leading
+    embedding dimensions — the 1→N lateral-view expansion (reference
+    flattens only structs; arrays are the §2.J data model's addition).
+    float→double widening is exact, so values hash-match the oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.posexplode(F.slice("embedding", 1, 4)).alias("pos", "val"),
+    ).select("vec_id", F.col("pos").cast("long"), F.col("val").cast("double").alias("val"))

@@ -1,15 +1,19 @@
-"""Scale probe for the near-dup keeper pipeline (j2e shape).
+"""Scale probes for the corpus operator families.
 
-Runs minhash LSH pairing + connected components + keeper decision over
-the fixture documents at 1x and 10x (9 replica copies at shifted ids)
-and prints one JSON line per scale:
+Replicates the fixture documents at 1x and 10x (replica copies at
+shifted ids) and prints one JSON line per (probe, scale):
 
-    {"scale": 10, "n_docs": 5000, "n_pairs": ..., "cc_rounds": 2,
-     "sec": ...}
-
-The claim under test: CC rounds stay bounded (near-dup graphs are
-shallow) and wall-time grows ~linearly in corpus size — i.e. the
-banded-bucket candidate generation, not an all-pairs term, dominates.
+- ``keeper``: minhash LSH pairing + connected components + keeper
+  decision (j2e shape).  Claim: CC rounds stay bounded (near-dup
+  graphs are shallow) and wall-time grows ~linearly — the
+  banded-bucket candidate generation, not an all-pairs term, dominates.
+- ``shuffle``: deterministic md5 global shuffle (j6d shape).  Claim:
+  per-shard row counts stay balanced and wall-time ~linear (one
+  shuffle, no global sort).
+- ``decon``: benchmark decontamination (j8 shape) against a fixed
+  benchmark slice.  Claim: corpus side scales linearly — the
+  benchmark gram set is broadcast, so 10x corpus ≈ 10x map work and
+  the flagged-doc count scales with the replicas.
 
 Usage: python scripts/scale_probe.py [sf_dir] [scales...]
 """
@@ -25,12 +29,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
-from realtime_cdc_pipeline_docker_spark.catalog import load_table
+from realtime_cdc_pipeline_docker_spark.catalog import load_table, release_persisted
 from realtime_cdc_pipeline_docker_spark.operators.dedup import (
     connected_components,
+    decontaminate,
     dedup_keepers,
     minhash_lsh_pairs,
 )
+from realtime_cdc_pipeline_docker_spark.operators.sampling import shuffle_corpus
 from realtime_cdc_pipeline_docker_spark.session import get_session
 
 
@@ -52,6 +58,7 @@ def main() -> int:
     for scale in scales:
         corpus = replicate(docs, scale).persist()
         n_docs = corpus.count()  # materialize before the clock starts
+
         t0 = time.time()
         pairs = minhash_lsh_pairs(corpus, jaccard_threshold=0.5).persist()
         n_pairs = pairs.count()
@@ -61,6 +68,7 @@ def main() -> int:
         print(
             json.dumps(
                 {
+                    "probe": "keeper",
                     "scale": scale,
                     "n_docs": n_docs,
                     "n_pairs": n_pairs,
@@ -72,8 +80,42 @@ def main() -> int:
             flush=True,
         )
         pairs.unpersist()
-        corpus.unpersist()
         del comp
+
+        t0 = time.time()
+        sharded = shuffle_corpus(corpus, num_shards=64).groupBy("shard").count()
+        szs = [r["count"] for r in sharded.collect()]
+        print(
+            json.dumps(
+                {
+                    "probe": "shuffle",
+                    "scale": scale,
+                    "n_docs": n_docs,
+                    "shards": len(szs),
+                    "max_over_mean": round(max(szs) / (sum(szs) / len(szs)), 3),
+                    "sec": round(time.time() - t0, 2),
+                }
+            ),
+            flush=True,
+        )
+
+        t0 = time.time()
+        bench = docs.filter(F.col("doc_id") % 101 == 0).select("text")
+        flagged = decontaminate(corpus, bench).count()
+        release_persisted()
+        print(
+            json.dumps(
+                {
+                    "probe": "decon",
+                    "scale": scale,
+                    "n_docs": n_docs,
+                    "n_flagged": flagged,
+                    "sec": round(time.time() - t0, 2),
+                }
+            ),
+            flush=True,
+        )
+        corpus.unpersist()
     return 0
 
 

@@ -127,9 +127,10 @@ def test_ivf_finds_planted_duplicate_always(spark, sf_dir):
 
 
 def test_ivf_recall_reasonable_on_fixture(spark, sf_dir):
-    """With 16 data-adapted cells and nprobe=2 over 500 vectors, IVF
-    should recover a solid fraction of the exact top-5 (random-hyperplane
-    buckets can't on this data — that's WHY the IVF variant exists)."""
+    """At the default nprobe (6 of 16 data-adapted cells), IVF should
+    recover most of the exact top-5 even on near-orthogonal random
+    vectors — the hardest case (random-hyperplane buckets can't on this
+    data — that's WHY the IVF variant exists)."""
     from realtime_cdc_pipeline_docker_spark.operators.similarity import ivf_ann_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -145,4 +146,4 @@ def test_ivf_recall_reasonable_on_fixture(spark, sf_dir):
         for r in ivf_ann_topk(emb, queries, k=5).collect()
     }
     recall = len(exact & approx) / len(exact)
-    assert recall >= 0.5, recall
+    assert recall >= 0.6, recall
