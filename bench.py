@@ -64,6 +64,7 @@ HEADLINE = [
     "j6b_sequence_packing",
     "j6d_corpus_shuffle",
     "j7_corpus_pipeline_e2e",
+    "j7b_shard_manifest",
     "j8_decontaminate",
     "j9_vocab_topk",
     "j9b_top_terms",

@@ -152,6 +152,36 @@ def j6c_corpus_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _curated_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared curated-corpus subplan: exact dedup (min-id per
+    normalized-text digest) → curation gates (length, composite
+    quality, repetition) → stratified source sampling — the chain both
+    j7 (packing yield) and j7b (shard manifest) report on.  Returns
+    (source, doc_id, n_tok) survivors."""
+    from ..operators.dedup import dedup_exact
+    from ..operators.sampling import portable_row_hash
+    from ..operators.text import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.join(dedup_exact(docs).select("doc_id"), "doc_id", "left_semi")
+    rep = repetition_signals(base)
+    qual = base.select("doc_id", quality_score().alias("quality"))
+    rate = 20 + (F.regexp_extract("source", r"([0-9]+)", 1).cast("long") % 3) * 20
+    return (
+        base.select("doc_id", "source")
+        .join(rep, "doc_id")
+        .join(qual, "doc_id")
+        .filter(
+            (F.col("n_tokens") >= 20)
+            & (F.col("quality") >= 0.55)
+            & (F.col("top_word_frac") <= 0.12)
+            & (F.col("dup_word_frac") <= 0.75)
+            & (portable_row_hash("doc_id") < rate)
+        )
+        .select("source", "doc_id", F.col("n_tokens").alias("n_tok"))
+    )
+
+
 @register(
     "j7_corpus_pipeline_e2e",
     oracle=r"""
@@ -202,28 +232,7 @@ def j7_corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokenize), both map-side combined; the sample filter is free; the
     packing window shuffles only (source, doc_id, n_tok) triplets of
     survivors."""
-    from ..operators.dedup import dedup_exact
-    from ..operators.sampling import portable_row_hash
-    from ..operators.text import quality_score
-
-    docs = load_table(spark, sf_dir, "documents")
-    base = docs.join(dedup_exact(docs).select("doc_id"), "doc_id", "left_semi")
-    rep = repetition_signals(base)
-    qual = base.select("doc_id", quality_score().alias("quality"))
-    rate = 20 + (F.regexp_extract("source", r"([0-9]+)", 1).cast("long") % 3) * 20
-    kept = (
-        base.select("doc_id", "source")
-        .join(rep, "doc_id")
-        .join(qual, "doc_id")
-        .filter(
-            (F.col("n_tokens") >= 20)
-            & (F.col("quality") >= 0.55)
-            & (F.col("top_word_frac") <= 0.12)
-            & (F.col("dup_word_frac") <= 0.75)
-            & (portable_row_hash("doc_id") < rate)
-        )
-        .select("source", "doc_id", F.col("n_tokens").alias("n_tok"))
-    )
+    kept = _curated_kept(spark, sf_dir)
     binned = kept.withColumn(
         "seq_id", F.expr("(sum(n_tok) over (partition by source order by doc_id) - n_tok) div 512")
     )
@@ -290,3 +299,60 @@ def j6e_quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     q = docs.select("doc_id", "source", quality_score().alias("quality"))
     return quantile_filter(q, "quality", keep_top=0.75)
+
+
+@register(
+    "j7b_shard_manifest",
+    oracle=r"""
+    WITH dedup AS (
+      SELECT MIN(doc_id) AS doc_id
+      FROM documents
+      GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+    ), base AS (
+      SELECT d.* FROM documents d JOIN dedup USING (doc_id)
+    ), tok AS (
+      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+      FROM base
+    ), wc AS (SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+       ws AS (SELECT doc_id, MAX(c) AS mx, CAST(SUM(c) AS BIGINT) AS n,
+                     COUNT(*) AS nd FROM wc GROUP BY 1),
+       kept AS (
+      SELECT b.source, b.doc_id, ws.n AS n_tok
+      FROM base b JOIN ws ON b.doc_id = ws.doc_id
+      WHERE ws.n >= 20
+        AND least(len(string_split_regex(trim(b.text), '\s+')) / 100.0, 1.0) * 0.5
+            + length(regexp_replace(b.text, '[^A-Za-z]', '', 'g'))
+              / length(b.text) * 0.5 >= 0.55
+        AND ws.mx / ws.n <= 0.12
+        AND (ws.n - ws.nd) / ws.n <= 0.75
+        AND CAST('0x' || substr(md5(CAST(b.doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100
+            < 20 + (CAST(regexp_extract(b.source, '([0-9]+)', 1) AS BIGINT) % 3) * 20
+    )
+    SELECT CAST(CAST('0x' || substr(md5('shuf:' || CAST(doc_id AS VARCHAR)), 1, 15)
+                AS BIGINT) % 32 AS BIGINT) AS shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           COUNT(DISTINCT source) AS n_sources
+    FROM kept GROUP BY 1
+    """,
+)
+def j7b_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pipeline's last mile: the curated corpus (same dedup → gates
+    → sample chain as j7) routed through the deterministic global
+    shuffle into 32 loader shards, reported as the shard manifest a
+    training job consumes (docs, tokens, source mix per shard).  The
+    interesting property is what the manifest shows: md5 sharding mixes
+    every source into every shard at near-uniform token counts — the
+    anti-curriculum guarantee — while remaining fully rerun-stable."""
+    from ..operators.sampling import shuffle_corpus
+
+    kept = _curated_kept(spark, sf_dir)
+    return (
+        shuffle_corpus(kept, num_shards=32)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.count_distinct("source").alias("n_sources"),
+        )
+    )

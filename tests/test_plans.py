@@ -107,3 +107,20 @@ def test_topn_window_uses_limit_pushdown(spark, sf_dir):
     before the shuffle) rather than ranking every row."""
     plan = _formatted(spark, "e2a_window_topn", sf_dir)
     assert "WindowGroupLimit" in plan
+
+
+def test_salted_agg_plans_two_exchanges_only(spark, sf_dir):
+    """c18's two-phase salted aggregation: exactly the (key, salt) and
+    (key) exchanges — salting must not introduce extra shuffles, and
+    both phases keep partial (map-side) aggregation."""
+    plan = _formatted(spark, "c18_salted_skew_agg", sf_dir)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2
+    assert "EvalPython" not in plan
+
+
+def test_posexplode_plans_no_shuffle(spark, sf_dir):
+    """b11 is a pure per-row expansion: scan → generate, no exchange
+    (the 1→N lateral view must never repartition)."""
+    plan = _formatted(spark, "b11_posexplode_embedding", sf_dir)
+    assert "Exchange" not in plan
+    assert "Generate" in plan
