@@ -50,6 +50,7 @@ HEADLINE = [
     "e2f_moving_window_frame",
     "h4_events_hourly",
     "h_stream_cdc_orders",
+    "h8_stream_corpus_ingest",
     "j1_dedup_exact",
     "j2_minhash_neardup",
     "j2e_neardup_keepers",

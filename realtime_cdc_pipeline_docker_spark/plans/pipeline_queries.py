@@ -356,3 +356,47 @@ def j7b_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("source").alias("n_sources"),
         )
     )
+
+
+@register(
+    "h8_stream_corpus_ingest",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+      FROM documents
+    ), wc AS (SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+       ws AS (SELECT doc_id, MAX(c) AS mx, CAST(SUM(c) AS BIGINT) AS n
+              FROM wc GROUP BY 1),
+       kept AS (
+      SELECT d.doc_id, d.source, d.lang,
+             md5(regexp_replace(lower(trim(d.text)), '\s+', ' ', 'g')) AS digest
+      FROM documents d JOIN ws ON d.doc_id = ws.doc_id
+      WHERE ws.n >= 20
+        AND least(len(string_split_regex(trim(d.text), '\s+')) / 100.0, 1.0) * 0.5
+            + length(regexp_replace(d.text, '[^A-Za-z]', '', 'g'))
+              / length(d.text) * 0.5 >= 0.55
+        AND ws.mx / ws.n <= 0.12
+    ), keepers AS (
+      SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY digest
+    )
+    SELECT k.doc_id, k.source, k.lang, k.digest
+    FROM kept k JOIN keepers USING (doc_id)
+    """,
+)
+def h8_stream_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming corpus ingestion (§2.H × §2.J): the documents fixture
+    replayed as a parquet file stream through the stateless curation
+    gates (HOF repetition recompute — no shuffle in the micro-batch
+    plan) into the digest-deduped curated log; stream == batch golden
+    == this SQL oracle.  Redelivery/restart idempotence tested in
+    tests/test_streaming_ingest.py."""
+    from ..streaming.ingest import run_corpus_ingest_stream
+    from .cdc_queries import _work_dir
+
+    work = _work_dir("corpus_ingest", sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    docs.repartition(8).write.mode("overwrite").parquet(f"{work}/src")
+    log = run_corpus_ingest_stream(
+        spark, f"{work}/src", f"{work}/log", f"{work}/ckpt"
+    )
+    return log.select("doc_id", "source", "lang", "digest")

@@ -44,6 +44,10 @@ def register(name: str, oracle: str | None = None):
 # family) plus d15_tpch_q18_shape (red in r02 — oracle emitted HUGEINT —
 # now fixed and needing a green row), then a representative core slice.
 # Queries after position 50 were all driver-green in rounds 1 AND 2.
+# ROTATION PLAN: once this round's CORRECTNESS report lands, swap this
+# list for the queries still lacking a green row (the current tail plus
+# any additions: c18/e2g/b11/g5/j7b/h8 as of round 3) so every
+# registered query accumulates a driver row across rounds.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # never driver-verified: LLM-pipeline extensions (§2.J)
     "j1_dedup_exact", "j2_minhash_neardup", "j2b_ngram_jaccard",

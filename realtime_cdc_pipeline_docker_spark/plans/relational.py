@@ -1959,3 +1959,38 @@ def e2g_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_acctbal",
         F.ntile(4).over(w).cast("long").alias("quartile"),
     )
+
+
+@register(
+    "g5_null_semantics",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           NULLIF(l_returnflag, 'N') AS returned_flag,
+           COALESCE(NULLIF(l_returnflag, 'N'), 'kept') AS disposition,
+           (NULLIF(l_returnflag, 'N') IS NOT DISTINCT FROM
+            NULLIF(l_linestatus, 'O')) AS flags_same,
+           CASE WHEN NULLIF(l_returnflag, 'N') IS NULL
+                THEN CAST(NULL AS BIGINT)
+                ELSE CAST(l_quantity AS BIGINT) END AS returned_qty
+    FROM lineitem
+    """,
+)
+def g5_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-handling scalar surface (§2.G): NULLIF / COALESCE /
+    null-safe equality (`eqNullSafe` = SQL IS NOT DISTINCT FROM) and a
+    NULL-typed CASE branch.  Three-valued logic is where engines
+    diverge quietly — the oracle pins Spark's semantics cell by cell
+    (the reference inherits the same rules from ClickHouse's Nullable
+    columns, init-clickhouse.sql:26,38)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    returned = F.nullif("l_returnflag", F.lit("N"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        returned.alias("returned_flag"),
+        F.coalesce(returned, F.lit("kept")).alias("disposition"),
+        returned.eqNullSafe(F.nullif("l_linestatus", F.lit("O"))).alias("flags_same"),
+        F.when(returned.isNull(), F.lit(None).cast("long"))
+        .otherwise(F.col("l_quantity").cast("long"))
+        .alias("returned_qty"),
+    )

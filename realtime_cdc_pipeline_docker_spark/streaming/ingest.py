@@ -1,0 +1,131 @@
+"""Streaming corpus ingestion: the §2.J curation surface under
+Structured Streaming.
+
+The batch pipeline (j6c/j7) assumes the corpus is at rest; a production
+training-data system ingests continuously — crawl drops, license
+deliveries, synthetic generations land as files and must flow through
+the same gates before a tokenizer ever sees them.  This module runs the
+stateless curation gates inside a file stream and makes the sink
+idempotent under redelivery and restart, mirroring the CDC pipeline's
+H1/H2/H3/H5 guarantees (streaming/pipeline.py) for documents instead of
+change events.
+
+Design notes, 100 TB shape:
+
+- **Gates are stateless per row.**  ``quality_score`` and
+  ``token_count`` are pure column expressions.  The repetition gate
+  (max token frequency) is recomputed with higher-order array functions
+  (``aggregate`` over ``array_distinct``) instead of the batch path's
+  explode→groupBy — O(distinct·len) per document, zero state, no
+  shuffle, so the micro-batch plan is a pure map and scales with input
+  rate, not corpus size.
+- **Dedup state is the sink itself.**  Cross-batch exact dedup
+  anti-joins each batch's digest against the digests already in the
+  log (within-batch dups collapse first).  The log read is
+  column-pruned to the 16-byte digest; at scale the log is
+  digest-bucketed so the anti-join is a bucket-local probe (or a Bloom
+  filter snapshot — same contract).  This is exactly the CDC sink's
+  idempotence point, so replayed/redelivered files cannot double-ingest.
+- **No watermark needed**: documents carry no event time; dedup is
+  identity-keyed (content digest), not time-windowed, and the sink
+  probe bounds state to the persisted log rather than executor memory.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions import token_count, ws_tokens
+
+DOCUMENT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+        T.StructField("source", T.StringType(), True),
+        T.StructField("n_chars", T.LongType(), True),
+    ]
+)
+
+
+def rowwise_top_word_frac(text_col="text") -> F.Column:
+    """Max-token-frequency / n_tokens as a pure column expression
+    (stream-safe twin of ``operators.text.repetition_signals``'s
+    ``top_word_frac``, which needs explode→groupBy).  Cost is
+    O(distinct·len) per row — fine for documents, since both factors
+    are bounded by document length, not corpus size."""
+    toks = ws_tokens(F.lower(F.trim(F.col(text_col) if isinstance(text_col, str) else text_col)))
+    top = F.aggregate(
+        F.array_distinct(toks),
+        F.lit(0),
+        lambda acc, t: F.greatest(acc, F.size(F.filter(toks, lambda x: x == t))),
+    )
+    return top.cast("double") / F.size(toks)
+
+
+def curation_gate(
+    df: DataFrame,
+    min_tokens: int = 20,
+    min_quality: float = 0.55,
+    max_top_word_frac: float = 0.12,
+) -> DataFrame:
+    """The j6c gate set, stateless: length + composite quality +
+    repetition.  Works identically on batch and streaming frames."""
+    from ..operators.text import quality_score
+
+    return df.filter(
+        (token_count("text") >= min_tokens)
+        & (quality_score() >= min_quality)
+        & (rowwise_top_word_frac() <= max_top_word_frac)
+    )
+
+
+def run_corpus_ingest_stream(
+    spark: SparkSession,
+    src_dir: str,
+    log_dir: str,
+    checkpoint_dir: str,
+    min_tokens: int = 20,
+    min_quality: float = 0.55,
+    max_top_word_frac: float = 0.12,
+) -> DataFrame:
+    """Ingest a parquet file stream of raw documents through the
+    curation gates into an exact-deduped curated log; returns the log
+    read back as a batch frame.  ``availableNow`` drains what exists
+    (tests / backfills); drop the trigger for continuous runs."""
+    stream = spark.readStream.schema(DOCUMENT_SCHEMA).parquet(src_dir)
+    gated = curation_gate(stream, min_tokens, min_quality, max_top_word_frac).withColumn(
+        "digest", F.md5(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "))
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # Within-batch: one row per digest (deterministic min doc_id).
+        # Cross-batch/redelivery: anti-join against digests already
+        # ingested — the sink is the dedup state (idempotence point).
+        batch = (
+            batch_df.withColumn(
+                "__rn",
+                F.row_number().over(Window.partitionBy("digest").orderBy("doc_id")),
+            )
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        if os.path.isdir(log_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(log_dir)
+        ):
+            seen = batch.sparkSession.read.parquet(log_dir).select("digest")
+            batch = batch.join(seen, "digest", "left_anti")
+        batch.write.mode("append").parquet(log_dir)
+
+    query = (
+        gated.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.read.parquet(log_dir)
