@@ -116,32 +116,40 @@ def j3b_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "j2_minhash_neardup",
     oracle=r"""
-    WITH sh AS (
-      SELECT doc_id,
-             list_distinct(list_transform(range(1, greatest(length(t)-4,1)+1),
-                                          i -> substr(t, CAST(i AS INT), 5))) AS s
-      FROM (SELECT doc_id, lower(trim(regexp_replace(text,'\s+',' ','g'))) AS t
-            FROM documents)
+    WITH base AS (
+      SELECT doc_id, lower(trim(regexp_replace(text,'\s+',' ','g'))) AS t
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 5) AS s
+      FROM (SELECT doc_id, t,
+                   unnest(range(1, greatest(length(t)-4,1)+1)) AS i
+            FROM base)
+    ), sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+       co AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
     )
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           ROUND(CAST(len(list_intersect(a.s,b.s)) AS DOUBLE)
-                 / (len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))), 4) AS jaccard
-    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-    WHERE CAST(len(list_intersect(a.s,b.s)) AS DOUBLE)
-          / (len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))) >= 0.5
+    SELECT id_a, id_b,
+           ROUND(CAST(inter AS DOUBLE) / (na.n + nb.n - inter), 4) AS jaccard
+    FROM co JOIN sz na ON na.doc_id = id_a JOIN sz nb ON nb.doc_id = id_b
+    WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= 0.5
     """,
 )
 def j2_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-duplicate pairs (J2): shingle → 32-hash MinHash
     signature → 8×4 band buckets → candidate join → exact Jaccard ≥ 0.5.
 
-    Carries an EXACT all-pairs oracle even though LSH is approximate in
-    general: the fixture's true ≥0.5 pairs all sit at Jaccard ≥ 0.92,
-    where the 8-band miss probability is ~2e-5 per pair — and the run is
+    Carries an EXACT oracle even though LSH is approximate in general:
+    the fixture's true ≥0.5 pairs all sit at Jaccard ≥ 0.92, where the
+    8-band miss probability is ~2e-5 per pair — and the run is
     deterministic (fixed data, SHA-derived hash family); operator ==
-    brute force == oracle verified on the fixture.  Output rounds
-    jaccard to 4 decimals; hashed-shingle set sizes were verified
-    collision-free against string-set sizes."""
+    brute force == oracle verified on the fixture.  The oracle computes
+    exact Jaccard via a shingle inverted-index self-join (any pair with
+    Jaccard > 0 shares a shingle — identical relation to all-pairs,
+    ~100× cheaper in DuckDB).  Output rounds jaccard to 4 decimals;
+    hashed-shingle set sizes were verified collision-free against
+    string-set sizes."""
     docs = load_table(spark, sf_dir, "documents")
     return minhash_lsh_pairs(docs).select(
         "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
@@ -155,18 +163,21 @@ def j2_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, string_split(lower(trim(regexp_replace(text,'\s+',' ','g'))), ' ') AS w
       FROM documents
     ), gr AS (
-      SELECT doc_id,
-             list_distinct(list_transform(range(1, len(w)-1),
-                           i -> w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT)+1]
-                                || ' ' || w[CAST(i AS INT)+2])) AS g
-      FROM toks WHERE len(w) >= 3
+      SELECT DISTINCT doc_id,
+             w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT)+1]
+               || ' ' || w[CAST(i AS INT)+2] AS g
+      FROM (SELECT doc_id, w, unnest(range(1, len(w)-1)) AS i
+            FROM toks WHERE len(w) >= 3)
+    ), sz AS (SELECT doc_id, COUNT(*) AS n FROM gr GROUP BY 1),
+       co AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      FROM gr a JOIN gr b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
     )
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           ROUND(CAST(len(list_intersect(a.g,b.g)) AS DOUBLE)
-                 / (len(a.g)+len(b.g)-len(list_intersect(a.g,b.g))), 4) AS jaccard
-    FROM gr a JOIN gr b ON a.doc_id < b.doc_id
-    WHERE CAST(len(list_intersect(a.g,b.g)) AS DOUBLE)
-          / (len(a.g)+len(b.g)-len(list_intersect(a.g,b.g))) >= 0.5
+    SELECT id_a, id_b,
+           ROUND(CAST(inter AS DOUBLE) / (na.n + nb.n - inter), 4) AS jaccard
+    FROM co JOIN sz na ON na.doc_id = id_a JOIN sz nb ON nb.doc_id = id_b
+    WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= 0.5
     """,
 )
 def j2b_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -174,8 +185,9 @@ def j2b_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     explodes n-grams, joins on gram hash, never materializes O(n²).
 
     EXACT by construction (any pair with Jaccard > 0 shares a gram and
-    is a candidate), so the all-pairs oracle holds on any data — the
-    inverted index changes the plan shape, never the answer."""
+    is a candidate), so the oracle — itself an independent inverted-
+    index formulation in SQL — holds on any data; the index changes
+    the plan shape, never the answer."""
     docs = load_table(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(docs).select(
         "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
@@ -247,17 +259,23 @@ def j3c_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "j2e_neardup_keepers",
     oracle=r"""
-    WITH RECURSIVE sh AS (
-      SELECT doc_id,
-             list_distinct(list_transform(range(1, greatest(length(t)-4,1)+1),
-                                          i -> substr(t, CAST(i AS INT), 5))) AS s
-      FROM (SELECT doc_id, lower(trim(regexp_replace(text,'\s+',' ','g'))) AS t
-            FROM documents)
+    WITH RECURSIVE base AS (
+      SELECT doc_id, lower(trim(regexp_replace(text,'\s+',' ','g'))) AS t
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 5) AS s
+      FROM (SELECT doc_id, t,
+                   unnest(range(1, greatest(length(t)-4,1)+1)) AS i
+            FROM base)
+    ), sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+       co AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
     ), pairs AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-      WHERE CAST(len(list_intersect(a.s,b.s)) AS DOUBLE)
-            / (len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))) >= 0.5
+      SELECT id_a, id_b
+      FROM co JOIN sz na ON na.doc_id = id_a JOIN sz nb ON nb.doc_id = id_b
+      WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= 0.5
     ), edges AS (
       SELECT id_a AS a, id_b AS b FROM pairs
       UNION SELECT id_b, id_a FROM pairs
@@ -276,11 +294,11 @@ def j3c_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def j2e_neardup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full dedup decision (J2): MinHash-LSH pairs → connected
     components (min-label propagation) → one keeper per component,
-    keep/drop flag for every document.  Oracle: all-pairs Jaccard (same
-    exactness argument as j2) + recursive-CTE transitive closure with
-    min-reachable-id as the component label — the SQL mirror of
-    min-label propagation.  Component semantics also tested in
-    tests/test_dedup.py."""
+    keep/drop flag for every document.  Oracle: exact Jaccard pairs via
+    the shingle inverted-index (same exactness argument as j2) +
+    recursive-CTE transitive closure with min-reachable-id as the
+    component label — the SQL mirror of min-label propagation.
+    Component semantics also tested in tests/test_dedup.py."""
     from ..operators.dedup import dedup_keepers
 
     docs = load_table(spark, sf_dir, "documents")
