@@ -244,3 +244,51 @@ def e4_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_converted"),
         )
     )
+
+
+@register(
+    "e2h_session_window",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts,
+             SUM(new_sess) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS sid
+      FROM marked
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def e2h_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows (§2.E2/H4): Spark's built-in
+    ``session_window`` aggregation — the JVM-side twin of both the e2d
+    gaps-and-islands query and the applyInPandasWithState sessionizer
+    (streaming/windows.py), here as a single SessionWindow aggregate
+    with no window-function pass.  Oracle recomputes the islands
+    independently (a session closes when the next event is ≥ 30 min
+    away; end = last event + gap, Spark's definition).  The same
+    expression works under readStream with a watermark — this is the
+    operator the custom sessionizer upgrades FROM when per-session
+    custom state isn't needed."""
+    events = load_table(spark, sf_dir, "events")
+    w = F.session_window("ts", "30 minutes").alias("w")
+    return (
+        events.groupBy("user_id", w)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
