@@ -177,3 +177,49 @@ def test_dedup_within_watermark_drops_stream_duplicates(spark, sf_dir, tmp_path)
     q.awaitTermination()
     out = spark.table("deduped")
     assert out.count() == events.select("user_id", "event_id").distinct().count()
+
+
+def test_stream_session_window_equals_batch(spark, sf_dir, tmp_path):
+    """The e2h claim held under readStream: the native session_window
+    aggregate with a watermark, drained via availableNow, must produce
+    exactly the batch sessions (no session straddles the drain because
+    the watermark only finalizes — it cannot split — windows)."""
+    src = str(tmp_path / "events")
+    _write_events(spark, sf_dir, src)
+
+    def sessions(df):
+        # Streaming watermarks require TIMESTAMP (LTZ): NTZ event time
+        # must be anchored to a zone at the stream boundary (session tz
+        # is pinned to UTC in get_session, so the cast is the identity
+        # convention).  Batch side gets the same cast so both compare.
+        withtz = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return (
+            withtz.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                "user_id",
+                F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end"),
+                "n_events",
+            )
+        )
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .parquet(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "2 hours")
+    )
+    q = (
+        sessions(stream)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("stream_sessions")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = sorted(map(tuple, spark.table("stream_sessions").collect()))
+    batch = sorted(map(tuple, sessions(spark.read.schema(EVENTS_SCHEMA).parquet(src)).collect()))
+    assert streamed == batch and len(streamed) > 0
