@@ -48,6 +48,7 @@ HEADLINE = [
     "e2c_window_running_sum",
     "e2d_sessionization",
     "e2f_moving_window_frame",
+    "e2h_session_window",
     "h4_events_hourly",
     "h_stream_cdc_orders",
     "h8_stream_corpus_ingest",
