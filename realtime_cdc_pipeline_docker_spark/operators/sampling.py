@@ -167,3 +167,45 @@ def quantile_filter(
         df.withColumn("pct_rank", F.percent_rank().over(w))
         .filter(F.col("pct_rank") >= F.lit(1.0 - keep_top))
     )
+
+
+def token_budget_mixture(
+    df: DataFrame,
+    budget_tokens: Column | str,
+    stratum_col: str = "source",
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "mix",
+) -> DataFrame:
+    """Token-budgeted mixture: take documents from each stratum in
+    deterministic md5 order until that stratum's token budget fills —
+    how an epoch mixture with domain weights is actually constructed
+    (a *rate*-based sample can't hit a token target when document
+    lengths differ by orders of magnitude across sources).
+
+    ``budget_tokens`` is a column expression (so weights can derive
+    from the stratum, a config join, or a total-budget split).  The
+    document that straddles the budget boundary is included — same
+    greedy overflow rule as ``pack_sequences``, so a budget is always
+    reached exactly or exceeded by < one document, never starved.
+
+    Scale shape: ONE window per stratum over (md5, key) — identical
+    shuffle to ``shuffle_corpus``; the hash order makes the selection
+    a uniform random-without-replacement draw that is rerun- and
+    layout-stable, and changing ``salt`` redraws independently (fresh
+    epoch).  Shard exactly as ``pack_sequences`` does if a stratum
+    exceeds one executor.
+
+    Returns survivors with ``n_tok`` and the exclusive running total
+    ``cum_tok`` attached (cum_tok < budget is the acceptance rule).
+    """
+    budget = F.col(budget_tokens) if isinstance(budget_tokens, str) else budget_tokens
+    hexkey = F.md5(F.concat(F.lit(f"{salt}:"), F.col(key_col).cast("string")))
+    w = Window.partitionBy(stratum_col).orderBy("__hex", key_col)
+    return (
+        df.withColumn("__hex", hexkey)
+        .withColumn("n_tok", token_count(text_col).cast("long"))
+        .withColumn("cum_tok", F.sum("n_tok").over(w) - F.col("n_tok"))
+        .filter(F.col("cum_tok") < budget)
+        .drop("__hex")
+    )

@@ -400,3 +400,39 @@ def h8_stream_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, f"{work}/src", f"{work}/log", f"{work}/ckpt"
     )
     return log.select("doc_id", "source", "lang", "digest")
+
+
+@register(
+    "j6f_token_budget_mixture",
+    oracle=r"""
+    WITH d AS (
+      SELECT doc_id, source,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok,
+             md5('mix:' || CAST(doc_id AS VARCHAR)) AS hex
+      FROM documents
+    ), ordered AS (
+      SELECT doc_id, source, n_tok,
+             CAST(SUM(n_tok) OVER (PARTITION BY source ORDER BY hex, doc_id)
+                  - n_tok AS BIGINT) AS cum_tok
+      FROM d
+    )
+    SELECT doc_id, source, n_tok, cum_tok
+    FROM ordered
+    WHERE cum_tok < 2000 + (CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT) % 3) * 3000
+    """,
+)
+def j6f_token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budgeted epoch mixture (J6): each source contributes
+    documents in deterministic md5 order until its token budget fills
+    (2k/5k/8k tokens here, derived from the source id — in production
+    the domain-weight table).  See
+    operators/sampling.py:token_budget_mixture."""
+    from ..operators.sampling import token_budget_mixture
+
+    docs = load_table(spark, sf_dir, "documents")
+    budget = 2000 + (
+        F.regexp_extract("source", r"([0-9]+)", 1).cast("long") % 3
+    ) * 3000
+    return token_budget_mixture(docs, budget).select(
+        "doc_id", "source", "n_tok", "cum_tok"
+    )

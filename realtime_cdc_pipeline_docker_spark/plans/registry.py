@@ -46,7 +46,7 @@ def register(name: str, oracle: str | None = None):
 # Queries after position 50 were all driver-green in rounds 1 AND 2.
 # ROTATION PLAN: once this round's CORRECTNESS report lands, swap this
 # list for the queries still lacking a green row (the current tail plus
-# any additions: c18/e2g/b11/g5/j7b/h8/e2h as of round 3) so every
+# any additions: c18/e2g/b11/g5/j7b/h8/e2h/j6f as of round 3) so every
 # registered query accumulates a driver row across rounds.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # never driver-verified: LLM-pipeline extensions (§2.J)

@@ -176,3 +176,46 @@ def test_vocab_topk_plan_uses_window_group_limit(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     plan = vocab_topk(docs, k=5)._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
+
+
+def test_token_budget_mixture_fills_each_budget(spark, sf_dir):
+    from realtime_cdc_pipeline_docker_spark.operators.sampling import token_budget_mixture
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = token_budget_mixture(docs, F.lit(1000)).persist()
+    per = {
+        r["source"]: (r["tok"], r["mx"])
+        for r in out.groupBy("source")
+        .agg(
+            F.sum("n_tok").alias("tok"),
+            F.max(F.col("cum_tok") + F.col("n_tok")).alias("mx"),
+        )
+        .collect()
+    }
+    total_by_source = {
+        r["source"]: r["t"]
+        for r in docs.groupBy("source")
+        .agg(F.sum(F.size(F.split(F.trim("text"), r"\s+"))).alias("t"))
+        .collect()
+    }
+    for src, (tok, _mx) in per.items():
+        if total_by_source[src] >= 1000:
+            # budget reached, overflow bounded by one straddling doc:
+            # every selected doc's exclusive prefix is < budget
+            assert tok >= 1000
+            assert out.filter(
+                (F.col("source") == src) & (F.col("cum_tok") >= 1000)
+            ).count() == 0
+        else:
+            assert tok == total_by_source[src]  # small stratum: take all
+    # rerun under a different layout → identical selection
+    again = token_budget_mixture(docs.repartition(7), F.lit(1000))
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
+    # a different salt draws a different subset (budgets unchanged)
+    other = token_budget_mixture(docs, F.lit(1000), salt="epoch2")
+    a = {r["doc_id"] for r in out.collect()}
+    b = {r["doc_id"] for r in other.collect()}
+    assert a != b
+    out.unpersist()
