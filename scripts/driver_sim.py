@@ -35,6 +35,7 @@ def main() -> int:
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
+    timings: dict[str, float] = {}
     for name, fn in sorted(queries.items()):
         t0 = time.time()
         try:
@@ -45,10 +46,16 @@ def main() -> int:
             else:
                 rows = df.count()
                 status = f"rows_only({rows})"
-            print(json.dumps({"query": name, "status": status, "sec": round(time.time() - t0, 2)}))
+            timings[name] = round(time.time() - t0, 2)
+            print(json.dumps({"query": name, "status": status, "sec": timings[name]}))
         except Exception as exc:  # noqa: BLE001
             failures.append(name)
             print(json.dumps({"query": name, "status": "FAIL", "error": str(exc)[:400]}))
+    # Gate-time risk surface: the driver's verify pass has finite time;
+    # anything slow here (Spark side + oracle side combined) is the
+    # first candidate for an oracle rewrite or plan fix next round.
+    slowest = sorted(timings.items(), key=lambda kv: -kv[1])[:5]
+    print(json.dumps({"slowest": slowest, "total_sec": round(sum(timings.values()), 1)}))
     print(json.dumps({"total": len(queries), "oracle": len(oracles), "failures": failures}))
     return 1 if failures else 0
 
