@@ -248,44 +248,66 @@ def j5_multimodal_plumbing(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "j5b_multimodal_features",
     oracle="""
-    SELECT doc_id,
-           'text/plain' AS mime,
-           CAST(length(text) AS BIGINT) AS n_bytes,
-           CAST((length(text) % 640) + 1 AS INT) AS width,
-           CAST((length(text) % 480) + 1 AS INT) AS height,
-           [CAST(CAST(length(text) AS DOUBLE) AS FLOAT),
-            CAST(CAST(list_sum(list_transform(range(1, least(length(text),256)+1),
-                      i -> ord(substr(text, CAST(i AS INT), 1)))) AS DOUBLE)
-                 / least(length(text),256) AS FLOAT),
-            CAST(CAST(ord(substr(text,1,1)) AS DOUBLE) AS FLOAT),
-            CAST(CAST(ord(substr(text,least(length(text),256),1)) AS DOUBLE) AS FLOAT)
-           ] AS feature
-    FROM documents
+    WITH f AS (
+      SELECT doc_id,
+             'text/plain' AS mime,
+             CAST(length(text) AS BIGINT) AS n_bytes,
+             CAST((length(text) % 640) + 1 AS INT) AS width,
+             CAST((length(text) % 480) + 1 AS INT) AS height,
+             [CAST(CAST(length(text) AS DOUBLE) AS FLOAT),
+              CAST(CAST(list_sum(list_transform(range(1, least(length(text),256)+1),
+                        i -> ord(substr(text, CAST(i AS INT), 1)))) AS DOUBLE)
+                   / least(length(text),256) AS FLOAT),
+              CAST(CAST(ord(substr(text,1,1)) AS DOUBLE) AS FLOAT),
+              CAST(CAST(ord(substr(text,least(length(text),256),1)) AS DOUBLE) AS FLOAT)
+             ] AS feature
+      FROM documents
+    )
+    SELECT doc_id, mime, n_bytes, width, height,
+           CAST(i - 1 AS INT) AS pos,
+           CAST(feature[CAST(i AS INT)] AS DOUBLE) AS value
+    FROM f, unnest(generate_series(1, 4)) AS t(i)
     """,
 )
 def j5b_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode / feature extraction (J5): Arrow-batched
     ``mapInPandas`` with a declared output schema.  The media decoder is
     a deterministic STUB (no media libs in this container) — the batch
-    plumbing is the real deliverable; rows-only check + pytest.
+    plumbing is the real deliverable.
+
+    Boundary projection: the operator keeps ``feature`` as
+    ``array<float>`` (the shape a training pipeline consumes); the
+    *registered* query posexplodes it to ``(pos, value)`` rows because
+    the driver canonicalizes results through pandas ``sort_values``,
+    which cannot order object columns of Python lists
+    (CORRECTNESS_r03: ``unhashable type: 'list'``).  ``value`` is cast
+    float32→float64 on BOTH sides (exact) so the hash compares DOUBLEs.
 
     Oracle rationale: the fixture text is pure ASCII (verified), so byte
     stats equal code-point stats; sums of ≤256 byte values are exact
     integers in both engines, the single division is identical IEEE, and
-    casting each element to FLOAT on the SQL side reproduces the Arrow
-    float32 schema bit-for-bit — an exact SQL gate on a Python
-    mapInPandas path."""
+    casting each element through FLOAT on the SQL side reproduces the
+    Arrow float32 quantization bit-for-bit — an exact SQL gate on a
+    Python mapInPandas path."""
     docs = load_table(spark, sf_dir, "documents")
     media = multimodal.attach_binary_payload(docs)
-    return multimodal.extract_features(media)
+    feats = multimodal.extract_features(media)
+    return feats.select(
+        "doc_id",
+        "mime",
+        "n_bytes",
+        "width",
+        "height",
+        F.posexplode("feature").alias("pos", "value"),
+    ).withColumn("value", F.col("value").cast("double"))
 
 
 @register(
     "j5c_image_resize",
     oracle="""
     SELECT doc_id, 32 AS width, 32 AS height,
-           encode(substr(repeat(text, CAST(1024/length(text) AS INT)+1), 1, 1024))
-             AS payload
+           hex(encode(substr(repeat(text, CAST(1024/length(text) AS INT)+1), 1, 1024)))
+             AS payload_hex
     FROM documents
     """,
 )
@@ -294,18 +316,27 @@ def j5c_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     mapInPandas resize stub — exact output sizing tested in
     tests/test_multimodal.py.  ASCII fixture ⇒ the byte-resample stub is
     SQL-computable (repeat+truncate+encode), giving the binary-payload
-    round trip an exact oracle."""
+    round trip an exact oracle.
+
+    Boundary projection: the operator round-trips real BinaryType; the
+    registered query emits ``hex(payload)`` because the driver's pandas
+    canonicalizer cannot sort bytearray columns (CORRECTNESS_r03:
+    ``unhashable type: 'bytearray'``).  Spark and DuckDB both hex-encode
+    uppercase, so the check stays byte-exact."""
     from ..operators.multimodal import attach_binary_payload, resize_images
 
     docs = load_table(spark, sf_dir, "documents")
-    return resize_images(attach_binary_payload(docs), width=32, height=32)
+    resized = resize_images(attach_binary_payload(docs), width=32, height=32)
+    return resized.select(
+        "doc_id", "width", "height", F.hex("payload").alias("payload_hex")
+    )
 
 
 @register(
     "j5d_frame_sample",
     oracle="""
     SELECT doc_id, CAST(i AS INT) AS frame_no,
-           encode(substr(text, CAST(i*64+1 AS INT), 64)) AS frame
+           hex(encode(substr(text, CAST(i*64+1 AS INT), 64))) AS frame_hex
     FROM documents, unnest(range(0, least(8, length(text)//64))) AS t(i)
     """,
 )
@@ -313,11 +344,17 @@ def j5d_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling (J5): 1→N row expansion streaming out of the
     decoder iterator (no pre-materialized frame arrays).  ASCII fixture
     ⇒ the fixed-width byte windows are SQL-computable, oracle-gating the
-    row-expansion semantics (count, numbering, and frame bytes)."""
+    row-expansion semantics (count, numbering, and frame bytes).
+
+    Boundary projection: frames stay BinaryType inside the operator; the
+    registered query emits ``hex(frame)`` for the driver's pandas
+    canonicalizer (bytearray columns are unsortable there —
+    CORRECTNESS_r03)."""
     from ..operators.multimodal import attach_binary_payload, sample_frames
 
     docs = load_table(spark, sf_dir, "documents")
-    return sample_frames(attach_binary_payload(docs))
+    frames = sample_frames(attach_binary_payload(docs))
+    return frames.select("doc_id", "frame_no", F.hex("frame").alias("frame_hex"))
 
 
 @register("j4e_winnow_fingerprints", oracle=None)

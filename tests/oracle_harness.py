@@ -21,9 +21,14 @@ from realtime_cdc_pipeline_docker_spark.catalog import TABLES
 # it float64, which hash-mismatches Spark's int64 even when fetchall()
 # values are identical Python ints — the exact failure mode behind the
 # d15_tpch_q18_shape red row in CORRECTNESS_r02.  Oracles must CAST such
-# sums back to BIGINT.
+# sums back to BIGINT.  BLOB and LIST types ("...[]") are NOT here
+# either: the driver canonicalizes via pandas ``sort_values``, which
+# raises ``unhashable type: 'bytearray'/'list'`` on object columns of
+# bytes/lists — the exact failure behind the j5b/j5c/j5d red rows in
+# CORRECTNESS_r03.  Registered queries must hex() binary and
+# posexplode/join arrays at the query boundary.
 _PANDAS_SAFE_TYPES = frozenset(
-    {"BIGINT", "BLOB", "BOOLEAN", "DATE", "DOUBLE", "INTEGER", "TIMESTAMP", "VARCHAR"}
+    {"BIGINT", "BOOLEAN", "DATE", "DOUBLE", "FLOAT", "INTEGER", "TIMESTAMP", "VARCHAR"}
 )
 
 
@@ -35,11 +40,12 @@ def run_oracle(sql: str, sf_dir: str) -> tuple[list[str], list[tuple]]:
     unsafe = [
         (c, str(t))
         for c, t in zip(rel.columns, rel.types)
-        if str(t) not in _PANDAS_SAFE_TYPES and not str(t).endswith("[]")
+        if str(t) not in _PANDAS_SAFE_TYPES
     ]
     assert not unsafe, (
         f"oracle emits pandas-unsafe DuckDB types {unsafe}; "
-        "CAST the column (e.g. AS BIGINT) so the driver's pandas-side hash matches Spark"
+        "CAST scalars (e.g. AS BIGINT), hex() binary, and posexplode/join "
+        "arrays so the driver's pandas-side canonicalizer can sort and hash"
     )
     cur = con.execute(sql)
     cols = [d[0] for d in cur.description]
