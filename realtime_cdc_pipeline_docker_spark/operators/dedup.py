@@ -441,7 +441,11 @@ def decontaminate(
     ``shingle_hashes``), and the corpus side additionally emits sliding
     windows of exactly those short lengths — driven by the benchmark,
     so when no short eval docs exist (the common case) the corpus does
-    one n-gram pass and nothing more.
+    one n-gram pass and nothing more.  NOTE: discovering those lengths
+    is a driver-side ``collect`` of at most ``n``−1 integers from the
+    eval side, which makes *constructing* this DataFrame run one small
+    eager Spark job over the (tiny, broadcastable) benchmark — plan
+    construction is not fully lazy here, by design.
 
     100 TB shape: the benchmark side is small by nature (eval suites are
     thousands of documents, not billions), so its distinct gram-hash set

@@ -252,7 +252,7 @@ def e4_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH marked AS (
       SELECT user_id, ts, event_id,
              CASE WHEN lag(ts) OVER w IS NULL
-                       OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                       OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END AS new_sess
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -275,8 +275,10 @@ def e2h_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     gaps-and-islands query and the applyInPandasWithState sessionizer
     (streaming/windows.py), here as a single SessionWindow aggregate
     with no window-function pass.  Oracle recomputes the islands
-    independently (a session closes when the next event is ≥ 30 min
-    away; end = last event + gap, Spark's definition).  The same
+    independently (a session closes when the next event is > 30 min
+    away — Spark's session_window MERGES events exactly gap apart, so
+    the boundary is strict; end = last event + gap, Spark's
+    definition).  The same
     expression works under readStream with a watermark — this is the
     operator the custom sessionizer upgrades FROM when per-session
     custom state isn't needed."""

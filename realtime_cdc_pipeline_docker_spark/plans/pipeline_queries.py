@@ -388,8 +388,12 @@ def h8_stream_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     replayed as a parquet file stream through the stateless curation
     gates (HOF repetition recompute — no shuffle in the micro-batch
     plan) into the digest-deduped curated log; stream == batch golden
-    == this SQL oracle.  Redelivery/restart idempotence tested in
-    tests/test_streaming_ingest.py."""
+    == this SQL oracle.  The oracle's MIN(doc_id)-per-digest keeper is
+    safe under ANY micro-batch split: the sink admits only strictly
+    lower doc_ids for logged digests and the read-back collapses to
+    the global min, so keeper identity is arrival-order-free (no
+    single-batch assumption).  Redelivery/restart/out-of-order
+    idempotence tested in tests/test_streaming_ingest.py."""
     from ..streaming.ingest import run_corpus_ingest_stream
     from .cdc_queries import _work_dir
 

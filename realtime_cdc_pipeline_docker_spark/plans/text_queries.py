@@ -375,12 +375,22 @@ def j4e_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH toks AS (
       SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
       FROM documents
+    ), bench_toks AS (
+      SELECT t FROM toks WHERE doc_id % 101 = 0
+    ), sizes AS (
+      SELECT 5 AS m
+      UNION
+      SELECT len(t) AS m FROM bench_toks WHERE len(t) > 0 AND len(t) < 5
     ), grams AS (
-      SELECT doc_id, array_to_string(list_slice(t, i, i + 4), ' ') AS gram
-      FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 4)) AS i
-            FROM toks)
+      SELECT doc_id, array_to_string(list_slice(t, i, i + m - 1), ' ') AS gram
+      FROM (SELECT doc_id, t, m, unnest(generate_series(1, len(t) - m + 1)) AS i
+            FROM toks, sizes WHERE len(t) >= m)
     ), bench AS (
-      SELECT DISTINCT gram FROM grams WHERE doc_id % 101 = 0
+      SELECT DISTINCT array_to_string(list_slice(t, i, i + 4), ' ') AS gram
+      FROM (SELECT t, unnest(generate_series(1, len(t) - 4)) AS i FROM bench_toks)
+      UNION
+      SELECT DISTINCT array_to_string(t, ' ') AS gram
+      FROM bench_toks WHERE len(t) > 0 AND len(t) < 5
     )
     SELECT g.doc_id, CAST(COUNT(DISTINCT g.gram) AS BIGINT) AS n_contaminated_grams
     FROM grams g JOIN bench USING (gram)
@@ -394,7 +404,11 @@ def j8_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs themselves plus their planted near-duplicates).  Spark joins
     on 8-byte xxhash64 gram keys against the broadcast benchmark set;
     the oracle joins on gram text — identical counts absent a 64-bit
-    hash collision (none at any fixture scale)."""
+    hash collision (none at any fixture scale).  The oracle models the
+    FULL operator contract including the min(n,len)-gram short-doc
+    rule (whole-text grams for <n-token bench docs + matching corpus
+    window sizes), so parity does not depend on the fixture containing
+    no short benchmark docs."""
     from ..operators.dedup import decontaminate
 
     docs = load_table(spark, sf_dir, "documents")

@@ -19,13 +19,23 @@ Design notes, 100 TB shape:
   explode→groupBy — O(distinct·len) per document, zero state, no
   shuffle, so the micro-batch plan is a pure map and scales with input
   rate, not corpus size.
-- **Dedup state is the sink itself.**  Cross-batch exact dedup
-  anti-joins each batch's digest against the digests already in the
-  log (within-batch dups collapse first).  The log read is
-  column-pruned to the 16-byte digest; at scale the log is
-  digest-bucketed so the anti-join is a bucket-local probe (or a Bloom
-  filter snapshot — same contract).  This is exactly the CDC sink's
-  idempotence point, so replayed/redelivered files cannot double-ingest.
+- **Dedup state is the sink itself.**  Cross-batch exact dedup probes
+  each batch's digest against the digests already in the log
+  (within-batch dups collapse first).  The log read is column-pruned
+  to the 16-byte digest + doc_id, and the log is **digest-bucketed on
+  disk** (``bucket = pmod(xxhash64(digest), N)`` partition column), so
+  each micro-batch reads only the bucket directories its digests hash
+  into — a bucket-local probe, not a full-log scan.  This is exactly
+  the CDC sink's idempotence point, so replayed/redelivered files
+  cannot double-ingest.
+- **Keeper identity is arrival-order-free.**  The log admits a row for
+  an already-seen digest only when its doc_id is *strictly lower* than
+  the logged minimum, and the read-back collapses each digest to its
+  min-doc_id row.  Whatever order deliveries (or micro-batch splits —
+  ``availableNow`` may drain in several batches) arrive in, the
+  surviving keeper is the global MIN(doc_id) per digest — the same
+  keeper the batch golden and the SQL oracle compute.  Growth is
+  bounded: a digest gains a row only on a strictly decreasing id.
 - **No watermark needed**: documents carry no event time; dedup is
   identity-keyed (content digest), not time-windowed, and the sink
   probe bounds state to the persisted log rather than executor memory.
@@ -33,8 +43,7 @@ Design notes, 100 TB shape:
 
 from __future__ import annotations
 
-import os
-
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -84,6 +93,18 @@ def curation_gate(
     )
 
 
+def _read_log(spark: SparkSession, log_dir: str) -> DataFrame | None:
+    """Read the curated log if it exists, else None.  Probes via the
+    reader itself (AnalysisException on a missing/empty path) instead
+    of ``os.*`` calls, so the 'dedup state is the sink' contract holds
+    for any Hadoop-compatible URI (hdfs://, s3a://), not just the
+    local filesystem."""
+    try:
+        return spark.read.parquet(log_dir)
+    except AnalysisException:
+        return None
+
+
 def run_corpus_ingest_stream(
     spark: SparkSession,
     src_dir: str,
@@ -92,34 +113,64 @@ def run_corpus_ingest_stream(
     min_tokens: int = 20,
     min_quality: float = 0.55,
     max_top_word_frac: float = 0.12,
+    log_buckets: int = 64,
 ) -> DataFrame:
     """Ingest a parquet file stream of raw documents through the
     curation gates into an exact-deduped curated log; returns the log
-    read back as a batch frame.  ``availableNow`` drains what exists
-    (tests / backfills); drop the trigger for continuous runs."""
+    read back as a batch frame (one min-doc_id row per digest).
+    ``availableNow`` drains what exists (tests / backfills); drop the
+    trigger for continuous runs.
+
+    The log is written ``partitionBy(bucket)`` with
+    ``bucket = pmod(xxhash64(digest), log_buckets)``, and each
+    micro-batch probe filters the log read to the buckets its own
+    digests hash into — partition pruning makes the probe bucket-local
+    (verified via ``inputFiles()`` in tests/test_streaming_ingest.py).
+    The per-batch list of touched buckets is a driver-side collect of
+    at most ``log_buckets`` small integers."""
     stream = spark.readStream.schema(DOCUMENT_SCHEMA).parquet(src_dir)
     gated = curation_gate(stream, min_tokens, min_quality, max_top_word_frac).withColumn(
         "digest", F.md5(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "))
     )
+    bucket_expr = F.pmod(F.xxhash64("digest"), F.lit(log_buckets)).cast("int")
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         # Within-batch: one row per digest (deterministic min doc_id).
-        # Cross-batch/redelivery: anti-join against digests already
-        # ingested — the sink is the dedup state (idempotence point).
-        batch = (
+        # Cross-batch/redelivery: admit a row for a logged digest only
+        # when its doc_id is strictly below the logged minimum — the
+        # sink is the dedup state (idempotence point), and min-keeper
+        # identity holds whatever order batches land in.
+        collapsed = (
             batch_df.withColumn(
                 "__rn",
                 F.row_number().over(Window.partitionBy("digest").orderBy("doc_id")),
             )
             .filter(F.col("__rn") == 1)
             .drop("__rn")
+            .withColumn("bucket", bucket_expr)
+            .persist()
         )
-        if os.path.isdir(log_dir) and any(
-            f.endswith(".parquet") for f in os.listdir(log_dir)
-        ):
-            seen = batch.sparkSession.read.parquet(log_dir).select("digest")
-            batch = batch.join(seen, "digest", "left_anti")
-        batch.write.mode("append").parquet(log_dir)
+        batch = collapsed
+        try:
+            log = _read_log(batch.sparkSession, log_dir)
+            if log is not None:
+                touched = [r[0] for r in batch.select("bucket").distinct().collect()]
+                seen = (
+                    log.filter(F.col("bucket").isin(touched))
+                    .groupBy("digest")
+                    .agg(F.min("doc_id").alias("__logged_min"))
+                )
+                batch = (
+                    batch.join(seen, "digest", "left")
+                    .filter(
+                        F.col("__logged_min").isNull()
+                        | (F.col("doc_id") < F.col("__logged_min"))
+                    )
+                    .drop("__logged_min")
+                )
+            batch.write.mode("append").partitionBy("bucket").parquet(log_dir)
+        finally:
+            collapsed.unpersist()
 
     query = (
         gated.writeStream.foreachBatch(write_batch)
@@ -128,4 +179,16 @@ def run_corpus_ingest_stream(
         .start()
     )
     query.awaitTermination()
-    return spark.read.parquet(log_dir)
+    log = _read_log(spark, log_dir)
+    if log is None:
+        return spark.createDataFrame(
+            [], DOCUMENT_SCHEMA.add("digest", T.StringType())
+        )
+    return (
+        log.withColumn(
+            "__rn",
+            F.row_number().over(Window.partitionBy("digest").orderBy("doc_id")),
+        )
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "bucket")
+    )
