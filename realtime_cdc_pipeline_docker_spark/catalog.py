@@ -100,9 +100,14 @@ def track_persisted(df: DataFrame) -> DataFrame:
 def release_persisted() -> None:
     """Unpersist every tracked intermediate (call once results are
     materialized — bench.py and the test harness do this per query, so
-    cached blocks don't accumulate over a long session)."""
+    cached blocks don't accumulate over a long session).  Blocking:
+    async unpersist leaves the old run's blocks competing with the
+    next run's cache for storage memory (measured as bimodal minhash
+    timings in back-to-back bench runs — eviction mid-job forces
+    recompute); blocking removal costs milliseconds and makes
+    successive runs independent."""
     while _PERSISTED:
-        _PERSISTED.pop().unpersist()
+        _PERSISTED.pop().unpersist(blocking=True)
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

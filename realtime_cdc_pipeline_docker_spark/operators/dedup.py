@@ -521,7 +521,11 @@ def connected_components(
     component.  Scale shape: each round is one join + one min-aggregate,
     both on the node id — the standard large-graph CC pattern (a full
     GraphX/Pregel run would converge identically; this stays pure
-    DataFrame).  Each round ends in ``localCheckpoint``: persist alone
+    DataFrame).  The convergence check is FUSED into the propagation
+    aggregate (the previous label is carried through the union and
+    recovered with min(); changes are counted by scanning the
+    checkpointed result) — no per-round join against the previous
+    label table.  Each round ends in ``localCheckpoint``: persist alone
     caches *execution* but the logical plan still doubles per round (the
     union refers to the previous labels twice), so any deep iteration
     OOMs the driver on plan construction — checkpointing truncates the
@@ -566,24 +570,37 @@ def connected_components(
     )
     changed = -1
     rounds = 0
+    label_type = dict(labels.dtypes)["component"]
     for _ in range(max_iters):
         rounds += 1
         msgs = edges.join(
             labels.withColumnRenamed("id", "src"), "src"
-        ).select(F.col("dst").alias("id"), "component")
+        ).select(
+            F.col("dst").alias("id"),
+            "component",
+            F.lit(None).cast(label_type).alias("__prev"),
+        )
+        # The previous label rides through the SAME min-aggregate that
+        # produces the new labels (each id contributes exactly one
+        # non-null __prev row, so min() recovers it) — convergence is
+        # then a null-safe scan of the just-checkpointed result, NOT a
+        # second join against the old label table.  One label-table
+        # pass per round instead of two; at 100 TB the removed pass is
+        # a full shuffle join per round.
         new_labels = (
-            labels.unionByName(msgs)
+            labels.withColumn("__prev", F.col("component"))
+            .unionByName(msgs)
             .groupBy("id")
-            .agg(F.min("component").alias("component"))
+            .agg(
+                F.min("component").alias("component"),
+                F.min("__prev").alias("__prev"),
+            )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(
+            F.expr("NOT (component <=> __prev)")
+        ).count()
+        labels = new_labels.drop("__prev")
         if changed == 0:
             break
     edges.unpersist()

@@ -57,6 +57,18 @@ def get_session(
         .config("spark.sql.session.timeZone", "UTC")
         # Arrow for the pandas-UDF extension operators.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # The dedup/similarity operators aggregate collect_set
+        # fingerprints over high-cardinality keys (one group per
+        # document).  ObjectHashAggregate's default sort-based fallback
+        # threshold is 128 in-memory groups — i.e. EVERY partition of
+        # such an aggregate abandons hash aggregation and sorts the
+        # full shingle stream, measured 2-3x slower and the source of
+        # bimodal minhash timings (sort spill interaction).  128k
+        # groups per task keeps hash aggregation for any sanely-sized
+        # partition while still falling back before unbounded memory;
+        # at 100 TB, partition sizing (shuffle.partitions) governs
+        # groups-per-task, not this cap.
+        .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "131072")
         # Keep the UI off in tests/bench (less noise, faster startup).
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
         .config("spark.sql.files.maxPartitionBytes", "128m")
