@@ -37,43 +37,45 @@ def register(name: str, oracle: str | None = None):
 
 
 # The driver's per-round CORRECTNESS pass verifies the FIRST 50 entries
-# of queries() in insertion order (CORRECTNESS_r01/r02 each contain
-# exactly the first 50 registered names).  With 90+ registered queries,
-# coverage must rotate: this list front-loads every query that has never
-# received a driver row (the §2.J/K extension suite, the CDC/streaming
-# family) plus d15_tpch_q18_shape (red in r02 — oracle emitted HUGEINT —
-# now fixed and needing a green row), then a representative core slice.
-# Queries after position 50 were all driver-green in rounds 1 AND 2.
-# ROTATION PLAN: once this round's CORRECTNESS report lands, swap this
-# list for the queries still lacking a green row (the current tail plus
-# any additions: c18/e2g/b11/g5/j7b/h8/e2h/j6f as of round 3) so every
-# registered query accumulates a driver row across rounds.
+# of queries() in insertion order.  With 107 registered queries,
+# coverage rotates: round 4 front-loads (a) the 8 round-3 additions
+# that missed every driver window (registered after the round-3 list
+# froze), (b) the j5 trio that failed round 3 on driver-canonicalizer
+# binary/list columns (outputs now hex/posexploded — needs green rows),
+# (c) j8/e2h/h8, whose oracles were corrected this round (short-doc
+# grams; strict session gap; order-free keeper) and must re-verify,
+# then (d) backfills with queries green in exactly ONE prior round to
+# build second rows.  Left out (all with ≥1 green row, re-checked every
+# round by the driver-sim pytest gate): the r1+r2 double-green core
+# and five unchanged single-green TPC-H shapes (d12/d13/d14/d16/c15).
+# FROZEN at round-4 end: any query registered after this list must be
+# front-loaded in the round-5 rotation.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # never driver-verified: LLM-pipeline extensions (§2.J)
+    # (a) never driver-checked (round-3 additions)
+    "c18_salted_skew_agg", "e2g_ntile_quartiles", "g5_null_semantics",
+    "e2h_session_window", "b11_posexplode_embedding", "j7b_shard_manifest",
+    "h8_stream_corpus_ingest", "j6f_token_budget_mixture",
+    # (b) red in r03 (driver pandas canon), outputs fixed this round
+    "j5b_multimodal_features", "j5c_image_resize", "j5d_frame_sample",
+    # (c) oracle corrected this round — re-verify
+    "j8_decontaminate",
+    # (d) green in exactly one round — accumulate second rows
     "j1_dedup_exact", "j2_minhash_neardup", "j2b_ngram_jaccard",
     "j2c_simhash_neardup", "j2d_embedding_neardup", "j2e_neardup_keepers",
-    "j3_similarity_topk", "j3b_ann_lsh_topk", "j3c_ivf_ann_topk",
+    "j3_similarity_topk", "j3b_ann_lsh_topk",
     "j4a_text_stats", "j4b_lang_id", "j4c_quality_score", "j4d_fingerprint",
-    "j4e_winnow_fingerprints", "j4f_repetition_signals",
-    "j5_multimodal_plumbing", "j5b_multimodal_features", "j5c_image_resize",
-    "j5d_frame_sample", "j6a_stratified_sample", "j6b_sequence_packing",
+    "j4f_repetition_signals", "j5_multimodal_plumbing",
+    "j6a_stratified_sample", "j6b_sequence_packing",
     "j6c_corpus_filter_stats", "j6d_corpus_shuffle",
     "j6e_quality_quantile_filter", "j7_corpus_pipeline_e2e",
-    "j8_decontaminate", "j9_vocab_topk", "j9b_top_terms",
-    # never driver-verified: temporal joins (§2.K)
+    "j9_vocab_topk", "j9b_top_terms",
     "k1_asof_order_state", "k2_range_join_incidents",
-    # never driver-verified: CDC / streaming / events family
-    "m3_cdc_decode_signed", "e1_cdc_latest_state", "e1b_latest_event_state",
-    "h_stream_cdc_orders", "b02_b05_json_two_phase", "h4_events_hourly",
-    "e2d_sessionization", "e2e_event_topn_users",
-    "h6_stream_stream_attribution", "e3_cohort_retention",
-    "e4_funnel_conversion",
-    # never driver-verified: round-2 TPC-H additions
-    "d18_tpch_q9_shape", "d19_tpch_q12_shape", "c16_tpch_q11_shape",
-    "c17_tpch_q15_shape", "d20_tpch_q2_shape", "d21_tpch_q16_shape",
-    "d22_tpch_q20_shape", "d23_tpch_q21_shape",
-    # red in r02 (HUGEINT oracle, fixed this round) — must re-verify
-    "d15_tpch_q18_shape",
+    "e2e_event_topn_users", "h6_stream_stream_attribution",
+    "e3_cohort_retention", "e4_funnel_conversion",
+    "c16_tpch_q11_shape", "c17_tpch_q15_shape",
+    "d15_tpch_q18_shape", "d17_tpch_q8_shape",
+    "d18_tpch_q9_shape", "d19_tpch_q12_shape", "d20_tpch_q2_shape",
+    "d21_tpch_q16_shape", "d22_tpch_q20_shape", "d23_tpch_q21_shape",
 )
 
 

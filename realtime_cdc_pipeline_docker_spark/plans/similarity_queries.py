@@ -242,9 +242,11 @@ def j2d_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("j3c_ivf_ann_topk", oracle=None)
 def j3c_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k (J3 scale path, centroid variant): spherical
-    k-means inverted lists, default nprobe=6/16 probing (recall@5 ≈ 0.7
-    on worst-case random vectors), in-list exact rerank.
-    Planted-duplicate determinism tested in tests/test_similarity.py."""
+    k-means inverted lists with boundary replication (assign=2), default
+    nprobe=6/16 probing — recall@5 ≈ 0.91 on worst-case random vectors,
+    clearing the LSH path's tested ≥0.8 bar — in-list exact rerank.
+    Planted-duplicate determinism + recall bar tested in
+    tests/test_similarity.py."""
     from ..operators.similarity import ivf_ann_topk
 
     emb = load_table(spark, sf_dir, "embeddings")

@@ -126,11 +126,12 @@ def test_ivf_finds_planted_duplicate_always(spark, sf_dir):
     assert rank1 == {q: q + 1000000 for q in range(5)}
 
 
-def test_ivf_recall_reasonable_on_fixture(spark, sf_dir):
-    """At the default nprobe (6 of 16 data-adapted cells), IVF should
-    recover most of the exact top-5 even on near-orthogonal random
-    vectors — the hardest case (random-hyperplane buckets can't on this
-    data — that's WHY the IVF variant exists)."""
+def test_ivf_recall_meets_lsh_bar_on_fixture(spark, sf_dir):
+    """At the defaults (boundary replication assign=2, nprobe=6 of 16
+    data-adapted cells), IVF must clear the SAME recall@5 ≥ 0.8 bar the
+    LSH path is held to, even on near-orthogonal random vectors — the
+    hardest case (measured 0.91; single-assignment managed only
+    0.71)."""
     from realtime_cdc_pipeline_docker_spark.operators.similarity import ivf_ann_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -146,4 +147,4 @@ def test_ivf_recall_reasonable_on_fixture(spark, sf_dir):
         for r in ivf_ann_topk(emb, queries, k=5).collect()
     }
     recall = len(exact & approx) / len(exact)
-    assert recall >= 0.6, recall
+    assert recall >= 0.8, recall
