@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions import token_count
+from ..functions import token_count, ws_tokens
 
 
 def portable_row_hash(col: Column | str, buckets: int = 100) -> Column:
@@ -208,4 +208,95 @@ def token_budget_mixture(
         .withColumn("cum_tok", F.sum("n_tok").over(w) - F.col("n_tok"))
         .filter(F.col("cum_tok") < budget)
         .drop("__hex")
+    )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    train_pct: int = 90,
+    val_pct: int = 5,
+    text_col: str = "text",
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test split keyed on CONTENT, not row id:
+    the bucket is an md5 of the normalized-text digest, so byte-equal
+    documents land in the SAME split whatever their ids — an id-keyed
+    split leaks every exact duplicate pair across the train/eval
+    boundary (the classic eval-contamination bug this operator exists
+    to prevent; run near-dup keeper resolution upstream for fuzzier
+    leakage).
+
+    Shuffle-free: digest, bucket, and label are pure column
+    expressions evaluated at scan speed — no shuffle, no state, and
+    the same assignment on every rerun, any layout, any engine (the
+    md5 construction matches ``portable_row_hash``).  ``salt`` redraws
+    the whole split independently.
+
+    Returns the input plus ``split`` ('train' | 'val' | 'test');
+    remaining probability mass (100 - train - val) is 'test'.
+    """
+    if not (0 < train_pct and 0 <= val_pct and train_pct + val_pct <= 100):
+        raise ValueError(f"bad split percentages: train={train_pct} val={val_pct}")
+    digest = F.md5(
+        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    )
+    bucket = portable_row_hash(F.concat(F.lit(f"{salt}:"), digest))
+    return df.withColumn(
+        "split",
+        F.when(bucket < train_pct, F.lit("train"))
+        .when(bucket < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 64,
+    stride: int = 48,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fixed-size token-window chunking with overlap — the document →
+    model-input step of every RAG / context-window pipeline.  Chunk
+    ``i`` covers tokens ``[1 + i*stride, 1 + i*stride + chunk_tokens)``
+    (1-based); the last chunk may be short; a document shorter than one
+    chunk yields exactly one chunk; ``stride < chunk_tokens`` gives
+    ``chunk_tokens - stride`` tokens of overlap so no boundary context
+    is lost.
+
+    Shuffle-free: tokenization, the chunk-count arithmetic, the
+    ``posexplode`` row expansion, and the per-chunk slice/hash are all
+    row-local column expressions — the plan is scan → generate →
+    project, no Exchange (plan-asserted in tests/test_sampling.py).
+    At 100 TB this runs at scan speed and the output is written
+    partitioned however the consumer shards.
+
+    Returns ``(id_col, chunk_no, n_tokens, chunk_hash)`` where
+    ``chunk_hash`` is the md5 of the space-joined chunk tokens — a
+    compact, engine-portable identity for downstream chunk-level dedup.
+    """
+    if stride <= 0 or chunk_tokens <= 0 or stride > chunk_tokens:
+        raise ValueError(f"bad chunking: chunk_tokens={chunk_tokens} stride={stride}")
+    toks = ws_tokens(text_col)
+    n = F.size(toks)
+    # 1 + ceil(max(n - chunk, 0) / stride) chunks, in integer arithmetic
+    n_chunks = F.lit(1) + F.floor(
+        (F.greatest(n - F.lit(chunk_tokens), F.lit(0)) + F.lit(stride - 1))
+        / F.lit(stride)
+    ).cast("int")
+    chunk = F.slice(
+        F.col("__toks"), F.col("chunk_no") * stride + 1, chunk_tokens
+    )
+    return (
+        df.select(
+            id_col,
+            toks.alias("__toks"),
+            F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_no", "__x"),
+        )
+        .select(
+            id_col,
+            F.col("chunk_no").cast("int").alias("chunk_no"),
+            F.size(chunk).cast("long").alias("n_tokens"),
+            F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash"),
+        )
     )

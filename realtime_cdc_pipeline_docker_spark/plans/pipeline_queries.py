@@ -440,3 +440,74 @@ def j6f_token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_budget_mixture(docs, budget).select(
         "doc_id", "source", "n_tok", "cum_tok"
     )
+
+
+@register(
+    "j6g_leakage_safe_split",
+    oracle=r"""
+    WITH d AS (
+      SELECT doc_id, source,
+             md5('split:' || md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')))
+               AS h
+      FROM documents
+    ), b AS (
+      SELECT doc_id, source,
+             CAST(CAST('0x' || substr(h, 1, 15) AS BIGINT) % 100 AS BIGINT) AS bucket
+      FROM d
+    )
+    SELECT doc_id, source,
+           CASE WHEN bucket < 90 THEN 'train'
+                WHEN bucket < 95 THEN 'val'
+                ELSE 'test' END AS split
+    FROM b
+    """,
+)
+def j6g_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-aware train/val/test split (J6): the bucket is an md5 of
+    the normalized-text DIGEST, so byte-equal documents land in the
+    same split whatever their doc_ids — the id-keyed alternative leaks
+    every exact-duplicate pair across the train/eval boundary.
+    Shuffle-free pure projection; see
+    operators/sampling.py:leakage_safe_split (90/5/5 here)."""
+    from ..operators.sampling import leakage_safe_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return leakage_safe_split(docs, train_pct=90, val_pct=5).select(
+        "doc_id", "source", "split"
+    )
+
+
+@register(
+    "j6h_chunk_overlap",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      FROM documents
+    ), c AS (
+      SELECT doc_id, toks, len(toks) AS n,
+             unnest(generate_series(
+               0, CAST((greatest(len(toks) - 64, 0) + 47) // 48 AS BIGINT)
+             )) AS chunk_no
+      FROM t
+    )
+    SELECT doc_id, CAST(chunk_no AS INT) AS chunk_no,
+           CAST(len(list_slice(toks, chunk_no * 48 + 1,
+                               least(chunk_no * 48 + 64, n))) AS BIGINT)
+             AS n_tokens,
+           md5(array_to_string(list_slice(toks, chunk_no * 48 + 1,
+                                          least(chunk_no * 48 + 64, n)), ' '))
+             AS chunk_hash
+    FROM c
+    """,
+)
+def j6h_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (J6): 64-token chunks at
+    stride 48 (16 tokens of overlap) — the document → model-input step
+    of RAG / context-window prep.  Scan → generate → project, no
+    Exchange (plan-asserted in tests/test_sampling.py); chunk_hash is
+    the engine-portable md5 chunk identity for downstream chunk-level
+    dedup.  See operators/sampling.py:chunk_documents."""
+    from ..operators.sampling import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_tokens=64, stride=48)

@@ -219,3 +219,79 @@ def test_token_budget_mixture_fills_each_budget(spark, sf_dir):
     b = {r["doc_id"] for r in other.collect()}
     assert a != b
     out.unpersist()
+
+
+def test_leakage_safe_split_colocates_duplicate_content(spark):
+    """Byte-equal (after normalization) documents must land in the SAME
+    split regardless of doc_id — the whole point of content-keyed
+    splitting — and the assignment must be rerun-stable."""
+    from realtime_cdc_pipeline_docker_spark.operators.sampling import leakage_safe_split
+
+    rows = []
+    for i in range(200):
+        text = f"document body number {i} with several tokens of content"
+        rows.append((i, text))
+        rows.append((i + 10_000, "  " + text.upper() + "  "))  # normalized dup
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = leakage_safe_split(df).select("doc_id", "split").collect()
+    split_of = {r["doc_id"]: r["split"] for r in out}
+    for i in range(200):
+        assert split_of[i] == split_of[i + 10_000], i
+    again = {
+        r["doc_id"]: r["split"]
+        for r in leakage_safe_split(df).select("doc_id", "split").collect()
+    }
+    assert split_of == again
+    assert {"train", "val", "test"} >= set(split_of.values())
+    assert sum(s == "train" for s in split_of.values()) > 250  # ~90% of 400
+
+
+def test_leakage_safe_split_plan_shuffle_free(spark, sf_dir):
+    from realtime_cdc_pipeline_docker_spark.operators.sampling import leakage_safe_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = leakage_safe_split(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_chunk_documents_covers_every_token_with_overlap(spark):
+    """Chunk windows must tile the document: first chunk starts at
+    token 1, consecutive chunks advance by stride (overlap =
+    chunk - stride), the last chunk reaches the final token, and a
+    short document yields exactly one chunk."""
+    from realtime_cdc_pipeline_docker_spark.operators.sampling import chunk_documents
+
+    rows = [
+        (1, " ".join(f"t{i}" for i in range(200))),   # multi-chunk
+        (2, " ".join(f"u{i}" for i in range(64))),    # exactly one window
+        (3, "just five little tokens here"),          # shorter than chunk
+        (4, " ".join(f"v{i}" for i in range(65))),    # one token over
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents(df, chunk_tokens=64, stride=48).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, n in ((1, 200), (2, 64), (3, 5), (4, 65)):
+        chunks = sorted(by_doc[doc_id], key=lambda r: r["chunk_no"])
+        expected = 1 + max(0, -(-(n - 64) // 48))
+        assert len(chunks) == expected, (doc_id, len(chunks))
+        assert chunks[0]["chunk_no"] == 0
+        # every chunk except possibly the last is full; token coverage
+        # is contiguous: start of chunk i is i*stride+1 (1-based), so
+        # the last chunk must reach token n
+        for i, c in enumerate(chunks[:-1]):
+            assert c["n_tokens"] == 64, (doc_id, i)
+        last = chunks[-1]
+        assert last["chunk_no"] * 48 + last["n_tokens"] == n, doc_id
+    # chunk identity: same text -> same hash, distinct text -> distinct
+    hashes = [r["chunk_hash"] for r in by_doc[1]]
+    assert len(set(hashes)) == len(hashes)
+
+
+def test_chunk_documents_plan_shuffle_free(spark, sf_dir):
+    from realtime_cdc_pipeline_docker_spark.operators.sampling import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = chunk_documents(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
