@@ -70,6 +70,9 @@ HEADLINE = [
     "j4f_repetition_signals",
     "j6b_sequence_packing",
     "j6d_corpus_shuffle",
+    "j6g_leakage_safe_split",
+    "j6h_chunk_overlap",
+    "j6i_chunk_dedup_stats",
     "j7_corpus_pipeline_e2e",
     "j7b_shard_manifest",
     "j8_decontaminate",

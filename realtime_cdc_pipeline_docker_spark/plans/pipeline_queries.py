@@ -511,3 +511,61 @@ def j6h_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return chunk_documents(docs, chunk_tokens=64, stride=48)
+
+
+@register(
+    "j6i_chunk_dedup_stats",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      FROM documents
+    ), c AS (
+      SELECT doc_id, toks, len(toks) AS n,
+             unnest(generate_series(
+               0, CAST((greatest(len(toks) - 64, 0) + 47) // 48 AS BIGINT)
+             )) AS chunk_no
+      FROM t
+    ), chunks AS (
+      SELECT doc_id, CAST(chunk_no AS INT) AS chunk_no,
+             md5(array_to_string(list_slice(toks, chunk_no * 48 + 1,
+                                            least(chunk_no * 48 + 64, n)), ' '))
+               AS chunk_hash
+      FROM c
+    ), ranked AS (
+      SELECT doc_id, chunk_no,
+             row_number() OVER (PARTITION BY chunk_hash
+                                ORDER BY doc_id, chunk_no) AS rn
+      FROM chunks
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks
+    FROM ranked GROUP BY doc_id
+    """,
+)
+def j6i_chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-granularity dedup report (J6): how much of each document
+    is boilerplate already seen elsewhere in the corpus — whole-doc
+    dedup misses a page whose middle third is a shared template; the
+    64-token chunk identity (j6h) catches it.  A chunk is a duplicate
+    when another chunk with the same md5 identity precedes it in
+    (doc_id, chunk_no) order — the same min-keeper convention as j1.
+    One shuffle on chunk_hash (32-char keys, never chunk text), one
+    doc-keyed aggregate; both map-side combinable at 100 TB."""
+    from pyspark.sql import Window
+
+    from ..operators.sampling import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, chunk_tokens=64, stride=48)
+    w = Window.partitionBy("chunk_hash").orderBy("doc_id", "chunk_no")
+    return (
+        chunks.withColumn("rn", F.row_number().over(w))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("rn") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_chunks"),
+        )
+    )
