@@ -13,9 +13,12 @@ Two paths, as a 100 TB design requires:
   and bucket-partitioned on disk: a query then touches one partition,
   which is the property that survives 100 TB.
 
-An IVF variant would replace random hyperplanes with k-means centroids
-(better recall per probe, needs a training pass); the plumbing below is
-centroid-agnostic — assign-to-bucket + in-bucket exact rerank.
+The IVF variant replaces random hyperplanes with spherical k-means
+centroids (better recall per probe, needs a training pass), indexes
+each vector under its ``assign`` nearest cells (boundary replication),
+and materializes the inverted file as a cluster-partitioned parquet
+layout (``write_ivf_index``) so query-time probes are partition-pruned
+scans — assign-to-bucket + in-bucket exact rerank throughout.
 """
 
 from __future__ import annotations
@@ -404,6 +407,85 @@ def ivf_ann_topk(
     )
     scored = (
         c.join(F.broadcast(q), "__cluster")
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(
+            query_id_col,
+            F.col(id_col).alias("neighbor_id"),
+            vec_cosine("__qvec", vec_col).alias("sim"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("sim").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+    )
+
+
+def write_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    centroids: list[list[float]],
+    assign: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF inverted file as a ``cluster``-partitioned
+    parquet layout — the storage half of the ANN contract.  At 100 TB
+    the index is built ONCE at ingest (the centroid expression is a
+    pure column function, so this is a single scan + write), and every
+    query-time probe then reads only its ``nprobe`` cluster
+    directories via partition pruning — the filesystem enforces the
+    'touch nprobe lists' property instead of a runtime filter.
+    Boundary replication (``assign``) happens at write time, so the
+    probe side needs no widening.  Clustered by ``cluster`` before the
+    write: one file per list per job, not tasks×lists slivers (same
+    hygiene as the ingest log)."""
+    indexed = corpus.withColumn(
+        "cluster",
+        F.explode(F.slice(centroid_ranks_expr(vec_col, centroids), 1, assign)),
+    )
+    (
+        indexed.repartition("cluster")
+        .write.mode("overwrite")
+        .partitionBy("cluster")
+        .parquet(path)
+    )
+
+
+def ivf_index_topk(
+    spark,
+    path: str,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 5,
+    nprobe: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Query a ``write_ivf_index`` layout: read ONLY the union of the
+    query batch's probed clusters (a partition-pruned scan — asserted
+    via PartitionFilters in tests/test_similarity.py), then the same
+    in-list exact rerank as ``ivf_ann_topk``.  The probed-cluster list
+    is a driver-side collect bounded by ``n_queries × nprobe`` small
+    integers.  Returns the identical relation to ``ivf_ann_topk`` with
+    the same centroids/assign/nprobe (equivalence-tested)."""
+    q = (
+        queries.select(query_id_col, F.col(vec_col).alias("__qvec"))
+        .withColumn(
+            "__cluster",
+            F.explode(F.slice(centroid_ranks_expr("__qvec", centroids), 1, nprobe)),
+        )
+    )
+    probed = sorted({r[0] for r in q.select("__cluster").distinct().collect()})
+    idx = (
+        spark.read.parquet(path)
+        .filter(F.col("cluster").isin(probed))
+        .withColumnRenamed("cluster", "__cluster")
+    )
+    scored = (
+        idx.join(F.broadcast(q), "__cluster")
         .filter(F.col(id_col) != F.col(query_id_col))
         .select(
             query_id_col,

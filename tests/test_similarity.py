@@ -148,3 +148,43 @@ def test_ivf_recall_meets_lsh_bar_on_fixture(spark, sf_dir):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.8, recall
+
+
+def test_ivf_index_layout_prunes_and_matches_inmemory(spark, sf_dir, tmp_path):
+    """The materialized IVF layout must (a) return the identical
+    relation to the in-memory ivf_ann_topk under the same centroids,
+    and (b) reach the probed lists via PartitionFilters on the scan —
+    the filesystem, not a runtime filter, enforces 'touch nprobe
+    lists' at 100 TB."""
+    from realtime_cdc_pipeline_docker_spark.operators.similarity import (
+        ivf_ann_topk,
+        ivf_index_topk,
+        train_ivf_centroids,
+        write_ivf_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = train_ivf_centroids(emb)
+    path = str(tmp_path / "ivf_index")
+    write_ivf_index(emb, path, cents, assign=2)
+
+    from_index = ivf_index_topk(spark, path, queries, cents, k=5, nprobe=4)
+    in_memory = ivf_ann_topk(
+        emb, queries, k=5, nprobe=4, assign=2, centroids=cents
+    )
+    a = {(r["query_id"], r["neighbor_id"], r["rnk"]) for r in from_index.collect()}
+    b = {(r["query_id"], r["neighbor_id"], r["rnk"]) for r in in_memory.collect()}
+    assert a == b and a
+
+    probe = spark.read.parquet(path).filter(F.col("cluster").isin([0, 1]))
+    plan = probe._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    part = plan.split("PartitionFilters", 1)
+    assert len(part) == 2 and "cluster" in part[1].split("]", 1)[0]
+    import glob
+
+    assert len(glob.glob(f"{path}/cluster=*/")) >= 8  # real multi-list layout
