@@ -68,10 +68,12 @@ HEADLINE = [
     "d17_tpch_q8_shape",
     "d23_tpch_q21_shape",
     "j4f_repetition_signals",
+    "j4g_pii_redaction",
     "j6b_sequence_packing",
     "j6d_corpus_shuffle",
     "j6g_leakage_safe_split",
     "j6h_chunk_overlap",
+    "j6j_exact_k_sample",
     "j6i_chunk_dedup_stats",
     "j7_corpus_pipeline_e2e",
     "j7b_shard_manifest",

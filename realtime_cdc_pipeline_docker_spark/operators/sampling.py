@@ -300,3 +300,35 @@ def chunk_documents(
             F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash"),
         )
     )
+
+
+def exact_k_sample(
+    df: DataFrame,
+    k: int,
+    strata_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "ek",
+) -> DataFrame:
+    """Exactly-k uniform sample per stratum, deterministic: keep the k
+    rows with the smallest md5(salt:key) per stratum.
+
+    Bernoulli sampling (``stratified_sample``) gives a *binomial* count
+    per stratum — fine for rate control, wrong when a downstream
+    contract needs exactly k rows (eval-set carving, per-domain probe
+    sets, human-review batches).  The hash order is a uniform random
+    permutation of each stratum, so the k smallest hashes are a uniform
+    without-replacement draw — a distributed reservoir with none of the
+    reservoir's sequential state.
+
+    Scale shape: one hash-partitioned window per stratum; rank<=k is
+    executed as WindowGroupLimit, which truncates each partition's sort
+    at k map-side before the shuffle — the full stratum is never
+    globally sorted, and the exchange carries at most k rows per
+    stratum per map partition."""
+    hexcol = F.md5(F.concat(F.lit(f"{salt}:"), F.col(key_col).cast("string")))
+    w = Window.partitionBy(strata_col).orderBy(hexcol.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .drop("rnk")
+    )

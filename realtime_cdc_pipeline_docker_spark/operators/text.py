@@ -245,3 +245,42 @@ def top_terms_tf_rdf(
         .filter(F.col("rnk") <= k)
         .select(id_col, "tok", "tf", "df", "score", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (§2.J4 extension).  A 100 TB pretraining corpus must be
+# scrubbed of emails / phone numbers / IP addresses before training; the
+# standard shape (e.g. BigScience ROOTS, Dolma) is a cascade of regex
+# rewrites applied scan-side.  Patterns are frozen module constants and
+# restricted to syntax that means the same thing in Java regex (Spark)
+# and RE2 (DuckDB) — character classes, bounded repetition, \b — so the
+# oracle runs the identical automaton.  Counting happens on the input of
+# each redaction step (email count on raw text, phone count on the
+# email-redacted text, ...) so count and rewrite always agree.
+# ---------------------------------------------------------------------------
+
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+)
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Sequentially redact the PII pattern cascade from ``text_col``,
+    adding one ``n_<kind>`` BIGINT match-count column per pattern and
+    replacing the text with its redacted form.
+
+    Pure row-local regexp expressions: whole-stage codegen, no shuffle,
+    no Python — the redaction runs at parquet-scan speed, which is the
+    only acceptable cost for an operator that must touch every byte of
+    a 100 TB corpus.  Order matters and is part of the contract: emails
+    are rewritten first so their host part can never be double-counted
+    as a bare IPv4.
+    """
+    out = df
+    cur = F.col(text_col)
+    for kind, pat, repl in PII_PATTERNS:
+        out = out.withColumn(f"n_{kind}", F.regexp_count(cur, F.lit(pat)).cast("long"))
+        cur = F.regexp_replace(cur, pat, repl)
+    return out.withColumn(text_col, cur)

@@ -569,3 +569,115 @@ def j6i_chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_dup_chunks"),
         )
     )
+
+
+@register(
+    "b12_jsonl_source_roundtrip",
+    oracle="""
+    SELECT doc_id, text, lang, source, n_chars
+    FROM documents
+    """,
+)
+def b12_jsonl_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL corpus source end-to-end (§2.A extension): export the
+    documents table as line-delimited JSON, plant three malformed lines
+    in the directory, read it back through sources/corpus.py with the
+    explicit schema + corrupt-record quarantine, and return the good
+    rows.  The oracle is the original parquet relation — parity proves
+    (a) the JSON writer/reader round-trips every value exactly and
+    (b) the quarantine removes precisely the garbage (a PERMISSIVE read
+    without the corrupt filter would surface 3 extra all-NULL rows and
+    go red).  Deterministic tmp layout; overwritten each run."""
+    import os
+
+    from ..sources.corpus import read_jsonl, write_jsonl
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = f"/tmp/spark_graft_jsonl_{tag}"
+    write_jsonl(docs, path)
+    corrupt = spark.createDataFrame(
+        [("{ not json",), ('{"doc_id": "also bad"',), ("}{",)], ["value"]
+    )
+    corrupt.coalesce(1).write.mode("append").format("text").save(path)
+    good, quarantine = read_jsonl(spark, path)
+    # The quarantine channel must hold exactly the planted garbage: the
+    # gate is a broadcast scalar predicate (lazy — no driver-side count
+    # at construction time), so a mis-parse on either side empties the
+    # result and the oracle comparison goes red.
+    qn = quarantine.agg(F.count(F.lit(1)).alias("qn"))
+    return good.crossJoin(F.broadcast(qn)).where(F.col("qn") == 3).drop("qn")
+
+
+@register(
+    "h9_stream_dedup_events",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           MIN(event_id) AS min_event_id,
+           MAX(event_id) AS max_event_id
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def h9_stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-scoped streaming dedup (§2.H × Spark-native state):
+    the events fixture delivered THREE times into a file stream (full,
+    full again, plus a half re-redelivery — an aggressive at-least-once
+    source), deduped by dropDuplicatesWithinWatermark("event_id") into
+    a parquet sink.  The oracle aggregates the fixture once; parity
+    proves every duplicate delivery was dropped.  See
+    streaming/ingest.py:run_event_dedup_stream for the state-bound
+    argument."""
+    from ..streaming.ingest import run_event_dedup_stream
+    from .cdc_queries import _work_dir
+
+    work = _work_dir("event_dedup", sf_dir)
+    # Watermarks require TIMESTAMP (with local TZ); the fixture's ts is
+    # NTZ.  Session TZ is pinned UTC, so the cast is value-identical.
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    events.write.mode("overwrite").parquet(f"{work}/src")
+    events.write.mode("append").parquet(f"{work}/src")
+    events.filter(F.col("event_id") % 2 == 0).write.mode("append").parquet(
+        f"{work}/src"
+    )
+    deduped = run_event_dedup_stream(
+        spark, f"{work}/src", f"{work}/sink", f"{work}/ckpt"
+    )
+    return deduped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.min("event_id").alias("min_event_id"),
+        F.max("event_id").alias("max_event_id"),
+    )
+
+
+@register(
+    "j6j_exact_k_sample",
+    oracle="""
+    SELECT doc_id, source, lang, n_chars
+    FROM (
+      SELECT doc_id, source, lang, n_chars,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5('ek:' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rnk
+      FROM documents
+    ) WHERE rnk <= 7
+    """,
+)
+def j6j_exact_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k per-source uniform sample (J6): the 7 smallest
+    md5-hash rows per source — a deterministic distributed reservoir.
+    WindowGroupLimit truncates each stratum's sort at k map-side; the
+    plan never globally sorts a stratum.  See
+    operators/sampling.py:exact_k_sample."""
+    from ..operators.sampling import exact_k_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_k_sample(docs, k=7).select("doc_id", "source", "lang", "n_chars")

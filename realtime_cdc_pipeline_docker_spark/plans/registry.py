@@ -47,7 +47,8 @@ def register(name: str, oracle: str | None = None):
 # then (d) backfills with queries green in exactly ONE prior round to
 # build second rows.  Left out (all with ≥1 green row, re-checked every
 # round by the driver-sim pytest gate): the r1+r2 double-green core
-# and five unchanged single-green TPC-H shapes (d12/d13/d14/d16/c15).
+# and twelve unchanged single-green TPC-H shapes
+# (d12/d13/d14/d16/c15/d17/d18/d19/d20/d21/d22/d23).
 # FROZEN at round-4 end: any query registered after this list must be
 # front-loaded in the round-5 rotation.
 DRIVER_PRIORITY: tuple[str, ...] = (
@@ -59,6 +60,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "j5b_multimodal_features", "j5c_image_resize", "j5d_frame_sample",
     # (c) oracle corrected this round — re-verify
     "j8_decontaminate",
+    # (new) registered this round — first driver appearance must be NOW,
+    # not after a freeze (the round-3 lesson)
+    "j6g_leakage_safe_split", "j6h_chunk_overlap", "j6i_chunk_dedup_stats",
+    "j4g_pii_redaction", "b12_jsonl_source_roundtrip",
+    "h9_stream_dedup_events", "j6j_exact_k_sample",
     # (d) green in exactly one round — accumulate second rows
     "j1_dedup_exact", "j2_minhash_neardup", "j2b_ngram_jaccard",
     "j2c_simhash_neardup", "j2d_embedding_neardup", "j2e_neardup_keepers",
@@ -73,9 +79,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "e2e_event_topn_users", "h6_stream_stream_attribution",
     "e3_cohort_retention", "e4_funnel_conversion",
     "c16_tpch_q11_shape", "c17_tpch_q15_shape",
-    "d15_tpch_q18_shape", "d17_tpch_q8_shape",
-    "d18_tpch_q9_shape", "d19_tpch_q12_shape", "d20_tpch_q2_shape",
-    "d21_tpch_q16_shape", "d22_tpch_q20_shape", "d23_tpch_q21_shape",
+    "d15_tpch_q18_shape",
 )
 
 

@@ -466,3 +466,63 @@ def j9b_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text import top_terms_tf_rdf
 
     return top_terms_tf_rdf(load_table(spark, sf_dir, "documents"), k=3)
+
+
+def _pii_oracle() -> str:
+    from ..operators.text import PII_PATTERNS
+
+    plant = (
+        "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'"
+        " || ' call 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+        " || ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1'"
+    )
+    sql = (
+        "SELECT doc_id, CASE WHEN doc_id % 3 = 0 "
+        f"THEN {plant} ELSE text END AS t FROM documents"
+    )
+    # One nested layer per cascade step: the count reads the layer's
+    # INPUT text (inner t), the rewrite feeds the next layer — exactly
+    # the operator's count-then-redact order.
+    for kind, pat, repl in PII_PATTERNS:
+        sql = (
+            f"SELECT * REPLACE (regexp_replace(t, '{pat}', '{repl}', 'g') AS t), "
+            f"CAST(len(regexp_extract_all(t, '{pat}')) AS BIGINT) AS n_{kind} "
+            f"FROM ({sql})"
+        )
+    return f"SELECT doc_id, t AS redacted, n_email, n_phone, n_ipv4 FROM ({sql})"
+
+
+@register("j4g_pii_redaction", oracle=_pii_oracle())
+def j4g_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (J4 extension): email/phone/IPv4 redaction cascade with
+    per-kind match counts.  PII is planted in-engine on every third doc
+    (both engines synthesize the identical strings) so the oracle proves
+    the redaction FIRES, not merely that it leaves clean text alone.
+    Scan-side codegen: no shuffle, no Python — see operators/text.py
+    redact_pii for the 100 TB cost argument."""
+    from ..operators.text import redact_pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com call 415-555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                F.lit(" from 10."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".0.1"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    return redact_pii(planted).select(
+        "doc_id",
+        F.col("text").alias("redacted"),
+        "n_email",
+        "n_phone",
+        "n_ipv4",
+    )

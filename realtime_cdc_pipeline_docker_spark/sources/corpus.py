@@ -1,0 +1,79 @@
+"""Line-delimited JSON corpus source (SURVEY §2.A extension).
+
+The reference ingests exactly one wire format — Debezium JSON over
+Kafka (reference spark-jobs/cdc_processor.py:58-75).  A corpus engine
+additionally needs the dominant interchange format for document
+corpora: JSONL (one JSON object per line — the distribution format of
+Common-Crawl-derived datasets).  This module gives it the same
+robustness contract the CDC source has (sources/cdc.py:312
+``split_quarantine``): an explicit schema, PERMISSIVE parse, and a
+corrupt-record channel — a malformed line must never kill a 100 TB
+ingest job, and must never silently become a row of NULLs either.
+
+Scale shape: ``spark.read.json`` with an *explicit* schema performs no
+inference pass (schema inference reads the whole dataset twice), splits
+by newlines, and parses JSON in the JVM (Jackson) — scan-parallel,
+zero Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+CORRUPT_COL = "_corrupt_record"
+
+DOCUMENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType = DOCUMENTS_SCHEMA,
+) -> tuple[DataFrame, DataFrame]:
+    """Read a JSONL directory into ``(good, quarantine)``.
+
+    ``good`` carries exactly the declared schema; ``quarantine`` carries
+    the raw offending line.  PERMISSIVE mode keeps the job alive on bad
+    input; the corrupt-record column makes the badness observable
+    instead of swallowed (§2.H6's no-swallow rule, applied to batch).
+    Spark requires the corrupt column's source rows to be materialized
+    before filtering on it (a cached/pruned scan may elide the parse
+    error), so both outputs are projected from one parsed frame.
+    """
+    # StructType.add mutates in place — build a fresh struct so the
+    # caller's schema (often the module constant) stays pristine.
+    parsed_schema = T.StructType(
+        list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType())]
+    )
+    parsed = spark.read.schema(parsed_schema).option(
+        "columnNameOfCorruptRecord", CORRUPT_COL
+    ).option("mode", "PERMISSIVE").json(path)
+    # Spark refuses to filter on the corrupt column straight off the
+    # file scan (SPARK-26243: referencing only the corrupt column of a
+    # pruned scan is ambiguous) — a no-op cache boundary is the
+    # documented workaround and costs one pass over already-read lines.
+    parsed = parsed.cache()
+    good = parsed.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+    quarantine = parsed.filter(F.col(CORRUPT_COL).isNotNull()).select(
+        F.col(CORRUPT_COL).alias("raw_line")
+    )
+    return good, quarantine
+
+
+def write_jsonl(df: DataFrame, path: str) -> None:
+    """Write a corpus as JSONL (one object per line, snappy-free text).
+
+    Partition-parallel: every task writes its own file; no coordination
+    beyond the final commit protocol — the same layout a 1000-executor
+    export would produce."""
+    df.write.mode("overwrite").json(path)

@@ -1,0 +1,61 @@
+"""JSONL corpus source: schema-enforced read, corrupt-record quarantine,
+exact write/read roundtrip (sources/corpus.py)."""
+
+from __future__ import annotations
+
+import pyspark.sql.types as T
+
+from realtime_cdc_pipeline_docker_spark.sources.corpus import (
+    DOCUMENTS_SCHEMA,
+    read_jsonl,
+    write_jsonl,
+)
+
+
+def test_jsonl_roundtrip_exact(spark, tmp_path):
+    rows = [
+        (1, 'text with "quotes" and \\ backslash', "en", "s1", 33),
+        (2, "unicode: café 中文", "zh", "s2", 10),
+        (3, None, None, None, None),  # nullable fields survive
+    ]
+    df = spark.createDataFrame(rows, DOCUMENTS_SCHEMA)
+    path = str(tmp_path / "corpus")
+    write_jsonl(df, path)
+    good, quarantine = read_jsonl(spark, path)
+    assert quarantine.count() == 0
+    got = sorted((r["doc_id"], r["text"], r["lang"], r["source"], r["n_chars"])
+                 for r in good.collect())
+    # Row 3 is all-NULL: JSON writers drop null fields, so it reads back
+    # as an empty object — still a valid (all-NULL) row, not quarantine.
+    assert got == sorted(rows, key=lambda r: (r[0] is None, r[0]))
+    assert good.schema == DOCUMENTS_SCHEMA
+
+
+def test_jsonl_quarantine_catches_garbage(spark, tmp_path):
+    df = spark.createDataFrame([(1, "ok", "en", "s", 2)], DOCUMENTS_SCHEMA)
+    path = str(tmp_path / "corpus")
+    write_jsonl(df, path)
+    bad_lines = ["{ not json", "[1,2,3", "}{"]
+    spark.createDataFrame([(line,) for line in bad_lines], ["value"]) \
+        .coalesce(1).write.mode("append").format("text").save(path)
+    good, quarantine = read_jsonl(spark, path)
+    assert good.count() == 1
+    qs = sorted(r["raw_line"] for r in quarantine.collect())
+    assert qs == sorted(bad_lines)
+
+
+def test_jsonl_type_mismatch_quarantined_not_nulled(spark, tmp_path):
+    """A syntactically-valid line whose doc_id is a string must land in
+    quarantine (FAILFAST would kill the job; silent NULL would corrupt
+    the corpus)."""
+    df = spark.createDataFrame([(1, "ok", "en", "s", 2)], DOCUMENTS_SCHEMA)
+    path = str(tmp_path / "corpus")
+    write_jsonl(df, path)
+    spark.createDataFrame(
+        [('{"doc_id": "seven", "text": "x", "lang": "en", "source": "s", "n_chars": 1}',)],
+        ["value"],
+    ).coalesce(1).write.mode("append").format("text").save(path)
+    good, quarantine = read_jsonl(spark, path)
+    assert good.count() == 1
+    assert quarantine.count() == 1
+    assert good.schema[0].dataType == T.LongType()

@@ -105,3 +105,29 @@ def test_vector_algebra(spark):
     assert r["n"] == pytest.approx(5.0)
     assert r["self_sim"] == pytest.approx(1.0)
     assert r["unit_n"] == pytest.approx(1.0)
+
+
+def test_redact_pii_planted(spark):
+    from realtime_cdc_pipeline_docker_spark.operators.text import redact_pii
+
+    rows = [
+        (1, "write to alice.smith+news@mail-host.co.uk today"),
+        (2, "dial 415-555-0142 or visit 192.168.1.254 now"),
+        (3, "clean text with no identifiers at all"),
+        (4, "a@b.io 1.2.3.4 999-999-9999"),
+        (5, "not-a-phone 12-345-6789 and not-an-ip 1.2.3"),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in redact_pii(
+            spark.createDataFrame(rows, ["doc_id", "text"])
+        ).collect()
+    }
+    assert out[1]["n_email"] == 1 and out[1]["text"] == "write to <EMAIL> today"
+    assert out[2]["n_phone"] == 1 and out[2]["n_ipv4"] == 1
+    assert out[2]["text"] == "dial <PHONE> or visit <IP> now"
+    assert out[3]["text"] == rows[2][1]
+    assert (out[3]["n_email"], out[3]["n_phone"], out[3]["n_ipv4"]) == (0, 0, 0)
+    assert out[4]["text"] == "<EMAIL> <IP> <PHONE>"
+    # 12-345-6789 is not ddd-ddd-dddd; "1.2.3" has only three octets.
+    assert (out[5]["n_phone"], out[5]["n_ipv4"]) == (0, 0)

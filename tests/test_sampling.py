@@ -295,3 +295,32 @@ def test_chunk_documents_plan_shuffle_free(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     plan = chunk_documents(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_exact_k_sample_properties(spark, sf_dir):
+    from realtime_cdc_pipeline_docker_spark.catalog import load_table
+    from realtime_cdc_pipeline_docker_spark.operators.sampling import exact_k_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = exact_k_sample(docs, k=5)
+    per = {r["source"]: r["n"] for r in out.groupBy("source").count().withColumnRenamed("count", "n").collect()}
+    sizes = {r["source"]: r["n"] for r in docs.groupBy("source").count().withColumnRenamed("count", "n").collect()}
+    # Exactly k where the stratum has >= k rows, else the whole stratum.
+    for src, n in per.items():
+        assert n == min(5, sizes[src])
+    # Deterministic: a rerun yields the identical id set.
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(r["doc_id"] for r in exact_k_sample(docs, k=5).collect())
+    assert a == b
+    # Salt redraws the sample.
+    c = sorted(r["doc_id"] for r in exact_k_sample(docs, k=5, salt="other").collect())
+    assert a != c
+
+
+def test_exact_k_sample_uses_window_group_limit(spark, sf_dir):
+    from realtime_cdc_pipeline_docker_spark.catalog import load_table
+    from realtime_cdc_pipeline_docker_spark.operators.sampling import exact_k_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = exact_k_sample(docs, k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
