@@ -14,6 +14,11 @@ shifted ids) and prints one JSON line per (probe, scale):
   benchmark slice.  Claim: corpus side scales linearly — the
   benchmark gram set is broadcast, so 10x corpus ≈ 10x map work and
   the flagged-doc count scales with the replicas.
+- ``chunk``: overlapping token-window chunking (j6h shape).  Claim:
+  zero-exchange generate/project, wall-time ~linear in tokens.
+- ``exact_k``: per-stratum reservoir (j6j shape).  Claim: output stays
+  k x strata at every scale; the WindowGroupLimit exchange carries
+  O(k x strata x map partitions), so wall-time ~linear.
 
 Usage: python scripts/scale_probe.py [sf_dir] [scales...]
 """
@@ -36,7 +41,11 @@ from realtime_cdc_pipeline_docker_spark.operators.dedup import (
     dedup_keepers,
     minhash_lsh_pairs,
 )
-from realtime_cdc_pipeline_docker_spark.operators.sampling import shuffle_corpus
+from realtime_cdc_pipeline_docker_spark.operators.sampling import (
+    chunk_documents,
+    exact_k_sample,
+    shuffle_corpus,
+)
 from realtime_cdc_pipeline_docker_spark.session import get_session
 
 
@@ -110,6 +119,44 @@ def main() -> int:
                     "scale": scale,
                     "n_docs": n_docs,
                     "n_flagged": flagged,
+                    "sec": round(time.time() - t0, 2),
+                }
+            ),
+            flush=True,
+        )
+
+        # chunk: overlapping-window chunking (j6h shape).  Claim: pure
+        # generate/project — rows out scale with tokens in, wall-time
+        # ~linear, zero exchanges at any scale.
+        t0 = time.time()
+        n_chunks = chunk_documents(corpus).count()
+        print(
+            json.dumps(
+                {
+                    "probe": "chunk",
+                    "scale": scale,
+                    "n_docs": n_docs,
+                    "n_chunks": n_chunks,
+                    "sec": round(time.time() - t0, 2),
+                }
+            ),
+            flush=True,
+        )
+
+        # exact-k: per-stratum reservoir (j6j shape).  Claim: output is
+        # k per stratum at EVERY scale (scale-invariant contract) and
+        # wall-time ~linear — WindowGroupLimit truncates map-side, so
+        # the exchange carries O(k x strata x map partitions), not rows.
+        t0 = time.time()
+        strat = corpus.withColumn("source", (F.col("doc_id") % 20).cast("string"))
+        n_sample = exact_k_sample(strat, k=7).count()
+        print(
+            json.dumps(
+                {
+                    "probe": "exact_k",
+                    "scale": scale,
+                    "n_docs": n_docs,
+                    "n_sample": n_sample,
                     "sec": round(time.time() - t0, 2),
                 }
             ),
