@@ -74,6 +74,8 @@ HEADLINE = [
     "j6g_leakage_safe_split",
     "j6h_chunk_overlap",
     "j6j_exact_k_sample",
+    "j3d_embedding_centroids",
+    "c19_table_profile",
     "j6i_chunk_dedup_stats",
     "j7_corpus_pipeline_e2e",
     "j7b_shard_manifest",

@@ -217,3 +217,54 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 8
             yield pd.DataFrame({"doc_id": ids, "frame_no": nos, "frame": frames})
 
     return media.mapInPandas(frame_batches, FRAMES_SCHEMA)
+
+
+AUDIO_WINDOWS_SCHEMA = (
+    "doc_id long, win_no int, win_start long, win_len long, energy long"
+)
+
+
+def audio_energy_windows(
+    media: DataFrame,
+    win_bytes: int = 32,
+    hop_bytes: int = 16,
+    max_windows: int = 16,
+) -> DataFrame:
+    """Audio framing stub: OVERLAPPING byte windows (hop < window, the
+    STFT/VAD framing shape a real PCM pipeline uses) with an exact
+    integer energy per window (sum of byte values — the stand-in for
+    sum of squared samples; integer so the oracle is engine-exact).
+
+    Complements ``sample_frames`` (non-overlapping 1→N): overlap means
+    windows = ceil(n/hop), not n/win, and the last windows may be
+    short — both row-count semantics a frame-boundary bug would break.
+    Same distribution story: Arrow-batched ``mapInPandas``, windows
+    stream out of the decoder iterator, payload bytes never shuffle
+    (only doc-keyed window scalars leave the stage)."""
+
+    def window_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nos, starts, lens, energies = [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload or b"")
+                n = len(b)
+                i = 0
+                while i * hop_bytes < n and i < max_windows:
+                    w = b[i * hop_bytes : i * hop_bytes + win_bytes]
+                    ids.append(doc_id)
+                    nos.append(i)
+                    starts.append(i * hop_bytes)
+                    lens.append(len(w))
+                    energies.append(sum(w))
+                    i += 1
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "win_no": nos,
+                    "win_start": starts,
+                    "win_len": lens,
+                    "energy": energies,
+                }
+            )
+
+    return media.mapInPandas(window_batches, AUDIO_WINDOWS_SCHEMA)

@@ -499,3 +499,39 @@ def ivf_index_topk(
         scored.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= k)
     )
+
+
+def embedding_centroids(
+    df: DataFrame,
+    by: str = "label",
+    vec_col: str = "embedding",
+    micro: int = 1_000_000,
+) -> DataFrame:
+    """Per-group embedding centroid in fixed-point micro-units:
+    ``(group, pos, n_vectors, sum_micro)`` where ``sum_micro =
+    SUM(round(x * micro))`` as BIGINT.
+
+    Centroids drive dataset cartography (per-domain/per-cluster mean
+    vectors), drift monitoring, and IVF seeding.  Floating-point SUM is
+    order-dependent and therefore not reproducible across partitionings
+    — a correctness problem for any audit that re-runs the aggregation
+    on different cluster layouts.  Rounding each component to integer
+    micro-units first (one deterministic IEEE multiply + half-away
+    round, identical in every engine) makes the sum exact, associative,
+    and layout-independent — the same fixed-point discipline the
+    revenue queries use (functions.fixed_units).
+
+    Plan: posexplode → one hash aggregate keyed (group, pos) — map-side
+    combinable, one exchange, ~group_count x dim result rows.
+    """
+    return (
+        df.select(F.col(by).alias("grp"), F.posexplode(vec_col).alias("pos", "x"))
+        .groupBy("grp", "pos")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum(F.round(F.col("x").cast("double") * micro).cast("long")).alias(
+                "sum_micro"
+            ),
+        )
+        .select(F.col("grp").alias(by), F.col("pos").cast("long"), "n_vectors", "sum_micro")
+    )

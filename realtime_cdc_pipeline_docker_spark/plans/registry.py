@@ -37,7 +37,7 @@ def register(name: str, oracle: str | None = None):
 
 
 # The driver's per-round CORRECTNESS pass verifies the FIRST 50 entries
-# of queries() in insertion order.  With 107 registered queries,
+# of queries() in insertion order.  With 118 registered queries,
 # coverage rotates: round 4 front-loads (a) the 8 round-3 additions
 # that missed every driver window (registered after the round-3 list
 # froze), (b) the j5 trio that failed round 3 on driver-canonicalizer
@@ -47,8 +47,9 @@ def register(name: str, oracle: str | None = None):
 # then (d) backfills with queries green in exactly ONE prior round to
 # build second rows.  Left out (all with ≥1 green row, re-checked every
 # round by the driver-sim pytest gate): the r1+r2 double-green core
-# and twelve unchanged single-green TPC-H shapes
-# (d12/d13/d14/d16/c15/d17/d18/d19/d20/d21/d22/d23).
+# and sixteen unchanged single-green queries: fifteen TPC-H shapes
+# (c15/c16/c17/d12/d13/d14/d15/d16/d17/d18/d19/d20/d21/d22/d23)
+# and e4_funnel_conversion.
 # FROZEN at round-4 end: any query registered after this list must be
 # front-loaded in the round-5 rotation.
 DRIVER_PRIORITY: tuple[str, ...] = (
@@ -64,7 +65,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # not after a freeze (the round-3 lesson)
     "j6g_leakage_safe_split", "j6h_chunk_overlap", "j6i_chunk_dedup_stats",
     "j4g_pii_redaction", "b12_jsonl_source_roundtrip",
-    "h9_stream_dedup_events", "j6j_exact_k_sample",
+    "h9_stream_dedup_events", "j6j_exact_k_sample", "j3e_ivf_index_topk",
+    "j3d_embedding_centroids", "c19_table_profile",
+    "j5e_audio_energy_windows",
     # (d) green in exactly one round — accumulate second rows
     "j1_dedup_exact", "j2_minhash_neardup", "j2b_ngram_jaccard",
     "j2c_simhash_neardup", "j2d_embedding_neardup", "j2e_neardup_keepers",
@@ -77,9 +80,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "j9_vocab_topk", "j9b_top_terms",
     "k1_asof_order_state", "k2_range_join_incidents",
     "e2e_event_topn_users", "h6_stream_stream_attribution",
-    "e3_cohort_retention", "e4_funnel_conversion",
-    "c16_tpch_q11_shape", "c17_tpch_q15_shape",
-    "d15_tpch_q18_shape",
+    "e3_cohort_retention",
 )
 
 

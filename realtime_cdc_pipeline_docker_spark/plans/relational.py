@@ -1994,3 +1994,45 @@ def g5_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("l_quantity").cast("long"))
         .alias("returned_qty"),
     )
+
+
+def _profile_oracle() -> str:
+    metrics = {
+        "o_orderkey": "o_orderkey",
+        "o_custkey": "o_custkey",
+        "o_orderstatus": "o_orderstatus",
+        "o_totalprice_cents": "CAST(round(o_totalprice * 100) AS BIGINT)",
+        "o_orderdate_us": "CAST(epoch_us(o_orderdate) AS BIGINT)",
+    }
+    parts = [
+        f"""
+        SELECT '{name}' AS column_name,
+               COUNT(*) AS n_rows,
+               COUNT(*) - COUNT({expr}) AS n_nulls,
+               COUNT(DISTINCT {expr}) AS n_distinct,
+               CAST(MIN({expr}) AS VARCHAR) AS min_value,
+               CAST(MAX({expr}) AS VARCHAR) AS max_value
+        FROM orders
+        """
+        for name, expr in metrics.items()
+    ]
+    return " UNION ALL ".join(parts)
+
+
+@register("c19_table_profile", oracle=_profile_oracle())
+def c19_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass table profile (data-quality gate): row / null /
+    distinct counts and min/max per column of the orders table, floats
+    and timestamps projected to exact integer units first.  One scan +
+    one aggregate for all five columns — see operators/profile.py."""
+    from ..functions import fixed_units
+    from ..operators.profile import profile
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        fixed_units("o_totalprice").alias("o_totalprice_cents"),
+        (F.unix_micros(F.col("o_orderdate").cast("timestamp"))).alias("o_orderdate_us"),
+    )
+    return profile(orders)

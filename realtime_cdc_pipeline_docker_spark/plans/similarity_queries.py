@@ -327,3 +327,55 @@ def b11_posexplode_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.posexplode(F.slice("embedding", 1, 4)).alias("pos", "val"),
     ).select("vec_id", F.col("pos").cast("long"), F.col("val").cast("double").alias("val"))
+
+
+@register("j3e_ivf_index_topk", oracle=None)
+def j3e_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF STORAGE layout end-to-end (J3 at-rest path): train centroids,
+    materialize the inverted file as a cluster-partitioned parquet index
+    (write once at ingest), then answer the query batch by reading ONLY
+    the probed cluster partitions (partition-pruned scan, asserted in
+    tests/test_similarity.py).  Rows-only by nature (k-means is not
+    SQL-expressible), but equivalence with the in-memory IVF (j3c) and
+    the recall@5 >= 0.8 bar are pytest-pinned."""
+    from ..operators.similarity import (
+        ivf_index_topk,
+        train_ivf_centroids,
+        write_ivf_index,
+    )
+    from .cdc_queries import _work_dir
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = train_ivf_centroids(emb)
+    work = _work_dir("ivf_index", sf_dir)
+    write_ivf_index(emb, f"{work}/index", centroids)
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_index_topk(
+        spark, f"{work}/index", queries, centroids, k=_TOP_K
+    ).select("query_id", "neighbor_id", "rnk")
+
+
+@register(
+    "j3d_embedding_centroids",
+    oracle="""
+    SELECT label, pos, COUNT(*) AS n_vectors,
+           CAST(SUM(xm) AS BIGINT) AS sum_micro
+    FROM (
+      SELECT label,
+             CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos,
+             CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                  AS BIGINT) AS xm
+      FROM embeddings
+    ) GROUP BY 1, 2
+    """,
+)
+def j3d_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid sums in exact micro-units (J3 analytics):
+    layout-independent grouped vector aggregation — see
+    operators/similarity.py:embedding_centroids for why fixed-point.
+    One posexplode + one map-side-combinable aggregate."""
+    from ..operators.similarity import embedding_centroids
+
+    return embedding_centroids(load_table(spark, sf_dir, "embeddings"))

@@ -526,3 +526,35 @@ def j4g_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_phone",
         "n_ipv4",
     )
+
+
+@register(
+    "j5e_audio_energy_windows",
+    oracle="""
+    WITH wins AS (
+      SELECT doc_id, CAST(i AS INT) AS win_no,
+             CAST(i * 16 AS BIGINT) AS win_start,
+             substr(text, CAST(i * 16 + 1 AS INT), 32) AS w
+      FROM documents,
+           unnest(range(0, least(16, CASE WHEN length(text) = 0 THEN 0
+                                          ELSE (length(text) - 1) // 16 + 1 END)))
+             AS t(i)
+    )
+    SELECT doc_id, win_no, win_start,
+           CAST(length(w) AS BIGINT) AS win_len,
+           CAST((SELECT COALESCE(SUM(ord(substr(w, CAST(j AS INT), 1))), 0)
+                 FROM unnest(range(1, length(w) + 1)) AS s(j)) AS BIGINT) AS energy
+    FROM wins
+    """,
+)
+def j5e_audio_energy_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio framing (J5): overlapping byte windows (hop 16 < window 32
+    — the STFT shape) with exact integer energy, streamed out of an
+    Arrow-batched mapInPandas decoder.  ASCII fixture ⇒ window bytes and
+    energies are SQL-computable, oracle-gating the overlap row-count
+    semantics (ceil(n/hop) windows, short tails) a boundary bug would
+    break."""
+    from ..operators.multimodal import attach_binary_payload, audio_energy_windows
+
+    docs = load_table(spark, sf_dir, "documents")
+    return audio_energy_windows(attach_binary_payload(docs))

@@ -145,3 +145,45 @@ def write_jdbc_append(
     if password is not None:
         writer = writer.option("password", password)
     writer.save()
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: Sequence[str],
+    num_buckets: int = 32,
+    sort: bool = True,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a table hash-bucketed (and bucket-sorted) on its join key.
+
+    THE co-location primitive for repeated big-table joins: two tables
+    bucketed into the same ``num_buckets`` on the same key join
+    bucket-to-bucket with **no Exchange on either side** — at 100 TB the
+    fact-to-fact shuffle (the single most expensive stage in any
+    repeated join pipeline) is paid once at write time and never again.
+    ``sort`` additionally orders each bucket file, giving key-clustered
+    row groups (min/max stat skipping on the join key); note Spark 3+
+    re-sorts per task at read regardless (write-time ordering is only
+    trusted under the legacy ``bucketedTableScan.outputOrdering`` flag)
+    — the win this function banks is the eliminated Exchange.
+
+    Spark's bucketing metadata lives in the session/warehouse catalog,
+    hence ``saveAsTable`` rather than a path write — on a production
+    deployment that's the shared metastore.  Sizing rule: pick
+    ``num_buckets`` so one bucket of the LARGER table fits an executor
+    (bucket count is fixed at write; it is the unit of join/task
+    parallelism for every later read).
+    """
+    # Cluster rows to their bucket before writing: otherwise every task
+    # emits a sliver into every bucket (tasks x buckets small files).
+    # One shuffle here buys one well-sized, key-sorted file per bucket.
+    out = df.repartition(num_buckets, *[F.col(c) for c in bucket_cols])
+    writer = (
+        out.write.mode(mode)
+        .format("parquet")
+        .bucketBy(num_buckets, *bucket_cols)
+    )
+    if sort:
+        writer = writer.sortBy(*bucket_cols)
+    writer.saveAsTable(table)

@@ -91,3 +91,30 @@ def test_real_image_decode_when_pil_available(spark):
     row = extract_features(media).collect()[0]
     assert (row["width"], row["height"]) == (17, 11)
     assert row["feature"][1] == 128.0
+
+
+def test_audio_energy_windows_overlap_semantics(spark):
+    from realtime_cdc_pipeline_docker_spark.operators.multimodal import (
+        attach_binary_payload,
+        audio_energy_windows,
+    )
+
+    rows = [
+        (1, "a" * 40),   # starts 0/16/32: full, short tail 24, short tail 8
+        (2, "b" * 16),   # one short window [0:16]
+        (3, ""),         # no windows
+        (4, "c" * 400),  # capped at max_windows=16
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = audio_energy_windows(attach_binary_payload(df))
+    by_doc = {}
+    for r in out.collect():
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(by_doc.get(1, [])) == 3  # starts 0,16,32 (< 40)
+    w0, w1, w2 = sorted(by_doc[1], key=lambda r: r["win_no"])
+    assert (w0["win_start"], w0["win_len"], w0["energy"]) == (0, 32, 32 * ord("a"))
+    assert (w1["win_start"], w1["win_len"], w1["energy"]) == (16, 24, 24 * ord("a"))
+    assert (w2["win_start"], w2["win_len"], w2["energy"]) == (32, 8, 8 * ord("a"))
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["win_len"] == 16
+    assert 3 not in by_doc
+    assert len(by_doc[4]) == 16  # max_windows cap
