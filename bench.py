@@ -75,6 +75,8 @@ HEADLINE = [
     "j6h_chunk_overlap",
     "j6j_exact_k_sample",
     "j3d_embedding_centroids",
+    "j3f_quantized_embeddings",
+    "j5e_audio_energy_windows",
     "c19_table_profile",
     "j6i_chunk_dedup_stats",
     "j7_corpus_pipeline_e2e",

@@ -535,3 +535,47 @@ def embedding_centroids(
         )
         .select(F.col("grp").alias(by), F.col("pos").cast("long"), "n_vectors", "sum_micro")
     )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    levels: int = 127,
+) -> DataFrame:
+    """Symmetric int8 quantization: per-vector max-abs scale, component
+    ``q = round(x / scale * levels)`` in [-levels, levels] — the
+    compression step that makes a 100 TB float32 embedding store a
+    25 TB int8 one (4x less scan I/O for candidate generation; rerank
+    reads the float originals for the short list).
+
+    Deterministic and engine-exact: the scale is a pure max (no
+    arithmetic), and the quantizer is two correctly-rounded IEEE double
+    ops + half-away rounding — identical bit patterns in any engine, so
+    the DuckDB oracle checks it value-for-value.  All-zero vectors
+    quantize to zeros (scale 0 guard).
+
+    Output is the tall (id, pos, q, scale) relation — the layout a
+    columnar int8 store scans; one generate, no exchange."""
+    scale = F.array_max(F.transform(F.col(vec_col), lambda x: F.abs(x)))
+    return (
+        df.select(F.col(id_col), F.col(vec_col), scale.alias("scale"))
+        .select(
+            id_col,
+            "scale",
+            F.posexplode(vec_col).alias("pos", "x"),
+        )
+        .select(
+            id_col,
+            F.col("pos").cast("int"),
+            F.when(F.col("scale") == 0, F.lit(0))
+            .otherwise(
+                F.round(
+                    F.col("x").cast("double") / F.col("scale").cast("double") * levels
+                )
+            )
+            .cast("int")
+            .alias("q"),
+            "scale",
+        )
+    )

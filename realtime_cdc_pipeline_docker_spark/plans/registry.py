@@ -37,7 +37,7 @@ def register(name: str, oracle: str | None = None):
 
 
 # The driver's per-round CORRECTNESS pass verifies the FIRST 50 entries
-# of queries() in insertion order.  With 118 registered queries,
+# of queries() in insertion order.  With 119 registered queries,
 # coverage rotates: round 4 front-loads (a) the 8 round-3 additions
 # that missed every driver window (registered after the round-3 list
 # froze), (b) the j5 trio that failed round 3 on driver-canonicalizer
@@ -47,9 +47,9 @@ def register(name: str, oracle: str | None = None):
 # then (d) backfills with queries green in exactly ONE prior round to
 # build second rows.  Left out (all with ≥1 green row, re-checked every
 # round by the driver-sim pytest gate): the r1+r2 double-green core
-# and sixteen unchanged single-green queries: fifteen TPC-H shapes
-# (c15/c16/c17/d12/d13/d14/d15/d16/d17/d18/d19/d20/d21/d22/d23)
-# and e4_funnel_conversion.
+# and seventeen unchanged single-green queries: fifteen TPC-H shapes
+# (c15/c16/c17/d12/d13/d14/d15/d16/d17/d18/d19/d20/d21/d22/d23),
+# e2e_event_topn_users, and e4_funnel_conversion.
 # FROZEN at round-4 end: any query registered after this list must be
 # front-loaded in the round-5 rotation.
 DRIVER_PRIORITY: tuple[str, ...] = (
@@ -67,7 +67,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "j4g_pii_redaction", "b12_jsonl_source_roundtrip",
     "h9_stream_dedup_events", "j6j_exact_k_sample", "j3e_ivf_index_topk",
     "j3d_embedding_centroids", "c19_table_profile",
-    "j5e_audio_energy_windows",
+    "j5e_audio_energy_windows", "j3f_quantized_embeddings",
     # (d) green in exactly one round — accumulate second rows
     "j1_dedup_exact", "j2_minhash_neardup", "j2b_ngram_jaccard",
     "j2c_simhash_neardup", "j2d_embedding_neardup", "j2e_neardup_keepers",
@@ -79,7 +79,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "j6e_quality_quantile_filter", "j7_corpus_pipeline_e2e",
     "j9_vocab_topk", "j9b_top_terms",
     "k1_asof_order_state", "k2_range_join_incidents",
-    "e2e_event_topn_users", "h6_stream_stream_attribution",
+    "h6_stream_stream_attribution",
     "e3_cohort_retention",
 )
 

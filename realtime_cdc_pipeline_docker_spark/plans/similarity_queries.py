@@ -379,3 +379,29 @@ def j3d_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import embedding_centroids
 
     return embedding_centroids(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "j3f_quantized_embeddings",
+    oracle="""
+    SELECT vec_id, pos,
+           CAST(CASE WHEN scale = 0 THEN 0
+                ELSE round(CAST(x AS DOUBLE) / CAST(scale AS DOUBLE) * 127)
+                END AS INT) AS q,
+           scale
+    FROM (
+      SELECT vec_id,
+             CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
+             unnest(embedding) AS x,
+             list_max(list_transform(embedding, t -> abs(t))) AS scale
+      FROM embeddings
+    )
+    """,
+)
+def j3f_quantized_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 embedding quantization (J3 storage path): per-vector
+    max-abs symmetric quantizer, engine-exact (two IEEE ops + half-away
+    round) — see operators/similarity.py:quantize_embeddings."""
+    from ..operators.similarity import quantize_embeddings
+
+    return quantize_embeddings(load_table(spark, sf_dir, "embeddings"))

@@ -188,3 +188,29 @@ def test_ivf_index_layout_prunes_and_matches_inmemory(spark, sf_dir, tmp_path):
     import glob
 
     assert len(glob.glob(f"{path}/cluster=*/")) >= 8  # real multi-list layout
+
+
+def test_quantize_embeddings_roundtrip_and_edges(spark):
+    from realtime_cdc_pipeline_docker_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+
+    rows = [
+        (1, [1.0, -0.5, 0.25, 0.0]),
+        (2, [0.0, 0.0, 0.0, 0.0]),   # zero vector
+        (3, [-2.0, 2.0, 1.0, -1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = quantize_embeddings(df)
+    got = {(r["vec_id"], r["pos"]): r for r in out.collect()}
+    # Max component hits the extreme level exactly.
+    assert got[(1, 0)]["q"] == 127
+    assert got[(3, 0)]["q"] == -127 and got[(3, 1)]["q"] == 127
+    # Zero vector -> all-zero codes, scale 0, no NaN.
+    assert all(got[(2, p)]["q"] == 0 for p in range(4))
+    # Dequantization error bound: |q/127*scale - x| <= scale/254 + eps.
+    for (vid, pos), r in got.items():
+        x = rows[vid - 1][1][pos]
+        scale = r["scale"]
+        if scale:
+            assert abs(r["q"] / 127 * scale - x) <= scale / 254 + 1e-6
