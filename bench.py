@@ -49,6 +49,8 @@ HEADLINE = [
     "d6_join_star_snowflake",
     "d9_tpch_q5_shape",
     "e1_cdc_latest_state",
+    "e5_scd2_history",
+    "e6_collapsing_delta_report",
     "e2a_window_topn",
     "e2c_window_running_sum",
     "e2d_sessionization",
@@ -76,6 +78,7 @@ HEADLINE = [
     "j6j_exact_k_sample",
     "j3d_embedding_centroids",
     "j3f_quantized_embeddings",
+    "j3g_random_projection",
     "j5e_audio_energy_windows",
     "c19_table_profile",
     "j6i_chunk_dedup_stats",

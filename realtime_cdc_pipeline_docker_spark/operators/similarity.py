@@ -579,3 +579,76 @@ def quantize_embeddings(
             "scale",
         )
     )
+
+
+def projection_signs(
+    out_dims: int = 16, in_dims: int = 64, seed_tag: str = "rp"
+) -> list[list[int]]:
+    """The +-1 sign matrix for ``random_projection``, derived from md5 so
+    any engine (or auditor) can regenerate it independently:
+    ``sign(i, j) = +1 iff the first hex nibble of md5("rp:i:j") is even``.
+
+    A seeded PRNG matrix would tie the operator to one library's stream;
+    a cryptographic-hash matrix is reproducible from the spec alone (the
+    same determinism argument as the md5 corpus shuffle,
+    operators/sampling.py) and each entry is an unbiased coin.
+    """
+    return [
+        [
+            1
+            if int(hashlib.md5(f"{seed_tag}:{i}:{j}".encode()).hexdigest()[0], 16) % 2 == 0
+            else -1
+            for j in range(in_dims)
+        ]
+        for i in range(out_dims)
+    ]
+
+
+def random_projection(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_dims: int = 16,
+    in_dims: int = 64,
+    micro: int = 1_000_000,
+    seed_tag: str = "rp",
+) -> DataFrame:
+    """Johnson-Lindenstrauss sign random projection: dim reduction
+    d -> k before LSH/IVF candidate generation, so bucket hashing and
+    distance screening read k numbers per vector instead of d (the
+    standard 100 TB trick: project 768 -> 64, generate candidates in the
+    small space, re-rank survivors with full vectors).
+
+    ``proj[i] = sum_j sign(i, j) * round(vec[j] * micro)`` — components
+    are quantized to exact integer micro-units FIRST (same fixed-point
+    discipline as ``embedding_centroids``), so the projection is integer
+    arithmetic: exact, associative, layout- and engine-independent.
+    With +-1 signs the projection is distance-preserving in expectation
+    (Achlioptas 2003 — database-friendly random projections; public
+    result), and computing it is add/subtract only, no multiplies.
+
+    The sign matrix is an in-plan literal (k x d ints), so the whole
+    operator is a shuffle-free scan-side projection: transform ->
+    zip_with -> aggregate, all inside whole-stage codegen.  No joins, no
+    Python, no state — it composes with any downstream bucketing in the
+    same stage.
+    """
+    signs = projection_signs(out_dims, in_dims, seed_tag)
+    qvec = F.transform(
+        F.col(vec_col), lambda x: F.round(x.cast("double") * micro).cast("long")
+    )
+    out = df.withColumn("__q", qvec)
+    proj = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    F.array(*[F.lit(s) for s in row]).cast("array<long>"),
+                    F.col("__q"),
+                    lambda s, q: s * q,
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            for row in signs
+        ]
+    )
+    return out.withColumn("proj_micro", proj).drop("__q")

@@ -137,3 +137,124 @@ def h_stream_cdc_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return latest_state(log, key_cols=("id",)).select(
         "id", "customer_id", "order_date", "status", "total_amount"
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.E extension: change history (SCD2 / time travel / collapsing deltas)
+# ---------------------------------------------------------------------------
+
+# Snapshot instant for e5b: 1995-07-01 00:00:00 naive-UTC, mid-range of
+# the fixture's order dates.  Chosen ON an insert boundary: orders dated
+# exactly 1995-07-01 have ts0 == _ASOF_MS, so the snapshot must show
+# their INSERT image ('processing', NULL total) — the half-open
+# [from, to) convention is exercised, not just the interior.
+_ASOF_MS = 804_556_800_000
+
+
+@register(
+    "e5_scd2_history",
+    oracle="""
+    SELECT o_orderkey AS id, o_custkey AS customer_id,
+           o_orderdate AS order_date,
+           'processing' AS status, CAST(NULL AS DOUBLE) AS total_amount,
+           epoch_ms(o_orderdate) AS valid_from_ms,
+           epoch_ms(o_orderdate) + 3600000 AS valid_to_ms,
+           FALSE AS is_current
+    FROM orders
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_orderdate, o_orderstatus, o_totalprice,
+           epoch_ms(o_orderdate) + 3600000,
+           CASE WHEN o_orderkey % 10 = 0 THEN epoch_ms(o_orderdate) + 7200000
+                ELSE CAST(NULL AS BIGINT) END,
+           o_orderkey % 10 <> 0
+    FROM orders
+    """,
+)
+def e5_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 validity-interval history from the CDC log (§2.E extension):
+    every key shows its INSERT version closed by the UPDATE, the UPDATE
+    version open (current) for survivors and closed by the DELETE
+    tombstone for keys ≡ 0 (mod 10) — which emit no row of their own.
+    The oracle rebuilds the full interval table from `orders` + the
+    scripted lifecycle, mechanism-independent.  One shuffle on the key
+    (same minimum as e1's collapse); see operators/history.py."""
+    from ..operators.history import scd2_history
+
+    envelope = synth_orders_envelope(spark, sf_dir)
+    decoded = decode_envelope(envelope, ORDERS_PAYLOAD_SCHEMA)
+    return scd2_history(decoded, key_cols=("id",)).select(
+        "id", "customer_id", "order_date", "status", "total_amount",
+        "valid_from_ms", "valid_to_ms", "is_current",
+    )
+
+
+@register(
+    "e5b_snapshot_asof",
+    oracle=f"""
+    SELECT o_orderkey AS id, o_custkey AS customer_id,
+           o_orderdate AS order_date,
+           CASE WHEN {_ASOF_MS} < epoch_ms(o_orderdate) + 3600000
+                THEN 'processing' ELSE o_orderstatus END AS status,
+           CASE WHEN {_ASOF_MS} < epoch_ms(o_orderdate) + 3600000
+                THEN CAST(NULL AS DOUBLE) ELSE o_totalprice END AS total_amount
+    FROM orders
+    WHERE epoch_ms(o_orderdate) <= {_ASOF_MS}
+      AND NOT (o_orderkey % 10 = 0
+               AND epoch_ms(o_orderdate) + 7200000 <= {_ASOF_MS})
+    """,
+)
+def e5b_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel: world state at 1995-07-01T00:00Z reconstructed from
+    the SCD2 table (§2.E extension).  Keys inserted later are absent,
+    keys deleted earlier are absent, keys mid-lifecycle show the version
+    whose [from, to) interval covers the instant — including the
+    boundary bucket of orders dated exactly at the snapshot, which must
+    show their just-inserted 'processing' image.  A pure filter over the
+    history — shuffle-free given a materialized SCD2 table, partition-
+    prunable on valid_from date; see operators/history.py."""
+    from ..operators.history import scd2_history, snapshot_asof
+
+    envelope = synth_orders_envelope(spark, sf_dir)
+    decoded = decode_envelope(envelope, ORDERS_PAYLOAD_SCHEMA)
+    hist = scd2_history(decoded, key_cols=("id",))
+    return snapshot_asof(hist, _ASOF_MS).select(
+        "id", "customer_id", "order_date", "status", "total_amount"
+    )
+
+
+@register(
+    "e6_collapsing_delta_report",
+    oracle="""
+    SELECT CAST(o_orderdate AS DATE) AS order_day,
+           CAST(SUM(CASE WHEN o_orderkey % 10 = 0 THEN 0
+                    ELSE CAST(round(o_totalprice * 100) AS BIGINT) END)
+                AS BIGINT) AS revenue_cents,
+           CAST(SUM(CASE WHEN o_orderkey % 10 = 0 THEN 0 ELSE 1 END)
+                AS BIGINT) AS live_orders
+    FROM orders GROUP BY 1
+    """,
+)
+def e6_collapsing_delta_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained daily revenue via CollapsingMergeTree
+    deltas (§2.E extension): UPDATE envelopes expand to (-before, +after)
+    signed pairs, so SUM(sign * cents) / SUM(sign) over the *change
+    stream alone* equals the report over final state — the oracle states
+    the latter directly over `orders`.  Inserts carry NULL totals (sum-
+    neutral), deletes subtract themselves out; exact integer cents make
+    the signed sum order-free.  Stateless explode + one map-side-
+    combinable aggregate — no base-table rescan, unlike the reference's
+    daily_report.py full-state scan; see operators/history.py."""
+    from ..operators.history import signed_delta
+
+    envelope = synth_orders_envelope(spark, sf_dir)
+    deltas = signed_delta(envelope, ORDERS_PAYLOAD_SCHEMA)
+    return (
+        deltas.groupBy(F.to_date("order_date").alias("order_day"))
+        .agg(
+            F.sum(
+                F.col("sign")
+                * F.round(F.col("total_amount") * 100).cast("long")
+            ).alias("revenue_cents"),
+            F.sum("sign").cast("long").alias("live_orders"),
+        )
+    )

@@ -405,3 +405,43 @@ def j3f_quantized_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import quantize_embeddings
 
     return quantize_embeddings(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "j3g_random_projection",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id,
+             CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS j,
+             CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                  AS BIGINT) AS qv
+      FROM embeddings
+    ), m AS (
+      SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+             CASE WHEN instr('02468ace',
+                             substr(md5('rp:' || i || ':' || j), 1, 1)) > 0
+                  THEN 1 ELSE -1 END AS s
+      FROM range(16) t1(i), range(64) t2(j)
+    )
+    SELECT q.vec_id, m.i AS out_dim,
+           CAST(SUM(m.s * q.qv) AS BIGINT) AS proj_micro
+    FROM q JOIN m ON q.j = m.j
+    GROUP BY 1, 2
+    """,
+)
+def j3g_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign random projection 64 -> 16 in exact integer micro-units
+    (J3 scale path: project, then bucket/screen in the small space).
+    The oracle regenerates the md5-derived sign matrix independently in
+    SQL and recomputes the projection via explode + join + sum — the
+    Spark plan computes the identical numbers as a shuffle-free
+    codegen'd array expression (operators/similarity.py:
+    random_projection).  Output posexploded: arrays never cross the
+    driver's pandas canonicalizer (the j5 round-3 lesson)."""
+    from ..operators.similarity import random_projection
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    proj = random_projection(emb, out_dims=16, in_dims=64)
+    return proj.selectExpr(
+        "vec_id", "posexplode(proj_micro) AS (out_dim, proj_micro)"
+    )

@@ -558,3 +558,67 @@ def j5e_audio_energy_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return audio_energy_windows(attach_binary_payload(docs))
+
+
+@register(
+    "j4h_boilerplate_removal",
+    oracle="""
+    WITH planted AS (
+      SELECT doc_id, source,
+             CASE WHEN doc_id % 3 = 0
+                  THEN 'subscribe to the ' || source || ' weekly newsletter | ' || text
+                  ELSE text END AS text
+      FROM documents
+    ),
+    lines AS (
+      SELECT doc_id, source, CAST(i - 1 AS INT) AS line_no, l[CAST(i AS INT)] AS line
+      FROM (SELECT doc_id, source, string_split(text, ' | ') AS l FROM planted),
+           unnest(range(1, len(l) + 1)) t(i)
+    ),
+    gd AS (SELECT source, count(DISTINCT doc_id) AS nd FROM planted GROUP BY 1),
+    ldf AS (SELECT source, line, count(DISTINCT doc_id) AS df FROM lines GROUP BY 1, 2),
+    bp AS (SELECT l.source, l.line FROM ldf l JOIN gd USING (source)
+           WHERE df >= nd * 0.2),
+    kept AS (SELECT li.doc_id, li.line_no, li.line
+             FROM lines li LEFT JOIN bp
+               ON li.source = bp.source AND li.line = bp.line
+             WHERE bp.line IS NULL),
+    reb AS (SELECT doc_id, string_agg(line, ' | ' ORDER BY line_no) AS clean_text,
+                   count(*) AS n_kept
+            FROM kept GROUP BY 1),
+    tot AS (SELECT doc_id, source, count(*) AS n_lines FROM lines GROUP BY 1, 2)
+    SELECT t.doc_id, t.source,
+           coalesce(r.clean_text, '') AS clean_text,
+           CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_lines_kept,
+           CAST(t.n_lines - coalesce(r.n_kept, 0) AS BIGINT) AS n_lines_removed
+    FROM tot t LEFT JOIN reb r ON t.doc_id = r.doc_id
+    """,
+)
+def j4h_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style boilerplate line removal (J4 extension): lines
+    repeating across >= 20% of a source's documents are dropped, docs
+    reassembled from unique content.  The fixture has no natural
+    boilerplate (max within-source 5-gram df is 8%), so a per-source
+    newsletter banner is planted in-engine on every third doc — both
+    engines synthesize identical strings — and the oracle proves the
+    removal FIRES (banner gone, body intact, counts exact), not merely
+    that clean docs pass through.  See operators/text.py
+    remove_boilerplate for the broadcast-anti-join scale shape."""
+    from ..operators.text import remove_boilerplate
+
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("subscribe to the "),
+                F.col("source"),
+                F.lit(" weekly newsletter | "),
+                F.col("text"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    return remove_boilerplate(planted).select(
+        "doc_id", "source", "clean_text", "n_lines_kept", "n_lines_removed"
+    )

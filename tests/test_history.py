@@ -1,0 +1,250 @@
+"""SCD2 history / snapshot / signed-delta operator tests
+(operators/history.py) — hand-built change logs with known interval
+structure, plus plan-shape and consistency checks against
+latest_state."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from realtime_cdc_pipeline_docker_spark.operators.collapse import latest_state
+from realtime_cdc_pipeline_docker_spark.operators.history import (
+    scd2_history,
+    signed_delta,
+    snapshot_asof,
+)
+
+_LOG_SCHEMA = "id long, v string, op string, ts_ms long, sign int"
+
+
+def _log(spark, rows):
+    return spark.createDataFrame(rows, _LOG_SCHEMA)
+
+
+def _hist_map(df):
+    return {
+        (r["id"], r["valid_from_ms"]): (r["v"], r["valid_to_ms"], r["is_current"])
+        for r in df.collect()
+    }
+
+
+def test_scd2_intervals_chain_and_tombstones_close(spark):
+    # key 1: insert -> update -> update (survives); key 2: insert -> delete
+    rows = [
+        (1, "a", "c", 100, 1),
+        (1, "b", "u", 200, 1),
+        (1, "c", "u", 300, 1),
+        (2, "x", "c", 150, 1),
+        (2, "x", "d", 250, -1),
+    ]
+    hist = _hist_map(scd2_history(_log(spark, rows), key_cols=("id",)))
+    assert hist == {
+        (1, 100): ("a", 200, False),
+        (1, 200): ("b", 300, False),
+        (1, 300): ("c", None, True),
+        (2, 150): ("x", 250, False),  # closed by the tombstone,
+        # and the tombstone itself emits no row: key 2 has no current row
+    }
+
+
+def test_scd2_exactly_one_current_per_live_key(spark, sf_dir):
+    from realtime_cdc_pipeline_docker_spark.sources.cdc import (
+        ORDERS_PAYLOAD_SCHEMA,
+        decode_envelope,
+        synth_orders_envelope,
+    )
+
+    decoded = decode_envelope(
+        synth_orders_envelope(spark, sf_dir), ORDERS_PAYLOAD_SCHEMA
+    )
+    hist = scd2_history(decoded, key_cols=("id",))
+    per_key = hist.groupBy("id").agg(
+        F.sum(F.col("is_current").cast("int")).alias("n_current")
+    )
+    # deleted keys (id % 10 == 0): fully-closed history, zero current rows;
+    # survivors: exactly one current row
+    bad = per_key.filter(
+        ((F.col("id") % 10 == 0) & (F.col("n_current") != 0))
+        | ((F.col("id") % 10 != 0) & (F.col("n_current") != 1))
+    ).count()
+    assert bad == 0
+
+
+def test_scd2_current_rows_equal_latest_state(spark, sf_dir):
+    """The SCD2 table's current slice must be exactly the
+    ReplacingMergeTree collapse — two operators, one truth."""
+    from realtime_cdc_pipeline_docker_spark.sources.cdc import (
+        ORDERS_PAYLOAD_SCHEMA,
+        decode_envelope,
+        synth_orders_envelope,
+    )
+
+    decoded = decode_envelope(
+        synth_orders_envelope(spark, sf_dir), ORDERS_PAYLOAD_SCHEMA
+    )
+    cols = ["id", "customer_id", "status", "total_amount"]
+    current = scd2_history(decoded, key_cols=("id",)).filter("is_current").select(cols)
+    collapsed = latest_state(decoded, key_cols=("id",)).select(cols)
+    assert current.exceptAll(collapsed).count() == 0
+    assert collapsed.exceptAll(current).count() == 0
+
+
+def test_scd2_single_shuffle(spark):
+    rows = [(1, "a", "c", 100, 1), (1, "b", "u", 200, 1)]
+    plan = scd2_history(_log(spark, rows))._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_snapshot_asof_boundaries(spark):
+    rows = [
+        (1, "a", "c", 100, 1),
+        (1, "b", "u", 200, 1),
+        (2, "x", "c", 150, 1),
+        (2, "x", "d", 250, -1),
+    ]
+    hist = scd2_history(_log(spark, rows), key_cols=("id",))
+
+    def state(at):
+        return {(r["id"], r["v"]) for r in snapshot_asof(hist, at).collect()}
+
+    assert state(99) == set()  # before any insert
+    assert state(100) == {(1, "a")}  # inclusive valid_from
+    assert state(199) == {(1, "a"), (2, "x")}
+    assert state(200) == {(1, "b"), (2, "x")}  # half-open: new version at its instant
+    assert state(250) == {(1, "b")}  # delete effective at its instant
+    assert state(10_000) == {(1, "b")}
+
+
+def test_signed_delta_expansion(spark):
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("amt", T.DoubleType())]
+    )
+    env = spark.createDataFrame(
+        [
+            ('{"id":1,"amt":5.0}', None, "d", 300),
+            (None, '{"id":1,"amt":null}', "c", 100),
+            ('{"id":1,"amt":null}', '{"id":1,"amt":5.0}', "u", 200),
+        ],
+        "before string, after string, op string, ts_ms long",
+    )
+    out = signed_delta(env, schema).orderBy("ts_ms", "sign").collect()
+    # c -> one +1 row; u -> (-1 before, +1 after); d -> one -1 row
+    assert [(r["op"], r["sign"], r["amt"]) for r in out] == [
+        ("c", 1, None),
+        ("u", -1, None),
+        ("u", 1, 5.0),
+        ("d", -1, 5.0),
+    ]
+
+
+def test_signed_delta_sum_tracks_live_total(spark):
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("amt", T.DoubleType())]
+    )
+    env = spark.createDataFrame(
+        [
+            (None, '{"id":1,"amt":10.0}', "c", 100),
+            ('{"id":1,"amt":10.0}', '{"id":1,"amt":25.0}', "u", 200),
+            (None, '{"id":2,"amt":7.0}', "c", 150),
+            ('{"id":2,"amt":7.0}', None, "d", 300),
+        ],
+        "before string, after string, op string, ts_ms long",
+    )
+    row = (
+        signed_delta(env, schema)
+        .agg(
+            F.sum(F.col("sign") * F.col("amt")).alias("total"),
+            F.sum("sign").alias("live"),
+        )
+        .collect()[0]
+    )
+    assert row["total"] == 25.0  # -10 +25 +7 -7 +10 = 25 (key 1 current image)
+    assert row["live"] == 1
+
+
+def test_signed_delta_is_shuffle_and_python_free(spark):
+    schema = T.StructType([T.StructField("id", T.LongType())])
+    env = spark.createDataFrame(
+        [(None, '{"id":1}', "c", 100)],
+        "before string, after string, op string, ts_ms long",
+    )
+    plan = signed_delta(env, schema)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# remove_boilerplate (operators/text.py) — planted-banner removal
+# ---------------------------------------------------------------------------
+
+
+def _bp(spark, rows, **kw):
+    from realtime_cdc_pipeline_docker_spark.operators.text import remove_boilerplate
+
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    return {
+        r["doc_id"]: (r["clean_text"], r["n_lines_kept"], r["n_lines_removed"])
+        for r in remove_boilerplate(df, **kw).collect()
+    }
+
+
+def test_boilerplate_banner_removed_body_kept(spark):
+    rows = [
+        (1, "s", "BANNER | unique one"),
+        (2, "s", "BANNER | unique two"),
+        (3, "s", "BANNER | unique three"),
+        (4, "s", "unique four"),
+    ]
+    out = _bp(spark, rows, min_df_frac=0.5)
+    assert out == {
+        1: ("unique one", 1, 1),
+        2: ("unique two", 1, 1),
+        3: ("unique three", 1, 1),
+        4: ("unique four", 1, 0),
+    }
+
+
+def test_boilerplate_threshold_is_per_group(spark):
+    # "COMMON" is boilerplate in source a (2/2 docs) but unique in b (1/2)
+    rows = [
+        (1, "a", "COMMON | x"),
+        (2, "a", "COMMON | y"),
+        (3, "b", "COMMON | z"),
+        (4, "b", "other | w"),
+    ]
+    out = _bp(spark, rows, min_df_frac=0.9)
+    assert out[1] == ("x", 1, 1)
+    assert out[2] == ("y", 1, 1)
+    assert out[3] == ("COMMON | z", 2, 0)
+    assert out[4] == ("other | w", 2, 0)
+
+
+def test_boilerplate_all_lines_removed_doc_survives_empty(spark):
+    rows = [(1, "s", "SAME"), (2, "s", "SAME"), (3, "s", "SAME | tail")]
+    out = _bp(spark, rows, min_df_frac=0.5)
+    assert out[1] == ("", 0, 1)
+    assert out[2] == ("", 0, 1)
+    assert out[3] == ("tail", 1, 1)
+
+
+def test_boilerplate_separator_is_literal_not_regex(spark):
+    # "|" must not act as regex alternation: single spaces inside a
+    # line must NOT split it
+    rows = [(1, "s", "a b c"), (2, "s", "d e f")]
+    out = _bp(spark, rows, min_df_frac=0.9)
+    assert out[1] == ("a b c", 1, 0)
+    assert out[2] == ("d e f", 1, 0)
+
+
+def test_boilerplate_membership_join_is_broadcast(spark, sf_dir):
+    from realtime_cdc_pipeline_docker_spark.operators.text import remove_boilerplate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = (
+        remove_boilerplate(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    # the anti membership test and the group-size join ride broadcasts;
+    # the full line stream shuffles only for df and reassembly
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert "SortMergeJoin" not in plan, plan

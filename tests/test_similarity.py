@@ -214,3 +214,54 @@ def test_quantize_embeddings_roundtrip_and_edges(spark):
         scale = r["scale"]
         if scale:
             assert abs(r["q"] / 127 * scale - x) <= scale / 254 + 1e-6
+
+
+def test_random_projection_matches_numpy_reference(spark, sf_dir):
+    """Independent recompute: quantize to micro-units then multiply by
+    the md5 sign matrix in numpy — integer-exact, so equality is =="""
+    import numpy as np
+
+    from realtime_cdc_pipeline_docker_spark.operators.similarity import (
+        projection_signs,
+        random_projection,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(50)
+    got = {
+        r["vec_id"]: r["proj_micro"]
+        for r in random_projection(emb, out_dims=16, in_dims=64).collect()
+    }
+    signs = np.array(projection_signs(16, 64), dtype=np.int64)
+    for r in emb.collect():
+        q = np.array(
+            [round(float(x) * 1_000_000) for x in r["embedding"]], dtype=np.int64
+        )
+        assert got[r["vec_id"]] == list(signs @ q), r["vec_id"]
+
+
+def test_random_projection_layout_independent(spark, sf_dir):
+    from realtime_cdc_pipeline_docker_spark.operators.similarity import (
+        random_projection,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = random_projection(emb).select("vec_id", "proj_micro").collect()
+    b = (
+        random_projection(emb.repartition(13))
+        .select("vec_id", "proj_micro")
+        .collect()
+    )
+    assert sorted(map(tuple, ((r[0], tuple(r[1])) for r in a))) == sorted(
+        map(tuple, ((r[0], tuple(r[1])) for r in b))
+    )
+
+
+def test_random_projection_shuffle_and_python_free(spark, sf_dir):
+    from realtime_cdc_pipeline_docker_spark.operators.similarity import (
+        random_projection,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    plan = random_projection(emb)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan, plan
