@@ -71,6 +71,7 @@ HEADLINE = [
     "d23_tpch_q21_shape",
     "j4f_repetition_signals",
     "j4g_pii_redaction",
+    "j4h_boilerplate_removal",
     "j6b_sequence_packing",
     "j6d_corpus_shuffle",
     "j6g_leakage_safe_split",

@@ -52,6 +52,7 @@ def scd2_history(
     version_col: str = "ts_ms",
     op_col: str = "op",
     tiebreak_cols: Sequence[str] = (),
+    dedup_redelivered: bool = True,
 ) -> DataFrame:
     """Decoded signed CDC log → SCD2 validity-interval table.
 
@@ -64,17 +65,28 @@ def scd2_history(
     deleted key has a fully-closed history and no current row —
     consistent with ``latest_state`` dropping the key entirely.
 
-    Input contract: the deduplicated decoded log (one row per key +
-    version + op).  At-least-once redelivery must be absorbed upstream
-    (streaming/pipeline.py's idempotent sink does); duplicated versions
-    here would yield zero-length intervals, not wrong ones.
+    ``dedup_redelivered`` absorbs at-least-once delivery: the streamed
+    log dedups within a micro-batch but can carry cross-batch duplicates
+    (streaming/pipeline.py:74 routes those to latest_state's rank; here
+    they would become zero-length intervals + duplicate rows).  Equal
+    (version, op) rows per key sort adjacent in the interval window, so
+    a ``lag`` marker suppresses them ON THE SAME partitioning and sort —
+    idempotence costs zero extra exchanges, unlike a ``dropDuplicates``
+    (which would shuffle on (key, version, op) and then again on key).
 
-    One shuffle (hash on ``key_cols``), one window — the same minimum
-    cost as the latest-state collapse; ``lead`` and the tombstone filter
-    ride the same sorted partition.
+    One shuffle (hash on ``key_cols``), one window sort — the same
+    minimum cost as the latest-state collapse; dedup ``lag``, interval
+    ``lead`` and the tombstone filter all ride that one sorted partition.
     """
     order = [F.col(version_col).asc()] + [F.col(c).asc() for c in tiebreak_cols]
     w = Window.partitionBy(*[F.col(k) for k in key_cols]).orderBy(*order)
+    if dedup_redelivered:
+        marker = F.struct(F.col(version_col), F.col(op_col))
+        decoded = (
+            decoded.withColumn("__prev", F.lag(marker).over(w))
+            .filter(F.col("__prev").isNull() | (F.col("__prev") != marker))
+            .drop("__prev")
+        )
     return (
         decoded.withColumn("valid_from_ms", F.col(version_col).cast(T.LongType()))
         .withColumn("valid_to_ms", F.lead(F.col(version_col).cast(T.LongType())).over(w))

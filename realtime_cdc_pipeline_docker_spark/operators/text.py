@@ -304,28 +304,30 @@ def remove_boilerplate(
     are reassembled from their kept lines in original order, with
     per-doc removed/kept counts for curation audits.
 
-    Plan shape (three exchanges, one broadcast):
+    Plan shape — the line stream (the 100 TB object) shuffles exactly
+    ONCE:
 
     1. split + posexplode lines (scan-side generate, no exchange);
     2. line document-frequency: one hash aggregate keyed
-       (group, line) — map-side combinable;
+       (group, line) — map-side combinable; group doc-counts are a
+       second, doc-sized aggregate;
     3. the boilerplate set — lines over the threshold — is by
        construction SMALL (each survivor repeats in >= frac of a
-       group's docs, so there can be at most docs/frac/lines-per-doc of
-       them); it is broadcast and lines are filtered with a broadcast
-       LEFT ANTI join — the full line stream never shuffles for the
-       membership test;
-    4. reassembly: one aggregate keyed on the doc id
-       (``sort_array(collect_list(struct(line_no, line)))`` →
-       ``array_join``), preserving original line order without a
-       window sort.
+       group's docs, so a group holds at most lines-per-doc / frac of
+       them); lines are MARKED with a broadcast LEFT OUTER join — the
+       full line stream never shuffles for the membership test;
+    4. one aggregate keyed on the doc id does everything else:
+       reassembly of the kept lines in original order
+       (``sort_array(collect_list(struct(...)))`` → ``filter`` →
+       ``array_join``, no window sort) AND the kept/removed counts —
+       no separate totals aggregate, no doc-level join afterwards.
 
-    At 100 TB the df aggregate and the reassembly are the two
-    unavoidable shuffles (both on high-cardinality keys, AQE-handled);
-    the boilerplate membership test rides a broadcast.  Group doc
-    counts reuse the df aggregate's exchange (grouping on a prefix of
-    the same key) — Spark plans them without an extra shuffle of the
-    line stream.
+    Four shuffle exchanges total: two for the line document-frequency
+    (Spark's exact-distinct aggregate is two-phase: (group, line, doc)
+    then (group, line)), one doc-sized group count, one doc-keyed
+    reassembly.  A filter-then-reassemble formulation would shuffle the
+    line stream again and re-join per doc — marking first folds all of
+    it into the one doc-keyed aggregate.  AQE handles skewed lines.
     """
     lines = df.select(
         F.col(id_col),
@@ -336,8 +338,10 @@ def remove_boilerplate(
             "__line_no", "__line"
         ),
     )
+    # input contract: one row per document (a doc table, not a line
+    # table), so the group size is a plain count — no distinct pass
     group_docs = df.groupBy(group_col).agg(
-        F.countDistinct(id_col).alias("__group_docs")
+        F.count(F.lit(1)).alias("__group_docs")
     )
     line_df = lines.groupBy(group_col, "__line").agg(
         F.countDistinct(id_col).alias("__df")
@@ -345,35 +349,24 @@ def remove_boilerplate(
     boilerplate = (
         line_df.join(F.broadcast(group_docs), group_col)
         .filter(F.col("__df") >= F.col("__group_docs") * F.lit(min_df_frac))
-        .select(group_col, "__line")
+        .select(group_col, "__line", F.lit(True).alias("__bp"))
     )
-    kept = lines.join(
-        F.broadcast(boilerplate), [group_col, "__line"], "left_anti"
+    marked = lines.join(
+        F.broadcast(boilerplate), [group_col, "__line"], "left"
     )
-    rebuilt = kept.groupBy(id_col).agg(
+    ordered = F.sort_array(
+        F.collect_list(F.struct("__line_no", "__line", "__bp"))
+    )
+    kept_lines = F.filter(ordered, lambda s: s.getField("__bp").isNull())
+    return marked.groupBy(id_col).agg(
+        F.first(group_col).alias(group_col),
         F.array_join(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("__line_no", "__line"))),
-                lambda s: s.getField("__line"),
-            ),
-            sep,
+            F.transform(kept_lines, lambda s: s.getField("__line")), sep
         ).alias("clean_text"),
-        F.count(F.lit(1)).alias("n_lines_kept"),
-    )
-    totals = lines.groupBy(id_col, group_col).agg(
-        F.count(F.lit(1)).alias("__n_lines")
-    )
-    return (
-        totals.join(rebuilt, id_col, "left")
-        .select(
-            id_col,
-            group_col,
-            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
-            F.coalesce(F.col("n_lines_kept"), F.lit(0)).cast("long").alias(
-                "n_lines_kept"
-            ),
-            (F.col("__n_lines") - F.coalesce(F.col("n_lines_kept"), F.lit(0)))
-            .cast("long")
-            .alias("n_lines_removed"),
-        )
+        F.sum(F.when(F.col("__bp").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_lines_kept"),
+        F.sum(F.when(F.col("__bp").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_lines_removed"),
     )

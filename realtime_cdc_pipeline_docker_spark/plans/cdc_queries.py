@@ -151,9 +151,7 @@ def h_stream_cdc_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ASOF_MS = 804_556_800_000
 
 
-@register(
-    "e5_scd2_history",
-    oracle="""
+_SCD2_ORACLE = """
     SELECT o_orderkey AS id, o_custkey AS customer_id,
            o_orderdate AS order_date,
            'processing' AS status, CAST(NULL AS DOUBLE) AS total_amount,
@@ -168,8 +166,10 @@ _ASOF_MS = 804_556_800_000
                 ELSE CAST(NULL AS BIGINT) END,
            o_orderkey % 10 <> 0
     FROM orders
-    """,
-)
+    """
+
+
+@register("e5_scd2_history", oracle=_SCD2_ORACLE)
 def e5_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 validity-interval history from the CDC log (§2.E extension):
     every key shows its INSERT version closed by the UPDATE, the UPDATE
@@ -257,4 +257,36 @@ def e6_collapsing_delta_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue_cents"),
             F.sum("sign").cast("long").alias("live_orders"),
         )
+    )
+
+
+@register("h10_stream_scd2_history", oracle=_SCD2_ORACLE)
+def h10_stream_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history maintained under Structured Streaming: the same
+    file-stream → foreachBatch append log as h_stream_cdc_orders, with
+    the history as a merge-on-read view over the log — exactly the
+    ClickHouse model (append change rows, collapse on read) applied to
+    intervals instead of latest state.  The envelope is DELIVERED TWICE
+    through two independent stream runs (distinct checkpoints), so the
+    log carries cross-batch duplicates of every event: the view's
+    zero-extra-exchange redelivery dedup (operators/history.py) must
+    absorb them to match the batch oracle.  stream == batch == SQL
+    golden, under at-least-once delivery."""
+    from ..operators.history import scd2_history
+
+    work = _work_dir("scd2_stream", sf_dir)
+    envelope = synth_orders_envelope(spark, sf_dir)
+    envelope.repartition(8).write.mode("overwrite").json(f"{work}/input")
+    for run in ("a", "b"):  # two deliveries of the same events
+        run_cdc_stream(
+            spark,
+            envelope_dir=f"{work}/input",
+            log_dir=f"{work}/log",
+            checkpoint_dir=f"{work}/ckpt_{run}",
+            payload_schema=ORDERS_PAYLOAD_SCHEMA,
+        )
+    log = spark.read.parquet(f"{work}/log")
+    return scd2_history(log, key_cols=("id",)).select(
+        "id", "customer_id", "order_date", "status", "total_amount",
+        "valid_from_ms", "valid_to_ms", "is_current",
     )

@@ -51,8 +51,9 @@ def register(name: str, oracle: str | None = None):
 # (c15/c16/c17/d12/d13/d14/d15/d16/d17/d18/d19/d20/d21/d22/d23),
 # e2e_event_topn_users, e4_funnel_conversion, k1_asof_order_state,
 # k2_range_join_incidents, h6_stream_stream_attribution,
-# e3_cohort_retention, and j9b_top_terms (displaced by the round-4 CDC
-# history / random-projection / boilerplate additions, zero rows each).
+# e3_cohort_retention, j9b_top_terms, and j9_vocab_topk (displaced by
+# the round-4 CDC history / streaming SCD2 / random-projection /
+# boilerplate additions, which have zero driver rows each).
 # FROZEN at round-4 end: any query registered after this list must be
 # front-loaded in the round-5 rotation.
 DRIVER_PRIORITY: tuple[str, ...] = (
@@ -73,6 +74,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "j5e_audio_energy_windows", "j3f_quantized_embeddings",
     "e5_scd2_history", "e5b_snapshot_asof", "e6_collapsing_delta_report",
     "j3g_random_projection", "j4h_boilerplate_removal",
+    "h10_stream_scd2_history",
     # (d) green in exactly one round — accumulate second rows
     "j1_dedup_exact", "j2_minhash_neardup", "j2b_ngram_jaccard",
     "j2c_simhash_neardup", "j2d_embedding_neardup", "j2e_neardup_keepers",
@@ -82,7 +84,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "j6a_stratified_sample", "j6b_sequence_packing",
     "j6c_corpus_filter_stats", "j6d_corpus_shuffle",
     "j6e_quality_quantile_filter", "j7_corpus_pipeline_e2e",
-    "j9_vocab_topk",
 )
 
 

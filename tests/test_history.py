@@ -244,7 +244,37 @@ def test_boilerplate_membership_join_is_broadcast(spark, sf_dir):
     plan = (
         remove_boilerplate(docs)._jdf.queryExecution().executedPlan().toString()
     )
-    # the anti membership test and the group-size join ride broadcasts;
+    # the mark membership test and the group-size join ride broadcasts;
     # the full line stream shuffles only for df and reassembly
-    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+    # 4 shuffle exchanges: 2-phase line-df distinct, group count, doc
+    # reassembly (broadcast exchanges excluded — they move the tiny side)
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange hashpartitioning") <= 4, final
+
+
+def test_scd2_redelivered_duplicates_absorbed_no_extra_exchange(spark):
+    rows = [
+        (1, "a", "c", 100, 1),
+        (1, "b", "u", 200, 1),
+        (2, "x", "c", 150, 1),
+        (2, "x", "d", 250, -1),
+    ]
+    once = scd2_history(_log(spark, rows), key_cols=("id",))
+    twice_df = scd2_history(_log(spark, rows + rows), key_cols=("id",))
+    assert _hist_map(twice_df) == _hist_map(once)
+    # idempotence must ride the interval window's shuffle, not add one
+    # (after execution the AQE toString appends the Initial Plan section
+    # too — count exchanges in the final plan only)
+    plan = twice_df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange") == 1, final
+
+
+def test_scd2_dedup_off_exposes_duplicates(spark):
+    rows = [(1, "a", "c", 100, 1), (1, "b", "u", 200, 1)]
+    n = scd2_history(
+        _log(spark, rows + rows), key_cols=("id",), dedup_redelivered=False
+    ).count()
+    assert n == 4  # contract documented: dedup upstream or leave the flag on
