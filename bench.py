@@ -88,6 +88,12 @@ HEADLINE = [
     "j8_decontaminate",
     "j9_vocab_topk",
     "j9b_top_terms",
+    "j1b_url_dedup",
+    "j8b_contamination_report",
+    "c20_incremental_mart_refresh",
+    "c21_histogram",
+    "e7_change_compression",
+    "h11_stream_static_enrich",
 ]
 
 

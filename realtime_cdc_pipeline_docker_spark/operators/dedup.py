@@ -634,3 +634,67 @@ def dedup_keepers(
             (F.coalesce("component", "id") == F.col("id")).alias("is_keeper"),
         )
     )
+
+
+def contamination_report(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_id_col: str = "bench_id",
+    n: int = 5,
+) -> DataFrame:
+    """Per-benchmark-document contamination attribution: for each eval
+    doc, how many *other* corpus docs share at least one word
+    ``n``-gram with it, and over how many distinct grams.  This is the
+    report a decontamination run ships to the eval owners —
+    ``decontaminate`` answers "which corpus docs must go", this answers
+    "which benchmarks are compromised, and how badly".
+
+    Returns ``(bench_id, n_contaminated_docs, n_shared_grams)`` —
+    eval docs with zero external overlap emit no row.  Corpus rows
+    whose id equals the bench id are excluded (when the eval set is
+    carved from the corpus, every doc trivially matches itself).
+
+    Contract: benchmark docs shorter than ``n`` tokens are out of scope
+    here (they contribute no gram; ``decontaminate`` handles them via
+    the min(n,len) rule — this report keys on *attributable* n-gram
+    evidence only).
+
+    100 TB shape: identical to ``decontaminate`` — the (bench_id, gram)
+    set is small by nature, deduplicated and **broadcast**; corpus
+    grams stream through the broadcast join with NO shuffle of the
+    corpus subtree.  The only exchange is the final groupBy on
+    bench_id (post-join cardinality: contaminated evidence only).
+    Gram keys are 8-byte xxhash64 values, never gram text."""
+    def grams(df: DataFrame, id_expr) -> DataFrame:
+        toks = df.select(
+            id_expr.alias("id"),
+            ws_tokens(normalize_text(text_col)).alias("toks"),
+        ).filter(F.size("toks") >= n)
+        return toks.select(
+            "id",
+            F.explode(F.sequence(F.lit(1), F.size("toks") - (n - 1))).alias("i"),
+            "toks",
+        ).select(
+            "id",
+            F.xxhash64(
+                F.concat_ws(" ", F.slice(F.col("toks"), F.col("i"), n))
+            ).alias("gram"),
+        )
+
+    bench_grams = (
+        grams(benchmark, F.col(bench_id_col))
+        .select(F.col("id").alias(bench_id_col), "gram")
+        .distinct()
+    )
+    corpus_grams = grams(corpus, F.col(id_col))
+    return (
+        corpus_grams.join(F.broadcast(bench_grams), "gram")
+        .filter(F.col("id") != F.col(bench_id_col))
+        .groupBy(bench_id_col)
+        .agg(
+            F.count_distinct("id").alias("n_contaminated_docs"),
+            F.count_distinct("gram").alias("n_shared_grams"),
+        )
+    )

@@ -57,3 +57,52 @@ def profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
         "min_value",
         "max_value",
     )
+
+
+def histogram(
+    df: DataFrame,
+    value_col,
+    lo: int,
+    hi: int,
+    nbuckets: int,
+) -> DataFrame:
+    """Equi-width histogram over an exact-integer value column — the
+    distribution summary behind partition-balance checks and
+    ClickHouse's ``histogram()`` aggregate, in exact arithmetic.
+
+    ``value_col`` must be (or cast to) integer units (cents, micros —
+    see ``functions.fixed_units``): bucket membership computed on
+    floats would put boundary values in engine-dependent buckets.
+    Buckets are ``[lo + i*w, lo + (i+1)*w)`` with ``w = (hi-lo)/
+    nbuckets`` (caller guarantees divisibility — asserted); values
+    outside ``[lo, hi)`` clamp into the edge buckets, so the histogram
+    partitions the input (``SUM(n_rows) == COUNT(*)`` always).
+
+    Plan: one scan → one map-side-combinable hash aggregate on at most
+    ``nbuckets`` groups — profile-cheap at any scale, no sort, no
+    second pass for bounds (they are caller-declared, which is what
+    makes the result layout-stable across deliveries)."""
+    assert (hi - lo) % nbuckets == 0, "pick bounds divisible by nbuckets"
+    w = (hi - lo) // nbuckets
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    # Integral `div`, never float `/` + floor: a 64-bit value above
+    # 2^53 would round in double space and can cross a bucket boundary.
+    # Clamping first makes the dividend non-negative, so truncating
+    # `div` equals floor division.
+    x = F.least(F.greatest(v - F.lit(lo), F.lit(0)), F.lit(hi - lo - 1)).cast("long")
+    return (
+        df.select(x.alias("__x"), v.alias("__v"))
+        .select(F.expr(f"__x div {w}").alias("bucket_no"), "__v")
+        .groupBy("bucket_no")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("__v").alias("sum_value"),
+        )
+        .select(
+            "bucket_no",
+            (F.lit(lo) + F.col("bucket_no") * w).alias("bucket_lo"),
+            (F.lit(lo) + (F.col("bucket_no") + 1) * w).alias("bucket_hi"),
+            "n_rows",
+            "sum_value",
+        )
+    )

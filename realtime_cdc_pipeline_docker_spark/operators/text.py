@@ -370,3 +370,32 @@ def remove_boilerplate(
         .cast("long")
         .alias("n_lines_removed"),
     )
+
+
+def canonicalize_url(col: Column | str = "url") -> Column:
+    """Canonical URL form for URL-level dedup (the Common-Crawl-style
+    first dedup pass: one fetch survives per canonical URL).
+
+    Rules, in order: drop the ``#fragment``; lowercase the
+    scheme+authority (never the path — paths are case-sensitive); strip
+    default ports ``:80``/``:443``; delete tracking query parameters
+    (``utm_*``, ``fbclid``) wherever they sit in the query string,
+    tidying separators; drop a trailing ``/`` (also before ``?``).
+
+    Pure regexp/concat column expression — scan-side whole-stage
+    codegen, no shuffle, no Python.  Every pattern is written in the
+    Java-regex ∩ RE2 common syntax (no lookaround, no backrefs) so the
+    DuckDB oracle applies literally the same rules (with the ``'g'``
+    flag — DuckDB replaces first-match-only by default, Java replaces
+    all)."""
+    u = F.col(col) if isinstance(col, str) else col
+    u = F.regexp_replace(u, r"#.*$", "")
+    head = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*", 0)
+    rest = u.substr(F.length(head) + F.lit(1), F.lit(1 << 30))
+    head = F.regexp_replace(F.lower(head), r":(80|443)$", "")
+    rest = F.regexp_replace(rest, r"(utm_[a-z]+|fbclid)=[^&#]*&", "")
+    rest = F.regexp_replace(rest, r"[?&](utm_[a-z]+|fbclid)=[^&#]*$", "")
+    rest = F.regexp_replace(rest, r"\?$", "")
+    rest = F.regexp_replace(rest, r"/\?", "?")
+    rest = F.regexp_replace(rest, r"/$", "")
+    return F.concat(head, rest)

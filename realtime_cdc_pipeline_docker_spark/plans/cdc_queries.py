@@ -222,9 +222,7 @@ def e5b_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "e6_collapsing_delta_report",
-    oracle="""
+_DELTA_REPORT_ORACLE = """
     SELECT CAST(o_orderdate AS DATE) AS order_day,
            CAST(SUM(CASE WHEN o_orderkey % 10 = 0 THEN 0
                     ELSE CAST(round(o_totalprice * 100) AS BIGINT) END)
@@ -232,8 +230,10 @@ def e5b_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CASE WHEN o_orderkey % 10 = 0 THEN 0 ELSE 1 END)
                 AS BIGINT) AS live_orders
     FROM orders GROUP BY 1
-    """,
-)
+    """
+
+
+@register("e6_collapsing_delta_report", oracle=_DELTA_REPORT_ORACLE)
 def e6_collapsing_delta_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incrementally-maintained daily revenue via CollapsingMergeTree
     deltas (§2.E extension): UPDATE envelopes expand to (-before, +after)
@@ -289,4 +289,96 @@ def h10_stream_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_history(log, key_cols=("id",)).select(
         "id", "customer_id", "order_date", "status", "total_amount",
         "valid_from_ms", "valid_to_ms", "is_current",
+    )
+
+
+@register("c20_incremental_mart_refresh", oracle=_DELTA_REPORT_ORACLE)
+def c20_incremental_mart_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-aggregate maintenance (§2.C extension —
+    the AggregatingMergeTree pattern): the daily-revenue mart is BUILT
+    from the initial snapshot wave (INSERT envelopes), MATERIALIZED to
+    parquet, then REFRESHED by merging the partial aggregate of the
+    later change wave (UPDATE/DELETE signed deltas) — the base wave is
+    never rescanned.  Partial aggregates of signed integer cents are
+    mergeable by plain SUM, so refresh cost is O(|delta|) + O(|mart|),
+    independent of history size; the oracle states the equivalent
+    full-recompute over final state (same golden report as e6).  See
+    operators/history.py:signed_delta."""
+    from ..operators.history import signed_delta
+
+    work = _work_dir("mart_refresh", sf_dir)
+    envelope = synth_orders_envelope(spark, sf_dir)
+    deltas = signed_delta(envelope, ORDERS_PAYLOAD_SCHEMA)
+
+    def report(df: DataFrame) -> DataFrame:
+        return df.groupBy(F.to_date("order_date").alias("order_day")).agg(
+            F.sum(
+                F.col("sign") * F.round(F.col("total_amount") * 100).cast("long")
+            ).alias("revenue_cents"),
+            F.sum("sign").cast("long").alias("live_orders"),
+        )
+
+    # Wave 1 — initial snapshot: materialize the mart.
+    report(deltas.filter(F.col("op") == "c")).write.mode("overwrite").parquet(
+        f"{work}/mart"
+    )
+    state = spark.read.parquet(f"{work}/mart")
+    # Wave 2 — subsequent changes: merge partial aggregates, no rescan.
+    delta_agg = report(deltas.filter(F.col("op") != "c"))
+    return (
+        state.unionByName(delta_agg)
+        .groupBy("order_day")
+        .agg(
+            F.sum("revenue_cents").cast("long").alias("revenue_cents"),
+            F.sum("live_orders").cast("long").alias("live_orders"),
+        )
+    )
+
+
+@register(
+    "h11_stream_static_enrich",
+    oracle="""
+    SELECT o.o_orderkey AS id, o.o_custkey AS customer_id,
+           o.o_orderdate AS order_date, o.o_orderstatus AS status,
+           o.o_totalprice AS total_amount,
+           c.c_name AS customer_name, c.c_mktsegment AS customer_segment
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderkey % 10 <> 0
+    """,
+)
+def h11_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static dimension enrichment (§2.H extension): the orders
+    change stream LEFT-joined per micro-batch against the broadcast
+    customer dimension BEFORE the log append, so the mart lands
+    denormalized and the latest-state read needs no join (the reference
+    defers this join to ClickHouse query time — at scale you pay it
+    once per change event, not once per query).  Oracle: final CDC
+    state joined to customer in plain SQL.  See
+    streaming/pipeline.py:run_enriched_cdc_stream."""
+    from ..streaming.pipeline import run_enriched_cdc_stream
+
+    work = _work_dir("cdc_enrich", sf_dir)
+    envelope = synth_orders_envelope(spark, sf_dir)
+    envelope.repartition(8).write.mode("overwrite").json(f"{work}/input")
+    dim = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    log = run_enriched_cdc_stream(
+        spark,
+        envelope_dir=f"{work}/input",
+        log_dir=f"{work}/log",
+        checkpoint_dir=f"{work}/ckpt",
+        payload_schema=ORDERS_PAYLOAD_SCHEMA,
+        dim=dim,
+        join_expr=F.col("customer_id") == F.col("c_custkey"),
+        dim_cols=("c_name", "c_mktsegment"),
+    )
+    return latest_state(log, key_cols=("id",)).select(
+        "id",
+        "customer_id",
+        "order_date",
+        "status",
+        "total_amount",
+        F.col("c_name").alias("customer_name"),
+        F.col("c_mktsegment").alias("customer_segment"),
     )

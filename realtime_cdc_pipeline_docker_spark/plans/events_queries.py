@@ -294,3 +294,33 @@ def e2h_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@register(
+    "e7_change_compression",
+    oracle="""
+    SELECT user_id, event_id, ts, event_type FROM (
+      SELECT user_id, event_id, ts, event_type,
+             row_number() OVER w AS rn,
+             lag(event_type) OVER w AS prev
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ) WHERE rn = 1 OR event_type IS DISTINCT FROM prev
+    """,
+)
+def e7_change_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-log run-length compression (§2.E extension): per user, in
+    (ts, event_id) order, keep only events whose type differs from the
+    immediately preceding one — the OPTIMIZE...DEDUPLICATE analog for
+    re-emitted unchanged state.  Null-safe comparison on both engines
+    (`<=>` / IS DISTINCT FROM).  One window + filter, single shuffle —
+    see operators/history.py:changes_only."""
+    from ..operators.history import changes_only
+
+    events = load_table(spark, sf_dir, "events")
+    return changes_only(
+        events,
+        key_cols=("user_id",),
+        order_cols=("ts", "event_id"),
+        value_cols=("event_type",),
+    ).select("user_id", "event_id", "ts", "event_type")

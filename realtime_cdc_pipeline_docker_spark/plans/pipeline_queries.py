@@ -681,3 +681,47 @@ def j6j_exact_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return exact_k_sample(docs, k=7).select("doc_id", "source", "lang", "n_chars")
+
+
+@register(
+    "b13_csv_source_roundtrip",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           o_orderdate, o_orderpriority
+    FROM orders
+    """,
+)
+def b13_csv_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source end-to-end (§2.A extension, the b12 contract applied
+    to the other interchange format): export orders as headerless CSV,
+    plant three malformed lines (wrong shape, wrong types, overflow
+    BIGINT), read back through sources/corpus.py:read_csv with the
+    explicit schema + corrupt-record quarantine, and return the good
+    rows.  Parity vs the parquet relation proves the writer/reader
+    round-trips every value exactly — including shortest-form doubles
+    and ISO timestamps — AND that quarantine removes precisely the
+    garbage.  The planted-count gate is the same lazy broadcast scalar
+    predicate as b12."""
+    import os
+
+    from ..sources.corpus import ORDERS_CSV_SCHEMA, read_csv, write_csv
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority",
+    )
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = f"/tmp/spark_graft_csv_{tag}"
+    write_csv(orders, path)
+    garbage = spark.createDataFrame(
+        [
+            ("this line is not csv at all",),
+            ("x,y,z,not_a_double,not_a_ts,w",),
+            ("99999999999999999999999999,1,a,2.5,1995-01-01T00:00:00.000,b",),
+        ],
+        ["value"],
+    )
+    garbage.coalesce(1).write.mode("append").format("text").save(path)
+    good, quarantine = read_csv(spark, path, ORDERS_CSV_SCHEMA)
+    qn = quarantine.agg(F.count(F.lit(1)).alias("qn"))
+    return good.crossJoin(F.broadcast(qn)).where(F.col("qn") == 3).drop("qn")

@@ -75,15 +75,19 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "e5_scd2_history", "e5b_snapshot_asof", "e6_collapsing_delta_report",
     "j3g_random_projection", "j4h_boilerplate_removal",
     "h10_stream_scd2_history",
-    # (d) green in exactly one round — accumulate second rows
+    "c20_incremental_mart_refresh", "c21_histogram", "e7_change_compression",
+    "h11_stream_static_enrich", "j1b_url_dedup", "j8b_contamination_report",
+    "b13_csv_source_roundtrip",
+    # (d) green in exactly one round — accumulate second rows.  Seven
+    # former (d) slots (j4a-j4d, j6a, j6c, j6e — all green in r3) were
+    # displaced by the session's seven new queries above: a first
+    # driver row for a new query outranks a second row for a green one.
     "j1_dedup_exact", "j2_minhash_neardup", "j2b_ngram_jaccard",
     "j2c_simhash_neardup", "j2d_embedding_neardup", "j2e_neardup_keepers",
     "j3_similarity_topk", "j3b_ann_lsh_topk",
-    "j4a_text_stats", "j4b_lang_id", "j4c_quality_score", "j4d_fingerprint",
     "j4f_repetition_signals", "j5_multimodal_plumbing",
-    "j6a_stratified_sample", "j6b_sequence_packing",
-    "j6c_corpus_filter_stats", "j6d_corpus_shuffle",
-    "j6e_quality_quantile_filter", "j7_corpus_pipeline_e2e",
+    "j6b_sequence_packing", "j6d_corpus_shuffle",
+    "j7_corpus_pipeline_e2e",
 )
 
 

@@ -2036,3 +2036,36 @@ def c19_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_micros(F.col("o_orderdate").cast("timestamp"))).alias("o_orderdate_us"),
     )
     return profile(orders)
+
+
+@register(
+    "c21_histogram",
+    oracle="""
+    SELECT bucket_no,
+           0 + bucket_no * 2500000 AS bucket_lo,
+           0 + (bucket_no + 1) * 2500000 AS bucket_hi,
+           COUNT(*) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS sum_value
+    FROM (
+      SELECT LEAST(GREATEST(cents // 2500000, 0), 19) AS bucket_no, cents
+      FROM (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders)
+    )
+    GROUP BY bucket_no
+    """,
+)
+def c21_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order totals (ClickHouse ``histogram()``
+    surface, exact): 20 buckets of $25k over [$0, $500k) in integer
+    cents, outliers clamped to the edge buckets.  One scan + one
+    ≤20-group hash aggregate — see operators/profile.py:histogram.
+    Bucket arithmetic is integer-exact on both engines (DuckDB ``//``
+    is floor division; Spark ``floor(a/b)`` on BIGINT cents), so no
+    boundary value can land in different buckets."""
+    from ..functions import fixed_units
+    from ..operators.profile import histogram
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        fixed_units("o_totalprice").alias("cents")
+    )
+    return histogram(orders, "cents", lo=0, hi=50_000_000, nbuckets=20)

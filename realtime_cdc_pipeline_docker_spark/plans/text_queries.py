@@ -622,3 +622,117 @@ def j4h_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_boilerplate(planted).select(
         "doc_id", "source", "clean_text", "n_lines_kept", "n_lines_removed"
     )
+
+
+@register(
+    "j1b_url_dedup",
+    oracle=r"""
+    WITH u0 AS (
+      SELECT doc_id,
+        'HTTPS://' ||
+        CASE WHEN doc_id % 3 = 0 THEN 'WWW.Example.COM:443'
+             ELSE 'cdn.example.org' END ||
+        '/docs/' || CAST(doc_id % 50 AS VARCHAR) ||
+        CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END ||
+        CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed&utm_campaign=x&page=2'
+             WHEN doc_id % 4 = 1 THEN '?page=2' ELSE '' END ||
+        CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END AS url
+      FROM documents
+    ), u1 AS (
+      SELECT doc_id, regexp_replace(url, '#.*$', '', 'g') AS u FROM u0
+    ), u2 AS (
+      SELECT doc_id,
+        regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*') AS head,
+        substr(u, length(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*')) + 1)
+          AS rest
+      FROM u1
+    ), u3 AS (
+      SELECT doc_id,
+        regexp_replace(lower(head), ':(80|443)$', '', 'g') AS head,
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+          rest, '(utm_[a-z]+|fbclid)=[^&#]*&', '', 'g'),
+          '[?&](utm_[a-z]+|fbclid)=[^&#]*$', '', 'g'),
+          '\?$', '', 'g'), '/\?', '?', 'g'), '/$', '', 'g') AS rest
+      FROM u2
+    )
+    SELECT head || rest AS canonical_url,
+           COUNT(*) AS n_docs,
+           MIN(doc_id) AS first_doc_id
+    FROM u3 GROUP BY 1
+    """,
+)
+def j1b_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup (J1 extension — the Common-Crawl first pass:
+    one fetch survives per canonical URL).  Noisy URLs are planted
+    in-engine per doc (uppercase scheme/host, default :443 port,
+    trailing slash, utm_*/page query mixes, #fragments keyed on doc_id
+    residues), canonicalized by operators/text.py:canonicalize_url —
+    a pure regexp column chain in the Java∩RE2 syntax the oracle
+    applies literally — and grouped.  Distinct noise combinations of
+    the same logical URL provably collapse (n_docs > 1 rows) while
+    `page=2` query payloads survive the tracking-param strip.  Plan:
+    scan → codegen projection → one hash aggregate; at 100 TB this is
+    the cheapest dedup pass there is, run it first."""
+    from ..operators.text import canonicalize_url
+
+    docs = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("HTTPS://"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("WWW.Example.COM:443"))
+        .otherwise(F.lit("cdn.example.org")),
+        F.lit("/docs/"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 4 == 0, F.lit("?utm_source=feed&utm_campaign=x&page=2"))
+        .when(F.col("doc_id") % 4 == 1, F.lit("?page=2"))
+        .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    return (
+        docs.select("doc_id", canonicalize_url(url).alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("first_doc_id"),
+        )
+    )
+
+
+@register(
+    "j8b_contamination_report",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, array_to_string(list_slice(t, i, i + 4), ' ') AS gram
+      FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 4)) AS i
+            FROM toks WHERE len(t) >= 5)
+    ), bench AS (
+      SELECT DISTINCT doc_id AS bench_id, gram FROM grams WHERE doc_id % 101 = 0
+    )
+    SELECT b.bench_id,
+           COUNT(DISTINCT g.doc_id) AS n_contaminated_docs,
+           COUNT(DISTINCT g.gram) AS n_shared_grams
+    FROM grams g JOIN bench b USING (gram)
+    WHERE g.doc_id <> b.bench_id
+    GROUP BY b.bench_id
+    """,
+)
+def j8b_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination attribution (J8 companion): per eval doc (every
+    101st doc standing in for a benchmark suite), how many OTHER corpus
+    docs share a 5-gram with it and over how many distinct grams — the
+    report that tells eval owners which benchmarks are compromised.
+    Spark joins corpus gram hashes against the broadcast (bench_id,
+    gram) set — corpus subtree shuffle-free, same shape as j8 — while
+    the oracle joins gram text; identical absent a 64-bit collision
+    (none at any fixture scale).  See
+    operators/dedup.py:contamination_report."""
+    from ..operators.dedup import contamination_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 101 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    return contamination_report(docs, bench)

@@ -77,3 +77,60 @@ def write_jsonl(df: DataFrame, path: str) -> None:
     beyond the final commit protocol — the same layout a 1000-executor
     export would produce."""
     df.write.mode("overwrite").json(path)
+
+
+ORDERS_CSV_SCHEMA = T.StructType(
+    [
+        T.StructField("o_orderkey", T.LongType()),
+        T.StructField("o_custkey", T.LongType()),
+        T.StructField("o_orderstatus", T.StringType()),
+        T.StructField("o_totalprice", T.DoubleType()),
+        T.StructField("o_orderdate", T.TimestampNTZType()),
+        T.StructField("o_orderpriority", T.StringType()),
+    ]
+)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+) -> tuple[DataFrame, DataFrame]:
+    """Read a headerless CSV directory into ``(good, quarantine)`` —
+    the JSONL robustness contract (explicit schema, PERMISSIVE parse,
+    corrupt-record channel) applied to the other interchange format
+    every warehouse still speaks.  A row with an unparsable cell or
+    the wrong shape lands in quarantine as its raw line; it neither
+    kills the job nor silently becomes NULLs.
+
+    Same scale shape as JSONL: explicit schema means no inference pass
+    (CSV inference reads everything once just to guess types), newline
+    splitting keeps the scan parallel (no ``multiLine`` — documents
+    with embedded newlines belong in JSONL/parquet, not CSV), parsing
+    is JVM-side Univocity — zero Python."""
+    parsed_schema = T.StructType(
+        list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType())]
+    )
+    parsed = (
+        spark.read.schema(parsed_schema)
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .option("mode", "PERMISSIVE")
+        .option("header", "false")
+        .csv(path)
+    )
+    # Same SPARK-26243 cache boundary as read_jsonl: the corrupt column
+    # is only reliable when the full row was actually parsed.
+    parsed = parsed.cache()
+    good = parsed.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+    quarantine = parsed.filter(F.col(CORRUPT_COL).isNotNull()).select(
+        F.col(CORRUPT_COL).alias("raw_line")
+    )
+    return good, quarantine
+
+
+def write_csv(df: DataFrame, path: str) -> None:
+    """Write a headerless CSV export (partition-parallel, one file per
+    task).  Doubles print in Java shortest-roundtrip form and
+    timestamps in ISO-8601, both of which this module's reader maps
+    back to identical values — the b13 oracle proves that exactness."""
+    df.write.mode("overwrite").option("header", "false").csv(path)

@@ -127,3 +127,52 @@ def run_multi_table_streams(
     return {
         name: spark.read.parquet(os.path.join(work_dir, name, "log")) for name in tables
     }
+
+
+def run_enriched_cdc_stream(
+    spark: SparkSession,
+    envelope_dir: str,
+    log_dir: str,
+    checkpoint_dir: str,
+    payload_schema: T.StructType,
+    dim: DataFrame,
+    join_expr,
+    dim_cols: Sequence[str],
+    key_cols: Sequence[str] = ("id",),
+) -> DataFrame:
+    """CDC stream with in-flight dimension enrichment: a **stream-static
+    join** between the decoded change stream and a batch dimension
+    table, resolved before the log append — so the mart lands denormal-
+    ized and latest-state reads need no join at all (the reference
+    leaves this join to ClickHouse query time; at 100 TB you pay it
+    once per change event instead of once per query).
+
+    The static side is ``broadcast()``: Structured Streaming re-plans
+    the join every micro-batch (a dimension refresh between batches is
+    picked up automatically — the documented stream-static semantics),
+    and the broadcast keeps each micro-batch shuffle-free on the stream
+    side.  LEFT join: a change event must never be dropped because its
+    dimension row is missing (H6's no-swallow rule) — it lands with
+    NULL enrichment and is observable.
+
+    Same idempotence contract as ``run_cdc_stream``: per-batch
+    (key, ts_ms, sign) dedup before the append, collapse downstream.
+    """
+    stream = spark.readStream.schema(DEBEZIUM_ENVELOPE_SCHEMA).json(envelope_dir)
+    decoded = decode_envelope(stream, payload_schema)
+    enriched = decoded.join(F.broadcast(dim), join_expr, "left").select(
+        decoded["*"], *[dim[c] for c in dim_cols]
+    )
+    dedup_cols = [*key_cols, "ts_ms", "sign"]
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.dropDuplicates(dedup_cols).write.mode("append").parquet(log_dir)
+
+    (
+        enriched.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.read.parquet(log_dir)

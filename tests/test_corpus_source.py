@@ -3,6 +3,8 @@ exact write/read roundtrip (sources/corpus.py)."""
 
 from __future__ import annotations
 
+import datetime
+
 import pyspark.sql.types as T
 
 from realtime_cdc_pipeline_docker_spark.sources.corpus import (
@@ -59,3 +61,47 @@ def test_jsonl_type_mismatch_quarantined_not_nulled(spark, tmp_path):
     assert good.count() == 1
     assert quarantine.count() == 1
     assert good.schema[0].dataType == T.LongType()
+
+
+def test_csv_roundtrip_exact(spark, tmp_path):
+    from realtime_cdc_pipeline_docker_spark.sources.corpus import (
+        ORDERS_CSV_SCHEMA,
+        read_csv,
+        write_csv,
+    )
+
+    path = str(tmp_path / "csv")
+    rows = [
+        (1, 10, "O", 123.45, datetime.datetime(1995, 3, 1, 12, 30, 0), "1-URGENT"),
+        (2, 20, "F", 0.1, datetime.datetime(1996, 1, 1), "5-LOW"),
+        (3, None, None, None, None, None),  # NULLs survive CSV
+    ]
+    df = spark.createDataFrame(rows, ORDERS_CSV_SCHEMA)
+    write_csv(df, path)
+    good, quarantine = read_csv(spark, path, ORDERS_CSV_SCHEMA)
+    assert quarantine.count() == 0
+    got = sorted(tuple(r) for r in good.collect())
+    assert got == sorted(tuple(r) for r in df.collect())
+
+
+def test_csv_quarantine_catches_garbage_not_nulls(spark, tmp_path):
+    from realtime_cdc_pipeline_docker_spark.sources.corpus import (
+        ORDERS_CSV_SCHEMA,
+        read_csv,
+        write_csv,
+    )
+
+    path = str(tmp_path / "csv")
+    df = spark.createDataFrame(
+        [(1, 10, "O", 1.0, datetime.datetime(1995, 1, 1), "p")], ORDERS_CSV_SCHEMA
+    )
+    write_csv(df, path)
+    garbage = spark.createDataFrame(
+        [("utter garbage",), ("1,2,a,not_a_double,also_not_a_ts,x",)], ["value"]
+    )
+    garbage.coalesce(1).write.mode("append").format("text").save(path)
+    good, quarantine = read_csv(spark, path, ORDERS_CSV_SCHEMA)
+    assert good.count() == 1
+    # Quarantine holds the raw offending lines, verbatim.
+    qlines = {r["raw_line"] for r in quarantine.collect()}
+    assert qlines == {"utter garbage", "1,2,a,not_a_double,also_not_a_ts,x"}

@@ -342,3 +342,46 @@ def test_decontaminate_corpus_side_shuffle_free(spark):
     # benchmark side legitimately distincts inside the broadcast).
     corpus_subtree = plan.split("BroadcastHashJoin", 1)[1].split("BroadcastExchange", 1)[0]
     assert "Exchange hashpartitioning" not in corpus_subtree, corpus_subtree
+
+
+def test_contamination_report_planted_attribution(spark):
+    from realtime_cdc_pipeline_docker_spark.operators.dedup import contamination_report
+
+    shared = "alpha beta gamma delta epsilon"  # exactly one 5-gram
+    corpus = spark.createDataFrame(
+        [
+            (1, f"{shared} and some unrelated tail here"),
+            (2, f"prefix words {shared}"),
+            (3, "completely different text with no overlap at all friend"),
+            (100, shared),  # the bench doc itself, present in the corpus
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(100, shared)], "bench_id long, text string")
+    rows = contamination_report(corpus, bench).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # Docs 1 and 2 share the gram; doc 100 (self) is excluded; doc 3 clean.
+    assert (r["bench_id"], r["n_contaminated_docs"], r["n_shared_grams"]) == (100, 2, 1)
+
+
+def test_contamination_report_corpus_subtree_shuffle_free(spark, sf_dir):
+    from realtime_cdc_pipeline_docker_spark.catalog import load_table
+    from realtime_cdc_pipeline_docker_spark.operators.dedup import contamination_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 101 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    plan = (
+        contamination_report(docs, bench)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # Broadcast join on the gram key; the only exchange is the final
+    # groupBy on bench_id over contaminated evidence.
+    assert "BroadcastHashJoin" in plan
+    join_pos = plan.index("BroadcastHashJoin")
+    corpus_subtree = plan[join_pos:].split("BroadcastExchange")[0]
+    assert "Exchange hashpartitioning" not in corpus_subtree

@@ -131,3 +131,43 @@ def test_redact_pii_planted(spark):
     assert out[4]["text"] == "<EMAIL> <IP> <PHONE>"
     # 12-345-6789 is not ddd-ddd-dddd; "1.2.3" has only three octets.
     assert (out[5]["n_phone"], out[5]["n_ipv4"]) == (0, 0)
+
+
+def test_canonicalize_url_rules(spark):
+    from realtime_cdc_pipeline_docker_spark.operators.text import canonicalize_url
+
+    cases = [
+        # case/port/fragment/trailing slash
+        ("HTTPS://WWW.Example.COM:443/Docs/A/#frag", "https://www.example.com/Docs/A"),
+        ("http://Host.org:80/", "http://host.org"),
+        # path case is preserved
+        ("https://h.io/CaseSensitive", "https://h.io/CaseSensitive"),
+        # tracking params stripped wherever they sit; real params survive
+        ("https://h.io/p?utm_source=a&page=2", "https://h.io/p?page=2"),
+        ("https://h.io/p?page=2&utm_source=a", "https://h.io/p?page=2"),
+        ("https://h.io/p?utm_a=1&utm_b=2", "https://h.io/p"),
+        ("https://h.io/p?fbclid=xyz", "https://h.io/p"),
+        # trailing slash before a query
+        ("https://h.io/p/?page=2", "https://h.io/p?page=2"),
+        # non-default port survives
+        ("https://h.io:8443/p", "https://h.io:8443/p"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], ["url"])
+    got = [r[0] for r in df.select(canonicalize_url("url")).collect()]
+    assert got == [want for _, want in cases]
+
+
+def test_canonicalize_url_is_scan_side(spark, sf_dir):
+    from realtime_cdc_pipeline_docker_spark.catalog import load_table
+    from realtime_cdc_pipeline_docker_spark.operators.text import canonicalize_url
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.concat(F.lit("https://x.io/"), F.col("doc_id")).alias("url")
+    )
+    plan = (
+        docs.select(canonicalize_url("url"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan and "Python" not in plan

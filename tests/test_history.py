@@ -278,3 +278,58 @@ def test_scd2_dedup_off_exposes_duplicates(spark):
         _log(spark, rows + rows), key_cols=("id",), dedup_redelivered=False
     ).count()
     assert n == 4  # contract documented: dedup upstream or leave the flag on
+
+
+def test_changes_only_keeps_first_and_changes(spark):
+    from realtime_cdc_pipeline_docker_spark.operators.history import changes_only
+
+    rows = [
+        # key a: value repeats, then changes, then repeats
+        ("a", 1, "x"), ("a", 2, "x"), ("a", 3, "y"), ("a", 4, "y"), ("a", 5, "x"),
+        # key b: NULL -> NULL is unchanged; NULL -> value is a change
+        ("b", 1, None), ("b", 2, None), ("b", 3, "z"),
+    ]
+    df = spark.createDataFrame(rows, "k string, v int, s string")
+    out = sorted(
+        (r["k"], r["v"]) for r in
+        changes_only(df, ("k",), ("v",), ("s",)).collect()
+    )
+    assert out == [("a", 1), ("a", 3), ("a", 5), ("b", 1), ("b", 3)]
+
+
+def test_changes_only_preserves_reconstruction(spark, sf_dir):
+    """Latest state from the compressed events log == from the full log."""
+    from realtime_cdc_pipeline_docker_spark.catalog import load_table
+    from realtime_cdc_pipeline_docker_spark.operators.history import changes_only
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+
+    def last_type(df):
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter("rn = 1")
+            .select("user_id", "event_type")
+        )
+
+    full = {r["user_id"]: r["event_type"] for r in last_type(events).collect()}
+    comp = changes_only(events, ("user_id",), ("ts", "event_id"), ("event_type",))
+    compressed = {r["user_id"]: r["event_type"] for r in last_type(comp).collect()}
+    assert full == compressed
+    assert comp.count() <= events.count()
+
+
+def test_changes_only_single_shuffle(spark, sf_dir):
+    from realtime_cdc_pipeline_docker_spark.catalog import load_table
+    from realtime_cdc_pipeline_docker_spark.operators.history import changes_only
+
+    events = load_table(spark, sf_dir, "events")
+    plan = (
+        changes_only(events, ("user_id",), ("ts", "event_id"), ("event_type",))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1
+    assert "Python" not in plan

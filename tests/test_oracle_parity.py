@@ -49,7 +49,7 @@ def test_oracle_output_types_pandas_safe(sf_dir):
         bad = [
             (c, str(ty))
             for c, ty in zip(rel.columns, rel.types)
-            if str(ty) not in _PANDAS_SAFE_TYPES and not str(ty).endswith("[]")
+            if str(ty) not in _PANDAS_SAFE_TYPES
         ]
         if bad:
             offenders[name] = bad

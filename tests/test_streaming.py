@@ -219,3 +219,60 @@ def test_four_table_cdc_end_to_end(spark, sf_dir, tmp_path):
         assert upd.count() > 0
         mods = upd.withColumn("mod", (F.col("ts_ms") - 3_600_000) >= 1_000_000_000)
         assert mods.filter(~F.col("mod")).count() == 0, name
+
+
+def test_enriched_stream_missing_dim_key_lands_null(spark, tmp_path):
+    """Stream-static enrichment: events keep flowing when the dimension
+    row is missing (H6 no-swallow — LEFT join), landing with NULL
+    enrichment; present keys land denormalized."""
+    from realtime_cdc_pipeline_docker_spark.streaming.pipeline import (
+        run_enriched_cdc_stream,
+    )
+
+    src = str(tmp_path / "src")
+    _write_jsonl(
+        src,
+        [
+            _env("c", 100, after={"id": 1, "status": "processing", "total_amount": None}),
+            _env("c", 100, after={"id": 2, "status": "processing", "total_amount": 5.0}),
+        ],
+    )
+    dim = spark.createDataFrame([(1, "Alice")], "id_key long, cust_name string")
+    log = run_enriched_cdc_stream(
+        spark,
+        envelope_dir=src,
+        log_dir=str(tmp_path / "log"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        payload_schema=PAYLOAD,
+        dim=dim,
+        join_expr=F.col("id") == F.col("id_key"),
+        dim_cols=("cust_name",),
+    )
+    got = {r["id"]: r["cust_name"] for r in log.collect()}
+    assert got == {1: "Alice", 2: None}
+
+
+def test_enriched_stream_redelivery_idempotent(spark, tmp_path):
+    """Two stream runs over the same envelopes (fresh checkpoint = full
+    redelivery) collapse to the same final state."""
+    from realtime_cdc_pipeline_docker_spark.streaming.pipeline import (
+        run_enriched_cdc_stream,
+    )
+
+    src = str(tmp_path / "src")
+    _write_jsonl(src, GOLDEN)
+    dim = spark.createDataFrame([(i, f"c{i}") for i in range(1, 6)],
+                                "id_key long, cust_name string")
+    log = None
+    for run in ("a", "b"):
+        log = run_enriched_cdc_stream(
+            spark,
+            envelope_dir=src,
+            log_dir=str(tmp_path / "log"),
+            checkpoint_dir=str(tmp_path / f"ckpt_{run}"),
+            payload_schema=PAYLOAD,
+            dim=dim,
+            join_expr=F.col("id") == F.col("id_key"),
+            dim_cols=("cust_name",),
+        )
+    assert _final_state(log) == EXPECTED_FINAL
