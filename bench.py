@@ -94,6 +94,8 @@ HEADLINE = [
     "c21_histogram",
     "e7_change_compression",
     "h11_stream_static_enrich",
+    "c22_ivm_join_report",
+    "e2i_distinct_to_date",
 ]
 
 

@@ -382,3 +382,65 @@ def h11_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_name").alias("customer_name"),
         F.col("c_mktsegment").alias("customer_segment"),
     )
+
+
+@register(
+    "c22_ivm_join_report",
+    oracle="""
+    SELECT CASE WHEN c.c_custkey % 7 = 0 THEN 'MACHINERY'
+                ELSE c.c_mktsegment END AS segment,
+           CAST(SUM(CASE WHEN o.o_orderkey % 10 = 0 THEN 0
+                    ELSE CAST(round(o.o_totalprice * 100) AS BIGINT) END)
+                AS BIGINT) AS revenue_cents,
+           CAST(SUM(CASE WHEN o.o_orderkey % 10 = 0 THEN 0 ELSE 1 END)
+                AS BIGINT) AS live_orders
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def c22_ivm_join_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance ACROSS A JOIN (§2.C extension — the
+    DBSP/differential-dataflow sign-product rule): revenue per customer
+    market segment computed ONLY from two signed change streams — the
+    orders lifecycle (insert NULL → update total → every-10th delete)
+    and a customer stream where every 7th customer changes segment
+    (-old, +new) — joined with signs MULTIPLYING.  Because signed
+    multisets compose through joins (Σ sign_o·sign_c·x), the net
+    contribution of every superseded version cancels and the aggregate
+    equals the report over final state, which is exactly what the
+    oracle states over orders ⋈ customer.  Neither base table is
+    rescanned — the 100 TB property: view refresh cost is O(|changes|),
+    not O(|history|).
+
+    Plan: the dimension delta stream is synthesized in ONE scan
+    (signed_delta's explode idiom) and **broadcast**; one
+    BroadcastHashJoin + one map-side-combinable aggregate — no shuffle
+    of the fact-side deltas."""
+    from ..operators.history import signed_delta
+
+    o_delta = signed_delta(
+        synth_orders_envelope(spark, sf_dir), ORDERS_PAYLOAD_SCHEMA
+    ).select(
+        "customer_id",
+        F.col("sign").alias("sign_o"),
+        F.round(F.col("total_amount") * 100).cast("long").alias("cents"),
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    keep = F.struct(F.col("c_mktsegment").alias("segment"), F.lit(1).alias("sign_c"))
+    retract = F.struct(F.col("c_mktsegment").alias("segment"), F.lit(-1).alias("sign_c"))
+    assert_new = F.struct(F.lit("MACHINERY").alias("segment"), F.lit(1).alias("sign_c"))
+    c_delta = cust.select(
+        F.col("c_custkey").alias("ckey"),
+        F.explode(
+            F.when(
+                F.col("c_custkey") % 7 == 0, F.array(keep, retract, assert_new)
+            ).otherwise(F.array(keep))
+        ).alias("d"),
+    ).select("ckey", "d.*")
+    joined = o_delta.join(F.broadcast(c_delta), F.col("customer_id") == F.col("ckey"))
+    return joined.groupBy("segment").agg(
+        F.sum(F.col("sign_o") * F.col("sign_c") * F.col("cents"))
+        .cast("long")
+        .alias("revenue_cents"),
+        F.sum(F.col("sign_o") * F.col("sign_c")).cast("long").alias("live_orders"),
+    )

@@ -324,3 +324,53 @@ def e7_change_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
         order_cols=("ts", "event_id"),
         value_cols=("event_type",),
     ).select("user_id", "event_id", "ts", "event_type")
+
+
+@register(
+    "e2i_distinct_to_date",
+    oracle="""
+    SELECT user_id, event_id, ts,
+           CAST(SUM(first_seen) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS n_types_seen
+    FROM (
+      SELECT user_id, event_id, ts,
+             CASE WHEN row_number() OVER (
+               PARTITION BY user_id, event_type ORDER BY ts, event_id
+             ) = 1 THEN 1 ELSE 0 END AS first_seen
+      FROM events
+    )
+    """,
+)
+def e2i_distinct_to_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative DISTINCT count over a window (§2.E extension): per
+    user, how many distinct event types have been seen up to and
+    including each event.  COUNT(DISTINCT) OVER a running frame is
+    unsupported in both engines; the portable exact form is the
+    first-seen-flag trick — flag each (user, type)'s first occurrence,
+    then running-SUM the flags.  BOTH windows here partition on
+    user_id alone (the flag window puts event_type in its SORT key,
+    not its partition key, and reads the type change off lag()), so
+    the plan is ONE exchange + two in-partition sorts; the naive
+    partitionBy(user, type) flag window would hash on different keys
+    and pay a second shuffle."""
+    events = load_table(spark, sf_dir, "events")
+    w_first = Window.partitionBy("user_id").orderBy("event_type", "ts", "event_id")
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = events.withColumn(
+        "first_seen",
+        F.when(
+            ~F.col("event_type").eqNullSafe(F.lag("event_type").over(w_first)), 1
+        ).otherwise(0),
+    )
+    return flagged.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.sum("first_seen").over(w_run).cast("long").alias("n_types_seen"),
+    )

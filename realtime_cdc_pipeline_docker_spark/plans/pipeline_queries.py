@@ -725,3 +725,45 @@ def b13_csv_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     good, quarantine = read_csv(spark, path, ORDERS_CSV_SCHEMA)
     qn = quarantine.agg(F.count(F.lit(1)).alias("qn"))
     return good.crossJoin(F.broadcast(qn)).where(F.col("qn") == 3).drop("qn")
+
+
+@register(
+    "b14_schema_evolution_log",
+    oracle="""
+    SELECT o_orderkey AS id, o_totalprice AS total_amount,
+           CASE WHEN o_orderkey % 2 = 0 THEN o_orderstatus
+                ELSE CAST(NULL AS VARCHAR) END AS channel
+    FROM orders
+    """,
+)
+def b14_schema_evolution_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive schema evolution on the append log (§2.A/B extension):
+    a CDC source gains a column mid-stream (the Debezium reality —
+    upstream DDL adds ``channel``), so the parquet log holds files of
+    BOTH shapes.  Wave 1 (odd keys) lands without the column, wave 2
+    (even keys) with it; reading back with ``mergeSchema`` must widen
+    wave-1 rows to NULL channel and lose nothing — the oracle states
+    exactly that relation.  At scale this is the no-rewrite contract:
+    old files are never touched when the schema grows; schema
+    reconciliation happens at read (footer-merge only, no data pass)."""
+    import os
+
+    from .cdc_queries import _work_dir
+
+    work = _work_dir("schema_evo", sf_dir)
+    orders = load_table(spark, sf_dir, "orders")
+    wave1 = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_totalprice").alias("total_amount"),
+    )
+    wave2 = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_totalprice").alias("total_amount"),
+        F.col("o_orderstatus").alias("channel"),
+    )
+    log = os.path.join(work, "log")
+    wave1.write.mode("append").parquet(log)
+    wave2.write.mode("append").parquet(log)
+    return spark.read.option("mergeSchema", "true").parquet(log).select(
+        "id", "total_amount", "channel"
+    )

@@ -333,3 +333,33 @@ def test_changes_only_single_shuffle(spark, sf_dir):
     )
     assert plan.count("Exchange") == 1
     assert "Python" not in plan
+
+
+def test_sign_product_moves_revenue_between_segments(spark):
+    """The DBSP sign-product rule: a dimension segment change retracts
+    the fact contribution from the old segment and asserts it in the
+    new one — computed purely from the two signed streams."""
+    # Fact deltas: order 1 (cust 10) inserted at 100 cents, updated to
+    # 250; order 2 (cust 20) inserted at 50, deleted.
+    o = spark.createDataFrame(
+        [
+            (10, 1, 100), (10, -1, 100), (10, 1, 250),
+            (20, 1, 50), (20, -1, 50),
+        ],
+        "ckey long, sign_o int, cents long",
+    )
+    # Dim deltas: cust 10 moves A -> B; cust 20 stays A.
+    c = spark.createDataFrame(
+        [(10, "A", 1), (10, "A", -1), (10, "B", 1), (20, "A", 1)],
+        "ckey long, segment string, sign_c int",
+    )
+    got = {
+        r["segment"]: r["net"]
+        for r in o.join(c, "ckey")
+        .groupBy("segment")
+        .agg(F.sum(F.col("sign_o") * F.col("sign_c") * F.col("cents")).alias("net"))
+        .collect()
+    }
+    # Every superseded (fact, dim) version pair cancels: 250 lands in B,
+    # segment A nets to zero (order 2 deleted; order 1 retracted from A).
+    assert got == {"A": 0, "B": 250}

@@ -124,3 +124,19 @@ def test_posexplode_plans_no_shuffle(spark, sf_dir):
     plan = _formatted(spark, "b11_posexplode_embedding", sf_dir)
     assert "Exchange" not in plan
     assert "Generate" in plan
+
+
+def test_ivm_join_broadcasts_dim_deltas_single_agg_exchange(spark, sf_dir):
+    plan = _formatted(spark, "c22_ivm_join_report", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # Fact-side deltas never hash-shuffle; the only hash exchange is the
+    # final segment aggregate.
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+
+def test_distinct_to_date_single_exchange(spark, sf_dir):
+    plan = _formatted(spark, "e2i_distinct_to_date", sf_dir)
+    # Both windows hash on user_id alone: one exchange, two sorts.
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "EvalPython" not in plan
