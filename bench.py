@@ -96,6 +96,7 @@ HEADLINE = [
     "h11_stream_static_enrich",
     "c22_ivm_join_report",
     "e2i_distinct_to_date",
+    "h12_stream_ivm_join",
 ]
 
 

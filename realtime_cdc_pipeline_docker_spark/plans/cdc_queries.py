@@ -384,9 +384,7 @@ def h11_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "c22_ivm_join_report",
-    oracle="""
+_IVM_SEGMENT_ORACLE = """
     SELECT CASE WHEN c.c_custkey % 7 = 0 THEN 'MACHINERY'
                 ELSE c.c_mktsegment END AS segment,
            CAST(SUM(CASE WHEN o.o_orderkey % 10 = 0 THEN 0
@@ -396,8 +394,10 @@ def h11_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
                 AS BIGINT) AS live_orders
     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     GROUP BY 1
-    """,
-)
+    """
+
+
+@register("c22_ivm_join_report", oracle=_IVM_SEGMENT_ORACLE)
 def c22_ivm_join_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental view maintenance ACROSS A JOIN (§2.C extension — the
     DBSP/differential-dataflow sign-product rule): revenue per customer
@@ -420,16 +420,21 @@ def c22_ivm_join_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o_delta = signed_delta(
         synth_orders_envelope(spark, sf_dir), ORDERS_PAYLOAD_SCHEMA
-    ).select(
-        "customer_id",
-        F.col("sign").alias("sign_o"),
-        F.round(F.col("total_amount") * 100).cast("long").alias("cents"),
     )
+    return _segment_signed_report(o_delta, _customer_segment_deltas(spark, sf_dir))
+
+
+def _customer_segment_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed customer-dimension change stream for c22/h12: every
+    customer asserted with its original segment; every 7th customer
+    additionally retracts it and asserts 'MACHINERY' (a segment move).
+    Synthesized in ONE dimension scan via the signed_delta explode
+    idiom."""
     cust = load_table(spark, sf_dir, "customer")
     keep = F.struct(F.col("c_mktsegment").alias("segment"), F.lit(1).alias("sign_c"))
     retract = F.struct(F.col("c_mktsegment").alias("segment"), F.lit(-1).alias("sign_c"))
     assert_new = F.struct(F.lit("MACHINERY").alias("segment"), F.lit(1).alias("sign_c"))
-    c_delta = cust.select(
+    return cust.select(
         F.col("c_custkey").alias("ckey"),
         F.explode(
             F.when(
@@ -437,10 +442,54 @@ def c22_ivm_join_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.array(keep))
         ).alias("d"),
     ).select("ckey", "d.*")
-    joined = o_delta.join(F.broadcast(c_delta), F.col("customer_id") == F.col("ckey"))
+
+
+def _segment_signed_report(o_delta: DataFrame, c_delta: DataFrame) -> DataFrame:
+    """Sign-product join + segment aggregate shared by c22 (batch) and
+    h12's per-micro-batch partial aggregation."""
+    facts = o_delta.select(
+        "customer_id",
+        F.col("sign").alias("sign_o"),
+        F.round(F.col("total_amount") * 100).cast("long").alias("cents"),
+    )
+    joined = facts.join(F.broadcast(c_delta), F.col("customer_id") == F.col("ckey"))
     return joined.groupBy("segment").agg(
         F.sum(F.col("sign_o") * F.col("sign_c") * F.col("cents"))
         .cast("long")
         .alias("revenue_cents"),
         F.sum(F.col("sign_o") * F.col("sign_c")).cast("long").alias("live_orders"),
     )
+
+
+@register("h12_stream_ivm_join", oracle=_IVM_SEGMENT_ORACLE)
+def h12_stream_ivm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """c22's sign-product join view maintained UNDER STRUCTURED
+    STREAMING (§2.H extension — the ClickHouse AggregatingMergeTree MV
+    re-expressed): each micro-batch of order envelopes expands to
+    signed deltas, joins the broadcast customer delta stream, and
+    appends its per-segment partial aggregate to a batch-id'd ledger;
+    the view read dedups on (batch_id, segment) and SUMs.  The stream
+    runs TWICE on one checkpoint — the second run is a restart no-op
+    (offsets committed), so the ledger must not double-count: restart
+    recovery is part of what the oracle parity proves.  stream == batch
+    (c22) == SQL golden.  See
+    streaming/pipeline.py:run_ivm_aggregate_stream."""
+    from ..streaming.pipeline import run_ivm_aggregate_stream
+
+    work = _work_dir("ivm_stream", sf_dir)
+    envelope = synth_orders_envelope(spark, sf_dir)
+    envelope.repartition(8).write.mode("overwrite").json(f"{work}/input")
+    c_delta = _customer_segment_deltas(spark, sf_dir)
+    out = None
+    for _ in range(2):  # second run: checkpoint restart, must be a no-op
+        out = run_ivm_aggregate_stream(
+            spark,
+            envelope_dir=f"{work}/input",
+            ledger_dir=f"{work}/ledger",
+            checkpoint_dir=f"{work}/ckpt",
+            payload_schema=ORDERS_PAYLOAD_SCHEMA,
+            partial_agg=lambda batch: _segment_signed_report(batch, c_delta),
+            group_cols=("segment",),
+            metric_cols=("revenue_cents", "live_orders"),
+        )
+    return out

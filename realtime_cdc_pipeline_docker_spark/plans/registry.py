@@ -79,6 +79,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "h11_stream_static_enrich", "j1b_url_dedup", "j8b_contamination_report",
     "b13_csv_source_roundtrip",
     "c22_ivm_join_report", "b14_schema_evolution_log", "e2i_distinct_to_date",
+    "h12_stream_ivm_join",
     # (d) green in exactly one round — accumulate second rows.  Ten
     # former (d) slots (j4a-j4d, j4f, j5, j6a, j6c, j6e, j6b — all
     # green in r3) were displaced by the session's ten new queries
@@ -87,7 +88,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "j1_dedup_exact", "j2_minhash_neardup", "j2b_ngram_jaccard",
     "j2c_simhash_neardup", "j2d_embedding_neardup", "j2e_neardup_keepers",
     "j3_similarity_topk", "j3b_ann_lsh_topk",
-    "j6d_corpus_shuffle",
     "j7_corpus_pipeline_e2e",
 )
 

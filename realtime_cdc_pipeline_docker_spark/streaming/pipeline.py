@@ -176,3 +176,56 @@ def run_enriched_cdc_stream(
         .awaitTermination()
     )
     return spark.read.parquet(log_dir)
+
+
+def run_ivm_aggregate_stream(
+    spark: SparkSession,
+    envelope_dir: str,
+    ledger_dir: str,
+    checkpoint_dir: str,
+    payload_schema: T.StructType,
+    partial_agg,
+    group_cols: Sequence[str],
+    metric_cols: Sequence[str],
+) -> DataFrame:
+    """Streaming materialized-view maintenance — the ClickHouse
+    AggregatingMergeTree MV contract under Structured Streaming.
+
+    Every micro-batch of CDC envelopes is expanded to signed delta rows
+    (operators/history.py:signed_delta — stateless, pipelines with the
+    source), reduced by ``partial_agg`` to a partial aggregate keyed by
+    ``group_cols``, and APPENDED to a ledger with its batch id.  The
+    view read merges the ledger: dedup on (batch_id, group) — so a
+    re-attempted batch (foreachBatch is at-least-once within a
+    checkpointed run) lands idempotently — then one SUM per metric.
+    State size is O(groups × batches), compactable by the same
+    merge at any time; the base stream is never rescanned.
+
+    Exactly-once story: checkpoint tracks source offsets (a restart
+    re-runs only uncommitted batches), the ledger append is made
+    idempotent by the batch-id dedup — together, effectively-once
+    aggregates without any blocking state store.
+    """
+    from ..operators.history import signed_delta
+
+    stream = spark.readStream.schema(DEBEZIUM_ENVELOPE_SCHEMA).json(envelope_dir)
+    deltas = signed_delta(stream, payload_schema)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        partial_agg(batch_df).withColumn("__batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(ledger_dir)
+
+    (
+        deltas.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    ledger = spark.read.parquet(ledger_dir)
+    return (
+        ledger.dropDuplicates(["__batch_id", *group_cols])
+        .groupBy(*group_cols)
+        .agg(*[F.sum(m).cast("long").alias(m) for m in metric_cols])
+    )

@@ -276,3 +276,54 @@ def test_enriched_stream_redelivery_idempotent(spark, tmp_path):
             dim_cols=("cust_name",),
         )
     assert _final_state(log) == EXPECTED_FINAL
+
+
+def test_ivm_aggregate_stream_incremental_and_restart(spark, tmp_path):
+    """The streaming MV ledger: new envelope waves fold in incrementally
+    (only uncommitted batches process on restart), and a no-data restart
+    changes nothing."""
+    from realtime_cdc_pipeline_docker_spark.streaming.pipeline import (
+        run_ivm_aggregate_stream,
+    )
+
+    src, ledger, ckpt = (str(tmp_path / d) for d in ("src", "ledger", "ckpt"))
+    dim = spark.createDataFrame([(1, "A", 1), (2, "B", 1)],
+                                "ckey long, segment string, sign_c int")
+
+    def partial(batch):
+        return (
+            batch.join(F.broadcast(dim), F.col("id") == F.col("ckey"))
+            .groupBy("segment")
+            .agg(
+                F.sum(
+                    F.col("sign") * F.col("sign_c")
+                    * F.round(F.col("total_amount") * 100).cast("long")
+                ).alias("revenue_cents")
+            )
+        )
+
+    def run():
+        return run_ivm_aggregate_stream(
+            spark, src, ledger, ckpt, PAYLOAD,
+            partial_agg=partial, group_cols=("segment",),
+            metric_cols=("revenue_cents",),
+        )
+
+    _write_jsonl(src, [
+        _env("c", 100, after={"id": 1, "status": "new", "total_amount": 10.0}),
+        _env("c", 100, after={"id": 2, "status": "new", "total_amount": 5.0}),
+    ], name="wave1.json")
+    view = {r["segment"]: r["revenue_cents"] for r in run().collect()}
+    assert view == {"A": 1000, "B": 500}
+
+    # Wave 2: order 1 re-priced; only this wave is processed on restart.
+    _write_jsonl(src, [
+        _env("u", 200, before={"id": 1, "status": "new", "total_amount": 10.0},
+             after={"id": 1, "status": "paid", "total_amount": 25.0}),
+    ], name="wave2.json")
+    view = {r["segment"]: r["revenue_cents"] for r in run().collect()}
+    assert view == {"A": 2500, "B": 500}
+
+    # No-data restart: a no-op.
+    view = {r["segment"]: r["revenue_cents"] for r in run().collect()}
+    assert view == {"A": 2500, "B": 500}
