@@ -97,6 +97,8 @@ HEADLINE = [
     "c22_ivm_join_report",
     "e2i_distinct_to_date",
     "h12_stream_ivm_join",
+    "e5c_history_retention",
+    "e2j_range_frame_rolling",
 ]
 
 

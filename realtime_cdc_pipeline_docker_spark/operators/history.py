@@ -220,3 +220,20 @@ def changes_only(
         .filter(F.col("__keep"))
         .drop("__keep")
     )
+
+
+def retain_history(history: DataFrame, cutoff_ms: int) -> DataFrame:
+    """History retention (VACUUM for the SCD2 table): keep every
+    version visible at or after ``cutoff_ms`` — open intervals
+    (current rows) and closed intervals whose ``[from, to)`` end is
+    after the cutoff.  The guarantee, tested in tests/test_history.py:
+    ``snapshot_asof(retain_history(h, c), t) == snapshot_asof(h, t)``
+    for every ``t >= c`` — time travel is exact inside the retention
+    window and impossible (not silently wrong) before it.
+
+    A pure filter: shuffle-free, and with the history partitioned on
+    valid_to date the expired versions are whole pruned partitions —
+    retention at 100 TB is a partition drop, not a rewrite."""
+    return history.filter(
+        F.col("valid_to_ms").isNull() | (F.col("valid_to_ms") > F.lit(cutoff_ms))
+    )

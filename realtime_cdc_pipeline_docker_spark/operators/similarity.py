@@ -652,3 +652,66 @@ def random_projection(
         ]
     )
     return out.withColumn("proj_micro", proj).drop("__q")
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    n_clusters: int = 16,
+    threshold: float = 0.995,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_cluster_size: int = 10_000,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space with spherical
+    k-means, then inside each cluster drop every vector that has a
+    lower-id neighbor with cosine ≥ ``threshold``.  Returns the
+    SURVIVING rows ``(vec_id, cluster)``.
+
+    Keeper policy: *dominated-by-any-lower-id* — deterministic
+    (min-id representative per duplicate neighborhood) and biased
+    toward over-removal on chains, the conservative direction for
+    training data (a borderline near-dup costs less than a kept
+    duplicate).  Candidate generation is cluster-local by construction:
+    SemDeDup's observation is that ε-duplicates co-locate under
+    k-means, so the quadratic term is per-cluster, not corpus-wide.
+
+    100 TB shape: centroids train on a sample (train_ivf_centroids);
+    assignment is a pure column expression (computable at ingest →
+    the corpus can land pre-partitioned by cluster, making the
+    self-join co-located).  Clusters above ``max_cluster_size`` are
+    excluded from pairing (their rows all survive) and the skip is
+    observable in the returned ``oversized`` flag — the same
+    degenerate-bucket cap every dedup family here carries: a fixture
+    where k-means collapses must not produce an O(n²) join."""
+    from ..functions import vec_normalize
+
+    normed = embeddings.select(
+        F.col(id_col).alias("id"), vec_normalize(vec_col).alias("v")
+    )
+    centroids = train_ivf_centroids(
+        embeddings, n_centroids=n_clusters, vec_col=vec_col, id_col=id_col
+    )
+    assigned = normed.withColumn("cluster", nearest_centroid_expr("v", centroids))
+    sizes = assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("__csize"))
+    assigned = assigned.join(F.broadcast(sizes), "cluster").withColumn(
+        "oversized", F.col("__csize") > max_cluster_size
+    )
+    small = assigned.filter(~F.col("oversized"))
+    a = small.select(
+        F.col("cluster"), F.col("id").alias("id_a"), F.col("v").alias("va")
+    )
+    b = small.select(
+        F.col("cluster"), F.col("id").alias("id_b"), F.col("v").alias("vb")
+    )
+    dominated = (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(vec_dot(F.col("va"), F.col("vb")) >= F.lit(threshold))
+        .select(F.col("id_b").alias("id"))
+        .distinct()
+    )
+    return (
+        assigned.join(dominated, "id", "left_anti")
+        .select(F.col("id").alias(id_col), "cluster", "oversized")
+    )

@@ -493,3 +493,29 @@ def h12_stream_ivm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             metric_cols=("revenue_cents", "live_orders"),
         )
     return out
+
+
+@register(
+    "e5c_history_retention",
+    oracle=f"""
+    SELECT * FROM ({_SCD2_ORACLE})
+    WHERE valid_to_ms IS NULL OR valid_to_ms > {_ASOF_MS}
+    """,
+)
+def e5c_history_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """History retention / VACUUM (§2.E extension): the SCD2 table with
+    every version that expired before the 1995-07-01 cutoff dropped —
+    open intervals and still-visible closed intervals survive, so time
+    travel remains exact for any instant inside the retention window
+    (asserted as a property in tests/test_history.py).  A pure filter
+    over the history; with valid_to date partitioning this is a
+    partition drop at scale.  See operators/history.py:retain_history."""
+    from ..operators.history import retain_history, scd2_history
+
+    envelope = synth_orders_envelope(spark, sf_dir)
+    decoded = decode_envelope(envelope, ORDERS_PAYLOAD_SCHEMA)
+    hist = scd2_history(decoded, key_cols=("id",))
+    return retain_history(hist, _ASOF_MS).select(
+        "id", "customer_id", "order_date", "status", "total_amount",
+        "valid_from_ms", "valid_to_ms", "is_current",
+    )

@@ -374,3 +374,48 @@ def e2i_distinct_to_date(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.sum("first_seen").over(w_run).cast("long").alias("n_types_seen"),
     )
+
+
+@register(
+    "e2j_range_frame_rolling",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS order_day,
+             datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS day_no,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT order_day, revenue_cents,
+           CAST(SUM(revenue_cents) OVER (
+             ORDER BY day_no RANGE BETWEEN 29 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS rolling_30d_cents
+    FROM daily
+    """,
+)
+def e2j_range_frame_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame windowing (§2.E extension): trailing-30-DAY revenue
+    per day — a VALUE-based frame (days with no orders still age out of
+    the window), distinct from e2f's ROWS frame (last N rows).  Both
+    engines get the identical integer day-number axis; Spark's
+    rangeBetween is numeric-only, so dates become day offsets — the
+    portable form.  Scale note: the window input is the POST-AGGREGATE
+    day relation (|days| rows, ~2.4k here), so the unpartitioned
+    ordered window is driver-trivial; the heavy lifting is the
+    map-side-combinable daily aggregate before it."""
+    from ..functions import fixed_units
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(F.to_date("o_orderdate").alias("order_day"))
+        .agg(F.sum(fixed_units("o_totalprice")).alias("revenue_cents"))
+        .withColumn(
+            "day_no", F.datediff("order_day", F.lit("1992-01-01").cast("date"))
+        )
+    )
+    w = Window.orderBy("day_no").rangeBetween(-29, Window.currentRow)
+    return daily.select(
+        "order_day",
+        "revenue_cents",
+        F.sum("revenue_cents").over(w).cast("long").alias("rolling_30d_cents"),
+    )

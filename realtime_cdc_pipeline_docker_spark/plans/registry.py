@@ -37,23 +37,19 @@ def register(name: str, oracle: str | None = None):
 
 
 # The driver's per-round CORRECTNESS pass verifies the FIRST 50 entries
-# of queries() in insertion order.  With 119 registered queries,
+# of queries() in insertion order.  With 139 registered queries,
 # coverage rotates: round 4 front-loads (a) the 8 round-3 additions
 # that missed every driver window (registered after the round-3 list
 # froze), (b) the j5 trio that failed round 3 on driver-canonicalizer
 # binary/list columns (outputs now hex/posexploded — needs green rows),
-# (c) j8/e2h/h8, whose oracles were corrected this round (short-doc
-# grams; strict session gap; order-free keeper) and must re-verify,
-# then (d) backfills with queries green in exactly ONE prior round to
-# build second rows.  Left out (all with ≥1 green row, re-checked every
-# round by the driver-sim pytest gate): the r1+r2 double-green core
-# and twenty-one unchanged single-green queries: fifteen TPC-H shapes
-# (c15/c16/c17/d12/d13/d14/d15/d16/d17/d18/d19/d20/d21/d22/d23),
-# e2e_event_topn_users, e4_funnel_conversion, k1_asof_order_state,
-# k2_range_join_incidents, h6_stream_stream_attribution,
-# e3_cohort_retention, j9b_top_terms, and j9_vocab_topk (displaced by
-# the round-4 CDC history / streaming SCD2 / random-projection /
-# boilerplate additions, which have zero driver rows each).
+# (c) j8, whose oracle was corrected this round (short-doc grams) and
+# must re-verify, then every query REGISTERED this round — zero driver
+# rows each, so a first appearance outranks everything else — and
+# finally (d) six single-green backfills.  Left out (all with ≥1 green
+# row in r1-r3, re-checked every round by the driver-sim pytest gate):
+# the r1+r2 double-green core, the fifteen single-green TPC-H shapes
+# (c15-c17, d12-d23), e2e/e3/e4, k1/k2, h6, j9/j9b, and the ten (d)
+# slots this session's additions displaced (j4a-j4f, j5, j6a-j6e).
 # FROZEN at round-4 end: any query registered after this list must be
 # front-loaded in the round-5 rotation.
 DRIVER_PRIORITY: tuple[str, ...] = (
@@ -79,14 +75,14 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "h11_stream_static_enrich", "j1b_url_dedup", "j8b_contamination_report",
     "b13_csv_source_roundtrip",
     "c22_ivm_join_report", "b14_schema_evolution_log", "e2i_distinct_to_date",
-    "h12_stream_ivm_join",
+    "h12_stream_ivm_join", "e5c_history_retention", "e2j_range_frame_rolling",
+    "j2f_semantic_dedup",
     # (d) green in exactly one round — accumulate second rows.  Ten
     # former (d) slots (j4a-j4d, j4f, j5, j6a, j6c, j6e, j6b — all
     # green in r3) were displaced by the session's ten new queries
     # above: a first driver row for a new query outranks a second row
     # for a green one.
-    "j1_dedup_exact", "j2_minhash_neardup", "j2b_ngram_jaccard",
-    "j2c_simhash_neardup", "j2d_embedding_neardup", "j2e_neardup_keepers",
+    "j1_dedup_exact", "j2_minhash_neardup", "j2e_neardup_keepers",
     "j3_similarity_topk", "j3b_ann_lsh_topk",
     "j7_corpus_pipeline_e2e",
 )

@@ -445,3 +445,24 @@ def j3g_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return proj.selectExpr(
         "vec_id", "posexplode(proj_micro) AS (out_dim, proj_micro)"
     )
+
+
+@register("j2f_semantic_dedup", oracle=None)
+def j2f_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic dedup (rows-only by nature — k-means cluster
+    identities are engine-specific): spherical-k-means-cluster the
+    embeddings, plant positively-scaled duplicates of every 25th
+    vector (scale-invariant under spherical assignment, so each
+    duplicate provably co-locates with its original), and keep only
+    non-dominated rows.  Invariants (tests/test_similarity.py): every
+    planted duplicate is dropped, its original survives, reruns are
+    byte-identical.  See operators/similarity.py:semantic_dedup."""
+    from ..operators.similarity import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    planted = emb.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(2.0)).alias("embedding"),
+        "label",
+    )
+    return semantic_dedup(emb.unionByName(planted), n_clusters=16, threshold=0.999)

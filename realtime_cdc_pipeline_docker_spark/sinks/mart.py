@@ -187,3 +187,69 @@ def write_bucketed(
     if sort:
         writer = writer.sortBy(*bucket_cols)
     writer.saveAsTable(table)
+
+
+def zorder_key(
+    cols: Sequence, los: Sequence[int], his: Sequence[int], bits: int = 16
+) -> F.Column:
+    """Morton (Z-order) interleaved key over N exact-integer columns —
+    the multi-dimensional clustering expression behind
+    ``write_zordered``.  Each column is scaled to ``bits`` levels over
+    its caller-declared ``[lo, hi)`` range (declared, not discovered:
+    the layout stays stable across deliveries, same contract as
+    operators/profile.py:histogram), clamped at the edges, then the
+    bit planes are interleaved so that rows close in EVERY dimension
+    get close keys.  Pure integer column arithmetic — shifts, masks,
+    adds — whole-stage codegen, no UDF."""
+    assert len(cols) == len(los) == len(his)
+    assert len(cols) * bits <= 62, "interleaved key must fit a signed long"
+    n = len(cols)
+    levels = []
+    for c, lo, hi in zip(cols, los, his):
+        v = F.col(c) if isinstance(c, str) else c
+        x = F.least(F.greatest(v - F.lit(lo), F.lit(0)), F.lit(hi - lo - 1)).cast(
+            "long"
+        )
+        # level in [0, 2^bits): scale by range.  Double arithmetic is
+        # fine here — the key is a LAYOUT heuristic, deterministic for
+        # a given input either way; the clamp guards the top edge.
+        lvl = F.floor(x * F.lit(float(1 << bits)) / F.lit(float(hi - lo)))
+        levels.append(F.least(lvl, F.lit((1 << bits) - 1)).cast("long"))
+    key = F.lit(0).cast("long")
+    for d, lvl in enumerate(levels):
+        for b in range(bits):
+            key = key + (
+                F.shiftleft(F.shiftright(lvl, b).bitwiseAND(F.lit(1)), b * n + d)
+            )
+    return key.cast("long")
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: Sequence[str],
+    los: Sequence[int],
+    his: Sequence[int],
+    num_files: int = 16,
+    bits: int = 16,
+) -> None:
+    """Multi-dimensional clustering for data skipping (the OPTIMIZE
+    ZORDER BY analog): range-partition + sort the table by the Morton
+    key of ``cols`` so every output file covers a small HYPER-RECTANGLE
+    of the key space instead of a thin slice of one column.  A
+    min/max skipping index (parquet footers / an external manifest)
+    then prunes files for predicates on ANY clustered column — single-
+    column sort clustering only serves its leading column.
+
+    One range-shuffle (sampled boundaries) + in-partition sort — the
+    same cost as a plain global sort; tests/test_mart_sink.py measures
+    the bounding-box shrinkage vs an unclustered layout."""
+    key = zorder_key(cols, los, his, bits).alias("__z")
+    (
+        df.withColumn("__z", key)
+        .repartitionByRange(num_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -363,3 +363,45 @@ def test_sign_product_moves_revenue_between_segments(spark):
     # Every superseded (fact, dim) version pair cancels: 250 lands in B,
     # segment A nets to zero (order 2 deleted; order 1 retracted from A).
     assert got == {"A": 0, "B": 250}
+
+
+def test_retention_preserves_time_travel_inside_window(spark, sf_dir):
+    """snapshot_asof over the retained history == over the full history
+    for every instant >= cutoff; before the cutoff, versions are gone."""
+    from realtime_cdc_pipeline_docker_spark.operators.history import (
+        retain_history,
+        scd2_history,
+        snapshot_asof,
+    )
+    from realtime_cdc_pipeline_docker_spark.plans.cdc_queries import _ASOF_MS
+    from realtime_cdc_pipeline_docker_spark.sources.cdc import (
+        ORDERS_PAYLOAD_SCHEMA,
+        decode_envelope,
+        synth_orders_envelope,
+    )
+
+    decoded = decode_envelope(
+        synth_orders_envelope(spark, sf_dir), ORDERS_PAYLOAD_SCHEMA
+    )
+    hist = scd2_history(decoded, key_cols=("id",)).persist()
+    kept = retain_history(hist, _ASOF_MS)
+    assert kept.count() < hist.count()  # something actually expired
+
+    def snap(h, t):
+        return sorted(
+            (r["id"], r["status"], r["total_amount"])
+            for r in snapshot_asof(h, t).collect()
+        )
+
+    for t in (_ASOF_MS, _ASOF_MS + 3_600_000, _ASOF_MS + 100_000_000_000):
+        assert snap(kept, t) == snap(hist, t)
+    # Before the cutoff the retained table is (correctly) incomplete:
+    # probe mid-lifecycle of the earliest deleted key (its update
+    # interval closed well before the cutoff, so retention dropped it).
+    first_deleted_ts0 = (
+        hist.filter(F.col("id") % 10 == 0).agg(F.min("valid_from_ms")).first()[0]
+    )
+    early = first_deleted_ts0 + 90 * 60 * 1000  # inside [ts0+1h, ts0+2h)
+    assert early < _ASOF_MS
+    assert len(snap(kept, early)) < len(snap(hist, early))
+    hist.unpersist()

@@ -163,3 +163,56 @@ def test_streaming_pipeline_into_partitioned_mart(spark, sf_dir, tmp_path):
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     expected = orders.filter(F.col("o_orderkey") % 10 != 0).count()
     assert state.count() == expected
+
+
+def test_zorder_layout_shrinks_file_bounding_boxes(spark, tmp_path):
+    """Every Z-ordered file covers a small rectangle of (x, y) space, so
+    a min/max skipping index prunes on EITHER column; a single-column
+    sort layout serves only its leading column."""
+    import os
+
+    from realtime_cdc_pipeline_docker_spark.sinks.mart import write_zordered
+
+    n, side = 65536, 256  # 256x256 grid, one row per cell
+    df = spark.range(n).select(
+        (F.col("id") % side).alias("x"), (F.col("id") / side).cast("long").alias("y")
+    )
+    zpath, spath = str(tmp_path / "z"), str(tmp_path / "s")
+    write_zordered(df, zpath, cols=("x", "y"), los=(0, 0), his=(side, side),
+                   num_files=16, bits=8)
+    # Comparison layout: clustered on x alone.
+    df.repartitionByRange(16, "x").sortWithinPartitions("x").write.parquet(spath)
+
+    def max_side_extent(path, col):
+        worst = 0
+        for f in os.listdir(path):
+            if not f.endswith(".parquet"):
+                continue
+            part = spark.read.parquet(os.path.join(path, f))
+            mn, mx = part.agg(F.min(col), F.max(col)).first()
+            worst = max(worst, mx - mn + 1)
+        return worst
+
+    # Z-order: 16 files over a 256x256 grid -> each file's bbox is a
+    # ~64x64 quadrant-run: BOTH dimensions far below the full 256.
+    assert max_side_extent(zpath, "x") <= side // 2
+    assert max_side_extent(zpath, "y") <= side // 2
+    # The sort layout serves x but every file spans ALL of y.
+    assert max_side_extent(spath, "x") <= side // 2
+    assert max_side_extent(spath, "y") == side
+
+
+def test_zorder_key_is_codegen_integer_arith(spark):
+    from realtime_cdc_pipeline_docker_spark.sinks.mart import zorder_key
+
+    df = spark.range(100).select(
+        F.col("id").alias("a"), (F.col("id") * 3).alias("b")
+    )
+    out = df.select(zorder_key(("a", "b"), (0, 0), (100, 300), bits=4).alias("z"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
+    # Interleaving: a=1,b=0 and a=0,b=1 map to adjacent-but-distinct keys.
+    vals = df.filter("id < 2").select(
+        zorder_key(("a", "b"), (0, 0), (16, 48), bits=4).alias("z")
+    ).collect()
+    assert len({r["z"] for r in vals}) == 2

@@ -265,3 +265,40 @@ def test_random_projection_shuffle_and_python_free(spark, sf_dir):
     plan = random_projection(emb)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_semantic_dedup_drops_planted_scaled_duplicates(spark, sf_dir):
+    from realtime_cdc_pipeline_docker_spark.catalog import load_table
+    from realtime_cdc_pipeline_docker_spark.operators.similarity import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    planted = emb.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(2.0)).alias("embedding"),
+        "label",
+    )
+    both = emb.unionByName(planted)
+    survivors = semantic_dedup(both, n_clusters=16, threshold=0.999)
+    ids = {r["vec_id"] for r in survivors.collect()}
+    n_planted = planted.count()
+    assert n_planted > 0
+    # Every scaled duplicate is dominated by its (lower-id) original...
+    assert not any(i >= 1_000_000 for i in ids)
+    # ...and every original survives (originals are mutually non-dup
+    # at this threshold on the random fixture).
+    assert len(ids) == emb.count()
+
+
+def test_semantic_dedup_deterministic_and_capped(spark, sf_dir):
+    from realtime_cdc_pipeline_docker_spark.catalog import load_table
+    from realtime_cdc_pipeline_docker_spark.operators.similarity import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = {r["vec_id"] for r in semantic_dedup(emb).collect()}
+    b = {r["vec_id"] for r in semantic_dedup(emb).collect()}
+    assert a == b
+    # Degenerate-cluster cap: with an absurdly low cap every cluster is
+    # oversized, pairing is skipped, and all rows survive (observable).
+    capped = semantic_dedup(emb, max_cluster_size=1).collect()
+    assert all(r["oversized"] for r in capped)
+    assert len(capped) == emb.count()
