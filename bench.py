@@ -99,6 +99,8 @@ HEADLINE = [
     "h12_stream_ivm_join",
     "e5c_history_retention",
     "e2j_range_frame_rolling",
+    "k3_temporal_dimension_join",
+    "b15_nested_rollup_roundtrip",
 ]
 
 

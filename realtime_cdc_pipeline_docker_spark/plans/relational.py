@@ -2069,3 +2069,35 @@ def c21_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         fixed_units("o_totalprice").alias("cents")
     )
     return histogram(orders, "cents", lo=0, hi=50_000_000, nbuckets=20)
+
+
+@register(
+    "b15_nested_rollup_roundtrip",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem
+    """,
+)
+def b15_nested_rollup_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested data model round trip (§2.B extension): roll lineitems up
+    into one document per order (``collect_list(struct)``, array sorted
+    by line number for a deterministic document), then flatten back
+    with ``explode`` — parity against the flat relation proves the
+    assemble/flatten pair is lossless.  This is the denormalized-
+    document shape an LLM-ingest exports (one JSON doc per order) and
+    the reference's two-level JSON parse in reverse.  Plan: one shuffle
+    (the groupBy on the order key) and a pipelined generate — explode
+    adds no exchange."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+    docs = li.groupBy("l_orderkey").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct("l_linenumber", "l_quantity", "l_extendedprice")
+            )
+        ).alias("items")
+    )
+    return docs.select("l_orderkey", F.explode("items").alias("it")).select(
+        "l_orderkey", "it.*"
+    )

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..functions import fixed_units
+from ..functions import epoch_ms, fixed_units
 from ..operators.temporal import asof_join, range_join
 from .registry import register
 
@@ -116,4 +116,58 @@ def k2_range_join_incidents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("incident_id").agg(
         F.count(F.lit(1)).alias("n_events"),
         (F.sum(fixed_units("value", 4)) / F.lit(10000.0)).alias("sum_value"),
+    )
+
+
+@register(
+    "k3_temporal_dimension_join",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, l.l_shipdate,
+           CASE WHEN epoch_ms(l.l_shipdate) < epoch_ms(o.o_orderdate)
+                  THEN CAST(NULL AS VARCHAR)
+                WHEN epoch_ms(l.l_shipdate) < epoch_ms(o.o_orderdate) + 3600000
+                  THEN 'processing'
+                WHEN o.o_orderkey % 10 = 0
+                 AND epoch_ms(l.l_shipdate) >= epoch_ms(o.o_orderdate) + 7200000
+                  THEN CAST(NULL AS VARCHAR)
+                ELSE o.o_orderstatus END AS status_at_ship
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    """,
+)
+def k3_temporal_dimension_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time-correct dimension join (K extension — the temporal
+    version of every star join in §2.D): each lineitem is joined to the
+    version of its order that was VALID AT SHIP TIME, read from the
+    SCD2 history (operators/history.py) by equi-key + half-open
+    interval containment.  Facts shipping inside the insert hour see
+    'processing'; facts shipping after their order's delete tombstone
+    see NULL (LEFT join: no visible version ≠ dropped fact) — the
+    oracle scripts the same lifecycle arithmetic directly over
+    orders ⋈ lineitem.  Intervals per key are disjoint, so the join
+    multiplies nothing.  Plan: ONE hash shuffle on the order key with
+    the interval residual as a post-join filter — the standard
+    fact ⋈ SCD2 shape; at 100 TB both sides co-partition (bucket) on
+    the key and the join is exchange-free."""
+    from ..operators.history import scd2_history
+    from ..sources.cdc import ORDERS_PAYLOAD_SCHEMA, decode_envelope, synth_orders_envelope
+
+    decoded = decode_envelope(
+        synth_orders_envelope(spark, sf_dir), ORDERS_PAYLOAD_SCHEMA
+    )
+    hist = scd2_history(decoded, key_cols=("id",)).select(
+        "id", "status", "valid_from_ms", "valid_to_ms"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    ship_ms = epoch_ms("l_shipdate", li.schema["l_shipdate"].dataType)
+    facts = li.select("l_orderkey", "l_linenumber", "l_shipdate", ship_ms.alias("__ship_ms"))
+    cond = (
+        (facts["l_orderkey"] == hist["id"])
+        & (F.col("__ship_ms") >= F.col("valid_from_ms"))
+        & (F.col("valid_to_ms").isNull() | (F.col("__ship_ms") < F.col("valid_to_ms")))
+    )
+    return facts.join(hist, cond, "left").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_shipdate",
+        F.col("status").alias("status_at_ship"),
     )

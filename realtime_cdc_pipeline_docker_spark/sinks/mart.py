@@ -230,26 +230,46 @@ def write_zordered(
     cols: Sequence[str],
     los: Sequence[int],
     his: Sequence[int],
-    num_files: int = 16,
+    num_buckets: int = 16,
     bits: int = 16,
 ) -> None:
     """Multi-dimensional clustering for data skipping (the OPTIMIZE
-    ZORDER BY analog): range-partition + sort the table by the Morton
-    key of ``cols`` so every output file covers a small HYPER-RECTANGLE
-    of the key space instead of a thin slice of one column.  A
-    min/max skipping index (parquet footers / an external manifest)
-    then prunes files for predicates on ANY clustered column — single-
-    column sort clustering only serves its leading column.
+    ZORDER BY analog): partition the table by the TOP bits of the
+    Morton key (``num_buckets`` must be a power of 4 so a bucket is a
+    whole quadrant at some depth), sorting by the full key within, so
+    every bucket covers an ALIGNED hyper-rectangle of the key space
+    instead of a thin slice of one column.
 
-    One range-shuffle (sampled boundaries) + in-partition sort — the
-    same cost as a plain global sort; tests/test_mart_sink.py measures
-    the bounding-box shrinkage vs an unclustered layout."""
-    key = zorder_key(cols, los, his, bits).alias("__z")
+    Alignment is the load-bearing choice: range-partitioning the key
+    (the obvious alternative) draws boundaries mid-key, and a file
+    straddling a high-order quadrant boundary has a bounding box as
+    wide as the whole table in every dimension — z-curve locality only
+    bounds boxes for PREFIX-aligned intervals.  (Found empirically:
+    the straddle case fails the bounding-box test roughly one run in
+    three.)  Bucket = key prefix also makes the bucket a real
+    PARTITION COLUMN, so bucket predicates prune directories before
+    any footer is read; parquet row-group min/max on the sorted key
+    serves finer pruning within.
+
+    One hash shuffle on the bucket + in-partition sort — same cost as
+    any clustered write; tests/test_mart_sink.py asserts exact bucket
+    alignment vs a single-column sort layout."""
+    n = len(cols)
+    depth = 0
+    while (1 << (n * depth)) < num_buckets:
+        depth += 1
+    assert (1 << (n * depth)) == num_buckets, (
+        f"num_buckets must be a power of 2^{n} for aligned {n}-D buckets"
+    )
+    key = zorder_key(cols, los, his, bits)
+    bucket = F.shiftright(key, n * (bits - depth)).alias("__zbucket")
     (
         df.withColumn("__z", key)
-        .repartitionByRange(num_files, "__z")
-        .sortWithinPartitions("__z")
+        .withColumn("__zbucket", bucket)
+        .repartition("__zbucket")
+        .sortWithinPartitions("__zbucket", "__z")
         .drop("__z")
         .write.mode("overwrite")
+        .partitionBy("__zbucket")
         .parquet(path)
     )

@@ -179,27 +179,29 @@ def test_zorder_layout_shrinks_file_bounding_boxes(spark, tmp_path):
     )
     zpath, spath = str(tmp_path / "z"), str(tmp_path / "s")
     write_zordered(df, zpath, cols=("x", "y"), los=(0, 0), his=(side, side),
-                   num_files=16, bits=8)
+                   num_buckets=16, bits=8)
     # Comparison layout: clustered on x alone.
     df.repartitionByRange(16, "x").sortWithinPartitions("x").write.parquet(spath)
 
-    def max_side_extent(path, col):
-        worst = 0
-        for f in os.listdir(path):
-            if not f.endswith(".parquet"):
-                continue
-            part = spark.read.parquet(os.path.join(path, f))
-            mn, mx = part.agg(F.min(col), F.max(col)).first()
-            worst = max(worst, mx - mn + 1)
-        return worst
+    def extents(path, col):
+        out = []
+        for d in os.listdir(path):
+            full = os.path.join(path, d)
+            if d.endswith(".parquet") or (os.path.isdir(full) and "=" in d):
+                part = spark.read.parquet(full)
+                mn, mx = part.agg(F.min(col), F.max(col)).first()
+                out.append(mx - mn + 1)
+        return out
 
-    # Z-order: 16 files over a 256x256 grid -> each file's bbox is a
-    # ~64x64 quadrant-run: BOTH dimensions far below the full 256.
-    assert max_side_extent(zpath, "x") <= side // 2
-    assert max_side_extent(zpath, "y") <= side // 2
+    zx, zy = extents(zpath, "x"), extents(zpath, "y")
+    # 16 aligned buckets over a 256x256 grid = sixteen EXACT 64x64
+    # quadrants: every bucket's bbox is 64 in BOTH dimensions.
+    assert len(zx) == 16
+    assert all(e == side // 4 for e in zx)
+    assert all(e == side // 4 for e in zy)
     # The sort layout serves x but every file spans ALL of y.
-    assert max_side_extent(spath, "x") <= side // 2
-    assert max_side_extent(spath, "y") == side
+    assert max(extents(spath, "x")) <= side // 2
+    assert max(extents(spath, "y")) == side
 
 
 def test_zorder_key_is_codegen_integer_arith(spark):
@@ -216,3 +218,38 @@ def test_zorder_key_is_codegen_integer_arith(spark):
         zorder_key(("a", "b"), (0, 0), (16, 48), bits=4).alias("z")
     ).collect()
     assert len({r["z"] for r in vals}) == 2
+
+
+def test_dynamic_partition_pruning_on_partitioned_mart(spark, tmp_path):
+    """A partitioned mart joined to a filtered dimension prunes fact
+    partitions at RUNTIME (DPP): the dim-side filter becomes a
+    partition predicate on the fact scan.  Two conditions this test
+    pins because both silently disable DPP: the dim filter must be a
+    LIKELY-SELECTIVE predicate (an equality — a bare boolean attribute
+    does not qualify for Spark's isLikelySelective), and the fact must
+    be large enough to be the STREAMED side (a broadcast-able fact is
+    itself the build side and nothing prunes it)."""
+    fact_path, dim_path = str(tmp_path / "fact"), str(tmp_path / "dim")
+    months = [f"1995-{m:02d}" for m in range(1, 13)]
+    spark.range(2_000_000).select(
+        F.col("id"),
+        F.element_at(
+            F.array(*[F.lit(m) for m in months]),
+            (F.col("id") % 12 + 1).cast("int"),
+        ).alias("month"),
+        (F.col("id") % 100).alias("amount"),
+    ).write.partitionBy("month").parquet(fact_path)
+    spark.createDataFrame(
+        [(m, "Q1" if m < "1995-04" else "rest") for m in months],
+        "month string, quarter string",
+    ).write.parquet(dim_path)
+    facts = spark.read.parquet(fact_path)
+    dim = spark.read.parquet(dim_path)
+    joined = facts.join(dim.filter(F.col("quarter") == "Q1"), "month").agg(
+        F.sum("amount").alias("total")
+    )
+    opt = joined._jdf.queryExecution().optimizedPlan().toString()
+    assert "dynamicpruning" in opt.lower()
+    joined.collect()
+    final = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in final.lower()
