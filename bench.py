@@ -101,6 +101,9 @@ HEADLINE = [
     "e2j_range_frame_rolling",
     "k3_temporal_dimension_join",
     "b15_nested_rollup_roundtrip",
+    "j4i_intradoc_dedup",
+    "d24_or_equi_join",
+    "c23_hll_partial_merge",
 ]
 
 

@@ -399,3 +399,33 @@ def canonicalize_url(col: Column | str = "url") -> Column:
     rest = F.regexp_replace(rest, r"/\?", "?")
     rest = F.regexp_replace(rest, r"/$", "")
     return F.concat(head, rest)
+
+
+def dedup_lines_within_doc(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", sep: str = " | "
+) -> DataFrame:
+    """Intra-document repetition removal: drop every line that already
+    appeared EARLIER in the same document (first occurrence kept, order
+    preserved), the in-document counterpart of cross-doc boilerplate
+    removal (``remove_boilerplate``) — templated pages repeat their own
+    nav blocks and disclaimers many times within one crawl record.
+
+    Lines are ``sep``-separated (the fixture's literal separator —
+    split on an escaped literal, not a regex).  Pure higher-order
+    array expressions: split → positional filter (a line survives iff
+    its index equals the index of its first occurrence) → rejoin.
+    Per-row, shuffle-free, codegen; no explode, so no row expansion at
+    any scale."""
+    # \Q...\E-quoted literal: F.split takes a Java regex and the
+    # default separator contains "|" (alternation) — same convention
+    # as remove_boilerplate above.
+    lines = F.split(F.col(text_col), f"\\Q{sep}\\E", -1)
+    kept = F.filter(
+        lines, lambda line, i: F.array_position(lines, line) == i + F.lit(1)
+    )
+    return df.select(
+        F.col(id_col),
+        F.array_join(kept, sep).alias("clean_text"),
+        F.size(lines).cast("long").alias("n_lines"),
+        (F.size(lines) - F.size(kept)).cast("long").alias("n_lines_removed"),
+    )

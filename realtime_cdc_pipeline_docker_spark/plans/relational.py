@@ -2101,3 +2101,68 @@ def b15_nested_rollup_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("l_orderkey", F.explode("items").alias("it")).select(
         "l_orderkey", "it.*"
     )
+
+
+@register(
+    "d24_or_equi_join",
+    oracle="""
+    SELECT c.c_mktsegment AS segment,
+           COUNT(*) AS n_pairs,
+           COUNT(DISTINCT o.o_orderkey) AS n_orders
+    FROM orders o JOIN customer c
+      ON o.o_custkey = c.c_custkey
+      OR o.o_orderkey % 997 = c.c_custkey % 997
+    GROUP BY 1
+    """,
+)
+def d24_or_equi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OR-of-equalities join (§2.D extension — the entity-resolution
+    shape: match on primary key OR legacy key).  Written naively Spark
+    plans a BroadcastNestedLoopJoin (O(|A|·|B|)); operators/joins.py
+    decomposes it into one hash equi-join per key with null-safe
+    exclusion residuals, producing each qualifying pair exactly once —
+    the oracle states the plain OR join and parity proves the
+    decomposition exact.  Plan-asserted nested-loop-free in
+    tests/test_or_join.py."""
+    from ..operators.joins import or_equi_join
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", (F.col("o_orderkey") % 997).alias("o_legacy")
+    )
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", (F.col("c_custkey") % 997).alias("c_legacy")
+    )
+    pairs = or_equi_join(
+        orders, customer, [("o_custkey", "c_custkey"), ("o_legacy", "c_legacy")]
+    )
+    return pairs.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("o_orderkey").alias("n_orders"),
+    )
+
+
+@register("c23_hll_partial_merge", oracle=None)
+def c23_hll_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch distinct counting (§2.C extension — the
+    DataSketches HLL surface ClickHouse exposes as uniqCombined
+    *states*): per-day HLL sketches of the customer key, merged with
+    hll_union_agg, estimated — next to the direct whole-table sketch
+    and the exact count.  Rows-only by nature (sketch estimates are
+    engine-specific); the load-bearing property, asserted in
+    tests/test_or_join.py, is MERGE EXACTNESS: the union of 2400 daily
+    partial sketches estimates IDENTICALLY to the one-shot sketch —
+    which is what lets a 100 TB mart keep per-partition sketch columns
+    and answer any-time-range distinct queries by merging, never
+    rescanning."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.hll_sketch_agg("o_custkey").alias("sk")
+    )
+    merged = daily.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_merged")
+    )
+    direct = orders.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("o_custkey")).alias("est_direct")
+    )
+    exact = orders.agg(F.countDistinct("o_custkey").alias("exact_distinct"))
+    return merged.crossJoin(F.broadcast(direct)).crossJoin(F.broadcast(exact))

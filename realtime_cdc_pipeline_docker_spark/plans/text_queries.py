@@ -736,3 +736,57 @@ def j8b_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("bench_id"), "text"
     )
     return contamination_report(docs, bench)
+
+
+@register(
+    "j4i_intradoc_dedup",
+    oracle=r"""
+    WITH built AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0
+                  THEN 'visit ' || source || ' dot com | ' || text ||
+                       ' | visit ' || source || ' dot com | ' || text
+                  ELSE text END AS t
+      FROM documents
+    ), lines AS (
+      SELECT doc_id, t, string_split(t, ' | ') AS l FROM built
+    ), kept AS (
+      SELECT doc_id, line, i
+      FROM (SELECT doc_id, l, unnest(l) AS line,
+                   unnest(generate_series(1, len(l))) AS i
+            FROM lines)
+      WHERE list_position(l, line) = i
+    )
+    SELECT k.doc_id,
+           string_agg(k.line, ' | ' ORDER BY k.i) AS clean_text,
+           CAST(MAX(len(lines.l)) AS BIGINT) AS n_lines,
+           CAST(MAX(len(lines.l)) - COUNT(*) AS BIGINT) AS n_lines_removed
+    FROM kept k JOIN lines ON k.doc_id = lines.doc_id
+    GROUP BY k.doc_id
+    """,
+)
+def j4i_intradoc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition removal (J4 extension): every third doc
+    is rebuilt as banner | body | banner | body — a templated crawl
+    record repeating its own nav block AND its own body — and the
+    operator keeps each line's FIRST occurrence in order, so exactly
+    the trailing banner+body copies vanish while untouched docs pass
+    through byte-identical.  Pure higher-order array expressions
+    (split → index-aware filter → rejoin): per-row, shuffle-free, no
+    explode-driven row expansion — the safe shape for billion-doc
+    scrubbing.  See operators/text.py:dedup_lines_within_doc."""
+    from ..operators.text import dedup_lines_within_doc
+
+    docs = load_table(spark, sf_dir, "documents")
+    banner = F.concat(F.lit("visit "), F.col("source"), F.lit(" dot com"))
+    built = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                banner, F.lit(" | "), F.col("text"), F.lit(" | "),
+                banner, F.lit(" | "), F.col("text"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    return dedup_lines_within_doc(built)

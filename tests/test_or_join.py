@@ -1,0 +1,75 @@
+"""OR-equi-join decomposition and sketch-merge properties."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from realtime_cdc_pipeline_docker_spark.catalog import load_table
+from realtime_cdc_pipeline_docker_spark.operators.joins import or_equi_join
+
+
+def test_or_join_matches_naive_and_produces_each_pair_once(spark):
+    left = spark.createDataFrame(
+        [(1, 10, 100), (2, 20, 200), (3, 30, 100), (4, None, 300)],
+        "lid int, k1 int, k2 int",
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 999), (2, 99, 100), (3, 10, 100), (4, None, 300)],
+        "rid int, rk1 int, rk2 int",
+    )
+    naive = left.join(
+        right, (left.k1 == right.rk1) | (left.k2 == right.rk2), "inner"
+    ).select("lid", "rid")
+    ours = or_equi_join(left, right, [("k1", "rk1"), ("k2", "rk2")]).select(
+        "lid", "rid"
+    )
+    naive_pairs = sorted(map(tuple, naive.collect()))
+    our_pairs = sorted(map(tuple, ours.collect()))
+    assert our_pairs == naive_pairs
+    # No pair duplicated: row (3,.) matches rid=3 on BOTH keys -> once.
+    assert len(our_pairs) == len(set(our_pairs))
+
+
+def test_or_join_plans_hash_joins_not_nested_loop(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", (F.col("o_orderkey") % 997).alias("o_legacy")
+    )
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", (F.col("c_custkey") % 997).alias("c_legacy")
+    )
+    naive_plan = (
+        orders.join(
+            customer,
+            (orders.o_custkey == customer.c_custkey)
+            | (orders.o_legacy == customer.c_legacy),
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" in naive_plan  # the trap is real
+    ours_plan = (
+        or_equi_join(
+            orders, customer, [("o_custkey", "c_custkey"), ("o_legacy", "c_legacy")]
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "NestedLoop" not in ours_plan and "Cartesian" not in ours_plan
+
+
+def test_hll_merge_of_partials_equals_direct_sketch(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.hll_sketch_agg("o_custkey").alias("sk")
+    )
+    est_merged = daily.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("e")
+    ).first()["e"]
+    est_direct = orders.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("o_custkey")).alias("e")
+    ).first()["e"]
+    exact = orders.select("o_custkey").distinct().count()
+    assert est_merged == est_direct  # merge exactness, not approximation
+    assert abs(est_direct - exact) / exact < 0.05
