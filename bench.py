@@ -104,6 +104,9 @@ HEADLINE = [
     "j4i_intradoc_dedup",
     "d24_or_equi_join",
     "c23_hll_partial_merge",
+    "e9_coalescing_upsert",
+    "b16_variant_json_access",
+    "g6_collated_grouping",
 ]
 
 

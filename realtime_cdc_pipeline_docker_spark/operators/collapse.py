@@ -72,3 +72,31 @@ def compact(
     order = [F.col(version_col).desc(), F.col(sign_col).desc()]
     w = Window.partitionBy(*[F.col(k) for k in key_cols]).orderBy(*order)
     return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+
+
+def coalescing_upsert(
+    df,
+    key_cols,
+    version_col="ts_ms",
+    value_cols=(),
+):
+    """Partial-update collapse: per key, each value column independently
+    takes its value from the LATEST VERSION WHERE IT WAS NON-NULL — the
+    CoalescingMergeTree / per-column ``anyLast`` pattern for CDC feeds
+    that send sparse updates (only changed columns populated, NULL =
+    "unchanged").  ``latest_state`` above is whole-row (last version
+    wins for every column); this is per-column, so a v2 that only sets
+    ``total_amount`` must not erase v1's ``status``.
+
+    One map-side-combinable aggregate: ``max_by(col, version-if-non-
+    null)`` — rows where the column is NULL get a NULL ordering key,
+    which both Spark's max_by and DuckDB's arg_max ignore (verified
+    cross-engine in the e9 oracle).  Single shuffle on the key, no
+    window sort, no self-join."""
+    from pyspark.sql import functions as F
+
+    aggs = [
+        F.max_by(c, F.when(F.col(c).isNotNull(), F.col(version_col))).alias(c)
+        for c in value_cols
+    ]
+    return df.groupBy(*key_cols).agg(*aggs)

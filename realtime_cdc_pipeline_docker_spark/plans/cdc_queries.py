@@ -519,3 +519,45 @@ def e5c_history_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id", "customer_id", "order_date", "status", "total_amount",
         "valid_from_ms", "valid_to_ms", "is_current",
     )
+
+
+@register(
+    "e9_coalescing_upsert",
+    oracle="""
+    SELECT o_orderkey AS id, 'processing' AS status,
+           o_totalprice AS total_amount, o_custkey AS customer_id
+    FROM orders
+    """,
+)
+def e9_coalescing_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-update upsert (§2.E extension — per-column anyLast):
+    a sparse CDC feed where v1 sets (status, customer_id) and v2 sets
+    ONLY total_amount (other columns NULL = unchanged).  Whole-row
+    latest-state would erase v1's status; the coalescing collapse takes
+    each column from its latest non-null version, so the final image
+    interleaves both updates — exactly what the oracle states from
+    orders.  One aggregate, one shuffle; see
+    operators/collapse.py:coalescing_upsert."""
+    from ..operators.collapse import coalescing_upsert
+
+    orders = load_table(spark, sf_dir, "orders")
+    v1 = orders.select(
+        F.col("o_orderkey").alias("id"),
+        F.lit(1).alias("ts_ms"),
+        F.lit("processing").alias("status"),
+        F.lit(None).cast("double").alias("total_amount"),
+        F.col("o_custkey").alias("customer_id"),
+    )
+    v2 = orders.select(
+        F.col("o_orderkey").alias("id"),
+        F.lit(2).alias("ts_ms"),
+        F.lit(None).cast("string").alias("status"),
+        F.col("o_totalprice").alias("total_amount"),
+        F.lit(None).cast("long").alias("customer_id"),
+    )
+    return coalescing_upsert(
+        v1.unionByName(v2),
+        key_cols=("id",),
+        version_col="ts_ms",
+        value_cols=("status", "total_amount", "customer_id"),
+    )

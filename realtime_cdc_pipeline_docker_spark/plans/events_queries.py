@@ -419,3 +419,50 @@ def e2j_range_frame_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         "revenue_cents",
         F.sum("revenue_cents").over(w).cast("long").alias("rolling_30d_cents"),
     )
+
+
+@register(
+    "b16_variant_json_access",
+    oracle="""
+    SELECT event_type AS typ,
+           't' || CAST(event_id % 3 AS VARCHAR) AS tag0,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(json_extract_string(props, 'k') AS BIGINT)) AS BIGINT)
+             AS sum_k
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def b16_variant_json_access(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-less semi-structured access via the VARIANT type (§2.B
+    extension — Spark 4's answer to the two-phase from_json in b02,
+    for payloads with NO declared schema): a heterogeneous JSON doc is
+    assembled per event (object nesting the fixture's ``props``, a
+    string field, an array), ``parse_json``-ed into a variant, and
+    fields come out through typed ``variant_get`` paths — including an
+    array index — then aggregate.  The oracle recomputes the same
+    fields relationally (tag from the id residue, k via DuckDB's JSON
+    extraction of the original props), so parity proves the
+    variant encode/decode round-trips values exactly.  Variant is
+    binary-encoded columnar at rest — fields prune without parsing the
+    whole document, unlike a JSON string column."""
+    events = load_table(spark, sf_dir, "events")
+    doc = F.concat(
+        F.lit('{"meta": '),
+        F.col("props"),
+        F.lit(', "type": "'),
+        F.col("event_type"),
+        F.lit('", "tags": ["t'),
+        (F.col("event_id") % 3).cast("string"),
+        F.lit('", "x"]}'),
+    )
+    v = F.parse_json(doc)
+    flat = events.select(
+        F.variant_get(v, "$.type", "string").alias("typ"),
+        F.variant_get(v, "$.tags[0]", "string").alias("tag0"),
+        F.variant_get(v, "$.meta.k", "bigint").alias("k"),
+    )
+    return flat.groupBy("typ", "tag0").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("k").alias("sum_k"),
+    )

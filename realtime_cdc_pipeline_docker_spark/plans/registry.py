@@ -45,7 +45,7 @@ def register(name: str, oracle: str | None = None):
 # (c) j8, whose oracle was corrected this round (short-doc grams) and
 # must re-verify, then every query REGISTERED this round — zero driver
 # rows each, so a first appearance outranks everything else — and
-# finally (d) one single-green backfill (j2e, the slowest pipeline).  Left out (all with ≥1 green
+# with oracle-bearing queries outranking rows-only ones at the margin.  Left out (all with ≥1 green
 # row in r1-r3, re-checked every round by the driver-sim pytest gate):
 # the r1+r2 double-green core, the fifteen single-green TPC-H shapes
 # (c15-c17, d12-d23), e2e/e3/e4, k1/k2, h6, j9/j9b, and the ten (d)
@@ -76,15 +76,17 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "b13_csv_source_roundtrip",
     "c22_ivm_join_report", "b14_schema_evolution_log", "e2i_distinct_to_date",
     "h12_stream_ivm_join", "e5c_history_retention", "e2j_range_frame_rolling",
-    "j2f_semantic_dedup", "k3_temporal_dimension_join",
+    "k3_temporal_dimension_join",
     "b15_nested_rollup_roundtrip", "j4i_intradoc_dedup",
-    "d24_or_equi_join", "c23_hll_partial_merge",
-    # (d) green in exactly one round — accumulate second rows.  The
-    # other sixteen original (d) slots (j2b-j2d, j3, j3b, j4a-j4f, j5,
-    # j6a-j6e — all green in r3) were displaced by this round's sixteen
-    # new queries above: a first driver row for a new query outranks a
-    # second row for a green one.
-    "j2e_neardup_keepers",
+    "d24_or_equi_join", "e9_coalescing_upsert",
+    "b16_variant_json_access", "g6_collated_grouping",
+    # All former (d) backfill slots (j1-j3b, j4a-j4f, j5, j6a-j6e, j7
+    # — every one green in r3) were displaced by this round's new
+    # queries: a first driver row outranks a second row for a green
+    # one.  The two rows-only newcomers (j2f_semantic_dedup,
+    # c23_hll_partial_merge) also yield their slots to oracle-bearing
+    # queries and front-load the round-5 window with anything
+    # registered later.
 )
 
 

@@ -2166,3 +2166,36 @@ def c23_hll_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     exact = orders.agg(F.countDistinct("o_custkey").alias("exact_distinct"))
     return merged.crossJoin(F.broadcast(direct)).crossJoin(F.broadcast(exact))
+
+
+@register(
+    "g6_collated_grouping",
+    oracle="""
+    SELECT MIN(noisy) AS name, COUNT(*) AS n FROM (
+      SELECT CASE WHEN c_custkey % 2 = 0 THEN upper(c_name)
+                  ELSE lower(c_name) END AS noisy,
+             lower(c_name) AS key
+      FROM customer
+    ) GROUP BY key
+    """,
+)
+def g6_collated_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware grouping (§2.G extension — Spark 4 collations):
+    customer names are case-mangled by key residue, then grouped under
+    the UTF8_LCASE collation — equality is case-insensitive WITHOUT
+    rewriting the column through lower() (at scale that matters: a
+    collated comparison works in joins, GROUP BY, and DISTINCT while
+    keeping the original bytes for output).  min() picks the
+    deterministic representative; the oracle groups by lower() —
+    parity proves the collated equality classes are exactly the
+    case-insensitive ones."""
+    cust = load_table(spark, sf_dir, "customer")
+    noisy = F.when(
+        F.col("c_custkey") % 2 == 0, F.upper("c_name")
+    ).otherwise(F.lower("c_name"))
+    return (
+        cust.select(noisy.alias("noisy"))
+        .groupBy(F.collate("noisy", "UTF8_LCASE").alias("ckey"))
+        .agg(F.min("noisy").alias("name"), F.count(F.lit(1)).alias("n"))
+        .select("name", "n")
+    )

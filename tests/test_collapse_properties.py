@@ -95,3 +95,48 @@ def test_collapse_idempotent_under_redelivery(spark, events):
     a = latest_state(df, key_cols=("id",)).select("id", "ts_ms", "sign").collect()
     b = latest_state(doubled, key_cols=("id",)).select("id", "ts_ms", "sign").collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_coalescing_upsert_interleaves_partial_updates(spark):
+    from realtime_cdc_pipeline_docker_spark.operators.collapse import (
+        coalescing_upsert,
+    )
+
+    rows = [
+        # key 1: status set at v1, amount at v2, status corrected at v3
+        (1, 1, "new", None), (1, 2, None, 10.0), (1, 3, "paid", None),
+        # key 2: a column never set stays NULL
+        (2, 1, "new", None),
+        # key 3: later NULL does NOT erase an earlier value
+        (3, 1, "shipped", 5.0), (3, 2, None, None),
+    ]
+    df = spark.createDataFrame(rows, "id int, ts int, status string, amount double")
+    out = {
+        r["id"]: (r["status"], r["amount"])
+        for r in coalescing_upsert(
+            df, ("id",), "ts", ("status", "amount")
+        ).collect()
+    }
+    assert out == {1: ("paid", 10.0), 2: ("new", None), 3: ("shipped", 5.0)}
+
+
+def test_coalescing_upsert_single_exchange_no_window(spark, sf_dir):
+    from realtime_cdc_pipeline_docker_spark.catalog import load_table
+    from realtime_cdc_pipeline_docker_spark.operators.collapse import (
+        coalescing_upsert,
+    )
+    import pyspark.sql.functions as F
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_custkey").alias("ts_ms"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    plan = (
+        coalescing_upsert(orders, ("id",), "ts_ms", ("status",))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1
+    assert "Window" not in plan
