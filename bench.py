@@ -107,6 +107,8 @@ HEADLINE = [
     "e9_coalescing_upsert",
     "b16_variant_json_access",
     "g6_collated_grouping",
+    "j2g_fuzzy_neardup",
+    "e10_window_funnel",
 ]
 
 

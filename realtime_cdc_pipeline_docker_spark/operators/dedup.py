@@ -698,3 +698,57 @@ def contamination_report(
             F.count_distinct("gram").alias("n_shared_grams"),
         )
     )
+
+
+def fuzzy_neardup_pairs(
+    df: DataFrame,
+    text_col: str = "name",
+    id_col: str = "id",
+    max_bucket_size: int = 10_000,
+) -> DataFrame:
+    """Edit-distance-1 near-duplicate pairs via the SymSpell
+    deletion-neighborhood (Garbe's symmetric delete algorithm): each
+    string emits itself plus every single-character deletion as
+    candidate keys; two strings within Levenshtein distance 1
+    PROVABLY share a key (substitution at i → both delete i; an
+    insertion/deletion pair → the shorter string IS one of the longer
+    one's deletion variants), so an equi-join on the variant is an
+    EXACT candidate generator — no LSH probability, no cross join.
+    Candidates then pay one ``levenshtein`` verification.
+
+    Returns ``(id_a, id_b, dist)`` with ``id_a < id_b``, one row per
+    pair.  Cost: (len+1) variants per row — a linear explode that
+    pipelines into the join shuffle; candidate buckets are capped like
+    every dedup family here (``max_bucket_size`` guards degenerate
+    keys — very short strings share deletion variants massively), and
+    the cap is an explicit filter, not silent truncation."""
+    c = F.col(text_col)
+    i_minus = lambda i: c.substr(F.lit(1), i - F.lit(1))  # noqa: E731
+    i_plus = lambda i: c.substr(i + F.lit(1), F.length(c))  # noqa: E731
+    variants = F.transform(
+        F.sequence(F.lit(0), F.length(c)),
+        lambda i: F.when(i == F.lit(0), c).otherwise(
+            F.concat(i_minus(i), i_plus(i))
+        ),
+    )
+    keyed = df.select(
+        F.col(id_col).alias("id"), c.alias("txt"), F.explode(variants).alias("v")
+    ).distinct()  # a string can emit the same variant twice (equal chars)
+    sizes = keyed.groupBy("v").agg(F.count(F.lit(1)).alias("__vn"))
+    keyed = keyed.join(
+        F.broadcast(sizes.filter(F.col("__vn") > max_bucket_size)), "v", "left_anti"
+    )
+    a = keyed.select(F.col("v"), F.col("id").alias("id_a"), F.col("txt").alias("ta"))
+    b = keyed.select(F.col("v"), F.col("id").alias("id_b"), F.col("txt").alias("tb"))
+    return (
+        a.join(b, "v")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "ta", "tb")
+        .distinct()
+        .filter(F.levenshtein("ta", "tb") <= 1)
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein("ta", "tb").cast("long").alias("dist"),
+        )
+    )

@@ -466,3 +466,81 @@ def b16_variant_json_access(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum("k").alias("sum_k"),
     )
+
+
+@register(
+    "e10_window_funnel",
+    oracle="""
+    WITH u1 AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t1
+      FROM events GROUP BY 1
+    ), u2 AS (
+      SELECT e.user_id, u1.t1,
+             MIN(CASE WHEN e.event_type = 'click' AND e.ts > u1.t1
+                       AND e.ts <= u1.t1 + INTERVAL 7 DAY THEN e.ts END) AS t2
+      FROM events e JOIN u1 USING (user_id) GROUP BY 1, 2
+    ), u3 AS (
+      SELECT e.user_id, u2.t1, u2.t2,
+             MIN(CASE WHEN e.event_type = 'purchase' AND e.ts > u2.t2
+                       AND e.ts <= u2.t1 + INTERVAL 7 DAY THEN e.ts END) AS t3
+      FROM events e JOIN u2 USING (user_id) GROUP BY 1, 2, 3
+    )
+    SELECT CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+                WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS level,
+           COUNT(*) AS n_users
+    FROM u3 GROUP BY 1
+    """,
+)
+def e10_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``windowFunnel`` analog (§2.E extension): per user,
+    the deepest view → click → purchase prefix completed IN ORDER with
+    every step inside 7 days of the first — reported as a level
+    histogram.  Unlike e4's two-step EXISTS funnel this is ordered,
+    multi-level, and window-bounded from the FIRST step.  Spark plan:
+    three chained conditional-min WINDOW aggregates all partitioned on
+    user_id (each level's predicate references the previous level's
+    time — consecutive Window nodes, ONE hash exchange), then a
+    row-per-user dedup that reuses the same partitioning, then a
+    ≤4-group count.  The oracle computes the identical levels with
+    aggregate-then-join passes — two independent formulations, one
+    relation."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    seven = F.expr("INTERVAL 7 DAY")
+    lv = (
+        events.withColumn(
+            "t1", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+        )
+        .withColumn(
+            "t2",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts") > F.col("t1"))
+                    & (F.col("ts") <= F.col("t1") + seven),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "t3",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("t2"))
+                    & (F.col("ts") <= F.col("t1") + seven),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    )
+    per_user = lv.select(
+        "user_id",
+        F.when(F.col("t3").isNotNull(), 3)
+        .when(F.col("t2").isNotNull(), 2)
+        .when(F.col("t1").isNotNull(), 1)
+        .otherwise(0)
+        .alias("level"),
+    ).dropDuplicates(["user_id"])
+    return per_user.groupBy("level").agg(F.count(F.lit(1)).alias("n_users"))

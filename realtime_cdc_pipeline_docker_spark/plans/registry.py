@@ -65,12 +65,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # not after a freeze (the round-3 lesson)
     "j6g_leakage_safe_split", "j6h_chunk_overlap", "j6i_chunk_dedup_stats",
     "j4g_pii_redaction", "b12_jsonl_source_roundtrip",
-    "h9_stream_dedup_events", "j6j_exact_k_sample", "j3e_ivf_index_topk",
+    "h9_stream_dedup_events", "j6j_exact_k_sample",
     "j3d_embedding_centroids", "c19_table_profile",
     "j5e_audio_energy_windows", "j3f_quantized_embeddings",
     "e5_scd2_history", "e5b_snapshot_asof", "e6_collapsing_delta_report",
     "j3g_random_projection", "j4h_boilerplate_removal",
-    "h10_stream_scd2_history",
     "c20_incremental_mart_refresh", "c21_histogram", "e7_change_compression",
     "h11_stream_static_enrich", "j1b_url_dedup", "j8b_contamination_report",
     "b13_csv_source_roundtrip",
@@ -80,6 +79,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "b15_nested_rollup_roundtrip", "j4i_intradoc_dedup",
     "d24_or_equi_join", "e9_coalescing_upsert",
     "b16_variant_json_access", "g6_collated_grouping",
+    "j2g_fuzzy_neardup", "e10_window_funnel",
     # All former (d) backfill slots (j1-j3b, j4a-j4f, j5, j6a-j6e, j7
     # — every one green in r3) were displaced by this round's new
     # queries: a first driver row outranks a second row for a green

@@ -790,3 +790,28 @@ def j4i_intradoc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.col("text")),
     )
     return dedup_lines_within_doc(built)
+
+
+@register(
+    "j2g_fuzzy_neardup",
+    oracle="""
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+    FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    """,
+)
+def j2g_fuzzy_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy (edit-distance-1) near-dup pairs over customer names via
+    the SymSpell deletion-neighborhood (J2 extension — the
+    entity-name twin of the text-shingle families: one-keystroke
+    variants of the same entity).  The oracle is brute-force all-pairs
+    Levenshtein — an O(n²) computation the operator provably
+    reproduces with a linear explode + equi-join (exact candidate
+    coverage is a theorem, not a recall target, so this one gets a
+    full value-parity oracle unlike the probabilistic LSH families).
+    See operators/dedup.py:fuzzy_neardup_pairs."""
+    from ..operators.dedup import fuzzy_neardup_pairs
+
+    cust = load_table(spark, sf_dir, "customer")
+    return fuzzy_neardup_pairs(cust, text_col="c_name", id_col="c_custkey")

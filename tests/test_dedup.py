@@ -385,3 +385,37 @@ def test_contamination_report_corpus_subtree_shuffle_free(spark, sf_dir):
     join_pos = plan.index("BroadcastHashJoin")
     corpus_subtree = plan[join_pos:].split("BroadcastExchange")[0]
     assert "Exchange hashpartitioning" not in corpus_subtree
+
+
+def test_fuzzy_neardup_catches_all_edit1_kinds(spark):
+    from realtime_cdc_pipeline_docker_spark.operators.dedup import fuzzy_neardup_pairs
+
+    rows = [
+        (1, "warehouse"),
+        (2, "warehouze"),   # substitution
+        (3, "warehouses"),  # insertion
+        (4, "warehous"),    # deletion
+        (5, "warehoze"),    # distance 2 from 1 — must NOT pair with 1
+        (6, "completely different"),
+    ]
+    df = spark.createDataFrame(rows, "id long, name string")
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in fuzzy_neardup_pairs(df, "name", "id").collect()
+    }
+    assert (1, 2) in pairs and (1, 3) in pairs and (1, 4) in pairs
+    assert (1, 5) not in pairs
+    assert not any(6 in p for p in pairs)
+    # (2,4): warehouze vs warehous = distance 2 -> absent; (4,5) dist 2 absent
+    assert (2, 4) not in pairs
+
+
+def test_fuzzy_neardup_bucket_cap_is_observable(spark):
+    from realtime_cdc_pipeline_docker_spark.operators.dedup import fuzzy_neardup_pairs
+
+    # Ten identical strings: every variant bucket has size 10; with a
+    # cap below that, pairing is skipped entirely (explicit filter, not
+    # silent truncation of some pairs).
+    df = spark.createDataFrame([(i, "same") for i in range(10)], "id long, name string")
+    assert fuzzy_neardup_pairs(df, "name", "id").count() == 45
+    assert fuzzy_neardup_pairs(df, "name", "id", max_bucket_size=5).count() == 0

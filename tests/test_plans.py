@@ -140,3 +140,12 @@ def test_distinct_to_date_single_exchange(spark, sf_dir):
     # Both windows hash on user_id alone: one exchange, two sorts.
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
     assert "EvalPython" not in plan
+
+
+def test_window_funnel_single_window_exchange(spark, sf_dir):
+    plan = _formatted(spark, "e10_window_funnel", sf_dir)
+    # Three chained conditional-min windows + per-user dedup all reuse
+    # ONE user_id hash exchange; the only other exchange is the tiny
+    # final level histogram.
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2
+    assert "EvalPython" not in plan
