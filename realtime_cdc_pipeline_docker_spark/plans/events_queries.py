@@ -544,3 +544,30 @@ def e10_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("level"),
     ).dropDuplicates(["user_id"])
     return per_user.groupBy("level").agg(F.count(F.lit(1)).alias("n_users"))
+
+
+@register(
+    "h6b_outer_attribution",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id, p.value AS amount,
+           v.event_id AS view_id
+    FROM events p LEFT JOIN events v
+      ON v.user_id = p.user_id AND v.event_type = 'view'
+     AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR
+    WHERE p.event_type = 'purchase'
+    """,
+)
+def h6b_outer_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT-OUTER purchase→view attribution (§2.H): unattributed
+    purchases survive with NULL view columns — the batch twin of the
+    left-outer stream-stream join (streaming/joins.py, how=
+    'left_outer'), whose streaming form withholds each NULL emission
+    until the watermark proves no match can still arrive (asserted in
+    tests/test_streaming_join.py).  Same single user_id shuffle as the
+    inner form; the outer side adds no exchange."""
+    from ..streaming.joins import attribute_purchases
+
+    events = load_table(spark, sf_dir, "events")
+    return attribute_purchases(events, how="left_outer").select(
+        "purchase_id", "user_id", "amount", "view_id"
+    )

@@ -30,7 +30,10 @@ from pyspark.sql import functions as F
 
 
 def attribute_purchases(
-    events: DataFrame, horizon: str = "1 hour", watermark: str = "2 hours"
+    events: DataFrame,
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
     """Purchase→view attribution: every (purchase, prior view) pair of
     the same user with the view at most ``horizon`` before the purchase.
@@ -39,7 +42,15 @@ def attribute_purchases(
     an events-shaped frame (event_id, ts timestamp, user_id, event_type,
     value).  All qualifying pairs are emitted (attribution *candidates*;
     a last-touch reduction is a downstream groupBy on purchase_id, which
-    streaming would run as a windowed aggregate)."""
+    streaming would run as a windowed aggregate).
+
+    ``how="left_outer"`` keeps unattributed purchases (NULL view
+    columns).  Under streaming, Spark withholds a left row until the
+    watermark passes the point where a match could still arrive — the
+    NULL emission is watermark-gated, which is exactly what makes the
+    outer result correct under late data and is asserted in
+    tests/test_streaming_join.py (a purchase's NULL row appears only
+    once newer events advance the watermark past it)."""
     ev = events.withColumn("ts", F.col("ts").cast("timestamp"))
     views = (
         ev.filter(F.col("event_type") == "view")
@@ -65,4 +76,5 @@ def attribute_purchases(
         (F.col("v_user") == F.col("user_id"))
         & (F.col("view_ts") <= F.col("purchase_ts"))
         & (F.col("view_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {horizon}")),
+        how,
     ).select("purchase_id", "user_id", "purchase_ts", "amount", "view_id", "view_ts")
