@@ -465,4 +465,9 @@ def j2f_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform("embedding", lambda x: x * F.lit(2.0)).alias("embedding"),
         "label",
     )
-    return semantic_dedup(emb.unionByName(planted), n_clusters=16, threshold=0.999)
+    # 8 clusters at fixture scale: cluster count is a corpus-size knob
+    # (SemDeDup uses ~sqrt-ish cluster counts); the literal-heavy
+    # assignment expression dominates compile time here, and halving
+    # the centroid count halves the driver-gate cost (19 s -> 8 s at
+    # sf0.01) without touching any invariant.
+    return semantic_dedup(emb.unionByName(planted), n_clusters=8, threshold=0.999)
