@@ -162,6 +162,45 @@ def main() -> int:
             ),
             flush=True,
         )
+        # fuzzy: SymSpell deletion-neighborhood pairs (j2g shape) over
+        # replicated customer names (double-digit replica prefixes keep
+        # replicas at edit distance >= 2 from each other, so the
+        # distance-1 structure replicates without cross-replica pairs).
+        # Claim: candidate generation is a linear explode — pairs and
+        # wall-time scale ~linearly, never quadratically.
+        from realtime_cdc_pipeline_docker_spark.operators.dedup import (
+            fuzzy_neardup_pairs,
+        )
+
+        cust = load_table(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("id"), F.col("c_name").alias("name")
+        )
+        fuzz = cust
+        for r in range(1, scale):
+            fuzz = fuzz.unionByName(
+                cust.select(
+                    (F.col("id") + 1_000_000 * r).alias("id"),
+                    F.concat(F.lit(f"{r}{r}#"), F.col("name")).alias("name"),
+                )
+            )
+        fuzz = fuzz.persist()
+        n_names = fuzz.count()
+        t0 = time.time()
+        n_fuzzy = fuzzy_neardup_pairs(fuzz, "name", "id").count()
+        print(
+            json.dumps(
+                {
+                    "probe": "fuzzy",
+                    "scale": scale,
+                    "n_names": n_names,
+                    "n_pairs": n_fuzzy,
+                    "sec": round(time.time() - t0, 2),
+                }
+            ),
+            flush=True,
+        )
+        fuzz.unpersist()
+
         corpus.unpersist()
     return 0
 
