@@ -109,6 +109,7 @@ HEADLINE = [
     "g6_collated_grouping",
     "j2g_fuzzy_neardup",
     "e10_window_funnel",
+    "j9c_bpe_pair_counts",
 ]
 
 

@@ -429,3 +429,41 @@ def dedup_lines_within_doc(
         F.size(lines).cast("long").alias("n_lines"),
         (F.size(lines) - F.size(kept)).cast("long").alias("n_lines_removed"),
     )
+
+
+def bpe_pair_counts(
+    df: DataFrame, text_col: str = "text", k: int = 20
+) -> DataFrame:
+    """The inner scan of BPE tokenizer training: corpus-wide counts of
+    ADJACENT symbol pairs, top-``k`` — each training iteration merges
+    the most frequent pair and rescans; this operator is that scan as
+    one Spark job (symbols here are whitespace words; after a merge the
+    caller re-tokenizes and reruns — the loop is driver-side like every
+    iterative-refinement trainer in this repo).
+
+    Plan: tokens → one posexplode producing (left, right) adjacent
+    pairs (position-based, no self-join) → map-side-combinable count →
+    WindowGroupLimit-free global top-k via sort+limit on the tiny
+    aggregated relation.  The explode pipelines with the scan; the only
+    exchange is the pair-count aggregate."""
+    toks = df.select(ws_tokens(F.lower(F.trim(F.col(text_col)))).alias("t")).filter(
+        F.size("t") >= 2
+    )
+    pairs = toks.select(
+        F.explode(F.sequence(F.lit(1), F.size("t") - 1)).alias("i"), "t"
+    ).select(
+        F.element_at("t", F.col("i").cast("int")).alias("left"),
+        F.element_at("t", (F.col("i") + 1).cast("int")).alias("right"),
+    )
+    return (
+        pairs.groupBy("left", "right")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.orderBy(F.desc("n"), F.asc("left"), F.asc("right"))
+            ),
+        )
+        .filter(F.col("rnk") <= k)
+        .select("left", "right", "n", F.col("rnk").cast("long").alias("rnk"))
+    )

@@ -815,3 +815,32 @@ def j2g_fuzzy_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cust = load_table(spark, sf_dir, "customer")
     return fuzzy_neardup_pairs(cust, text_col="c_name", id_col="c_custkey")
+
+
+@register(
+    "j9c_bpe_pair_counts",
+    oracle=r"""
+    WITH toks AS (
+      SELECT string_split_regex(lower(trim(text)), '\s+') AS t FROM documents
+    ), pairs AS (
+      SELECT t[i] AS lft, t[i + 1] AS rght
+      FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+            FROM toks WHERE len(t) >= 2)
+    )
+    SELECT lft AS left, rght AS right, n, rnk FROM (
+      SELECT lft, rght, COUNT(*) AS n,
+             CAST(row_number() OVER (ORDER BY COUNT(*) DESC, lft, rght)
+                  AS BIGINT) AS rnk
+      FROM pairs GROUP BY lft, rght
+    ) WHERE rnk <= 20
+    """,
+)
+def j9c_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-candidate scan (J9 extension — the counting pass every
+    tokenizer-training iteration runs): top-20 adjacent word pairs
+    across the corpus, deterministic tie-break.  Position-based pair
+    explode (no self-join), one count aggregate; see
+    operators/text.py:bpe_pair_counts."""
+    from ..operators.text import bpe_pair_counts
+
+    return bpe_pair_counts(load_table(spark, sf_dir, "documents"))
