@@ -40,3 +40,21 @@ def test_driver_sim_full_pass():
         + "\nstderr tail:\n"
         + proc.stderr[-1000:]
     )
+
+
+def test_driver_window_is_all_oracle_bearing():
+    """The driver verifies the FIRST 50 registered queries; a rows-only
+    query in that window burns a slot on a weak check.  Every window
+    slot must carry an exact oracle, every DRIVER_PRIORITY name must
+    resolve, and the window must be exactly the priority list."""
+    from realtime_cdc_pipeline_docker_spark import plans
+    from realtime_cdc_pipeline_docker_spark.plans.registry import DRIVER_PRIORITY
+
+    names = list(plans.queries_map())
+    oracles = plans.oracle_sql_map()
+    missing = [n for n in DRIVER_PRIORITY if n not in plans.REGISTRY]
+    assert not missing, f"DRIVER_PRIORITY names not registered: {missing}"
+    window = names[: len(DRIVER_PRIORITY)]
+    assert window == list(DRIVER_PRIORITY)
+    rows_only = [n for n in window if n not in oracles]
+    assert not rows_only, f"rows-only queries occupy window slots: {rows_only}"
