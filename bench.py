@@ -110,6 +110,8 @@ HEADLINE = [
     "j2g_fuzzy_neardup",
     "e10_window_funnel",
     "j9c_bpe_pair_counts",
+    "j3i_mmr_rerank",
+    "b17_binaryfile_source",
 ]
 
 

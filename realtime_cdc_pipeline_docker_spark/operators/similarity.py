@@ -715,3 +715,71 @@ def semantic_dedup(
         assigned.join(dominated, "id", "left_anti")
         .select(F.col("id").alias(id_col), "cluster", "oversized")
     )
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    k: int = 5,
+    lam: float = 0.7,
+    query_col: str = "query_id",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    score_col: str = "score",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR'98): from each query's candidate pool (the exact or ANN
+    top-N), greedily select ``k`` items maximizing
+    ``lam·relevance − (1−lam)·max_similarity_to_already_selected`` —
+    the standard diversity pass between retrieval and the context
+    window, so near-duplicate passages don't crowd out coverage.
+
+    Greedy selection is inherently sequential in ``k`` but independent
+    per query, so the engine shape is ``applyInPandas`` over the query
+    group: Arrow ships each (tiny — N candidates) group to one vectorized
+    numpy loop.  This is the sanctioned custom-operator pattern (SURVEY
+    §2.I): built-in operators cannot express a data-dependent greedy
+    recurrence, and the Python work is O(N·k) on a few dozen rows per
+    query — never corpus-scale.  Ties broken by id: deterministic."""
+    import pandas as pd  # noqa: F401
+
+    out_schema = (
+        f"{query_col} long, {id_col} long, mmr_rank long, mmr_score double"
+    )
+
+    def pick(pdf):
+        import numpy as np
+
+        vecs = np.stack(pdf[vec_col].to_numpy())
+        norms = np.linalg.norm(vecs, axis=1)
+        norms[norms == 0] = 1.0
+        unit = vecs / norms[:, None]
+        rel = pdf[score_col].to_numpy().astype("float64")
+        ids = pdf[id_col].to_numpy()
+        order = np.lexsort((ids,))  # stable id order for tie-breaks
+        selected: list[int] = []
+        scores: list[float] = []
+        cand = list(order)
+        while cand and len(selected) < k:
+            best_i, best_s = None, None
+            for i in cand:
+                penalty = (
+                    max(float(unit[i] @ unit[j]) for j in selected)
+                    if selected
+                    else 0.0
+                )
+                s = lam * rel[i] - (1.0 - lam) * penalty
+                if best_s is None or s > best_s + 1e-12:
+                    best_i, best_s = i, s
+            selected.append(best_i)
+            scores.append(best_s)
+            cand.remove(best_i)
+        return pd.DataFrame(
+            {
+                query_col: pdf[query_col].iloc[0],
+                id_col: ids[selected],
+                "mmr_rank": range(1, len(selected) + 1),
+                "mmr_score": scores,
+            }
+        )
+
+    return candidates.groupBy(query_col).applyInPandas(pick, out_schema)

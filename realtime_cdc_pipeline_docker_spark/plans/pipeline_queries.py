@@ -767,3 +767,62 @@ def b14_schema_evolution_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.option("mergeSchema", "true").parquet(log).select(
         "id", "total_amount", "channel"
     )
+
+
+@register(
+    "b17_binaryfile_source",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5
+    FROM documents
+    """,
+)
+def b17_binaryfile_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-file ingestion (§2.A extension — the REAL first hop of
+    the multimodal pipeline, SURVEY §2.J5): every document's UTF-8
+    bytes are written as one file on disk, read back through Spark's
+    ``binaryFile`` source (whole-file binary ``content`` + path/length
+    metadata columns), and reduced to driver-safe fields — the doc id
+    parsed from the filename, the byte length, and the md5 of the raw
+    bytes.  Parity against DuckDB's ``md5(text)``/``octet_length``
+    (both hash UTF-8 bytes) proves the files round-tripped
+    bit-exactly.  At scale this source is how image/audio corpora land
+    as binary columns (operators/multimodal.py takes over from there);
+    listing parallelizes across executors and each file is one row —
+    no decode, no Python."""
+    import os
+
+    from .cdc_queries import _work_dir
+
+    work = _work_dir("binfiles", sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    (
+        docs.select(
+            F.concat(F.lit(f"{work}/files/doc_"), F.col("doc_id"), F.lit(".txt"))
+            .alias("path"),
+            F.col("text").cast("binary").alias("content"),
+        )
+        .repartition(8)
+        .foreachPartition(_write_binary_partition)
+    )
+    read = spark.read.format("binaryFile").load(f"{work}/files")
+    return read.select(
+        F.regexp_extract(F.col("path"), r"doc_(\d+)\.txt$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("length").alias("n_bytes"),
+        F.md5("content").alias("content_md5"),
+    )
+
+
+def _write_binary_partition(rows) -> None:
+    """Executor-side writer for b17: one file per row (the shape a
+    crawler or media fetcher leaves on shared storage).  Plain module
+    function so Spark pickles a reference, not a closure."""
+    import os
+
+    for row in rows:
+        os.makedirs(os.path.dirname(row["path"]), exist_ok=True)
+        with open(row["path"], "wb") as f:
+            f.write(bytes(row["content"]))

@@ -471,3 +471,25 @@ def j2f_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the centroid count halves the driver-gate cost (19 s -> 8 s at
     # sf0.01) without touching any invariant.
     return semantic_dedup(emb.unionByName(planted), n_clusters=8, threshold=0.999)
+
+
+@register("j3i_mmr_rerank", oracle=None)
+def j3i_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-aware retrieval (rows-only by nature — a greedy
+    float-scored recurrence): exact top-20 candidates per query
+    (brute_force_topk) re-ranked to 5 by Maximal Marginal Relevance.
+    Invariants in tests/test_similarity.py: a planted near-duplicate of
+    the top hit is admitted by plain top-k but DEMOTED by MMR, output
+    is exactly k per query, reruns identical.  See
+    operators/similarity.py:mmr_rerank."""
+    from ..operators.similarity import brute_force_topk, mmr_rerank
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0).limit(_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cands = brute_force_topk(emb, queries, k=20).select(
+        "query_id", F.col("neighbor_id").alias("vec_id"), F.col("sim").alias("score")
+    )
+    cands = cands.join(emb.select("vec_id", "embedding"), "vec_id")
+    return mmr_rerank(cands, k=5)

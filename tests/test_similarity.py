@@ -302,3 +302,60 @@ def test_semantic_dedup_deterministic_and_capped(spark, sf_dir):
     capped = semantic_dedup(emb, max_cluster_size=1).collect()
     assert all(r["oversized"] for r in capped)
     assert len(capped) == emb.count()
+
+
+def test_mmr_demotes_planted_duplicate_of_top_hit(spark):
+    """Plain top-2 admits an exact duplicate of the best hit; MMR's
+    diversity penalty pushes it out of the early ranks."""
+    import random
+
+    from realtime_cdc_pipeline_docker_spark.operators.similarity import (
+        brute_force_topk,
+        mmr_rerank,
+    )
+
+    rng = random.Random(7)
+    dim = 16
+    vecs = [(i, [rng.gauss(0, 1) for _ in range(dim)]) for i in range(1, 40)]
+    q = [(0, vecs[0][1])]  # query = vec 1's direction -> vec 1 is top hit
+    dup = [(100, [2.0 * x for x in vecs[0][1]])]  # scaled duplicate of top hit
+    corpus = spark.createDataFrame(
+        vecs + dup, "vec_id long, embedding array<double>"
+    )
+    queries = spark.createDataFrame(q, "query_id long, embedding array<double>")
+    cands = brute_force_topk(corpus, queries, k=10).select(
+        "query_id", F.col("neighbor_id").alias("vec_id"), F.col("sim").alias("score")
+    ).join(corpus, "vec_id")
+    plain_top2 = {
+        r["vec_id"]
+        for r in brute_force_topk(corpus, queries, k=2).select(
+            F.col("neighbor_id").alias("vec_id")
+        ).collect()
+    }
+    assert plain_top2 == {1, 100}  # duplicate crowds the plain ranking
+    mmr = mmr_rerank(cands, k=3, lam=0.5).orderBy("mmr_rank").collect()
+    picked = [r["vec_id"] for r in mmr]
+    assert picked[0] in (1, 100)  # relevance still wins rank 1
+    assert {1, 100} - set(picked[:2])  # but its duplicate is demoted
+    # Determinism across runs.
+    again = [r["vec_id"] for r in mmr_rerank(cands, k=3, lam=0.5)
+             .orderBy("mmr_rank").collect()]
+    assert picked == again
+
+
+def test_mmr_emits_exactly_k_per_query(spark, sf_dir):
+    from realtime_cdc_pipeline_docker_spark.catalog import load_table
+    from realtime_cdc_pipeline_docker_spark.operators.similarity import (
+        brute_force_topk,
+        mmr_rerank,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cands = brute_force_topk(emb, queries, k=12).select(
+        "query_id", F.col("neighbor_id").alias("vec_id"), F.col("sim").alias("score")
+    ).join(emb.select("vec_id", "embedding"), "vec_id")
+    out = mmr_rerank(cands, k=4).groupBy("query_id").count().collect()
+    assert all(r["count"] == 4 for r in out) and len(out) == queries.count()
