@@ -700,6 +700,47 @@ def contamination_report(
     )
 
 
+def _deletion_variant_keys(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """(id, txt, v) rows: each string keyed by itself plus every
+    single-character deletion variant (the SymSpell candidate keys)."""
+    c = F.col(text_col)
+    i_minus = lambda i: c.substr(F.lit(1), i - F.lit(1))  # noqa: E731
+    i_plus = lambda i: c.substr(i + F.lit(1), F.length(c))  # noqa: E731
+    variants = F.transform(
+        F.sequence(F.lit(0), F.length(c)),
+        lambda i: F.when(i == F.lit(0), c).otherwise(
+            F.concat(i_minus(i), i_plus(i))
+        ),
+    )
+    return df.select(
+        F.col(id_col).alias("id"), c.alias("txt"), F.explode(variants).alias("v")
+    ).distinct()  # a string can emit the same variant twice (equal chars)
+
+
+def oversized_variant_buckets(
+    df: DataFrame,
+    text_col: str = "name",
+    id_col: str = "id",
+    max_bucket_size: int = 10_000,
+) -> DataFrame:
+    """The buckets ``fuzzy_neardup_pairs`` SKIPS under its cap:
+    ``(v, n_members)`` for every deletion-variant key shared by more
+    than ``max_bucket_size`` strings.  An empty result certifies the
+    companion pair run was EXACT (no candidate was dropped); a
+    non-empty one is the alert a production dedup run must surface
+    before claiming completeness (ADVICE r4: the cap must be
+    observable, not silent).  One aggregate over the same keying
+    expression — cheap enough to run alongside every pair run."""
+    return (
+        _deletion_variant_keys(df, text_col, id_col)
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .filter(F.col("n_members") > max_bucket_size)
+    )
+
+
 def fuzzy_neardup_pairs(
     df: DataFrame,
     text_col: str = "name",
@@ -718,22 +759,16 @@ def fuzzy_neardup_pairs(
 
     Returns ``(id_a, id_b, dist)`` with ``id_a < id_b``, one row per
     pair.  Cost: (len+1) variants per row — a linear explode that
-    pipelines into the join shuffle; candidate buckets are capped like
-    every dedup family here (``max_bucket_size`` guards degenerate
-    keys — very short strings share deletion variants massively), and
-    the cap is an explicit filter, not silent truncation."""
-    c = F.col(text_col)
-    i_minus = lambda i: c.substr(F.lit(1), i - F.lit(1))  # noqa: E731
-    i_plus = lambda i: c.substr(i + F.lit(1), F.length(c))  # noqa: E731
-    variants = F.transform(
-        F.sequence(F.lit(0), F.length(c)),
-        lambda i: F.when(i == F.lit(0), c).otherwise(
-            F.concat(i_minus(i), i_plus(i))
-        ),
-    )
-    keyed = df.select(
-        F.col(id_col).alias("id"), c.alias("txt"), F.explode(variants).alias("v")
-    ).distinct()  # a string can emit the same variant twice (equal chars)
+    pipelines into the join shuffle.
+
+    EXACTNESS IS CONDITIONAL ON THE CAP: candidate buckets above
+    ``max_bucket_size`` members (degenerate keys — very short strings
+    share deletion variants massively) are skipped, and a pair whose
+    ONLY shared variant is such a bucket is NOT emitted.  Run
+    ``oversized_variant_buckets`` with the same arguments to observe
+    exactly which buckets (if any) were skipped — empty means the
+    result is provably the full distance-≤1 pair set."""
+    keyed = _deletion_variant_keys(df, text_col, id_col)
     sizes = keyed.groupBy("v").agg(F.count(F.lit(1)).alias("__vn"))
     keyed = keyed.join(
         F.broadcast(sizes.filter(F.col("__vn") > max_bucket_size)), "v", "left_anti"

@@ -170,39 +170,6 @@ def changes_only(
     row per key always survives; reconstructing state at any instant
     from the compressed log gives the same answer as from the full log.
 
-    Comparison is null-safe (``<=>``): NULL → NULL is *unchanged*,
-    NULL → value is a change — ordinary ``!=`` would keep every row of
-    a NULL-bearing column.
-
-    Plan: ONE window (lag over the key/version order) and a filter —
-    a single hash shuffle on the key, same minimum as the collapse;
-    no self-join, no second pass."""
-    w = Window.partitionBy(*key_cols).orderBy(*order_cols)
-    changed = F.lit(False)
-    for c in value_cols:
-        changed = changed | ~F.col(c).eqNullSafe(F.lag(c).over(w))
-    first = F.row_number().over(w) == 1
-    return (
-        df.withColumn("__keep", first | changed)
-        .filter(F.col("__keep"))
-        .drop("__keep")
-    )
-
-
-def changes_only(
-    df: DataFrame,
-    key_cols: Sequence[str],
-    order_cols: Sequence[str],
-    value_cols: Sequence[str],
-) -> DataFrame:
-    """Run-length compression of a change log: per key, in version
-    order, keep only rows whose ``value_cols`` differ from the
-    immediately preceding row — the ``OPTIMIZE ... DEDUPLICATE``
-    analog for logs where upstream re-emits unchanged state (a common
-    CDC pathology: heartbeat UPDATEs, full-row re-syncs).  The first
-    row per key always survives; reconstructing state at any instant
-    from the compressed log gives the same answer as from the full log.
-
     Comparison is null-safe (``<=>``): NULL -> NULL is *unchanged*,
     NULL -> value is a change — ordinary ``!=`` would keep every row of
     a NULL-bearing column.

@@ -742,8 +742,17 @@ def mmr_rerank(
     query — never corpus-scale.  Ties broken by id: deterministic."""
     import pandas as pd  # noqa: F401
 
-    out_schema = (
-        f"{query_col} long, {id_col} long, mmr_rank long, mmr_score double"
+    from pyspark.sql import types as T
+
+    # Key/id output types mirror the INPUT schema (ADVICE r4: hardcoded
+    # `long` broke any caller with string ids).
+    out_schema = T.StructType(
+        [
+            T.StructField(query_col, candidates.schema[query_col].dataType),
+            T.StructField(id_col, candidates.schema[id_col].dataType),
+            T.StructField("mmr_rank", T.LongType()),
+            T.StructField("mmr_score", T.DoubleType()),
+        ]
     )
 
     def pick(pdf):

@@ -378,9 +378,13 @@ def canonicalize_url(col: Column | str = "url") -> Column:
 
     Rules, in order: drop the ``#fragment``; lowercase the
     scheme+authority (never the path — paths are case-sensitive); strip
-    default ports ``:80``/``:443``; delete tracking query parameters
-    (``utm_*``, ``fbclid``) wherever they sit in the query string,
-    tidying separators; drop a trailing ``/`` (also before ``?``).
+    the scheme's OWN default port (``:80`` for http, ``:443`` for
+    https — ``http://h:443`` is a distinct resource and survives);
+    delete tracking query parameters (``utm_*``, ``fbclid``) wherever
+    they sit in the query string — matches are anchored at a ``?``/``&``
+    separator so a parameter merely *containing* ``utm_`` (e.g.
+    ``xutm_source``) is untouched; drop a trailing ``/`` (also before
+    ``?``).
 
     Pure regexp/concat column expression — scan-side whole-stage
     codegen, no shuffle, no Python.  Every pattern is written in the
@@ -392,9 +396,16 @@ def canonicalize_url(col: Column | str = "url") -> Column:
     u = F.regexp_replace(u, r"#.*$", "")
     head = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*", 0)
     rest = u.substr(F.length(head) + F.lit(1), F.lit(1 << 30))
-    head = F.regexp_replace(F.lower(head), r":(80|443)$", "")
-    rest = F.regexp_replace(rest, r"(utm_[a-z]+|fbclid)=[^&#]*&", "")
-    rest = F.regexp_replace(rest, r"[?&](utm_[a-z]+|fbclid)=[^&#]*$", "")
+    head = F.lower(head)
+    head = F.regexp_replace(head, r"^(http://.*):80$", "$1")
+    head = F.regexp_replace(head, r"^(https://.*):443$", "$1")
+    # Anchored at the separator (kept via $1) so `xutm_source` never
+    # matches; the inner + swallows RUNS of tracking params in one
+    # match — a global replace resumes scanning the ORIGINAL string
+    # after each match, so an unanchored-run second param would
+    # otherwise survive.
+    rest = F.regexp_replace(rest, r"([?&])((utm_[a-z]+|fbclid)=[^&#]*&)+", "$1")
+    rest = F.regexp_replace(rest, r"[?&]((utm_[a-z]+|fbclid)=[^&#]*&?)+$", "")
     rest = F.regexp_replace(rest, r"\?$", "")
     rest = F.regexp_replace(rest, r"/\?", "?")
     rest = F.regexp_replace(rest, r"/$", "")

@@ -354,7 +354,13 @@ def e2i_distinct_to_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     not its partition key, and reads the type change off lag()), so
     the plan is ONE exchange + two in-partition sorts; the naive
     partitionBy(user, type) flag window would hash on different keys
-    and pay a second shuffle."""
+    and pay a second shuffle.
+
+    The partition's FIRST row is flagged explicitly (row_number = 1,
+    same window — no extra shuffle): NULLs sort first, so a NULL-typed
+    first row sees lag() = NULL and `~(NULL <=> NULL)` alone would
+    never count the NULL type, diverging from the oracle's
+    row_number-per-(user, type) rule (ADVICE r4)."""
     events = load_table(spark, sf_dir, "events")
     w_first = Window.partitionBy("user_id").orderBy("event_type", "ts", "event_id")
     w_run = (
@@ -365,7 +371,9 @@ def e2i_distinct_to_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagged = events.withColumn(
         "first_seen",
         F.when(
-            ~F.col("event_type").eqNullSafe(F.lag("event_type").over(w_first)), 1
+            (F.row_number().over(w_first) == 1)
+            | ~F.col("event_type").eqNullSafe(F.lag("event_type").over(w_first)),
+            1,
         ).otherwise(0),
     )
     return flagged.select(

@@ -648,10 +648,12 @@ def j4h_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM u1
     ), u3 AS (
       SELECT doc_id,
-        regexp_replace(lower(head), ':(80|443)$', '', 'g') AS head,
+        regexp_replace(regexp_replace(lower(head),
+          '^(http://.*):80$', '\1', 'g'),
+          '^(https://.*):443$', '\1', 'g') AS head,
         regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-          rest, '(utm_[a-z]+|fbclid)=[^&#]*&', '', 'g'),
-          '[?&](utm_[a-z]+|fbclid)=[^&#]*$', '', 'g'),
+          rest, '([?&])((utm_[a-z]+|fbclid)=[^&#]*&)+', '\1', 'g'),
+          '[?&]((utm_[a-z]+|fbclid)=[^&#]*&?)+$', '', 'g'),
           '\?$', '', 'g'), '/\?', '?', 'g'), '/$', '', 'g') AS rest
       FROM u2
     )
@@ -807,10 +809,13 @@ def j2g_fuzzy_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     entity-name twin of the text-shingle families: one-keystroke
     variants of the same entity).  The oracle is brute-force all-pairs
     Levenshtein — an O(n²) computation the operator provably
-    reproduces with a linear explode + equi-join (exact candidate
-    coverage is a theorem, not a recall target, so this one gets a
-    full value-parity oracle unlike the probabilistic LSH families).
-    See operators/dedup.py:fuzzy_neardup_pairs."""
+    reproduces with a linear explode + equi-join.  Exact candidate
+    coverage is a theorem CONDITIONAL on no variant bucket exceeding
+    the cap (ADVICE r4); here that precondition is verified, not
+    assumed — the companion ``oversized_variant_buckets`` run over the
+    same fixture is empty (tests/test_dedup.py pins this), so the full
+    value-parity oracle is sound.  See
+    operators/dedup.py:fuzzy_neardup_pairs."""
     from ..operators.dedup import fuzzy_neardup_pairs
 
     cust = load_table(spark, sf_dir, "customer")

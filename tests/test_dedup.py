@@ -419,3 +419,25 @@ def test_fuzzy_neardup_bucket_cap_is_observable(spark):
     df = spark.createDataFrame([(i, "same") for i in range(10)], "id long, name string")
     assert fuzzy_neardup_pairs(df, "name", "id").count() == 45
     assert fuzzy_neardup_pairs(df, "name", "id", max_bucket_size=5).count() == 0
+
+
+def test_fuzzy_neardup_skipped_buckets_are_reported(spark, sf_dir):
+    """ADVICE r4: exactness is conditional on the cap — the companion
+    report names every skipped bucket, and an empty report certifies
+    the pair run was the full distance-<=1 set."""
+    from realtime_cdc_pipeline_docker_spark.catalog import load_table
+    from realtime_cdc_pipeline_docker_spark.operators.dedup import (
+        oversized_variant_buckets,
+    )
+
+    # Degenerate fixture: the capped run above skipped ALL pairs, and
+    # the report says exactly which buckets ("same" + its 4 deletion
+    # variants, 10 members each) were responsible.
+    df = spark.createDataFrame([(i, "same") for i in range(10)], "id long, name string")
+    dropped = oversized_variant_buckets(df, "name", "id", max_bucket_size=5).collect()
+    assert {r["v"] for r in dropped} == {"same", "ame", "sme", "sae", "sam"}
+    assert all(r["n_members"] == 10 for r in dropped)
+    # The j2g fixture (customer names at default cap): empty report ->
+    # the full value-parity oracle in plans/text_queries.py is sound.
+    cust = load_table(spark, sf_dir, "customer")
+    assert oversized_variant_buckets(cust, "c_name", "c_custkey").count() == 0

@@ -151,6 +151,16 @@ def test_canonicalize_url_rules(spark):
         ("https://h.io/p/?page=2", "https://h.io/p?page=2"),
         # non-default port survives
         ("https://h.io:8443/p", "https://h.io:8443/p"),
+        # ADVICE r4: a param merely CONTAINING utm_ is not tracking
+        ("https://h.io/p?xutm_source=1&page=2", "https://h.io/p?xutm_source=1&page=2"),
+        # ADVICE r4: default-port strip is scheme-aware — the OTHER
+        # scheme's default is a distinct resource and survives
+        ("http://h.io:443/p", "http://h.io:443/p"),
+        ("https://h.io:80/p", "https://h.io:80/p"),
+        # runs of tracking params collapse in one pass
+        ("https://h.io/p?utm_a=1&utm_b=2&page=3", "https://h.io/p?page=3"),
+        ("https://h.io/p?utm_a=1&x=2&utm_b=3", "https://h.io/p?x=2"),
+        ("https://h.io/p?utm_a=1&utm_b=2&utm_c=3", "https://h.io/p"),
     ]
     df = spark.createDataFrame([(u,) for u, _ in cases], ["url"])
     got = [r[0] for r in df.select(canonicalize_url("url")).collect()]

@@ -109,3 +109,34 @@ def test_j8_short_benchmark_doc_grams(spark, tmp_path):
 
     flagged = {r["doc_id"]: r["n_contaminated_grams"] for r in result.collect()}
     assert flagged == {0: 1, 1: 1, 4: 1}
+
+
+def test_e2i_null_event_type_counts_as_a_type(spark, tmp_path):
+    """ADVICE r4: a NULL event_type sorts FIRST in the flag window, so
+    the partition's first row saw lag() = NULL and null-safe inequality
+    alone never counted the NULL type.  The explicit row_number = 1
+    flag restores the oracle's first-row semantics; NULL is one
+    distinct type, counted once."""
+    rows = [
+        # user 1: NULL type first, then two named types, NULL repeats
+        (1, _ts(0, 0), 10, None),
+        (1, _ts(0, 5), 11, "click"),
+        (1, _ts(0, 10), 12, None),
+        (1, _ts(0, 15), 13, "view"),
+        # user 2: only NULL types -> n_types_seen stays 1 throughout
+        (2, _ts(1, 0), 20, None),
+        (2, _ts(1, 5), 21, None),
+    ]
+    df = spark.createDataFrame(
+        [(eid, ts, uid, et, 1.0, "{}") for uid, ts, eid, et in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    events_dir = str(tmp_path / "events.parquet")
+    df.coalesce(1).write.parquet(events_dir)
+
+    spec = plans.REGISTRY["e2i_distinct_to_date"]
+    result = spec.fn(spark, str(tmp_path))
+    _assert_matches(result, spec.oracle, {"events": events_dir}, "e2i_null_types")
+
+    seen = {r["event_id"]: r["n_types_seen"] for r in result.collect()}
+    assert seen == {10: 1, 11: 2, 12: 2, 13: 3, 20: 1, 21: 1}

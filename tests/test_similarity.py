@@ -359,3 +359,23 @@ def test_mmr_emits_exactly_k_per_query(spark, sf_dir):
     ).join(emb.select("vec_id", "embedding"), "vec_id")
     out = mmr_rerank(cands, k=4).groupBy("query_id").count().collect()
     assert all(r["count"] == 4 for r in out) and len(out) == queries.count()
+
+
+def test_mmr_respects_caller_id_types(spark):
+    """ADVICE r4: the output schema derives key/id types from the input
+    — string query/doc ids must round-trip, not crash on a hardcoded
+    `long`."""
+    from realtime_cdc_pipeline_docker_spark.operators.similarity import mmr_rerank
+
+    cands = spark.createDataFrame(
+        [
+            ("q1", f"doc{i}", [float(i), 1.0 - i / 10.0], 1.0 - i / 10.0)
+            for i in range(6)
+        ],
+        "query_id string, vec_id string, embedding array<double>, score double",
+    )
+    out = mmr_rerank(cands, k=3)
+    assert dict(out.dtypes)["query_id"] == "string"
+    assert dict(out.dtypes)["vec_id"] == "string"
+    rows = out.orderBy("mmr_rank").collect()
+    assert len(rows) == 3 and rows[0]["vec_id"].startswith("doc")
