@@ -1,24 +1,36 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
-  {"metric": "total_wall_sec", "value": N, "unit": "sec",
-   "queries": {"q": sec, ...}, "sf": 0.1}
+Output protocol (VERDICT r4 #1 — the driver captures only the LAST
+2000 chars of stdout, and round 4's single fat line outgrew it):
+
+1. a FULL JSON line — full query names, per-run samples, medians —
+   also written to ``BENCH_FULL.json`` in the repo root (the durable
+   artifact PERF.md cites);
+2. the FINAL line, compact and guaranteed < 1900 bytes: ``{"metric":
+   "total_wall_sec", "value": N, "unit": "sec", "queries": {<short>:
+   median, ...}, "sf": ...}`` where ``<short>`` is each query's unique
+   SURVEY.md §2 prefix (``j2`` = ``j2_minhash_neardup`` …) — the full
+   mapping is in line 1 / BENCH_FULL.json.
 
 Each query is forced end-to-end with the noop sink (full materialization
 of every output row — count() would let Spark skip projection work).
 
-Methodology: each query runs once unmeasured (whole-stage-codegen
-compilation), then ``$SPARK_GRAFT_BENCH_RUNS`` (default 3) measured
-runs, and the MEDIAN is reported.  A single post-warm run is not
-enough: C2 JIT compilation of the generated code ramps over the first
-3-5 executions, measured on the minhash pipeline as 14 s -> 2.5 s
-across successive identical runs — the round-3 "j2 regression" was
-exactly this, a pre-steady-state sample, not a plan change.  The
-median of three runs bounds that variance while staying honest (no
-min-cherry-picking).  Nothing is cached between runs (operator-internal
-persists are released after every run; inputs re-read from parquet),
-so each measured run is end-to-end execution.
+Methodology: each query runs unmeasured warm-ups (whole-stage-codegen
+compilation — THREE for the iterative dedup family, whose generated
+code is large enough that C2 JIT ramps over the first 3-5 executions,
+measured on the minhash pipeline as 14 s -> 2.5 s across successive
+identical runs; one for everything else), then
+``$SPARK_GRAFT_BENCH_RUNS`` (default 3) measured runs, and the MEDIAN
+is reported.  The round-3 "j2 regression" was a pre-steady-state
+sample, not a plan change; round 4's medians still sat mid-ramp with a
+single warm-up (VERDICT r4 #3/#4).  Nothing is cached between runs
+(operator-internal persists are released after every run; inputs
+re-read from parquet) — except the CDC envelope FIXTURE, which is
+synthesized once per session and spilled to parquet (sources/cdc.py:
+orders_envelope): it models a stored change log, so rebuilding it
+per-run would bench fixture synthesis, not the operator (VERDICT r4
+#5).
 """
 
 from __future__ import annotations
@@ -115,6 +127,25 @@ HEADLINE = [
 ]
 
 
+# Iterative dedup/CC family: the largest generated-code surfaces in the
+# repo — they need the extra JIT warm-ups (see module docstring).
+JIT_HEAVY = {"j2_minhash_neardup", "j2e_neardup_keepers", "j2g_fuzzy_neardup"}
+
+
+def short_keys(names: list[str]) -> dict[str, str]:
+    """Unique SURVEY §2 prefix per query (``j2_minhash_neardup`` →
+    ``j2``) for the size-capped final line; falls back to the full name
+    on a (never-expected) collision."""
+    keys: dict[str, str] = {}
+    for n in names:
+        k = n.split("_", 1)[0]
+        keys[n] = k
+    counts: dict[str, int] = {}
+    for k in keys.values():
+        counts[k] = counts.get(k, 0) + 1
+    return {n: (k if counts[k] == 1 else n) for n, k in keys.items()}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
@@ -127,13 +158,20 @@ def main() -> None:
     # Warm-up: JIT + executor spin-up, not counted.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
+    # Materialize the CDC envelope fixture before any timer starts
+    # (stored-log model; see module docstring).
+    from realtime_cdc_pipeline_docker_spark.sources.cdc import orders_envelope
+
+    orders_envelope(spark, sf_dir).count()
+
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     times: dict[str, float] = {}
     samples: dict[str, list[float]] = {}
     for name in HEADLINE:
         fn = plans.REGISTRY[name].fn
-        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()  # warm
-        release_persisted()
+        for _ in range(3 if name in JIT_HEAVY else 1):  # unmeasured warm-ups
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            release_persisted()
         sample = []
         for _ in range(runs):
             t0 = time.time()
@@ -143,7 +181,7 @@ def main() -> None:
         samples[name] = sample
         times[name] = sorted(sample)[len(sample) // 2]
 
-    out = {
+    full = {
         "metric": "total_wall_sec",
         "value": round(sum(times.values()), 3),
         "unit": "sec",
@@ -151,8 +189,25 @@ def main() -> None:
         "sf": sf,
         "runs_per_query": runs,
         "samples": samples,
+        "short_keys": short_keys(HEADLINE),
     }
-    print(json.dumps(out))
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"), "w") as f:
+        json.dump(full, f, indent=1)
+    print(json.dumps(full))
+
+    keys = short_keys(HEADLINE)
+    compact = {
+        "metric": "total_wall_sec",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": {keys[n]: round(t, 2) for n, t in times.items()},
+        "sf": sf,
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:  # belt-and-braces: shed precision before width
+        compact["queries"] = {keys[n]: round(t, 1) for n, t in times.items()}
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

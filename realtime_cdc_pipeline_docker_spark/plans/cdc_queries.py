@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..operators.collapse import latest_state
-from ..sources.cdc import ORDERS_PAYLOAD_SCHEMA, decode_envelope, synth_orders_envelope
+from ..sources.cdc import ORDERS_PAYLOAD_SCHEMA, decode_envelope, orders_envelope
 from ..streaming.pipeline import run_cdc_stream
 from .registry import register
 
@@ -65,7 +65,7 @@ def m3_cdc_decode_signed(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cdc_processor.py:74-98 semantics, incl. the NULL-decimal insert
     window and op='d' routing through `before`).  Stateless row-local
     work — pipelines with the source, no shuffle."""
-    envelope = synth_orders_envelope(spark, sf_dir)
+    envelope = orders_envelope(spark, sf_dir)
     decoded = decode_envelope(envelope, ORDERS_PAYLOAD_SCHEMA)
     return decoded.select("id", "op", "ts_ms", "sign", "status", "total_amount")
 
@@ -76,7 +76,7 @@ def e1_cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapse (init-clickhouse.sql:18-19).  Deleted keys (≡0 mod 10)
     vanish; survivors show their final UPDATE image.  One shuffle on the
     key — the minimum for versioned-upsert semantics."""
-    envelope = synth_orders_envelope(spark, sf_dir)
+    envelope = orders_envelope(spark, sf_dir)
     decoded = decode_envelope(envelope, ORDERS_PAYLOAD_SCHEMA)
     return latest_state(decoded, key_cols=("id",)).select(
         "id", "customer_id", "order_date", "status", "total_amount"
@@ -121,7 +121,7 @@ def h_stream_cdc_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     foreachBatch idempotent append (H1/H2/H3/H5) → collapse.  Shares the
     e1 oracle — stream result == batch result == SQL golden state."""
     work = _work_dir("cdc_stream", sf_dir)
-    envelope = synth_orders_envelope(spark, sf_dir)
+    envelope = orders_envelope(spark, sf_dir)
     # repartition, not coalesce: coalesce(4) would collapse the whole
     # synth stage (3-way union + to_json) onto 4 threads; the shuffle
     # boundary keeps synthesis at full parallelism and still emits a
@@ -180,7 +180,7 @@ def e5_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     (same minimum as e1's collapse); see operators/history.py."""
     from ..operators.history import scd2_history
 
-    envelope = synth_orders_envelope(spark, sf_dir)
+    envelope = orders_envelope(spark, sf_dir)
     decoded = decode_envelope(envelope, ORDERS_PAYLOAD_SCHEMA)
     return scd2_history(decoded, key_cols=("id",)).select(
         "id", "customer_id", "order_date", "status", "total_amount",
@@ -214,7 +214,7 @@ def e5b_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     prunable on valid_from date; see operators/history.py."""
     from ..operators.history import scd2_history, snapshot_asof
 
-    envelope = synth_orders_envelope(spark, sf_dir)
+    envelope = orders_envelope(spark, sf_dir)
     decoded = decode_envelope(envelope, ORDERS_PAYLOAD_SCHEMA)
     hist = scd2_history(decoded, key_cols=("id",))
     return snapshot_asof(hist, _ASOF_MS).select(
@@ -246,7 +246,7 @@ def e6_collapsing_delta_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily_report.py full-state scan; see operators/history.py."""
     from ..operators.history import signed_delta
 
-    envelope = synth_orders_envelope(spark, sf_dir)
+    envelope = orders_envelope(spark, sf_dir)
     deltas = signed_delta(envelope, ORDERS_PAYLOAD_SCHEMA)
     return (
         deltas.groupBy(F.to_date("order_date").alias("order_day"))
@@ -275,7 +275,7 @@ def h10_stream_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.history import scd2_history
 
     work = _work_dir("scd2_stream", sf_dir)
-    envelope = synth_orders_envelope(spark, sf_dir)
+    envelope = orders_envelope(spark, sf_dir)
     envelope.repartition(8).write.mode("overwrite").json(f"{work}/input")
     for run in ("a", "b"):  # two deliveries of the same events
         run_cdc_stream(
@@ -307,7 +307,7 @@ def c20_incremental_mart_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.history import signed_delta
 
     work = _work_dir("mart_refresh", sf_dir)
-    envelope = synth_orders_envelope(spark, sf_dir)
+    envelope = orders_envelope(spark, sf_dir)
     deltas = signed_delta(envelope, ORDERS_PAYLOAD_SCHEMA)
 
     def report(df: DataFrame) -> DataFrame:
@@ -358,7 +358,7 @@ def h11_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.pipeline import run_enriched_cdc_stream
 
     work = _work_dir("cdc_enrich", sf_dir)
-    envelope = synth_orders_envelope(spark, sf_dir)
+    envelope = orders_envelope(spark, sf_dir)
     envelope.repartition(8).write.mode("overwrite").json(f"{work}/input")
     dim = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", "c_mktsegment"
@@ -419,7 +419,7 @@ def c22_ivm_join_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.history import signed_delta
 
     o_delta = signed_delta(
-        synth_orders_envelope(spark, sf_dir), ORDERS_PAYLOAD_SCHEMA
+        orders_envelope(spark, sf_dir), ORDERS_PAYLOAD_SCHEMA
     )
     return _segment_signed_report(o_delta, _customer_segment_deltas(spark, sf_dir))
 
@@ -477,7 +477,7 @@ def h12_stream_ivm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.pipeline import run_ivm_aggregate_stream
 
     work = _work_dir("ivm_stream", sf_dir)
-    envelope = synth_orders_envelope(spark, sf_dir)
+    envelope = orders_envelope(spark, sf_dir)
     envelope.repartition(8).write.mode("overwrite").json(f"{work}/input")
     c_delta = _customer_segment_deltas(spark, sf_dir)
     out = None
@@ -512,7 +512,7 @@ def e5c_history_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition drop at scale.  See operators/history.py:retain_history."""
     from ..operators.history import retain_history, scd2_history
 
-    envelope = synth_orders_envelope(spark, sf_dir)
+    envelope = orders_envelope(spark, sf_dir)
     decoded = decode_envelope(envelope, ORDERS_PAYLOAD_SCHEMA)
     hist = scd2_history(decoded, key_cols=("id",))
     return retain_history(hist, _ASOF_MS).select(

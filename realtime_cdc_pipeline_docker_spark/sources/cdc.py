@@ -161,6 +161,30 @@ def synth_orders_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inserts.unionByName(updates).unionByName(deletes)
 
 
+# Per-process spill of the synthesized envelope, keyed by sf_dir.
+_ENVELOPE_SPILL: dict[str, str] = {}
+
+
+def orders_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The orders change stream as a STORED log: ``synth_orders_envelope``
+    materialized to parquet ONCE per process per ``sf_dir``, then read
+    back.  In production the envelope IS a stored log (a Kafka topic /
+    object-store archive), so queries consuming it should scan a source,
+    not re-run the generator — and benchmarks that rebuilt the fixture
+    inside every CDC query run were measuring fixture synthesis, not the
+    operator under test (VERDICT r4 #5).  The generator is deterministic,
+    so the spill is written at most once and every consumer sees
+    identical rows."""
+    path = _ENVELOPE_SPILL.get(sf_dir)
+    if path is None:
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="cdc_orders_envelope_")
+        synth_orders_envelope(spark, sf_dir).write.mode("overwrite").parquet(path)
+        _ENVELOPE_SPILL[sf_dir] = path
+    return spark.read.parquet(path)
+
+
 # ---------------------------------------------------------------------------
 # Reference 4-table CDC surface (register-postgres.json:11-12 includes
 # customers, products, orders, order_items), remapped onto the driver's

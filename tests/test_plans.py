@@ -86,6 +86,37 @@ def test_no_python_udfs_in_relational_paths(spark, sf_dir):
             assert "EvalPython" not in plan, name
 
 
+def test_plan_audit_python_detector_three_states(spark, sf_dir):
+    """VERDICT r4 #2: the audit's Python column must distinguish
+    row-at-a-time (banned), arrow-batched (sanctioned applyInPandas /
+    mapInPandas custom operators), and none — `"EvalPython" in plan`
+    reported j3i/j5 as Python-free.  Pins the detector itself against
+    live plans of all three kinds."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "plan_audit",
+        os.path.join(os.path.dirname(os.path.dirname(__file__)), "scripts", "plan_audit.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    assert mod.python_mode(_formatted(spark, "j3i_mmr_rerank", sf_dir)) == "arrow-batched"
+    assert mod.python_mode(_formatted(spark, "j5b_multimodal_features", sf_dir)) == "arrow-batched"
+    assert mod.python_mode(_formatted(spark, "flagship_revenue_report", sf_dir)) == "no"
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    slow = F.udf(lambda x: x + 1, LongType())  # deliberately row-at-a-time
+    df = spark.range(10).select(slow("id").alias("y"))
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert mod.python_mode(plan) == "row-at-a-time"
+
+
 def test_exists_shapes_plan_semi_and_anti_joins(spark, sf_dir):
     """Correlated EXISTS / NOT EXISTS must compile to LeftSemi/LeftAnti
     hash joins (each outer row tested once), never a nested-loop or a
