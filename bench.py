@@ -124,6 +124,16 @@ HEADLINE = [
     "j9c_bpe_pair_counts",
     "j3i_mmr_rerank",
     "b17_binaryfile_source",
+    "j2h_dedup_eval_pr",
+    "j4j_stopword_profile",
+    "j6k_dupcount_weighted_sample",
+    "c24_decimal_exact_agg",
+    "d25_join_null_skew",
+    "j9d_unigram_lm_ppl",
+    "j4k_domain_quota",
+    "j3j_pq_codebooks",
+    "e11_retention_matrix",
+    "g7_uri_scalars",
 ]
 
 

@@ -318,3 +318,69 @@ def hamming64(a: Column | str, b: Column | str) -> Column:
     a = F.col(a) if isinstance(a, str) else a
     b = F.col(b) if isinstance(b, str) else b
     return F.bit_count(a.bitwiseXOR(b))
+
+
+# ---------------------------------------------------------------------------
+# URI scalar family (§2.G extension) — the URL-analytics scalars every
+# crawl-derived corpus needs (scheme/host/port/path/param/TLD).  All
+# patterns live in the Java-regex ∩ RE2 common syntax so the DuckDB
+# oracle applies literally the same rules (see URI_PATTERNS); pure
+# regexp_extract chains — scan-side codegen, no shuffle, no Python.
+# ---------------------------------------------------------------------------
+
+URI_PATTERNS = {
+    "scheme": r"^([A-Za-z][A-Za-z0-9+.\-]*)://",
+    "authority": r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)",
+    "host_of_authority": r"^(?:[^@]*@)?([^:]*)",
+    "port_of_authority": r":([0-9]+)$",
+    "path": r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)",
+    "tld_of_host": r"\.([A-Za-z0-9\-]+)$",
+}
+
+
+def uri_scheme(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract(c, URI_PATTERNS["scheme"], 1)
+
+
+def uri_authority(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract(c, URI_PATTERNS["authority"], 1)
+
+
+def uri_host(col: Column | str) -> Column:
+    return F.regexp_extract(uri_authority(col), URI_PATTERNS["host_of_authority"], 1)
+
+
+def uri_port(col: Column | str) -> Column:
+    """Explicit port as int, NULL when absent (ANSI-safe: the empty
+    no-match string is nulled before the cast)."""
+    p = F.regexp_extract(uri_authority(col), URI_PATTERNS["port_of_authority"], 1)
+    return F.nullif(p, F.lit("")).cast("int")
+
+
+def uri_path(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract(c, URI_PATTERNS["path"], 1)
+
+
+def uri_query_param(col: Column | str, name: str) -> Column:
+    """Value of query parameter ``name`` (first occurrence), NULL when
+    absent.  ``name`` must be a plain identifier (it is spliced into
+    the pattern)."""
+    c = F.col(col) if isinstance(col, str) else col
+    v = F.regexp_extract(c, rf"[?&]{name}=([^&#]*)", 1)
+    return F.nullif(v, F.lit(""))
+
+
+def uri_tld(col: Column | str) -> Column:
+    return F.nullif(
+        F.regexp_extract(uri_host(col), URI_PATTERNS["tld_of_host"], 1), F.lit("")
+    )
+
+
+def uri_path_depth(col: Column | str) -> Column:
+    """Number of path segments: count of '/' in the path (the fixture
+    convention: no trailing slash double-counting — '' depth 0)."""
+    p = uri_path(col)
+    return (F.length(p) - F.length(F.regexp_replace(p, "/", ""))).cast("long")

@@ -787,3 +787,45 @@ def fuzzy_neardup_pairs(
             F.levenshtein("ta", "tb").cast("long").alias("dist"),
         )
     )
+
+
+def pair_set_eval(
+    truth: DataFrame, pred: DataFrame, scale: int = 1_000_000
+) -> DataFrame:
+    """Dedup-quality evaluation: compare a PREDICTED pair set (any of
+    the candidate families above) against a TRUTH pair set (planted
+    duplicates, or an exact brute-force run on a sample) and report
+    counts + precision/recall in exact parts-per-million — the QA gate
+    a production dedup config change ships behind.
+
+    Both inputs are (id_a, id_b) with id_a < id_b; rows are
+    deduplicated here, so callers can pass raw pair streams.  Plan:
+    two distincts, one equi-join on the pair key, three 1-row
+    aggregates broadcast-crossed together — the output is a single
+    row, and nothing driver-side touches the pair sets."""
+    t = truth.select("id_a", "id_b").distinct()
+    p = pred.select("id_a", "id_b").distinct()
+    n_true = t.agg(F.count(F.lit(1)).alias("n_true"))
+    n_pred = p.agg(F.count(F.lit(1)).alias("n_pred"))
+    n_hit = p.join(t, ["id_a", "id_b"]).agg(F.count(F.lit(1)).alias("n_hit"))
+    return (
+        n_true.crossJoin(F.broadcast(n_pred))
+        .crossJoin(F.broadcast(n_hit))
+        .select(
+            "n_true",
+            "n_pred",
+            "n_hit",
+            F.when(
+                F.col("n_pred") > 0,
+                F.round(F.lit(scale) * F.col("n_hit") / F.col("n_pred"), 0).cast("long"),
+            )
+            .otherwise(F.lit(None))
+            .alias("precision_ppm"),
+            F.when(
+                F.col("n_true") > 0,
+                F.round(F.lit(scale) * F.col("n_hit") / F.col("n_true"), 0).cast("long"),
+            )
+            .otherwise(F.lit(None))
+            .alias("recall_ppm"),
+        )
+    )

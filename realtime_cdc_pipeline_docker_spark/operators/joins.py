@@ -50,3 +50,35 @@ def or_equi_join(
     for b in branches[1:]:
         out = out.unionByName(b)
     return out
+
+
+def null_skew_left_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+) -> DataFrame:
+    """LEFT join that routes NULL-keyed fact rows AROUND the join.
+
+    A nullable FK never matches (SQL equality is null-rejecting), yet a
+    shuffle join still hashes every NULL-keyed row to ONE reducer —
+    with optional FKs at 30-50 % NULL, that single partition carries
+    half the fact table and the stage runs at straggler speed.  AQE's
+    skew splitter can dilute it after the fact; the algebraic fix is to
+    never shuffle those rows at all:
+
+        fact ⟕ dim  =  σ(k IS NOT NULL)(fact) ⟕ dim
+                        ∪  σ(k IS NULL)(fact) × {NULL dim columns}
+
+    The NULL branch is a pure scan-side projection (no exchange — the
+    plan shows the join subtree only under the NOT NULL filter), and
+    the union is exact: a NULL key contributes exactly its unmatched
+    row in both forms.  Result columns = fact columns + dim columns,
+    like a plain left join with disjoint names."""
+    matched = fact.filter(F.col(fact_key).isNotNull()).join(
+        dim, F.col(fact_key) == dim[dim_key], "left"
+    )
+    nulls = fact.filter(F.col(fact_key).isNull()).select(
+        "*", *[F.lit(None).cast(f.dataType).alias(f.name) for f in dim.schema.fields]
+    )
+    return matched.unionByName(nulls)

@@ -25,6 +25,8 @@ Scale design:
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -331,4 +333,46 @@ def exact_k_sample(
         df.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= k)
         .drop("rnk")
+    )
+
+
+def dupcount_weighted_sample(
+    df: DataFrame,
+    weight_col: str = "dup_count",
+    key_col: str = "doc_id",
+    rate_permille_per_dup: int = 300,
+) -> DataFrame:
+    """Duplicate-count-weighted keeper sampling: after exact dedup, a
+    keeper that stood for ``w`` copies is kept with probability
+    min(1, w·rate), so the sample's source distribution tracks the
+    PRE-dedup corpus (plain uniform sampling of keepers under-represents
+    everything that was heavily duplicated — usually the most popular
+    content).  Deterministic hash filter in [0, 1000) — same
+    engine-portable md5 construction as every sampler here, so the
+    sample is rerun- and layout-stable; no shuffle, no state."""
+    rate = F.least(
+        F.lit(1000), F.lit(rate_permille_per_dup) * F.col(weight_col)
+    )
+    return df.filter(portable_row_hash(key_col, buckets=1000) < rate)
+
+
+def quota_per_stratum(
+    df: DataFrame,
+    stratum_col: str = "source",
+    k: int = 15,
+    order_cols: Sequence[Column | str] = (),
+) -> DataFrame:
+    """Per-stratum quota enforcement (the domain-cap governance pass of
+    corpus mixing: no single site/domain may exceed ``k`` documents):
+    rank rows within each stratum by ``order_cols`` (best-first, with a
+    deterministic tiebreak the caller includes) and keep the top ``k``.
+
+    Scale shape: rank ≤ k over a partitioned window compiles to
+    WindowGroupLimit — every shuffle partition discards beyond-quota
+    rows BEFORE the exchange, so the shuffle carries at most
+    |strata|·k rows per mapper, not the corpus.  Adds ``quota_rank``
+    (1-based long)."""
+    w = Window.partitionBy(stratum_col).orderBy(*order_cols)
+    return df.withColumn("quota_rank", F.row_number().over(w).cast("long")).filter(
+        F.col("quota_rank") <= k
     )

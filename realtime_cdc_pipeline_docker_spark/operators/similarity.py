@@ -792,3 +792,72 @@ def mmr_rerank(
         )
 
     return candidates.groupBy(query_col).applyInPandas(pick, out_schema)
+
+
+def pq_assign(
+    df: DataFrame,
+    codebook: list[list[float]],
+    m: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Product-quantization assignment (Jégou et al., PAMI'11): split
+    each vector into ``m`` subvectors and snap each to its nearest
+    codeword from ``codebook`` (k full-dim vectors; subspace ``i`` uses
+    their i-th slices).  The code tuple is the compressed representation
+    ANN indexes store — k^m effective centroids for k·dim floats of
+    codebook.
+
+    Engine shape: the codebook is a handful of PLAN LITERALS (k·dim
+    doubles — the sanctioned bounded-driver-state pattern, same as the
+    k-means centroids above), so assignment is a pure per-row codegen
+    expression: m·k explicit squared-distance sums, an array_min over
+    (d2, code) structs for the argmin (ties → lowest code,
+    deterministic), one posexplode to (vec, subspace) grain.  NO
+    shuffle, NO join — at 100 TB this pipelines with the scan, and the
+    output is groupable by (subspace, code) for inverted-list builds.
+    Distances are exact double arithmetic in a fixed left-to-right
+    term order, so ``dist2_fp = floor(scale·d2 + 0.5)`` is
+    bit-reproducible on any engine."""
+    k = len(codebook)
+    dim = len(codebook[0])
+    dsub = dim // m
+    assert dim % m == 0, f"dim {dim} not divisible into {m} subspaces"
+    out = []
+    for mi in range(m):
+        cands = []
+        for c in range(k):
+            terms = None
+            for i in range(dsub):
+                d = F.element_at(F.col(vec_col), mi * dsub + i + 1).cast(
+                    "double"
+                ) - F.lit(float(codebook[c][mi * dsub + i]))
+                t = d * d
+                terms = t if terms is None else terms + t
+            cands.append(
+                F.struct(terms.alias("d2"), F.lit(c).cast("long").alias("code"))
+            )
+        best = F.array_min(F.array(*cands))
+        out.append(
+            F.struct(
+                F.lit(mi).cast("long").alias("subspace"),
+                best["code"].alias("code"),
+                F.floor(F.lit(scale) * best["d2"] + F.lit(0.5))
+                .cast("long")
+                .alias("dist2_fp"),
+            )
+        )
+    return df.select(F.col(id_col), F.explode(F.array(*out)).alias("r")).select(
+        id_col, "r.subspace", "r.code", "r.dist2_fp"
+    )
+
+
+def seed_codebook(
+    df: DataFrame, k: int = 4, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> list[list[float]]:
+    """Deterministic seed codebook: the ``k`` lowest-id vectors —
+    k·dim floats of bounded driver state (the k-means++ seeding spot;
+    a Lloyd refinement pass would slot in here unchanged)."""
+    rows = df.orderBy(id_col).select(vec_col).limit(k).collect()
+    return [list(r[0]) for r in rows]

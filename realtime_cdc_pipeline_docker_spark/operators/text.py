@@ -478,3 +478,88 @@ def bpe_pair_counts(
         .filter(F.col("rnk") <= k)
         .select("left", "right", "n", F.col("rnk").cast("long").alias("rnk"))
     )
+
+
+# Frozen stopword list for the profile operator — like LANG_MARKERS, a
+# versioned artifact of the pipeline (swap lists => re-profile), shared
+# verbatim with the DuckDB oracle.
+STOPWORDS = ("the", "a", "an", "of", "and", "or", "to", "in", "is", "it")
+
+
+def stopword_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    by: tuple[str, ...] = ("lang", "source"),
+) -> DataFrame:
+    """Corpus stopword profile: per ``by``-group document count, token
+    count, stopword count, and the stopword ratio in exact parts-per-
+    million — the function-word density signal quality filters cut on
+    (machine-generated and keyword-stuffed text sits far from natural
+    prose).
+
+    Per-row work is a higher-order array filter against a 10-element
+    literal (no join, no explode — the token array never leaves the
+    row), then one map-side-combinable aggregate: a single exchange of
+    |groups| rows however large the corpus.  The ratio divides the two
+    exact integer sums once per GROUP, so it is reproducible bit-for-
+    bit on any engine and partition order."""
+    stops = F.array(*[F.lit(s) for s in STOPWORDS])
+    toks = ws_tokens(F.lower(F.col(text_col)))
+    per_doc = df.select(
+        *by,
+        F.size(toks).cast("long").alias("__n"),
+        F.size(F.filter(toks, lambda t: F.array_contains(stops, t)))
+        .cast("long")
+        .alias("__s"),
+    )
+    return per_doc.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__n").alias("n_tokens"),
+        F.sum("__s").alias("n_stopwords"),
+        F.round(F.lit(1_000_000) * F.sum("__s") / F.sum("__n"), 0)
+        .cast("long")
+        .alias("stop_ppm"),
+    )
+
+
+def unigram_nll(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", scale: int = 10_000
+) -> DataFrame:
+    """Unigram language-model scoring: build the corpus unigram model
+    p(w) = count(w)/N, then score each document by its total and mean
+    negative log-likelihood — the classic LM-perplexity quality signal
+    (documents far above the corpus mean NLL are noise; far below are
+    boilerplate).
+
+    Numeric contract: ln is quantized ONCE PER DISTINCT COUNT at
+    ``scale`` (floor(scale·ln(N/c)+0.5) — a per-vocab-entry integer),
+    and document scores are INTEGER sums of those quanta, so the
+    whole result is exact given the quantized model; engines only have
+    to agree on ln to ~1e-9, far coarser than any libm difference.
+
+    Plan: one token explode feeding BOTH sides — a vocab aggregate
+    (|vocab| rows, broadcast back) and a per-doc aggregate; the corpus
+    is scanned once, the model join is broadcast-hash, and the only
+    full-size exchange is the doc_id aggregate."""
+    toks = df.select(
+        F.col(id_col), F.explode(ws_tokens(F.lower(F.trim(F.col(text_col))))).alias("w")
+    )
+    vocab = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    total = vocab.agg(F.sum("c").cast("double").alias("n_total"))
+    model = vocab.crossJoin(F.broadcast(total)).select(
+        "w",
+        F.floor(F.lit(scale) * F.log(F.col("n_total") / F.col("c")) + F.lit(0.5))
+        .cast("long")
+        .alias("nll_fp"),
+    )
+    return (
+        toks.join(F.broadcast(model), "w")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("nll_fp").alias("sum_nll_fp"),
+            F.round(F.sum("nll_fp") / F.count(F.lit(1)), 0)
+            .cast("long")
+            .alias("mean_nll_fp"),
+        )
+    )

@@ -579,3 +579,44 @@ def h6b_outer_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return attribute_purchases(events, how="left_outer").select(
         "purchase_id", "user_id", "amount", "view_id"
     )
+
+
+@register(
+    "e11_retention_matrix",
+    oracle="""
+    WITH ue AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events
+    ), coh AS (
+      SELECT user_id, MIN(w) AS cw FROM ue GROUP BY user_id
+    )
+    SELECT CAST(coh.cw AS DATE) AS cohort_week,
+           CAST(date_diff('day', coh.cw, ue.w) // 7 AS BIGINT) AS week_offset,
+           COUNT(*) AS n_active
+    FROM ue JOIN coh ON ue.user_id = coh.user_id
+    GROUP BY 1, 2
+    """,
+)
+def e11_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle (§2.E extension — the ClickHouse
+    ``retention()`` report shape): users cohorted by first-active ISO
+    week; each cell (cohort_week, week_offset) counts users active
+    that many weeks later.  Spark derives the cohort with a MIN window
+    over user_id instead of a groupBy+self-join — the (user, week)
+    dedup and the window hash on the SAME key, so the pre-aggregation
+    is one exchange, and (user, week) distinct rows make the final
+    cell count a plain COUNT(*).  At 100 TB the (user, week) dedup is
+    the data-reducing step and happens FIRST, map-side combinable."""
+    events = load_table(spark, sf_dir, "events")
+    ue = events.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("w")
+    ).distinct()
+    w_user = Window.partitionBy("user_id")
+    cells = ue.select(
+        "user_id",
+        "w",
+        F.min("w").over(w_user).alias("cw"),
+    )
+    return cells.groupBy(
+        F.to_date("cw").alias("cohort_week"),
+        F.expr("datediff(w, cw) div 7").cast("long").alias("week_offset"),
+    ).agg(F.count(F.lit(1)).alias("n_active"))

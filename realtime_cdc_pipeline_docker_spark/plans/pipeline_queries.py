@@ -826,3 +826,33 @@ def _write_binary_partition(rows) -> None:
         os.makedirs(os.path.dirname(row["path"]), exist_ok=True)
         with open(row["path"], "wb") as f:
             f.write(bytes(row["content"]))
+
+
+@register(
+    "j6k_dupcount_weighted_sample",
+    oracle="""
+    WITH k AS (
+      SELECT min(doc_id) AS doc_id, COUNT(*) AS dup_count
+      FROM documents
+      GROUP BY regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')
+    )
+    SELECT doc_id, dup_count FROM k
+    WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000
+          < least(1000, 300 * dup_count)
+    """,
+)
+def j6k_dupcount_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-count-weighted keeper sampling (§2.J6 extension — the
+    post-dedup re-weighting pass): exact-dedup keepers are sampled with
+    probability min(1, 0.3·dup_count), so heavily-duplicated content
+    keeps its pre-dedup prevalence in the training mix instead of being
+    flattened to one vote.  The weight IS the dedup by-product
+    (dup_count from j1's aggregate); the filter is the engine-portable
+    md5 hash in [0,1000) every sampler here uses — deterministic,
+    rerun-stable, no extra shuffle beyond the dedup aggregate itself.
+    See operators/sampling.py:dupcount_weighted_sample."""
+    from ..operators.dedup import dedup_exact
+    from ..operators.sampling import dupcount_weighted_sample
+
+    keepers = dedup_exact(load_table(spark, sf_dir, "documents"))
+    return dupcount_weighted_sample(keepers)

@@ -37,56 +37,51 @@ def register(name: str, oracle: str | None = None):
 
 
 # The driver's per-round CORRECTNESS pass verifies the FIRST 50 entries
-# of queries() in insertion order.  With 144 registered queries,
-# coverage rotates: round 4 front-loads (a) the 8 round-3 additions
-# that missed every driver window (registered after the round-3 list
-# froze), (b) the j5 trio that failed round 3 on driver-canonicalizer
-# binary/list columns (outputs now hex/posexploded — needs green rows),
-# (c) j8, whose oracle was corrected this round (short-doc grams) and
-# must re-verify, then every query REGISTERED this round — zero driver
-# rows each, so a first appearance outranks everything else — and
-# with oracle-bearing queries outranking rows-only ones at the margin.  Left out (all with ≥1 green
-# row in r1-r3, re-checked every round by the driver-sim pytest gate):
-# the r1+r2 double-green core, the fifteen single-green TPC-H shapes
-# (c15-c17, d12-d23), e2e/e3/e4, k1/k2, h6, j9/j9b, and the ten (d)
-# slots this session's additions displaced (j4a-j4f, j5, j6a-j6e).
-# FROZEN at round-4 end: any query registered after this list must be
-# front-loaded in the round-5 rotation.
+# of queries() in insertion order.  With 153+ registered queries,
+# coverage rotates.  Round-5 policy (VERDICT r4 #2): (a) the 8 queries
+# with ZERO driver rows in any round — the four oracle-bearing late
+# round-4 registrations first, then the four rows-only ones; (b) any
+# query REGISTERED in round 5 (a first appearance outranks a second row
+# for a green one); (c) backfill with the single-green residue ordered
+# by staleness — the six queries whose only green row dates to round 2,
+# then the round-3 singles (oracle-bearing first).  Left out (all with
+# ≥1 green row, re-checked every round by the driver-sim pytest gate):
+# the multi-green core and the 49 queries that went green in round 4.
+# FROZEN at round-5 end: any query registered after this list must be
+# front-loaded in the round-6 rotation.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # (a) never driver-checked (round-3 additions)
-    "c18_salted_skew_agg", "e2g_ntile_quartiles", "g5_null_semantics",
-    "e2h_session_window", "b11_posexplode_embedding", "j7b_shard_manifest",
-    "h8_stream_corpus_ingest", "j6f_token_budget_mixture",
-    # (b) red in r03 (driver pandas canon), outputs fixed this round
-    "j5b_multimodal_features", "j5c_image_resize", "j5d_frame_sample",
-    # (c) oracle corrected this round — re-verify
-    "j8_decontaminate",
-    # (new) registered this round — first driver appearance must be NOW,
-    # not after a freeze (the round-3 lesson)
-    "j6g_leakage_safe_split", "j6h_chunk_overlap", "j6i_chunk_dedup_stats",
-    "j4g_pii_redaction", "b12_jsonl_source_roundtrip",
-    "h9_stream_dedup_events", "j6j_exact_k_sample",
-    "j3d_embedding_centroids", "c19_table_profile",
-    "j5e_audio_energy_windows", "j3f_quantized_embeddings",
-    "e5_scd2_history", "e5b_snapshot_asof", "e6_collapsing_delta_report",
-    "j3g_random_projection", "j4h_boilerplate_removal",
-    "c20_incremental_mart_refresh", "c21_histogram", "e7_change_compression",
-    "h11_stream_static_enrich", "j1b_url_dedup", "j8b_contamination_report",
-    "b13_csv_source_roundtrip",
-    "c22_ivm_join_report", "b14_schema_evolution_log", "e2i_distinct_to_date",
-    "h12_stream_ivm_join", "e5c_history_retention", "e2j_range_frame_rolling",
-    "k3_temporal_dimension_join",
-    "b15_nested_rollup_roundtrip", "j4i_intradoc_dedup",
-    "d24_or_equi_join", "e9_coalescing_upsert",
-    "b16_variant_json_access", "g6_collated_grouping",
-    "j2g_fuzzy_neardup", "e10_window_funnel",
-    # All former (d) backfill slots (j1-j3b, j4a-j4f, j5, j6a-j6e, j7
-    # — every one green in r3) were displaced by this round's new
-    # queries: a first driver row outranks a second row for a green
-    # one.  The two rows-only newcomers (j2f_semantic_dedup,
-    # c23_hll_partial_merge) also yield their slots to oracle-bearing
-    # queries and front-load the round-5 window with anything
-    # registered later.
+    # (a) never driver-checked — oracle-bearing late round-4 additions
+    "b17_binaryfile_source", "h10_stream_scd2_history",
+    "h6b_outer_attribution", "j9c_bpe_pair_counts",
+    # (a) never driver-checked — rows-only late round-4 additions
+    "j3e_ivf_index_topk", "j2f_semantic_dedup", "j3i_mmr_rerank",
+    "c23_hll_partial_merge",
+    # (b) registered in round 5 — first driver appearance must be NOW
+    "j2h_dedup_eval_pr", "j4j_stopword_profile", "j6k_dupcount_weighted_sample",
+    "c24_decimal_exact_agg", "d25_join_null_skew", "j9d_unigram_lm_ppl",
+    "j4k_domain_quota", "j3j_pq_codebooks", "e11_retention_matrix",
+    "g7_uri_scalars",
+    # (c) backfill, oldest single green first: round-2 singles…
+    "d12_tpch_q7_shape", "d13_tpch_q13_shape", "d14_tpch_q4_shape",
+    "d16_tpch_q22_shape", "c15_tpch_q17_shape", "d17_tpch_q8_shape",
+    # …then round-3 singles (oracle-bearing first; rows-only j3b/j3c/j5
+    # and the j2 LSH candidate family sit past the window edge and keep
+    # their driver-sim/pytest coverage)
+    "d15_tpch_q18_shape", "d18_tpch_q9_shape", "d19_tpch_q12_shape",
+    "c16_tpch_q11_shape", "c17_tpch_q15_shape", "d20_tpch_q2_shape",
+    "d21_tpch_q16_shape", "d22_tpch_q20_shape", "d23_tpch_q21_shape",
+    "e2e_event_topn_users", "h6_stream_stream_attribution",
+    "e3_cohort_retention", "e4_funnel_conversion",
+    "j1_dedup_exact", "j4a_text_stats", "j4b_lang_id", "j4c_quality_score",
+    "j4d_fingerprint", "j2c_simhash_neardup", "j9_vocab_topk",
+    "j9b_top_terms", "j3_similarity_topk", "j2_minhash_neardup",
+    "j2b_ngram_jaccard", "j2d_embedding_neardup", "j2e_neardup_keepers",
+    "k1_asof_order_state", "k2_range_join_incidents",
+    "j4f_repetition_signals", "j6a_stratified_sample",
+    "j6b_sequence_packing", "j6c_corpus_filter_stats",
+    "j7_corpus_pipeline_e2e", "j6d_corpus_shuffle",
+    "j6e_quality_quantile_filter", "j4e_winnow_fingerprints",
+    "j5_multimodal_plumbing", "j3b_ann_lsh_topk", "j3c_ivf_ann_topk",
 )
 
 

@@ -2199,3 +2199,172 @@ def g6_collated_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("noisy").alias("name"), F.count(F.lit(1)).alias("n"))
         .select("name", "n")
     )
+
+
+@register(
+    "c24_decimal_exact_agg",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) * 100 AS BIGINT)
+             AS sum_price_c2,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(1 - l_discount AS DECIMAL(6,4))) * 10000
+                AS BIGINT) AS sum_disc_price_c4,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(1 - l_discount AS DECIMAL(6,4))
+                    * CAST(1 + l_tax AS DECIMAL(6,4))) * 1000000
+                AS BIGINT) AS sum_charge_c6
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def c24_decimal_exact_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact DECIMAL money aggregation (§2.C extension — the
+    finance-grade alternative to the fixed_units pattern): prices and
+    rate factors are cast to tight decimals BEFORE arithmetic, so every
+    product and sum is exact rational arithmetic with identical values
+    on any engine and any partition order — no double ulp drift, ever.
+
+    Precision discipline is the load-bearing part at 100 TB:
+    DECIMAL(12,2) × DECIMAL(6,4) × DECIMAL(6,4) stays at precision 26
+    (exact in Spark, whose lossy truncation kicks in past 38, and legal
+    in engines that reject operands wider than 38), and decimal sums
+    remain map-side combinable (partial_sum of unscaled longs /
+    int128).  The outputs re-scale the exact decimal sums to integer
+    units (cents / 1e-4 / 1e-6) — the scaling is exact (it only shifts
+    the decimal point) and integer columns are what the driver's
+    pandas canonicalizer hashes losslessly.  One scan, one hash
+    aggregate, codegen throughout."""
+    li = load_table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    one_minus_disc = (F.lit(1) - F.col("l_discount")).cast("decimal(6,4)")
+    one_plus_tax = (F.lit(1) + F.col("l_tax")).cast("decimal(6,4)")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(price) * 100).cast("long").alias("sum_price_c2"),
+        (F.sum(price * one_minus_disc) * 10000).cast("long").alias("sum_disc_price_c4"),
+        (F.sum(price * one_minus_disc * one_plus_tax) * 1000000)
+        .cast("long")
+        .alias("sum_charge_c6"),
+    )
+
+
+@register(
+    "d25_join_null_skew",
+    oracle="""
+    WITH f AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 5 < 2 THEN NULL ELSE o_custkey END AS cust_fk,
+             o_totalprice
+      FROM orders
+    )
+    SELECT f.o_orderkey AS o_orderkey, f.cust_fk AS cust_fk,
+           c.c_name AS c_name, c.c_mktsegment AS segment,
+           CAST(ROUND(f.o_totalprice * 100, 0) AS BIGINT) AS price_cents
+    FROM f LEFT JOIN customer c ON f.cust_fk = c.c_custkey
+    """,
+)
+def d25_join_null_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-skew-safe LEFT join (§2.D extension): 40 % of the fact FK
+    is NULL (the optional-FK shape — guest checkouts, unattributed
+    events).  A shuffle join hashes every NULL row to ONE reducer;
+    operators/joins.py:null_skew_left_join routes them around the join
+    as a scan-side projection and unions back, which the plain LEFT
+    JOIN oracle proves value-exact.  The join subtree here broadcasts
+    anyway (customer is a dim) — the decomposition is what keeps the
+    plan healthy when the dim outgrows broadcast and the join
+    sort-merges."""
+    from ..operators.joins import null_skew_left_join
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 5 < 2, F.lit(None))
+        .otherwise(F.col("o_custkey"))
+        .alias("cust_fk"),
+        fixed_units("o_totalprice").alias("price_cents"),
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", F.col("c_mktsegment").alias("segment")
+    )
+    return null_skew_left_join(orders, cust, "cust_fk", "c_custkey").select(
+        "o_orderkey", "cust_fk", "c_name", "segment", "price_cents"
+    )
+
+
+@register(
+    "g7_uri_scalars",
+    oracle=r"""
+    WITH u0 AS (
+      SELECT doc_id,
+        'http' || CASE WHEN doc_id % 2 = 0 THEN 's' ELSE '' END || '://' ||
+        CASE WHEN doc_id % 3 = 0 THEN 'api.Example.COM:8443'
+             ELSE 'www.example.org' END ||
+        '/a/b/doc' || CAST(doc_id % 20 AS VARCHAR) ||
+        CASE WHEN doc_id % 4 = 0 THEN '?page=' || CAST(doc_id % 7 AS VARCHAR) || '&ref=x'
+             WHEN doc_id % 4 = 1 THEN '?ref=y' ELSE '' END ||
+        CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END AS url
+      FROM documents
+    ), parts AS (
+      SELECT doc_id, url,
+        regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1) AS scheme,
+        regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1) AS auth,
+        regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)', 1) AS path
+      FROM u0
+    )
+    SELECT doc_id, scheme,
+      regexp_extract(auth, '^(?:[^@]*@)?([^:]*)', 1) AS host,
+      CAST(NULLIF(regexp_extract(auth, ':([0-9]+)$', 1), '') AS INTEGER) AS port,
+      path,
+      NULLIF(regexp_extract(url, '[?&]page=([^&#]*)', 1), '') AS page,
+      NULLIF(regexp_extract(regexp_extract(auth, '^(?:[^@]*@)?([^:]*)', 1),
+                            '\.([A-Za-z0-9\-]+)$', 1), '') AS tld,
+      CAST(length(path) - length(replace(path, '/', '')) AS BIGINT) AS path_depth
+    FROM parts
+    """,
+)
+def g7_uri_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URI scalar family (§2.G extension — the URL-analytics scalars of
+    a crawl pipeline: scheme/host/port/path/param/TLD/depth).  URLs are
+    planted in-engine per doc (mixed schemes, an explicit port, query
+    mixes, fragments keyed on doc_id residues) and decomposed by
+    functions.uri_* — regexp_extract chains in the Java∩RE2 common
+    syntax the oracle applies literally, with no-match empties nulled
+    before any cast (ANSI-safe).  Pure scan-side codegen projection:
+    no shuffle, no Python, filters/pruning unaffected."""
+    from ..functions import (
+        uri_host,
+        uri_path,
+        uri_path_depth,
+        uri_port,
+        uri_query_param,
+        uri_scheme,
+        uri_tld,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("http"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("s")).otherwise(F.lit("")),
+        F.lit("://"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("api.Example.COM:8443"))
+        .otherwise(F.lit("www.example.org")),
+        F.lit("/a/b/doc"),
+        (F.col("doc_id") % 20).cast("string"),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit("?page="), (F.col("doc_id") % 7).cast("string"), F.lit("&ref=x")),
+        )
+        .when(F.col("doc_id") % 4 == 1, F.lit("?ref=y"))
+        .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    return docs.select("doc_id", url.alias("url")).select(
+        "doc_id",
+        uri_scheme("url").alias("scheme"),
+        uri_host("url").alias("host"),
+        uri_port("url").alias("port"),
+        uri_path("url").alias("path"),
+        uri_query_param("url", "page").alias("page"),
+        uri_tld("url").alias("tld"),
+        uri_path_depth("url").alias("path_depth"),
+    )

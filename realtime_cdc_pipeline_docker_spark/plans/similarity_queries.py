@@ -493,3 +493,84 @@ def j3i_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cands = cands.join(emb.select("vec_id", "embedding"), "vec_id")
     return mmr_rerank(cands, k=5)
+
+
+_PQ_M, _PQ_K, _PQ_DSUB = 8, 4, 8
+
+
+def _pq_oracle() -> str:
+    """The PQ assignment as SQL: the d2 sum is written with the SAME
+    8-term left-associative order the Spark expression folds in, so the
+    doubles are bit-identical."""
+    terms = " + ".join(
+        f"(CAST(e.embedding[ms.m*{_PQ_DSUB}+{i}] AS DOUBLE)"
+        f" - CAST(cb.cv[ms.m*{_PQ_DSUB}+{i}] AS DOUBLE))"
+        f" * (CAST(e.embedding[ms.m*{_PQ_DSUB}+{i}] AS DOUBLE)"
+        f" - CAST(cb.cv[ms.m*{_PQ_DSUB}+{i}] AS DOUBLE))"
+        for i in range(1, _PQ_DSUB + 1)
+    )
+    return f"""
+    WITH cb AS (
+      SELECT vec_id AS code, embedding AS cv FROM embeddings
+      WHERE vec_id < {_PQ_K}
+    ), ms AS (
+      SELECT unnest(generate_series(0, {_PQ_M - 1})) AS m
+    ), d AS (
+      SELECT e.vec_id, ms.m, cb.code, {terms} AS d2
+      FROM embeddings e CROSS JOIN ms CROSS JOIN cb
+    )
+    SELECT vec_id, CAST(m AS BIGINT) AS subspace, code,
+           CAST(FLOOR(1000000 * d2 + 0.5) AS BIGINT) AS dist2_fp
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                                   ORDER BY d2, code) AS rn
+      FROM d
+    ) WHERE rn = 1
+    """
+
+
+@register("j3j_pq_codebooks", oracle=_pq_oracle())
+def j3j_pq_codebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization code assignment (§2.J3 extension — the
+    compressed representation IVF-PQ indexes store): 64-dim vectors
+    split into 8 subspaces, each snapped to the nearest of 4 seed
+    codewords (the k lowest-id vectors — deterministic; a Lloyd pass
+    slots in unchanged).  The codebook rides the plan as literals, so
+    assignment is a pure per-row codegen expression with NO join and NO
+    shuffle — and because the squared-distance folds in a fixed term
+    order, the full (code, dist2_fp) output carries an EXACT oracle,
+    unusual for this family.  See operators/similarity.py:pq_assign."""
+    from ..operators.similarity import pq_assign, seed_codebook
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = seed_codebook(emb, k=_PQ_K)
+    return pq_assign(emb, cb, m=_PQ_M)
+
+
+@register("j2h_dedup_eval_pr", oracle=None)
+def j2h_dedup_eval_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-quality evaluation harness (§2.J2 extension — the QA gate
+    a dedup config change ships behind): plant a known near-duplicate
+    twin (text + 3 noise tokens, id + 1e6) for every 7th document, run
+    the production MinHash-LSH detector over corpus+twins, and score
+    the planted-pair recovery — counts, precision and recall in exact
+    ppm, one output row.  Rows-only by nature (MinHash is not
+    SQL-expressible) but fully deterministic: the planted truth set and
+    the seeded hash family fix the answer; tests pin recall_ppm =
+    1e6 at fixture scale.  Restricting scoring to twin-involving pairs
+    keeps organic fixture near-dups out of the denominator.  See
+    operators/dedup.py:pair_set_eval."""
+    from ..operators.dedup import pair_set_eval
+
+    offset = 1_000_000
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    twins = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + offset).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" qqz zzq qzq")).alias("text"),
+    )
+    corpus = docs.unionByName(twins)
+    truth = docs.filter(F.col("doc_id") % 7 == 0).select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + offset).alias("id_b")
+    )
+    pred = minhash_lsh_pairs(corpus).filter(F.col("id_b") >= offset)
+    return pair_set_eval(truth, pred)

@@ -849,3 +849,103 @@ def j9c_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text import bpe_pair_counts
 
     return bpe_pair_counts(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "j4j_stopword_profile",
+    oracle="""
+    WITH per AS (
+      SELECT lang, source, string_split_regex(trim(lower(text)), '\\s+') AS t
+      FROM documents
+    ), c AS (
+      SELECT lang, source, len(t) AS n,
+             len(list_filter(t, x -> list_contains(
+               ['the','a','an','of','and','or','to','in','is','it'], x))) AS s
+      FROM per
+    )
+    SELECT lang, source, COUNT(*) AS n_docs,
+           CAST(SUM(n) AS BIGINT) AS n_tokens,
+           CAST(SUM(s) AS BIGINT) AS n_stopwords,
+           CAST(ROUND(1000000 * CAST(SUM(s) AS DOUBLE) / SUM(n), 0) AS BIGINT)
+             AS stop_ppm
+    FROM c GROUP BY lang, source
+    """,
+)
+def j4j_stopword_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus stopword-density profile per (lang, source) (§2.J4
+    extension — the function-word signal quality filters cut on).  The
+    frozen 10-word list is shared verbatim with the oracle; per-row
+    work is a higher-order array filter (no explode — the token array
+    never leaves the row) and the ratio is derived from the two exact
+    integer sums once per group.  One scan, one map-side-combined
+    aggregate of |lang×source| groups.  See
+    operators/text.py:stopword_stats."""
+    from ..operators.text import stopword_stats
+
+    return stopword_stats(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "j4k_domain_quota",
+    oracle="""
+    SELECT doc_id, source, n_chars, quota_rank FROM (
+      SELECT doc_id, source, n_chars,
+             CAST(row_number() OVER (PARTITION BY source
+                                     ORDER BY n_chars DESC, doc_id) AS BIGINT)
+               AS quota_rank
+      FROM documents
+    ) WHERE quota_rank <= 15
+    """,
+)
+def j4k_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota enforcement (§2.J4/J6 governance — no source
+    may exceed its document cap in the training mix): rank best-first
+    within source (largest docs here; any quality key plugs in) and
+    keep 15.  Compiles to WindowGroupLimit: each shuffle partition
+    discards beyond-quota rows BEFORE the exchange — at 100 TB the
+    shuffle carries ≤ |sources|·k rows per mapper, not the corpus.
+    See operators/sampling.py:quota_per_stratum."""
+    from ..operators.sampling import quota_per_stratum
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return quota_per_stratum(
+        docs, "source", 15, order_cols=(F.col("n_chars").desc(), F.col("doc_id"))
+    )
+
+
+@register(
+    "j9d_unigram_lm_ppl",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+      FROM documents
+    ), vocab AS (
+      SELECT w, COUNT(*) AS c FROM toks GROUP BY w
+    ), tot AS (
+      SELECT CAST(SUM(c) AS DOUBLE) AS n_total FROM vocab
+    ), model AS (
+      SELECT w, CAST(FLOOR(10000 * ln(n_total / c) + 0.5) AS BIGINT) AS nll_fp
+      FROM vocab, tot
+    )
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           CAST(SUM(nll_fp) AS BIGINT) AS sum_nll_fp,
+           CAST(ROUND(CAST(SUM(nll_fp) AS DOUBLE) / COUNT(*), 0) AS BIGINT)
+             AS mean_nll_fp
+    FROM toks JOIN model USING (w) GROUP BY doc_id
+    """,
+)
+def j9d_unigram_lm_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM perplexity scoring (§2.J9 extension — the classic LM
+    quality filter): corpus unigram model, per-doc total/mean negative
+    log-likelihood.  ln is quantized once per distinct vocab count
+    (floor(1e4·ln+0.5) — integer micro-nats), so document scores are
+    exact integer sums and engines only need ln agreement to ~1e-9,
+    coarser than any libm difference.  One token explode feeds both
+    the vocab aggregate (broadcast back as the model) and the per-doc
+    aggregate: single corpus scan, broadcast-hash model join, one
+    full-size exchange.  See operators/text.py:unigram_nll."""
+    from ..operators.text import unigram_nll
+
+    return unigram_nll(load_table(spark, sf_dir, "documents"))

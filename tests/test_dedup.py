@@ -441,3 +441,31 @@ def test_fuzzy_neardup_skipped_buckets_are_reported(spark, sf_dir):
     # the full value-parity oracle in plans/text_queries.py is sound.
     cust = load_table(spark, sf_dir, "customer")
     assert oversized_variant_buckets(cust, "c_name", "c_custkey").count() == 0
+
+
+def test_pair_set_eval_counts_and_ppm(spark):
+    from realtime_cdc_pipeline_docker_spark.operators.dedup import pair_set_eval
+
+    truth = spark.createDataFrame(
+        [(1, 2), (3, 4), (5, 6), (7, 8)], "id_a long, id_b long"
+    )
+    pred = spark.createDataFrame(
+        # two hits (one duplicated — must dedup), one miss, one FP
+        [(1, 2), (1, 2), (3, 4), (9, 10)], "id_a long, id_b long"
+    )
+    row = pair_set_eval(truth, pred).collect()[0]
+    assert (row["n_true"], row["n_pred"], row["n_hit"]) == (4, 3, 2)
+    assert row["precision_ppm"] == 666667  # round(2/3 * 1e6)
+    assert row["recall_ppm"] == 500000
+
+
+def test_j2h_planted_twin_recall_is_total(spark, sf_dir):
+    """The registered eval harness recovers EVERY planted twin pair at
+    fixture scale (recall_ppm = 1e6) — the deterministic bar a config
+    change must clear."""
+    from realtime_cdc_pipeline_docker_spark import plans
+
+    row = plans.REGISTRY["j2h_dedup_eval_pr"].fn(spark, sf_dir).collect()[0]
+    assert row["recall_ppm"] == 1_000_000
+    assert row["n_hit"] == row["n_true"] > 0
+    assert row["precision_ppm"] >= 800_000  # organic near-dups stay bounded

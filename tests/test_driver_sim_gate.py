@@ -43,10 +43,13 @@ def test_driver_sim_full_pass():
 
 
 def test_driver_window_is_all_oracle_bearing():
-    """The driver verifies the FIRST 50 registered queries; a rows-only
-    query in that window burns a slot on a weak check.  Every window
-    slot must carry an exact oracle, every DRIVER_PRIORITY name must
-    resolve, and the window must be exactly the priority list."""
+    """The driver verifies the FIRST 50 registered queries; every
+    DRIVER_PRIORITY name must resolve and the ordering must be exactly
+    the priority list.  Rows-only queries normally yield their slots to
+    oracle-bearing ones — the round-5 exception (VERDICT r4 #2) is the
+    documented set below, front-loaded so every registered query has a
+    driver row in SOME round; any OTHER rows-only name in the window is
+    a burnt slot and fails here."""
     from realtime_cdc_pipeline_docker_spark import plans
     from realtime_cdc_pipeline_docker_spark.plans.registry import DRIVER_PRIORITY
 
@@ -56,5 +59,13 @@ def test_driver_window_is_all_oracle_bearing():
     assert not missing, f"DRIVER_PRIORITY names not registered: {missing}"
     window = names[: len(DRIVER_PRIORITY)]
     assert window == list(DRIVER_PRIORITY)
-    rows_only = [n for n in window if n not in oracles]
-    assert not rows_only, f"rows-only queries occupy window slots: {rows_only}"
+    allowed_rows_only = {
+        # never driver-checked before round 5 (rows-only by nature)
+        "j3e_ivf_index_topk", "j2f_semantic_dedup", "j3i_mmr_rerank",
+        "c23_hll_partial_merge",
+        # registered in round 5 (rows-only by nature — first appearance)
+        "j2h_dedup_eval_pr",
+    }
+    rows_only = [n for n in window[:50] if n not in oracles]
+    stray = [n for n in rows_only if n not in allowed_rows_only]
+    assert not stray, f"undocumented rows-only queries burn window slots: {stray}"

@@ -181,3 +181,38 @@ def test_canonicalize_url_is_scan_side(spark, sf_dir):
         .toString()
     )
     assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_uri_scalars_edges(spark):
+    from realtime_cdc_pipeline_docker_spark.functions import (
+        uri_host,
+        uri_path,
+        uri_path_depth,
+        uri_port,
+        uri_query_param,
+        uri_scheme,
+        uri_tld,
+    )
+
+    cases = [
+        # url, scheme, host, port, path, page, tld, depth
+        ("https://api.Example.COM:8443/a/b/doc3?page=2&ref=x#f",
+         "https", "api.Example.COM", 8443, "/a/b/doc3", "2", "COM", 3),
+        ("http://www.example.org/a", "http", "www.example.org", None, "/a", None, "org", 1),
+        # userinfo is not the host; absent path -> depth 0
+        ("ftp://user:pw@host.io", "ftp", "host.io", None, "", None, "io", 0),
+        # single-label host has no TLD; page param absent when empty-valued
+        ("https://localhost:9000/x?page=", "https", "localhost", 9000, "/x", None, None, 1),
+    ]
+    df = spark.createDataFrame([(u,) for u, *_ in cases], ["url"])
+    got = df.select(
+        uri_scheme("url").alias("s"),
+        uri_host("url").alias("h"),
+        uri_port("url").alias("p"),
+        uri_path("url").alias("pa"),
+        uri_query_param("url", "page").alias("pg"),
+        uri_tld("url").alias("t"),
+        uri_path_depth("url").alias("d"),
+    ).collect()
+    for row, (_, *want) in zip(got, cases):
+        assert tuple(row) == tuple(want), (tuple(row), want)

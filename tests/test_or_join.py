@@ -73,3 +73,52 @@ def test_hll_merge_of_partials_equals_direct_sketch(spark, sf_dir):
     exact = orders.select("o_custkey").distinct().count()
     assert est_merged == est_direct  # merge exactness, not approximation
     assert abs(est_direct - exact) / exact < 0.05
+
+
+def test_null_skew_left_join_matches_plain_left_join(spark, sf_dir):
+    from realtime_cdc_pipeline_docker_spark.catalog import load_table
+    from realtime_cdc_pipeline_docker_spark.operators.joins import null_skew_left_join
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 5 < 2, F.lit(None))
+        .otherwise(F.col("o_custkey"))
+        .alias("cust_fk"),
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    got = null_skew_left_join(orders, cust, "cust_fk", "c_custkey")
+    want = orders.join(cust, orders["cust_fk"] == cust["c_custkey"], "left")
+    cols = ["o_orderkey", "cust_fk", "c_custkey", "c_name"]
+    assert sorted(map(tuple, got.select(cols).collect())) == sorted(
+        map(tuple, want.select(cols).collect())
+    )
+    # NULL-keyed rows keep NULL dim columns, and there are plenty of them
+    n_null = got.filter(F.col("cust_fk").isNull()).count()
+    assert n_null == orders.filter(F.col("cust_fk").isNull()).count() > 0
+    assert got.filter(F.col("cust_fk").isNull() & F.col("c_name").isNotNull()).count() == 0
+
+
+def test_null_skew_left_join_null_branch_avoids_the_join(spark, sf_dir):
+    """The NULL branch must be a scan-side projection: in the union's
+    second child there is no join and no exchange — those rows never
+    shuffle, which is the whole point at scale."""
+    from realtime_cdc_pipeline_docker_spark.catalog import load_table
+    from realtime_cdc_pipeline_docker_spark.operators.joins import null_skew_left_join
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 5 < 2, F.lit(None))
+        .otherwise(F.col("o_custkey"))
+        .alias("cust_fk"),
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    plan = (
+        null_skew_left_join(orders, cust, "cust_fk", "c_custkey")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Union" in plan
+    null_branch = plan.split("Union")[-1].split(":- ")[-1]
+    tail = null_branch.split("+- ")[-1] if "+- " in null_branch else null_branch
+    assert "Join" not in tail and "Exchange" not in tail

@@ -324,3 +324,57 @@ def test_exact_k_sample_uses_window_group_limit(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     plan = exact_k_sample(docs, k=5)._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
+
+
+def test_quota_per_stratum_caps_and_ranks(spark):
+    from realtime_cdc_pipeline_docker_spark.operators.sampling import quota_per_stratum
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "source", "n_chars")
+    out = quota_per_stratum(
+        docs, "source", 5, order_cols=(F.col("n_chars").desc(), F.col("doc_id"))
+    )
+    per = {r["source"]: r["count"] for r in out.groupBy("source").count().collect()}
+    assert all(v <= 5 for v in per.values()) and len(per) == 20
+    # best-first: every kept doc is >= the stratum's dropped max rank
+    kept = out.filter(F.col("source") == "src1").orderBy("quota_rank").collect()
+    sizes = [r["n_chars"] for r in kept]
+    assert sizes == sorted(sizes, reverse=True)
+    # deterministic across runs
+    again = quota_per_stratum(
+        docs, "source", 5, order_cols=(F.col("n_chars").desc(), F.col("doc_id"))
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_quota_per_stratum_plans_window_group_limit(spark):
+    from realtime_cdc_pipeline_docker_spark.operators.sampling import quota_per_stratum
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "source", "n_chars")
+    plan = (
+        quota_per_stratum(
+            docs, "source", 5, order_cols=(F.col("n_chars").desc(), F.col("doc_id"))
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan  # beyond-quota rows die before the exchange
+
+
+def test_dupcount_weighted_sample_weights_and_determinism(spark):
+    from realtime_cdc_pipeline_docker_spark.operators.sampling import (
+        dupcount_weighted_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, 1 if i < 1000 else 4) for i in range(1200)],
+        "doc_id long, dup_count long",
+    )
+    out = dupcount_weighted_sample(df, rate_permille_per_dup=300)
+    n_w1 = out.filter(F.col("dup_count") == 1).count()
+    n_w4 = out.filter(F.col("dup_count") == 4).count()
+    # weight 1 -> ~30% of 1000; weight 4 -> min(1, 1.2) = ALL 200
+    assert 240 <= n_w1 <= 360
+    assert n_w4 == 200
+    again = dupcount_weighted_sample(df, rate_permille_per_dup=300)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))

@@ -379,3 +379,53 @@ def test_mmr_respects_caller_id_types(spark):
     assert dict(out.dtypes)["vec_id"] == "string"
     rows = out.orderBy("mmr_rank").collect()
     assert len(rows) == 3 and rows[0]["vec_id"].startswith("doc")
+
+
+def test_pq_assign_exact_and_shuffle_free(spark, sf_dir):
+    """PQ assignment: every (vec, subspace) gets exactly one code in
+    range; the assigned code is verifiably the argmin over the
+    codebook (checked in numpy); the plan has no exchange and no
+    Python."""
+    import numpy as np
+
+    from realtime_cdc_pipeline_docker_spark.catalog import load_table
+    from realtime_cdc_pipeline_docker_spark.operators.similarity import (
+        pq_assign,
+        seed_codebook,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = seed_codebook(emb, k=4)
+    out = pq_assign(emb, cb, m=8)
+    n_vecs = emb.count()
+    assert out.count() == n_vecs * 8
+    assert out.groupBy("vec_id").count().filter(F.col("count") != 8).count() == 0
+    assert out.filter((F.col("code") < 0) | (F.col("code") >= 4)).count() == 0
+
+    # numpy referee on a handful of vectors
+    sample = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+              for r in emb.filter(F.col("vec_id") < 20).collect()}
+    got = {
+        (r["vec_id"], r["subspace"]): r["code"]
+        for r in out.filter(F.col("vec_id") < 20).collect()
+    }
+    cbm = [np.array(v, dtype=np.float64) for v in cb]
+    for vid, v in sample.items():
+        for m in range(8):
+            s = slice(m * 8, m * 8 + 8)
+            d2 = [float(((v[s] - c[s]) ** 2).sum()) for c in cbm]
+            best = min(range(4), key=lambda c: (d2[c], c))
+            assert got[(vid, m)] == best, (vid, m)
+
+    plan = pq_assign(emb, cb, m=8)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan and "Join" not in plan
+
+
+def test_seed_codebook_is_bounded_and_deterministic(spark, sf_dir):
+    from realtime_cdc_pipeline_docker_spark.catalog import load_table
+    from realtime_cdc_pipeline_docker_spark.operators.similarity import seed_codebook
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb1 = seed_codebook(emb, k=4)
+    cb2 = seed_codebook(emb, k=4)
+    assert cb1 == cb2 and len(cb1) == 4 and len(cb1[0]) == 64
