@@ -201,6 +201,89 @@ def main() -> int:
         )
         fuzz.unpersist()
 
+        # semantic: SemDeDup cluster-local pairing (j2f shape) over
+        # replicated embeddings (replicas at shifted ids keep their
+        # direction, so every replica lands in its original's cluster
+        # and is cosine-1 DOMINATED by it — survivors stay constant at
+        # 10x, the semantic contract).  Claim: pairing stays
+        # CLUSTER-LOCAL — wall-time tracks sum(cluster_size²) within
+        # the cap, so 10x data with the cap engaged grows ~linearly,
+        # never all-pairs; dropped-oversized counts are observable.
+        from realtime_cdc_pipeline_docker_spark.operators.similarity import (
+            semantic_dedup,
+        )
+
+        emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        sem = emb
+        for r in range(1, scale):
+            sem = sem.unionByName(
+                emb.select(
+                    (F.col("vec_id") + 1_000_000 * r).alias("vec_id"), "embedding"
+                )
+            )
+        sem = sem.persist()
+        n_vecs = sem.count()
+        t0 = time.time()
+        out = semantic_dedup(sem, id_col="vec_id").persist()
+        n_rows = out.count()
+        n_oversized = out.filter("oversized").count()
+        release_persisted()
+        print(
+            json.dumps(
+                {
+                    "probe": "semantic",
+                    "scale": scale,
+                    "n_vecs": n_vecs,
+                    "n_survivors": n_rows,
+                    "n_in_oversized_clusters": n_oversized,
+                    "sec": round(time.time() - t0, 2),
+                }
+            ),
+            flush=True,
+        )
+        out.unpersist()
+        sem.unpersist()
+
+        # mmr: per-query MMR re-rank (j3i shape) over a candidate pool
+        # whose QUERY count scales (pool size fixed at N=20 — the
+        # production contract: retrieval bounds the pool, MMR cost is
+        # queries x N x k).  Claim: Arrow group count scales linearly,
+        # per-group work is constant -> wall-time ~linear.
+        from realtime_cdc_pipeline_docker_spark.operators.similarity import (
+            brute_force_topk,
+            mmr_rerank,
+        )
+
+        queries = sem.filter(F.col("vec_id") % 25 == 0).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        cands = (
+            brute_force_topk(emb, queries, k=20)
+            .select(
+                "query_id",
+                F.col("neighbor_id").alias("vec_id"),
+                F.col("sim").alias("score"),
+            )
+            .join(emb, "vec_id")
+            .persist()
+        )
+        n_cands = cands.count()
+        t0 = time.time()
+        n_picked = mmr_rerank(cands, k=5).count()
+        print(
+            json.dumps(
+                {
+                    "probe": "mmr",
+                    "scale": scale,
+                    "n_queries": n_cands // 20,
+                    "n_picked": n_picked,
+                    "sec": round(time.time() - t0, 2),
+                }
+            ),
+            flush=True,
+        )
+        cands.unpersist()
+
         corpus.unpersist()
     return 0
 
