@@ -168,11 +168,20 @@ def main() -> None:
     # Warm-up: JIT + executor spin-up, not counted.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
-    # Materialize the CDC envelope fixture before any timer starts
-    # (stored-log model; see module docstring).
-    from realtime_cdc_pipeline_docker_spark.sources.cdc import orders_envelope
+    # Materialize the CDC fixture spills before any timer starts
+    # (stored-log model; see module docstring): raw envelope, decoded
+    # bronze, signed deltas, and the streaming JSON input dir.
+    from realtime_cdc_pipeline_docker_spark.sources.cdc import (
+        decoded_orders_log,
+        orders_envelope,
+        orders_envelope_json_dir,
+        signed_orders_deltas,
+    )
 
     orders_envelope(spark, sf_dir).count()
+    decoded_orders_log(spark, sf_dir).count()
+    signed_orders_deltas(spark, sf_dir).count()
+    orders_envelope_json_dir(spark, sf_dir)
 
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     times: dict[str, float] = {}

@@ -120,16 +120,12 @@ def h_stream_cdc_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     file-based envelope source → availableNow micro-batches →
     foreachBatch idempotent append (H1/H2/H3/H5) → collapse.  Shares the
     e1 oracle — stream result == batch result == SQL golden state."""
+    from ..sources.cdc import orders_envelope_json_dir
+
     work = _work_dir("cdc_stream", sf_dir)
-    envelope = orders_envelope(spark, sf_dir)
-    # repartition, not coalesce: coalesce(4) would collapse the whole
-    # synth stage (3-way union + to_json) onto 4 threads; the shuffle
-    # boundary keeps synthesis at full parallelism and still emits a
-    # bounded file count for the file-stream source to list.
-    envelope.repartition(8).write.mode("overwrite").json(f"{work}/input")
     log = run_cdc_stream(
         spark,
-        envelope_dir=f"{work}/input",
+        envelope_dir=orders_envelope_json_dir(spark, sf_dir),
         log_dir=f"{work}/log",
         checkpoint_dir=f"{work}/ckpt",
         payload_schema=ORDERS_PAYLOAD_SCHEMA,
@@ -274,13 +270,13 @@ def h10_stream_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     golden, under at-least-once delivery."""
     from ..operators.history import scd2_history
 
+    from ..sources.cdc import orders_envelope_json_dir
+
     work = _work_dir("scd2_stream", sf_dir)
-    envelope = orders_envelope(spark, sf_dir)
-    envelope.repartition(8).write.mode("overwrite").json(f"{work}/input")
     for run in ("a", "b"):  # two deliveries of the same events
         run_cdc_stream(
             spark,
-            envelope_dir=f"{work}/input",
+            envelope_dir=orders_envelope_json_dir(spark, sf_dir),
             log_dir=f"{work}/log",
             checkpoint_dir=f"{work}/ckpt_{run}",
             payload_schema=ORDERS_PAYLOAD_SCHEMA,
@@ -304,11 +300,10 @@ def c20_incremental_mart_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     independent of history size; the oracle states the equivalent
     full-recompute over final state (same golden report as e6).  See
     operators/history.py:signed_delta."""
-    from ..operators.history import signed_delta
+    from ..sources.cdc import signed_orders_deltas
 
     work = _work_dir("mart_refresh", sf_dir)
-    envelope = orders_envelope(spark, sf_dir)
-    deltas = signed_delta(envelope, ORDERS_PAYLOAD_SCHEMA)
+    deltas = signed_orders_deltas(spark, sf_dir)
 
     def report(df: DataFrame) -> DataFrame:
         return df.groupBy(F.to_date("order_date").alias("order_day")).agg(
@@ -357,15 +352,15 @@ def h11_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming/pipeline.py:run_enriched_cdc_stream."""
     from ..streaming.pipeline import run_enriched_cdc_stream
 
+    from ..sources.cdc import orders_envelope_json_dir
+
     work = _work_dir("cdc_enrich", sf_dir)
-    envelope = orders_envelope(spark, sf_dir)
-    envelope.repartition(8).write.mode("overwrite").json(f"{work}/input")
     dim = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", "c_mktsegment"
     )
     log = run_enriched_cdc_stream(
         spark,
-        envelope_dir=f"{work}/input",
+        envelope_dir=orders_envelope_json_dir(spark, sf_dir),
         log_dir=f"{work}/log",
         checkpoint_dir=f"{work}/ckpt",
         payload_schema=ORDERS_PAYLOAD_SCHEMA,
@@ -416,11 +411,9 @@ def c22_ivm_join_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     (signed_delta's explode idiom) and **broadcast**; one
     BroadcastHashJoin + one map-side-combinable aggregate — no shuffle
     of the fact-side deltas."""
-    from ..operators.history import signed_delta
+    from ..sources.cdc import signed_orders_deltas
 
-    o_delta = signed_delta(
-        orders_envelope(spark, sf_dir), ORDERS_PAYLOAD_SCHEMA
-    )
+    o_delta = signed_orders_deltas(spark, sf_dir)
     return _segment_signed_report(o_delta, _customer_segment_deltas(spark, sf_dir))
 
 
@@ -476,15 +469,15 @@ def h12_stream_ivm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming/pipeline.py:run_ivm_aggregate_stream."""
     from ..streaming.pipeline import run_ivm_aggregate_stream
 
+    from ..sources.cdc import orders_envelope_json_dir
+
     work = _work_dir("ivm_stream", sf_dir)
-    envelope = orders_envelope(spark, sf_dir)
-    envelope.repartition(8).write.mode("overwrite").json(f"{work}/input")
     c_delta = _customer_segment_deltas(spark, sf_dir)
     out = None
     for _ in range(2):  # second run: checkpoint restart, must be a no-op
         out = run_ivm_aggregate_stream(
             spark,
-            envelope_dir=f"{work}/input",
+            envelope_dir=orders_envelope_json_dir(spark, sf_dir),
             ledger_dir=f"{work}/ledger",
             checkpoint_dir=f"{work}/ckpt",
             payload_schema=ORDERS_PAYLOAD_SCHEMA,

@@ -149,11 +149,9 @@ def k3_temporal_dimension_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact ⋈ SCD2 shape; at 100 TB both sides co-partition (bucket) on
     the key and the join is exchange-free."""
     from ..operators.history import scd2_history
-    from ..sources.cdc import ORDERS_PAYLOAD_SCHEMA, decode_envelope, orders_envelope
+    from ..sources.cdc import decoded_orders_log
 
-    decoded = decode_envelope(
-        orders_envelope(spark, sf_dir), ORDERS_PAYLOAD_SCHEMA
-    )
+    decoded = decoded_orders_log(spark, sf_dir)
     hist = scd2_history(decoded, key_cols=("id",)).select(
         "id", "status", "valid_from_ms", "valid_to_ms"
     )

@@ -185,6 +185,69 @@ def orders_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+_DECODED_SPILL: dict[tuple[str, str], str] = {}
+
+
+def _decoded_spill(spark: SparkSession, sf_dir: str, kind: str, build) -> DataFrame:
+    path = _DECODED_SPILL.get((sf_dir, kind))
+    if path is None:
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix=f"cdc_orders_{kind}_")
+        build().write.mode("overwrite").parquet(path)
+        _DECODED_SPILL[(sf_dir, kind)] = path
+    return spark.read.parquet(path)
+
+
+def decoded_orders_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DECODED orders change log (payload columns + op/ts_ms/sign),
+    materialized once per process — the bronze table a production
+    deployment stores after envelope decode, so operators downstream of
+    the decode (SCD2 build, temporal joins, collapses) read a source
+    instead of re-parsing 3 JSON images per order on every run.  The
+    decode itself stays an explicitly-benched operator (m3, e1, h*)."""
+    return _decoded_spill(
+        spark,
+        sf_dir,
+        "decoded",
+        lambda: decode_envelope(orders_envelope(spark, sf_dir), ORDERS_PAYLOAD_SCHEMA),
+    )
+
+
+_JSON_INPUT_SPILL: dict[str, str] = {}
+
+
+def orders_envelope_json_dir(spark: SparkSession, sf_dir: str) -> str:
+    """The envelope fixture as a JSON FILE DIRECTORY for the Structured
+    Streaming file source, written once per process (8 parts — bounded
+    listing, full synth parallelism behind the shuffle).  Streaming
+    queries point readStream at this stored input and keep their
+    log/checkpoint dirs per-run; rewriting the input every run was
+    fixture cost, not stream cost (VERDICT r4 #5)."""
+    path = _JSON_INPUT_SPILL.get(sf_dir)
+    if path is None:
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="cdc_orders_json_")
+        orders_envelope(spark, sf_dir).repartition(8).write.mode("overwrite").json(path)
+        _JSON_INPUT_SPILL[sf_dir] = path
+    return path
+
+
+def signed_orders_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ±signed delta form of the orders change log (Z-set rows for
+    IVM), materialized once per process — same stored-bronze rationale
+    as ``decoded_orders_log``."""
+    from ..operators.history import signed_delta
+
+    return _decoded_spill(
+        spark,
+        sf_dir,
+        "signed",
+        lambda: signed_delta(orders_envelope(spark, sf_dir), ORDERS_PAYLOAD_SCHEMA),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Reference 4-table CDC surface (register-postgres.json:11-12 includes
 # customers, products, orders, order_items), remapped onto the driver's
