@@ -134,6 +134,13 @@ HEADLINE = [
     "j3j_pq_codebooks",
     "e11_retention_matrix",
     "g7_uri_scalars",
+    "b18_unpivot_metrics",
+    "e2k_rank_distribution",
+    "e12_sequence_match",
+    "k4_asof_next_order",
+    "j8c_fuzzy_decontaminate",
+    "j9e_vocab_coverage",
+    "j7c_dataset_card",
 ]
 
 

@@ -829,3 +829,85 @@ def pair_set_eval(
             .alias("recall_ppm"),
         )
     )
+
+
+def fuzzy_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_id_col: str = "bench_id",
+    n: int = 5,
+    threshold_ppm: int = 300_000,
+) -> DataFrame:
+    """FUZZY decontamination (the n-gram-overlap-ratio rule used by
+    real eval-hygiene pipelines, e.g. the GPT-3/PaLM appendix method —
+    public papers): a corpus doc is contaminated BY a benchmark doc
+    when ≥ ``threshold_ppm`` of the benchmark's distinct word
+    ``n``-grams appear in it — catching partial/edited copies that
+    exact any-gram matching (``decontaminate``) would flag too
+    aggressively and digest matching would miss entirely.
+
+    Returns ``(doc_id, bench_id, n_shared_grams, bench_grams,
+    overlap_ppm)`` for flagged pairs, self-matches excluded.  The ratio
+    divides two exact integers once per surviving pair.  Contract as
+    in ``contamination_report``: docs shorter than ``n`` tokens are out
+    of scope (no attributable n-gram evidence; the any-gram
+    ``decontaminate`` pass handles them via its min(n,len) rule).
+
+    100 TB shape: same as ``decontaminate`` — the benchmark gram set
+    (with per-doc totals) is tiny and BROADCAST; the corpus subtree
+    streams through the join with no exchange; the only shuffle is the
+    (doc, bench) pair aggregate over contaminated evidence only."""
+    def grams(df: DataFrame, id_expr) -> DataFrame:
+        toks = df.select(
+            id_expr.alias("id"),
+            ws_tokens(normalize_text(text_col)).alias("toks"),
+        ).filter(F.size("toks") >= n)
+        return (
+            toks.select(
+                "id",
+                F.explode(
+                    F.sequence(F.lit(1), F.size("toks") - (n - 1))
+                ).alias("i"),
+                "toks",
+            )
+            .select(
+                "id",
+                F.xxhash64(
+                    F.concat_ws(" ", F.slice(F.col("toks"), F.col("i"), n))
+                ).alias("gram"),
+            )
+            .distinct()
+        )
+
+    bench_grams = grams(benchmark, F.col(bench_id_col)).select(
+        F.col("id").alias(bench_id_col), "gram"
+    )
+    bench_sizes = bench_grams.groupBy(bench_id_col).agg(
+        F.count(F.lit(1)).alias("bench_grams")
+    )
+    corpus_grams = grams(corpus, F.col(id_col))
+    shared = (
+        corpus_grams.join(F.broadcast(bench_grams), "gram")
+        .filter(F.col("id") != F.col(bench_id_col))
+        .groupBy("id", bench_id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )
+    return (
+        shared.join(F.broadcast(bench_sizes), bench_id_col)
+        .withColumn(
+            "overlap_ppm",
+            F.round(
+                F.lit(1_000_000) * F.col("n_shared_grams") / F.col("bench_grams"), 0
+            ).cast("long"),
+        )
+        .filter(F.col("overlap_ppm") >= threshold_ppm)
+        .select(
+            F.col("id").alias(id_col),
+            bench_id_col,
+            "n_shared_grams",
+            "bench_grams",
+            "overlap_ppm",
+        )
+    )

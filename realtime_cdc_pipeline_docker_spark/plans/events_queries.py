@@ -620,3 +620,69 @@ def e11_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_date("cw").alias("cohort_week"),
         F.expr("datediff(w, cw) div 7").cast("long").alias("week_offset"),
     ).agg(F.count(F.lit(1)).alias("n_active"))
+
+
+@register(
+    "e12_sequence_match",
+    oracle="""
+    WITH agg AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'signup' THEN ts END) AS s_ts
+      FROM events GROUP BY user_id
+    ), after AS (
+      SELECT a.user_id, a.s_ts,
+             MIN(CASE WHEN e.event_type = 'purchase' AND e.ts > a.s_ts
+                      THEN e.ts END) AS p_ts,
+             MIN(CASE WHEN e.event_type = 'error' AND e.ts > a.s_ts
+                      THEN e.ts END) AS err_ts
+      FROM agg a JOIN events e ON e.user_id = a.user_id
+      WHERE a.s_ts IS NOT NULL
+      GROUP BY a.user_id, a.s_ts
+    )
+    SELECT user_id, s_ts AS signup_ts,
+           (p_ts IS NOT NULL) AS matched,
+           (p_ts IS NOT NULL AND (err_ts IS NULL OR err_ts >= p_ts))
+             AS matched_clean
+    FROM after
+    """,
+)
+def e12_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-sequence pattern matching (§2.E extension — the ClickHouse
+    ``sequenceMatch('(?1).*(?2)')`` shape with a negative condition):
+    per user, did a purchase follow the FIRST signup (``matched``), and
+    did the earliest such purchase happen with NO error event strictly
+    between signup and it (``matched_clean``)?  The pattern reduces to
+    three conditional MINs — first signup, first purchase after it,
+    first error after it — so the whole match is ONE pass: a user_id
+    window for the signup anchor and a second conditional aggregate on
+    the same key (one exchange, reused).  No self-join, no per-row
+    regex state machine — the reduction is what survives 100 TB."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    anchored = events.withColumn(
+        "s_ts",
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w),
+    ).filter(F.col("s_ts").isNotNull())
+    agg = anchored.groupBy("user_id", "s_ts").agg(
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("ts") > F.col("s_ts")),
+                F.col("ts"),
+            )
+        ).alias("p_ts"),
+        F.min(
+            F.when(
+                (F.col("event_type") == "error") & (F.col("ts") > F.col("s_ts")),
+                F.col("ts"),
+            )
+        ).alias("err_ts"),
+    )
+    return agg.select(
+        "user_id",
+        F.col("s_ts").alias("signup_ts"),
+        F.col("p_ts").isNotNull().alias("matched"),
+        (
+            F.col("p_ts").isNotNull()
+            & (F.col("err_ts").isNull() | (F.col("err_ts") >= F.col("p_ts")))
+        ).alias("matched_clean"),
+    )

@@ -856,3 +856,64 @@ def j6k_dupcount_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     keepers = dedup_exact(load_table(spark, sf_dir, "documents"))
     return dupcount_weighted_sample(keepers)
+
+
+@register(
+    "j7c_dataset_card",
+    oracle=r"""
+    WITH per AS (
+      SELECT lang, source, n_chars,
+             len(string_split_regex(trim(text), '\s+')) AS n_toks,
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+      FROM documents
+    ), tot AS (SELECT COUNT(*) AS total_docs FROM per)
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           COUNT(DISTINCT source) AS n_sources,
+           COUNT(DISTINCT norm) AS n_unique_texts,
+           CAST(ROUND(1000000 * CAST(COUNT(*) AS DOUBLE)
+                      / (SELECT total_docs FROM tot), 0) AS BIGINT)
+             AS doc_share_ppm
+    FROM per GROUP BY lang
+    """,
+)
+def j7c_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card statistics (J7 extension — the per-language summary
+    a training-data release ships: volume, token mass, source breadth,
+    dedup headroom, mix share).  One scan computes every per-row
+    feature (token count, normalized-text digest); one aggregate per
+    lang; the corpus total for the mix share is a 1-row broadcast, not
+    a second scan of the data (the per-lang counts re-aggregate to it).
+    Distinct-source/text counts are map-side partial-distinct at scale."""
+    from ..functions import token_count
+    from ..operators.dedup import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.select(
+        "lang",
+        "source",
+        "n_chars",
+        token_count("text").alias("n_toks"),
+        F.sha2(normalize_text("text"), 256).alias("norm"),
+    )
+    by_lang = per.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("n_tokens"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("norm").alias("n_unique_texts"),
+    )
+    total = by_lang.agg(F.sum("n_docs").cast("double").alias("total_docs"))
+    return by_lang.crossJoin(F.broadcast(total)).select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        "n_chars",
+        "n_sources",
+        "n_unique_texts",
+        F.round(F.lit(1_000_000) * F.col("n_docs") / F.col("total_docs"), 0)
+        .cast("long")
+        .alias("doc_share_ppm"),
+    )

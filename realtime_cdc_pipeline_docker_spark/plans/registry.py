@@ -47,8 +47,11 @@ def register(name: str, oracle: str | None = None):
 # then the round-3 singles (oracle-bearing first).  Left out (all with
 # ≥1 green row, re-checked every round by the driver-sim pytest gate):
 # the multi-green core and the 49 queries that went green in round 4.
-# FROZEN at round-5 end: any query registered after this list must be
-# front-loaded in the round-6 rotation.
+# FROZEN mid-round-5 (the driver window fills from the list below):
+# queries registered AFTER the freeze — b18_unpivot_metrics,
+# e2k_rank_distribution, e12_sequence_match, k4_asof_next_order,
+# j8c_fuzzy_decontaminate, j9e_vocab_coverage, j7c_dataset_card —
+# must be front-loaded in the round-6 rotation, oracle-bearing first.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # (a) never driver-checked — oracle-bearing late round-4 additions
     "b17_binaryfile_source", "h10_stream_scd2_history",

@@ -2368,3 +2368,70 @@ def g7_uri_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
         uri_tld("url").alias("tld"),
         uri_path_depth("url").alias("path_depth"),
     )
+
+
+@register(
+    "b18_unpivot_metrics",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+           CAST(ROUND(l_quantity * 100, 0) AS BIGINT) AS value_c2 FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+           CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount',
+           CAST(ROUND(l_discount * 100, 0) AS BIGINT) FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_tax',
+           CAST(ROUND(l_tax * 100, 0) AS BIGINT) FROM lineitem
+    """,
+)
+def b18_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT / melt (§2.B extension — the wide→long reshape feeding
+    any metric-per-row store): four lineitem measures unpivoted to
+    (key, metric, value) rows via Spark's native ``unpivot``, values in
+    exact integer cents.  The oracle states the portable UNION ALL
+    form.  Plan: ONE scan with an Expand node (4 projections per input
+    row inside codegen) — not four scans like the SQL spelling
+    suggests; no shuffle at any scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        *[fixed_units(c).alias(c) for c in
+          ("l_quantity", "l_extendedprice", "l_discount", "l_tax")],
+    ).unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="metric",
+        valueColumnName="value_c2",
+    )
+
+
+@register(
+    "e2k_rank_distribution",
+    oracle="""
+    SELECT c_nationkey AS nation, c_custkey,
+           percent_rank() OVER w AS pr,
+           cume_dist() OVER w AS cd,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def e2k_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-distribution window trio (§2.E extension): percent_rank /
+    cume_dist / ntile over account balance per nation.  Both ratios
+    are integer-over-integer IEEE divisions ((rank-1)/(n-1), ≤rank/n) —
+    engine-exact.  One hash exchange on nation shared by all three
+    functions; the unique (balance, custkey) sort key makes every rank
+    deterministic."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return cust.select(
+        F.col("c_nationkey").alias("nation"),
+        "c_custkey",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )

@@ -169,3 +169,59 @@ def k3_temporal_dimension_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_shipdate",
         F.col("status").alias("status_at_ship"),
     )
+
+
+@register(
+    "k4_asof_next_order",
+    oracle="""
+    WITH rd AS (
+      SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice
+      FROM orders
+      QUALIFY row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                                 ORDER BY o_orderkey DESC) = 1
+    ), cand AS (
+      SELECT e.event_id, rd.o_orderkey, rd.o_totalprice
+      FROM events e JOIN rd
+        ON rd.o_custkey = e.user_id
+       AND rd.o_orderdate >= e.ts
+       AND rd.o_orderdate <= e.ts + INTERVAL 30 DAY
+      QUALIFY row_number() OVER (PARTITION BY e.event_id
+                                 ORDER BY rd.o_orderdate) = 1
+    )
+    SELECT e.event_id, e.user_id,
+           c.o_orderkey AS next_orderkey,
+           c.o_totalprice AS next_totalprice
+    FROM events e LEFT JOIN cand c ON c.event_id = e.event_id
+    """,
+)
+def k4_asof_next_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join WITH TOLERANCE (K4 — the attribution lookup:
+    the user's NEXT order at or after each event, but only within 30
+    days, else NULL).  Same union-markers + single keyed window engine
+    as k1 run in direction="forward"; the tolerance is a residual
+    filter on the matched pair, not a join explosion.  The oracle is
+    the explicit candidates + row_number formulation — a different
+    algorithm, same relation.  Right side tie-broken per (key, ts) to
+    the max orderkey, exactly as k1."""
+    events = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    out = asof_join(
+        events,
+        orders,
+        left_on="user_id",
+        right_on="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        right_cols=["o_orderkey", "o_totalprice"],
+        direction="forward",
+        tolerance_seconds=30 * 86400,
+        tiebreak="o_orderkey",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("o_orderkey").alias("next_orderkey"),
+        F.col("o_totalprice").alias("next_totalprice"),
+    )

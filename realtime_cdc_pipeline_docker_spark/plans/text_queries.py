@@ -6,7 +6,7 @@ the identical deterministic function.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -949,3 +949,112 @@ def j9d_unigram_lm_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text import unigram_nll
 
     return unigram_nll(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "j8c_fuzzy_decontaminate",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+      FROM documents
+    ), grams AS (
+      SELECT DISTINCT doc_id, array_to_string(list_slice(t, i, i + 4), ' ') AS gram
+      FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 4)) AS i
+            FROM toks WHERE len(t) >= 5)
+    ), bench AS (
+      SELECT doc_id AS bench_id, gram FROM grams WHERE doc_id % 101 = 0
+    ), sizes AS (
+      SELECT bench_id, COUNT(*) AS bench_grams FROM bench GROUP BY bench_id
+    ), shared AS (
+      SELECT g.doc_id, b.bench_id, COUNT(*) AS n_shared_grams
+      FROM grams g JOIN bench b ON g.gram = b.gram AND g.doc_id <> b.bench_id
+      GROUP BY g.doc_id, b.bench_id
+    )
+    SELECT s.doc_id, s.bench_id, s.n_shared_grams, z.bench_grams,
+           CAST(ROUND(1000000 * CAST(s.n_shared_grams AS DOUBLE)
+                      / z.bench_grams, 0) AS BIGINT) AS overlap_ppm
+    FROM shared s JOIN sizes z ON s.bench_id = z.bench_id
+    WHERE CAST(ROUND(1000000 * CAST(s.n_shared_grams AS DOUBLE)
+                     / z.bench_grams, 0) AS BIGINT) >= 300000
+    """,
+)
+def j8c_fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUZZY decontamination (J8 extension — the overlap-RATIO rule of
+    real eval-hygiene pipelines): a corpus doc is contaminated by a
+    benchmark doc when ≥ 30 % of the benchmark's distinct 5-gram set
+    appears in it — partial/edited copies that exact any-gram matching
+    over-flags and digest matching misses.  Spark joins on 8-byte
+    xxhash64 gram keys against the BROADCAST benchmark set (corpus
+    subtree exchange-free, like j8); the oracle joins on gram text.
+    See operators/dedup.py:fuzzy_decontaminate."""
+    from ..operators.dedup import fuzzy_decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 101 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    return fuzzy_decontaminate(docs, bench)
+
+
+@register(
+    "j9e_vocab_coverage",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+      FROM documents
+    ), vocab AS (
+      SELECT w FROM (
+        SELECT w, COUNT(*) AS c FROM toks GROUP BY w
+        QUALIFY row_number() OVER (ORDER BY c DESC, w) <= 50
+      )
+    )
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           CAST(SUM(CASE WHEN v.w IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_vocab_tokens,
+           CAST(ROUND(1000000 * CAST(SUM(CASE WHEN v.w IS NOT NULL THEN 1
+                                             ELSE 0 END) AS DOUBLE)
+                      / COUNT(*), 0) AS BIGINT) AS coverage_ppm
+    FROM toks t LEFT JOIN vocab v ON t.w = v.w
+    GROUP BY doc_id
+    """,
+)
+def j9e_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage (J9 extension — the OOV-rate audit
+    run before committing a vocab): coverage of each document by the
+    frozen top-50 corpus vocabulary, in exact ppm.  One token explode
+    feeds both the vocab aggregate (top-k by (count desc, token) —
+    WindowGroupLimit) and, via a BROADCAST left join of the tiny vocab,
+    the per-doc coverage aggregate: single corpus scan, one full-size
+    exchange."""
+    from ..functions import ws_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(ws_tokens(F.lower(F.trim(F.col("text"))))).alias("w")
+    )
+    w_rank = Window.orderBy(F.col("c").desc(), F.col("w").asc())
+    vocab = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") <= 50)
+        .select("w", F.lit(True).alias("__in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("__in_vocab"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_vocab_tokens"),
+            F.round(
+                F.lit(1_000_000)
+                * F.sum(F.when(F.col("__in_vocab"), 1).otherwise(0))
+                / F.count(F.lit(1)),
+                0,
+            )
+            .cast("long")
+            .alias("coverage_ppm"),
+        )
+    )
