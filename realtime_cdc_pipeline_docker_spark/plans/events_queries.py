@@ -600,23 +600,23 @@ def e11_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention triangle (§2.E extension — the ClickHouse
     ``retention()`` report shape): users cohorted by first-active ISO
     week; each cell (cohort_week, week_offset) counts users active
-    that many weeks later.  Spark derives the cohort with a MIN window
-    over user_id instead of a groupBy+self-join — the (user, week)
-    dedup and the window hash on the SAME key, so the pre-aggregation
-    is one exchange, and (user, week) distinct rows make the final
-    cell count a plain COUNT(*).  At 100 TB the (user, week) dedup is
-    the data-reducing step and happens FIRST, map-side combinable."""
+    that many weeks later.  Spark fuses the (user, week) dedup AND the
+    cohort minimum into ONE user-keyed aggregate (collect_set of the
+    user's active weeks — bounded by the calendar, not the event
+    count, so the set stays tiny at any data scale — with
+    array_min as the cohort), then explodes the set to cells: two
+    exchanges total (user_id; then the |cohorts × offsets| cell
+    aggregate) where the naive distinct + window + groupBy chain pays
+    three.  The map-side partial collect_set is also the
+    data-reducing step: the shuffle carries one row per user."""
     events = load_table(spark, sf_dir, "events")
-    ue = events.select(
-        "user_id", F.date_trunc("week", F.col("ts")).alias("w")
-    ).distinct()
-    w_user = Window.partitionBy("user_id")
-    cells = ue.select(
-        "user_id",
-        "w",
-        F.min("w").over(w_user).alias("cw"),
+    per_user = (
+        events.select("user_id", F.date_trunc("week", F.col("ts")).alias("w"))
+        .groupBy("user_id")
+        .agg(F.collect_set("w").alias("weeks"))
+        .select(F.array_min("weeks").alias("cw"), F.explode("weeks").alias("w"))
     )
-    return cells.groupBy(
+    return per_user.groupBy(
         F.to_date("cw").alias("cohort_week"),
         F.expr("datediff(w, cw) div 7").cast("long").alias("week_offset"),
     ).agg(F.count(F.lit(1)).alias("n_active"))
