@@ -141,6 +141,11 @@ HEADLINE = [
     "j8c_fuzzy_decontaminate",
     "j9e_vocab_coverage",
     "j7c_dataset_card",
+    "j1c_chunk_level_dedup",
+    # j3k_ivfpq_adc_topk is NOT a headline row for the same reason as
+    # j3c/j3e: each run re-trains the k-means index (offline cost by
+    # contract), which would bench index BUILD as if it were query
+    # cost.  Its correctness/recall lives in driver-sim + tests.
 ]
 
 

@@ -911,3 +911,83 @@ def fuzzy_decontaminate(
             "overlap_ppm",
         )
     )
+
+
+def chunk_level_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 3,
+    boundary_mod: int = 8,
+) -> DataFrame:
+    """Sub-document dedup via CONTENT-DEFINED CHUNKING (the
+    Rabin-boundary idea of dedup storage systems applied at token
+    granularity): a chunk boundary falls after token ``i`` whenever the
+    hash of the trailing ``window``-token gram ≡ 0 (mod
+    ``boundary_mod``), so boundaries are a pure function of LOCAL
+    content — insert a paragraph into a document and every chunk
+    outside it keeps its exact identity, which fixed-size chunking
+    destroys (the whole point: shared passages dedup across documents
+    that are globally different).
+
+    Returns per-chunk occurrence stats:
+    ``(chunk_digest, n_occurrences, n_docs, first_doc_id)`` — the
+    chunk-level dup map a passage-dedup pass consumes.  Expected chunk
+    length is ``boundary_mod`` tokens.
+
+    The boundary hash is the engine-portable md5 construction
+    (``portable_token_hash`` family), so the DuckDB oracle applies the
+    identical rule.  Plan: one position explode → boundary flags →
+    per-doc running-sum window (ONE hash shuffle on the doc id) →
+    chunk reassembly via array_sort(collect_list) in the same
+    partitioning → digest aggregate.  The shuffle carries (id, pos,
+    token) triples; at 100 TB the reassembly aggregate is map-side
+    combinable and the digest groupBy shuffles 16-byte keys."""
+    from pyspark.sql import Window as W
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(ws_tokens(normalize_text(text_col))).alias("pos", "tok"),
+    )
+    gram = F.concat_ws(
+        " ", *[F.lag("tok", window - 1 - j).over(
+            W.partitionBy("id").orderBy("pos")
+        ) for j in range(window)]
+    )
+    h = F.conv(F.substring(F.md5(gram), 1, 15), 16, 10).cast("long")
+    flagged = toks.select(
+        "id",
+        "pos",
+        "tok",
+        F.when(
+            (F.col("pos") >= window - 1) & (F.pmod(h, F.lit(boundary_mod)) == 0), 1
+        )
+        .otherwise(0)
+        .alias("b"),
+    )
+    w_run = (
+        W.partitionBy("id").orderBy("pos").rowsBetween(W.unboundedPreceding, -1)
+    )
+    chunked = flagged.select(
+        "id",
+        "pos",
+        "tok",
+        F.coalesce(F.sum("b").over(w_run), F.lit(0)).alias("chunk_id"),
+    )
+    chunks = chunked.groupBy("id", "chunk_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("chunk_text")
+    )
+    return (
+        chunks.groupBy(F.md5("chunk_text").alias("chunk_digest"))
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("id").alias("n_docs"),
+            F.min("id").alias("first_doc_id"),
+        )
+    )

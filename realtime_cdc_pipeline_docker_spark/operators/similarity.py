@@ -862,3 +862,177 @@ def seed_codebook(
     a Lloyd refinement pass would slot in here unchanged)."""
     rows = df.orderBy(id_col).select(vec_col).limit(k).collect()
     return [list(r[0]) for r in rows]
+
+
+def pq_codes(
+    df: DataFrame,
+    codebook: list[list[float]],
+    m: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-vector PQ code ARRAY (length ``m``, code of each subspace in
+    order) — ``pq_assign`` pivoted to the at-rest layout an IVF-PQ
+    index stores next to the cluster id.  One shuffle at INDEX BUILD
+    time (offline); query-time consumers read the array."""
+    return (
+        pq_assign(df, codebook, m=m, vec_col=vec_col, id_col=id_col)
+        .groupBy(id_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("subspace", "code"))),
+                lambda s: s["code"],
+            ).alias("codes")
+        )
+    )
+
+
+def ivfpq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 6,
+    assign: int = 2,
+    m: int = 8,
+    pq_k: int = 16,
+    shortlist: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    centroids: list[list[float]] | None = None,
+    codebook: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF-PQ with asymmetric distance computation (Jégou et al.,
+    PAMI'11) — THE 100 TB ANN shape: probe ``nprobe`` inverted lists
+    (IVF), rank candidates by table-lookup ADC over their stored PQ
+    codes (never touching candidate vectors), exact-rerank only the
+    ``shortlist`` survivors.  At scale the index stores (cluster,
+    codes[m]) per vector — m bytes of code instead of dim·4 of floats —
+    so the probe scan reads ~32× less and the full-precision vectors
+    are fetched for shortlist·|queries| rows only.
+
+    Engine decomposition, all existing pieces:
+    - index side: spherical-k-means cluster assignment with boundary
+      replication (= ``ivf_ann_topk``) + ``pq_codes`` over UNIT
+      vectors (unit-sphere L2 is monotone in cosine, so ADC ranks in
+      cosine order);
+    - query side: each query precomputes its m×pq_k LUT — built by a
+      (mi, c) slot explode + collect (tiny: |queries|·m·pq_k rows; a
+      single flat literal expression would re-blow the janino 64 KB
+      limit that ``pq_assign`` documents);
+    - ADC = Σ_m lut[mi·pq_k + codes[mi]] — an 8-step fold per
+      candidate, no vector math;
+    - exact cosine rerank of the shortlist, deterministic ties.
+
+    Returns (query_id, neighbor_id, sim, rnk≤k).  Recall is governed
+    by (nprobe, assign) × (pq_k, shortlist); defaults clear the ≥0.8
+    recall@5 bar on the adversarial random fixture
+    (tests/test_similarity.py)."""
+    from ..functions import vec_cosine, vec_normalize
+
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            corpus, n_centroids, vec_col=vec_col, id_col=id_col
+        )
+    normed = corpus.select(
+        F.col(id_col), F.col(vec_col), vec_normalize(vec_col).alias("__nv")
+    )
+    if codebook is None:
+        codebook = seed_codebook(
+            normed.select(id_col, F.col("__nv").alias(vec_col)), k=pq_k
+        )
+    dim = len(codebook[0])
+    dsub = dim // m
+
+    # ---- index at rest: (id, cluster*, codes[m]) + full vector ----
+    codes = pq_codes(
+        normed.select(id_col, F.col("__nv").alias(vec_col)), codebook, m=m
+    )
+    indexed = (
+        normed.withColumn(
+            "__cluster",
+            F.explode(F.slice(centroid_ranks_expr("__nv", centroids), 1, assign)),
+        )
+        .join(codes, id_col)
+        .select(id_col, vec_col, "__cluster", "codes")
+    )
+
+    # ---- query-side LUT: slot-exploded, collected back to an array ----
+    flat_cb = F.array(
+        *[F.lit(float(x)) for c in range(pq_k) for x in codebook[c]]
+    )
+    q0 = queries.select(query_id_col, vec_normalize(vec_col).alias("__qv"))
+    slots = q0.select(
+        query_id_col,
+        "__qv",
+        F.explode(F.sequence(F.lit(0), F.lit(m * pq_k - 1))).alias("slot"),
+    ).select(
+        query_id_col,
+        "slot",
+        (F.col("slot") / pq_k).cast("int").alias("mi"),
+        F.pmod(F.col("slot"), F.lit(pq_k)).cast("int").alias("c"),
+        "__qv",
+    )
+    terms = None
+    for i in range(dsub):
+        qi = (F.col("mi") * dsub + (i + 1)).cast("int")
+        ci = (F.col("c") * dim + F.col("mi") * dsub + (i + 1)).cast("int")
+        d = F.element_at(F.col("__qv"), qi).cast("double") - F.element_at(flat_cb, ci)
+        t = d * d
+        terms = t if terms is None else terms + t
+    luts = (
+        slots.select(query_id_col, "slot", terms.alias("d2"))
+        .groupBy(query_id_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("slot", "d2"))),
+                lambda s: s["d2"],
+            ).alias("__lut")
+        )
+    )
+    probes = (
+        q0.withColumn(
+            "__cluster",
+            F.explode(F.slice(centroid_ranks_expr("__qv", centroids), 1, nprobe)),
+        )
+        .join(luts, query_id_col)
+        .select(query_id_col, "__qv", "__cluster", "__lut")
+    )
+
+    # ---- probe: ADC rank, shortlist, exact rerank ----
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, mi: acc
+        + F.element_at(
+            F.col("__lut"),
+            (mi * pq_k + F.element_at(F.col("codes"), mi + F.lit(1)) + 1).cast("int"),
+        ),
+    )
+    cands = (
+        indexed.join(F.broadcast(probes), "__cluster")
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(
+            query_id_col,
+            F.col(id_col).alias("neighbor_id"),
+            "__qv",
+            vec_col,
+            adc.alias("__adc"),
+        )
+        .distinct()
+    )
+    w_short = Window.partitionBy(query_id_col).orderBy(F.col("__adc"), "neighbor_id")
+    short = cands.withColumn("__srnk", F.row_number().over(w_short)).filter(
+        F.col("__srnk") <= shortlist
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("sim").desc(), "neighbor_id")
+    return (
+        short.select(
+            query_id_col,
+            "neighbor_id",
+            vec_cosine("__qv", vec_col).alias("sim"),
+        )
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+    )

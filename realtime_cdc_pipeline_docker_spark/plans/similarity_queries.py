@@ -574,3 +574,22 @@ def j2h_dedup_eval_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pred = minhash_lsh_pairs(corpus).filter(F.col("id_b") >= offset)
     return pair_set_eval(truth, pred)
+
+
+@register("j3k_ivfpq_adc_topk", oracle=None)
+def j3k_ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with asymmetric distance computation (§2.J3 — THE 100 TB
+    ANN composition: probe nprobe inverted lists, rank candidates by
+    table-lookup ADC over m-byte PQ codes without touching candidate
+    vectors, exact-rerank only the shortlist).  Rows-only by nature
+    (k-means + PQ approximation); recall@5 vs brute force and the
+    planted-duplicate rank-1 guarantee are pinned in
+    tests/test_similarity.py.  See
+    operators/similarity.py:ivfpq_adc_topk."""
+    from ..operators.similarity import ivfpq_adc_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivfpq_adc_topk(emb, queries, k=_TOP_K)

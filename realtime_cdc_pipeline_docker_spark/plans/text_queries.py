@@ -1058,3 +1058,53 @@ def j9e_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("coverage_ppm"),
         )
     )
+
+
+@register(
+    "j1c_chunk_level_dedup",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, generate_subscripts(t, 1) AS i, unnest(t) AS tok
+      FROM (SELECT doc_id,
+                   string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                                ' ') AS t
+            FROM documents)
+    ), flagged AS (
+      SELECT doc_id, i, tok,
+             CASE WHEN i >= 3 AND
+                  CAST('0x' || substr(md5(
+                    lag(tok, 2) OVER w || ' ' || lag(tok, 1) OVER w || ' ' || tok
+                  ), 1, 15) AS BIGINT) % 8 = 0
+             THEN 1 ELSE 0 END AS b
+      FROM toks
+      WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+    ), chunked AS (
+      SELECT doc_id, i, tok,
+             COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY i
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0) AS chunk_id
+      FROM flagged
+    ), chunks AS (
+      SELECT doc_id, chunk_id,
+             string_agg(tok, ' ' ORDER BY i) AS chunk_text
+      FROM chunked GROUP BY doc_id, chunk_id
+    )
+    SELECT md5(chunk_text) AS chunk_digest,
+           COUNT(*) AS n_occurrences,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           MIN(doc_id) AS first_doc_id
+    FROM chunks GROUP BY 1
+    """,
+)
+def j1c_chunk_level_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document dedup via content-defined chunking (J1 extension —
+    the Rabin-boundary idea at token granularity): chunk boundaries are
+    a pure function of local content (trailing-3-gram hash ≡ 0 mod 8),
+    so shared passages keep their identity across globally-different
+    documents — the passage-level dup map fixed-size chunking cannot
+    produce.  Boundary hash is the engine-portable md5 construction;
+    the oracle applies the identical rule over gram text.  See
+    operators/dedup.py:chunk_level_dedup."""
+    from ..operators.dedup import chunk_level_dedup
+
+    return chunk_level_dedup(load_table(spark, sf_dir, "documents"))

@@ -469,3 +469,43 @@ def test_j2h_planted_twin_recall_is_total(spark, sf_dir):
     assert row["recall_ppm"] == 1_000_000
     assert row["n_hit"] == row["n_true"] > 0
     assert row["precision_ppm"] >= 800_000  # organic near-dups stay bounded
+
+
+def test_chunk_level_dedup_shared_passage_and_insertion_invariance(spark):
+    """The content-defined property: a passage shared by two globally
+    different documents produces a chunk with n_docs = 2, and
+    PREPENDING text to a document leaves every chunk after the first
+    boundary intact (fixed-size chunking would shift them all)."""
+    from realtime_cdc_pipeline_docker_spark.operators.dedup import chunk_level_dedup
+
+    passage = (
+        "the quarterly revenue figures exceeded expectations across all "
+        "regions with particularly strong growth in the commercial segment "
+        "driven by renewed enterprise demand and favorable currency moves"
+    )
+    rows = [
+        (1, "intro about weather patterns " + passage + " closing remarks here"),
+        (2, "totally different opening sentence material " + passage),
+        (3, "unrelated document about maritime navigation and tides"),
+    ]
+    out = chunk_level_dedup(
+        spark.createDataFrame(rows, "doc_id long, text string")
+    )
+    shared = out.filter("n_docs >= 2").collect()
+    assert shared, "shared passage produced no cross-doc chunk"
+    assert any(r["n_occurrences"] >= 2 for r in shared)
+
+    # insertion invariance: doc 1 vs doc 1 with a prepended paragraph
+    # share most chunk digests (all after the first boundary).
+    base = chunk_level_dedup(
+        spark.createDataFrame([rows[0]], "doc_id long, text string")
+    ).select("chunk_digest").collect()
+    shifted = chunk_level_dedup(
+        spark.createDataFrame(
+            [(9, "a freshly inserted preamble paragraph goes here now " + rows[0][1])],
+            "doc_id long, text string",
+        )
+    ).select("chunk_digest").collect()
+    b = {r[0] for r in base}
+    s = {r[0] for r in shifted}
+    assert len(b & s) >= len(b) - 2  # only the chunk spanning the head changes

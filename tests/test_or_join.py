@@ -122,3 +122,39 @@ def test_null_skew_left_join_null_branch_avoids_the_join(spark, sf_dir):
     null_branch = plan.split("Union")[-1].split(":- ")[-1]
     tail = null_branch.split("+- ")[-1] if "+- " in null_branch else null_branch
     assert "Join" not in tail and "Exchange" not in tail
+
+
+def test_null_skew_left_join_property_random_frames(spark):
+    """Hypothesis-style sweep without hypothesis overhead: several
+    seeded random fact/dim shapes (all-null keys, no-null keys, keys
+    with no dim match, duplicate dim keys absent by construction) —
+    the decomposition must equal the plain left join exactly."""
+    import random
+
+    from realtime_cdc_pipeline_docker_spark.operators.joins import null_skew_left_join
+
+    for seed in (1, 7, 42):
+        rng = random.Random(seed)
+        fact = [
+            (i, rng.choice([None, rng.randint(0, 12)]))
+            for i in range(200)
+        ]
+        dim = [(k, f"d{k}") for k in range(0, 10)]  # keys 10-12 unmatched
+        f = spark.createDataFrame(fact, "fid long, k long")
+        d = spark.createDataFrame(dim, "dk long, name string")
+        got = sorted(
+            map(tuple, null_skew_left_join(f, d, "k", "dk").select(
+                "fid", "k", "dk", "name").collect())
+        )
+        want = sorted(
+            map(tuple, f.join(d, f["k"] == d["dk"], "left").select(
+                "fid", "k", "dk", "name").collect())
+        )
+        assert got == want
+    # degenerate edges: every key null / no key null
+    all_null = spark.createDataFrame([(i, None) for i in range(5)], "fid long, k long")
+    d = spark.createDataFrame([(1, "x")], "dk long, name string")
+    assert null_skew_left_join(all_null, d, "k", "dk").count() == 5
+    no_null = spark.createDataFrame([(i, 1) for i in range(5)], "fid long, k long")
+    out = null_skew_left_join(no_null, d, "k", "dk")
+    assert out.filter(F.col("name") == "x").count() == 5

@@ -429,3 +429,59 @@ def test_seed_codebook_is_bounded_and_deterministic(spark, sf_dir):
     cb1 = seed_codebook(emb, k=4)
     cb2 = seed_codebook(emb, k=4)
     assert cb1 == cb2 and len(cb1) == 4 and len(cb1[0]) == 64
+
+
+def test_ivfpq_finds_planted_duplicate_always(spark, sf_dir):
+    """A positively-scaled copy normalizes to the SAME unit vector →
+    same cluster, same PQ codes, ADC distance equal to the original's
+    and exact rerank puts it at rank 1 deterministically."""
+    from realtime_cdc_pipeline_docker_spark.operators.similarity import ivfpq_adc_topk
+
+    corpus = _corpus_with_planted(spark, sf_dir)
+    queries = corpus.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivfpq_adc_topk(corpus, queries, k=3)
+    rank1 = {r["query_id"]: r["neighbor_id"] for r in out.filter("rnk = 1").collect()}
+    assert rank1 == {q: q + 1000000 for q in range(5)}
+
+
+def test_ivfpq_recall_meets_bar_on_fixture(spark, sf_dir):
+    """The full IVF-PQ-ADC-rerank pipeline must clear the same
+    recall@5 >= 0.8 bar as the LSH and plain-IVF paths on the
+    adversarial random fixture."""
+    from realtime_cdc_pipeline_docker_spark.operators.similarity import ivfpq_adc_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivfpq_adc_topk(emb, queries, k=5).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, recall
+
+
+def test_pq_codes_array_matches_assign_rows(spark, sf_dir):
+    from realtime_cdc_pipeline_docker_spark.catalog import load_table as lt
+    from realtime_cdc_pipeline_docker_spark.operators.similarity import (
+        pq_assign,
+        pq_codes,
+        seed_codebook,
+    )
+
+    emb = lt(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50)
+    cb = seed_codebook(emb, k=4)
+    rows = {
+        (r["vec_id"], r["subspace"]): r["code"]
+        for r in pq_assign(emb, cb, m=8).collect()
+    }
+    arrs = {r["vec_id"]: list(r["codes"]) for r in pq_codes(emb, cb, m=8).collect()}
+    for (vid, sub), code in rows.items():
+        assert arrs[vid][sub] == code
