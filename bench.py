@@ -142,6 +142,7 @@ HEADLINE = [
     "j9e_vocab_coverage",
     "j7c_dataset_card",
     "j1c_chunk_level_dedup",
+    "m4_multi_table_mart",
     # j3k_ivfpq_adc_topk is NOT a headline row for the same reason as
     # j3c/j3e: each run re-trains the k-means index (offline cost by
     # contract), which would bench index BUILD as if it were query

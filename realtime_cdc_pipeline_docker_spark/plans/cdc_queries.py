@@ -554,3 +554,84 @@ def e9_coalescing_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         version_col="ts_ms",
         value_cols=("status", "total_amount", "customer_id"),
     )
+
+
+@register(
+    "m4_multi_table_mart",
+    oracle="""
+    WITH li AS (
+      SELECT l_orderkey, l_linenumber, l_partkey, l_quantity FROM lineitem
+      QUALIFY row_number() OVER (PARTITION BY l_orderkey, l_linenumber
+                                 ORDER BY l_partkey DESC, l_quantity DESC) = 1
+    )
+    SELECT c.c_mktsegment AS segment, p.p_type AS category,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(ROUND(l.l_quantity * 100, 0) AS BIGINT)
+                    * CAST(ROUND(p.p_retailprice * 100, 0) AS BIGINT))
+                AS BIGINT) AS gross_c4
+    FROM li l
+    JOIN orders o    ON l.l_orderkey = o.o_orderkey  AND o.o_orderkey % 10 <> 0
+    JOIN customer c  ON o.o_custkey  = c.c_custkey   AND c.c_custkey  % 10 <> 0
+    JOIN part p      ON l.l_partkey  = p.p_partkey   AND p.p_partkey  % 10 <> 0
+    WHERE l.l_orderkey % 10 <> 0
+    GROUP BY 1, 2
+    """,
+)
+def m4_multi_table_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's WHOLE 4-table CDC surface as one relation
+    (register-postgres.json:11-12 captures customers/products/orders/
+    order_items; the reference then joins the marts in ClickHouse at
+    query time): decode all four Debezium envelope streams through the
+    SAME generic two-phase decoder (pluggable payload schemas,
+    cdc_processor.py:50-55), collapse each to latest state, and join
+    into the revenue-by-segment-and-category mart.
+
+    The oracle never sees an envelope: it states the report over the
+    FIXTURE tables with each stream's lifecycle applied analytically
+    (INSERT all → UPDATE every 3rd key re-images → DELETE every 10th
+    key, so final state = rows with key % 10 ≠ 0; order_items' DELETE
+    keys on order_id).  The fixture's (order_id, line_no) is NOT
+    unique, so those duplicate keys carry EQUAL versions into the
+    collapse — the deterministic tiebreak_cols contract of
+    ``latest_state`` decides the winner, and the oracle states the
+    identical max-(product_id, quantity) rule; without it the survivor
+    would be partition-order-dependent.  Parity therefore proves
+    decode → collapse (incl. tie policy) → join end-to-end for every
+    table at once.  Plan: four decode
+    subtrees (scan-side, no shuffle), one collapse window each, then
+    broadcast dims into the fact join — the same shape the 100 TB mart
+    runs nightly."""
+    from ..functions import fixed_units
+    from ..operators.collapse import latest_state
+    from ..sources.cdc import CDC_TABLES, decode_envelope, table_envelope
+
+    tiebreak = {"order_items": ("product_id", "quantity")}
+    state = {}
+    for name, (schema, _fixture, _sel, key_cols) in CDC_TABLES.items():
+        decoded = decode_envelope(table_envelope(spark, sf_dir, name), schema)
+        state[name] = latest_state(
+            decoded, key_cols=key_cols, tiebreak_cols=tiebreak.get(name, ())
+        )
+
+    items = state["order_items"].select(
+        "order_id", "product_id", fixed_units("quantity").alias("qty_c2")
+    )
+    orders = state["orders"].select(F.col("id").alias("order_id"), "customer_id")
+    custs = state["customers"].select(
+        F.col("id").alias("customer_id"), F.col("segment")
+    )
+    prods = state["products"].select(
+        F.col("id").alias("product_id"),
+        "category",
+        fixed_units("price").alias("price_c2"),
+    )
+    return (
+        items.join(orders, "order_id")
+        .join(F.broadcast(custs), "customer_id")
+        .join(F.broadcast(prods), "product_id")
+        .groupBy("segment", "category")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("qty_c2") * F.col("price_c2")).cast("long").alias("gross_c4"),
+        )
+    )

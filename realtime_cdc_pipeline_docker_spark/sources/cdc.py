@@ -214,6 +214,18 @@ def decoded_orders_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def table_envelope(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """``synth_table_envelope`` as a stored log, materialized once per
+    process per (sf_dir, table) — same contract as ``orders_envelope``
+    for the reference's other three captured tables."""
+    return _decoded_spill(
+        spark,
+        sf_dir,
+        f"env_{table}",
+        lambda: synth_table_envelope(spark, sf_dir, table),
+    )
+
+
 _JSON_INPUT_SPILL: dict[str, str] = {}
 
 
