@@ -563,3 +563,88 @@ def unigram_nll(
             .alias("mean_nll_fp"),
         )
     )
+
+
+def heavy_hitter_tokens(
+    df: DataFrame,
+    text_col: str = "text",
+    threshold_denom: int = 1000,
+    counters: int = 1024,
+) -> DataFrame:
+    """EXACT corpus heavy hitters: every token whose corpus frequency
+    exceeds ``1/threshold_denom`` of all tokens, with its exact count.
+
+    The naive plan — explode every token and ``groupBy(tok)`` — shuffles
+    the full token stream and builds a hash table over the entire
+    vocabulary, which at 100 TB means the shuffle IS the corpus.  This
+    operator uses the classic two-pass sketch-then-verify shape instead:
+
+    Pass 1 (candidates): a per-partition Misra-Gries summary with
+      ``counters`` slots runs inside one arrow-batched ``mapInPandas``
+      (each Arrow batch is folded in via exact ``value_counts`` and the
+      mergeable-summaries reduction of Agarwal/Cormode et al.: pointwise
+      sum, subtract the (k+1)-th largest, prune).  MG guarantees any
+      token with partition count > partition_total/(counters+1) survives,
+      and by pigeonhole any GLOBAL heavy hitter above total/threshold_denom
+      is a partition heavy hitter somewhere (requires
+      ``counters + 1 >= threshold_denom``, enforced) — so the union of
+      partition candidates is a SUPERSET of the true answer, at most
+      ``counters`` rows per partition regardless of vocabulary size.
+
+    Pass 2 (verify): the token stream is re-scanned once and semi-joined
+      against the BROADCAST candidate set (no shuffle of the stream),
+      then only surviving tokens — bounded by counters × partitions, in
+      practice ≈ threshold_denom rows — are exactly counted.  The result
+      is exact, not approximate: the sketch only prunes, never answers.
+
+    Two scans of the corpus by design (the second is the price of
+    exactness; both are full-rate parquet scans with no wide exchange).
+    """
+    if counters + 1 < threshold_denom:
+        raise ValueError(
+            f"counters+1 ({counters + 1}) must be >= threshold_denom "
+            f"({threshold_denom}) for the candidate superset guarantee"
+        )
+    toks_expr = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    toks = df.select(F.explode(toks_expr).alias("tok"))
+    total_df = df.select(
+        F.sum(F.size(toks_expr)).cast("long").alias("total_tokens")
+    )
+
+    k = counters
+
+    def mg_partition(batches):
+        import pandas as pd
+
+        counts: dict[str, int] = {}
+        for pdf in batches:
+            for t, c in pdf["tok"].value_counts().items():
+                counts[t] = counts.get(t, 0) + int(c)
+            if len(counts) > k:
+                sub = sorted(counts.values(), reverse=True)[k]
+                for t in list(counts):
+                    nc = counts[t] - sub
+                    if nc > 0:
+                        counts[t] = nc
+                    else:
+                        del counts[t]
+        yield pd.DataFrame({"tok": list(counts)})
+
+    candidates = toks.mapInPandas(mg_partition, "tok string").distinct()
+    exact = (
+        toks.join(F.broadcast(candidates), "tok")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(total_df))
+        .filter(F.col("n") * F.lit(threshold_denom) > F.col("total_tokens"))
+        .select(
+            "tok",
+            "n",
+            "total_tokens",
+            F.expr(
+                "CAST(n * CAST(1000000 AS BIGINT) div total_tokens AS BIGINT)"
+            ).alias("freq_ppm"),
+        )
+    )

@@ -686,3 +686,135 @@ def e12_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("err_ts").isNull() | (F.col("err_ts") >= F.col("p_ts")))
         ).alias("matched_clean"),
     )
+
+
+@register(
+    "e13_gapfill_interpolate",
+    oracle="""
+    WITH base AS (
+      SELECT user_id, date_trunc('day', ts) AS day,
+             COUNT(*) AS n_events,
+             SUM(CAST(round(value * 10000) AS BIGINT)) AS day_units
+      FROM events GROUP BY 1, 2
+    ), spans AS (
+      SELECT user_id, MIN(day) AS md, MAX(day) AS xd FROM base GROUP BY 1
+    ), cal AS (
+      SELECT user_id,
+             unnest(generate_series(md, xd, INTERVAL 1 DAY)) AS day
+      FROM spans
+    )
+    SELECT c.user_id, c.day,
+           COALESCE(b.n_events, 0) AS n_events,
+           COALESCE(b.day_units, 0) / 10000.0 AS day_value,
+           (b.n_events IS NULL) AS gap_filled,
+           last_value(b.day_units IGNORE NULLS)
+             OVER (PARTITION BY c.user_id ORDER BY c.day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             / 10000.0 AS locf_value
+    FROM cal c LEFT JOIN base b USING (user_id, day)
+    """,
+)
+def e13_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling + last-observation-carried-forward (§2.E
+    extension — the ClickHouse ``ORDER BY … WITH FILL INTERPOLATE``
+    shape the reference's dashboards rely on): per user, the daily
+    activity series densified to EVERY calendar day in that user's
+    observed [first, last] span; missing days appear with n_events=0,
+    day_value=0 and a ``gap_filled`` marker, and ``locf_value`` carries
+    the last observed day total forward across the gap.
+
+    Spark shape: one (user_id, day) aggregate; spans via a second,
+    strictly smaller aggregate on the same user_id key; the calendar is
+    a shuffle-FREE ``sequence()`` + ``explode`` over the span rows (the
+    blow-up is bounded by calendar days, never by event count — 365
+    rows/user/year no matter how many trillions of events); then one
+    left join back on (user_id, day) and a user-keyed LOCF window.
+    Value arithmetic stays in exact fixed-point units end to end
+    (functions/fixed_units), so the filled series hashes identically on
+    any partitioning."""
+    events = load_table(spark, sf_dir, "events")
+    base = events.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(fixed_units("value", 4)).alias("day_units"),
+    )
+    spans = base.groupBy("user_id").agg(
+        F.min("day").alias("md"), F.max("day").alias("xd")
+    )
+    cal = spans.select(
+        "user_id",
+        F.explode(F.sequence("md", "xd", F.expr("interval 1 day"))).alias("day"),
+    )
+    joined = cal.join(base, ["user_id", "day"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        "day",
+        F.coalesce(F.col("n_events"), F.lit(0).cast("long")).alias("n_events"),
+        (
+            F.coalesce(F.col("day_units"), F.lit(0).cast("long")) / F.lit(10000.0)
+        ).alias("day_value"),
+        F.col("n_events").isNull().alias("gap_filled"),
+        (
+            F.last("day_units", ignorenulls=True).over(w) / F.lit(10000.0)
+        ).alias("locf_value"),
+    )
+
+
+@register(
+    "e14_transition_matrix",
+    oracle="""
+    WITH t AS (
+      SELECT event_type AS src,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS dst
+      FROM events
+    ), c AS (
+      SELECT src, dst, COUNT(*) AS n_trans
+      FROM t WHERE dst IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT src, dst, n_trans,
+           CAST(SUM(n_trans) OVER (PARTITION BY src) AS BIGINT) AS src_total,
+           CAST(n_trans * 1000000
+                // SUM(n_trans) OVER (PARTITION BY src) AS BIGINT) AS prob_ppm
+    FROM c
+    """,
+)
+def e14_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences (§2.E extension — the behavioral-analytics complement of
+    e12's pattern match): for every ordered (src → dst) adjacent pair
+    within a user's timeline, the transition count and its per-src
+    probability in exact parts-per-million integer arithmetic.
+
+    Spark shape: ONE user-keyed ordered window for ``lead()`` (the only
+    event-volume shuffle), then a |types|² cell aggregate and a window
+    over the tiny cell table for the row-normalizer — the expensive
+    partitioning is touched once, and probability normalization happens
+    on the 25-row matrix, not the event stream.  Integer ppm (floor
+    division) avoids cross-engine double division drift."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = events.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    )
+    c = (
+        t.filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n_trans"))
+    )
+    ws = Window.partitionBy("src")
+    return c.select(
+        "src",
+        "dst",
+        "n_trans",
+        F.sum("n_trans").over(ws).alias("src_total"),
+        F.expr("CAST(n_trans * CAST(1000000 AS BIGINT) div "
+               "sum(n_trans) OVER (PARTITION BY src) AS BIGINT)").alias("prob_ppm"),
+    )

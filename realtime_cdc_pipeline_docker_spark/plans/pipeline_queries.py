@@ -917,3 +917,78 @@ def j7c_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("doc_share_ppm"),
     )
+
+
+@register(
+    "j6l_negative_sampling",
+    oracle="""
+    WITH n AS (SELECT COUNT(*) AS corpus_n FROM documents),
+    a AS (SELECT doc_id FROM documents WHERE doc_id % 53 = 0),
+    cand AS (
+      SELECT a.doc_id, i.neg_ix, n.corpus_n
+      FROM a, n, (SELECT unnest(generate_series(0, 3)) AS neg_ix) i
+    ), h AS (
+      SELECT doc_id, neg_ix,
+             CAST('0x' || substr(md5('neg:' || CAST(doc_id AS VARCHAR)
+                                     || ':' || CAST(neg_ix AS VARCHAR)),
+                                 1, 15) AS BIGINT) % corpus_n AS neg_id
+      FROM cand
+    )
+    SELECT h.doc_id, h.neg_ix, h.neg_id,
+           d.source AS neg_source, d.lang AS neg_lang
+    FROM h JOIN documents d ON d.doc_id = h.neg_id
+    WHERE h.neg_id <> h.doc_id
+    """,
+)
+def j6l_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive-pair training
+    (J6 extension): each anchor document draws 4 pseudo-random negatives
+    from the corpus WITHOUT a cross join — the negative's position is
+    pure hash arithmetic (the engine-portable md5 construction) modulo
+    the corpus size, then a single equi-join fetches the negative's
+    metadata.  Self-collisions are dropped deterministically on both
+    engines.  The corpus size rides in as a broadcast 1-row aggregate
+    (scalar-subquery shape), and the anchors×negatives side is the
+    small, broadcast side of the fetch join — the corpus is scanned,
+    never shuffled.  At scale the id-domain join generalizes to the
+    md5-permutation position index the shuffle/shard family already
+    maintains (operators/sampling.py:shuffle_corpus)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.agg(F.count(F.lit(1)).alias("corpus_n"))
+    anchors = docs.filter(F.col("doc_id") % 53 == 0).select("doc_id")
+    cand = anchors.crossJoin(F.broadcast(n)).select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("neg_ix"),
+        "corpus_n",
+    )
+    hashed = cand.select(
+        "doc_id",
+        F.col("neg_ix").cast("long").alias("neg_ix"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("neg:"),
+                            F.col("doc_id").cast("string"),
+                            F.lit(":"),
+                            F.col("neg_ix").cast("string"),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % F.col("corpus_n")
+        ).alias("neg_id"),
+    ).filter(F.col("neg_id") != F.col("doc_id"))
+    negs = docs.select(
+        F.col("doc_id").alias("neg_id"),
+        F.col("source").alias("neg_source"),
+        F.col("lang").alias("neg_lang"),
+    )
+    return F.broadcast(hashed).join(negs, "neg_id").select(
+        "doc_id", "neg_ix", "neg_id", "neg_source", "neg_lang"
+    )

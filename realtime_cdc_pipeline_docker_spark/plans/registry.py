@@ -51,9 +51,10 @@ def register(name: str, oracle: str | None = None):
 # queries registered AFTER the freeze — b18_unpivot_metrics,
 # e2k_rank_distribution, e12_sequence_match, k4_asof_next_order,
 # j8c_fuzzy_decontaminate, j9e_vocab_coverage, j7c_dataset_card,
-# j1c_chunk_level_dedup, m4_multi_table_mart, j3k_ivfpq_adc_topk
-# (rows-only) — must be front-loaded in the round-6 rotation,
-# oracle-bearing first.
+# j1c_chunk_level_dedup, m4_multi_table_mart, e13_gapfill_interpolate,
+# e14_transition_matrix, g8_array_scalars, j9f_heavy_hitters,
+# j6l_negative_sampling, and j3k_ivfpq_adc_topk (rows-only) — must be
+# front-loaded in the round-6 rotation, oracle-bearing first.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # (a) never driver-checked — oracle-bearing late round-4 additions
     "b17_binaryfile_source", "h10_stream_scd2_history",

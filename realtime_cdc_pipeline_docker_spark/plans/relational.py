@@ -2435,3 +2435,60 @@ def e2k_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.cume_dist().over(w).alias("cd"),
         F.ntile(4).over(w).cast("long").alias("quartile"),
     )
+
+
+@register(
+    "g8_array_scalars",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                            x -> CAST(round(x * 1000) AS INTEGER)) AS q
+      FROM embeddings
+    )
+    SELECT vec_id,
+           CAST(len(q) AS BIGINT) AS dim,
+           CAST(len(list_filter(q, x -> x > 0)) AS BIGINT) AS n_pos,
+           CAST(list_sum(q) AS BIGINT) AS sum_q,
+           list_sort(q)[-1] AS max1,
+           list_sort(q)[-2] AS max2,
+           list_sort(q)[-3] AS max3,
+           (len(list_filter(q, x -> x > 900)) > 0) AS has_gt900,
+           CAST(len(list_distinct(q)) AS BIGINT) AS n_distinct
+    FROM q
+    """,
+)
+def g8_array_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array function surface (§2.G extension — the
+    arrayMap/arrayFilter/arraySum/arraySort/arrayDistinct family the
+    reference's ClickHouse backend exposes): per embedding vector, the
+    quantized array is transformed, filtered, folded, sorted and
+    deduplicated entirely with Spark's lambda expressions — codegen'd
+    JVM array loops, zero UDFs, zero explode (no row blow-up; arrays
+    stay packed in their Tungsten representation end to end).  The
+    quantization to integer units makes every fold exact across
+    engines; the oracle is DuckDB's list lambda family computing the
+    identical function.  Top-3 values come from one in-place
+    array_sort + negative-index element_at — scalar outputs, so the
+    driver's pandas canonicalizer never sees a list column."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.round(x * F.lit(1000)).cast("int")
+        ).alias("q"),
+    )
+    sq = q.withColumn("sq", F.array_sort("q"))
+    return sq.select(
+        "vec_id",
+        F.size("q").cast("long").alias("dim"),
+        F.size(F.filter("q", lambda x: x > F.lit(0))).cast("long").alias("n_pos"),
+        F.aggregate(
+            "q", F.lit(0).cast("long"), lambda s, x: s + x.cast("long")
+        ).alias("sum_q"),
+        F.element_at("sq", -1).alias("max1"),
+        F.element_at("sq", -2).alias("max2"),
+        F.element_at("sq", -3).alias("max3"),
+        F.exists("q", lambda x: x > F.lit(900)).alias("has_gt900"),
+        F.size(F.array_distinct("q")).cast("long").alias("n_distinct"),
+    )

@@ -1108,3 +1108,35 @@ def j1c_chunk_level_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import chunk_level_dedup
 
     return chunk_level_dedup(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "j9f_heavy_hitters",
+    oracle=r"""
+    WITH tok AS (
+      SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+      FROM documents
+    ), tot AS (
+      SELECT COUNT(*) AS total_tokens FROM tok
+    ), c AS (
+      SELECT tok, COUNT(*) AS n FROM tok GROUP BY 1
+    )
+    SELECT c.tok, c.n, t.total_tokens,
+           CAST(c.n * 1000000 // t.total_tokens AS BIGINT) AS freq_ppm
+    FROM c, tot t
+    WHERE c.n * 1000 > t.total_tokens
+    """,
+)
+def j9f_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy-hitter tokens above 0.1 % corpus frequency (J9
+    extension — the frequent-items pass under stopword discovery and
+    tokenizer pre-analysis) via the two-pass Misra-Gries
+    sketch-then-verify plan: per-partition MG candidates (arrow-batched
+    mapInPandas, candidate-superset theorem in the operator docstring)
+    then a broadcast-semi-join exact recount — the full token stream is
+    never shuffled.  The oracle is the naive exact GROUP BY: same
+    answer, quadratically worse shuffle at scale.  See
+    operators/text.py:heavy_hitter_tokens."""
+    from ..operators.text import heavy_hitter_tokens
+
+    return heavy_hitter_tokens(load_table(spark, sf_dir, "documents"))
