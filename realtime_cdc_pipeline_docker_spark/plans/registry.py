@@ -37,24 +37,20 @@ def register(name: str, oracle: str | None = None):
 
 
 # The driver's per-round CORRECTNESS pass verifies the FIRST 50 entries
-# of queries() in insertion order.  With 153+ registered queries,
+# of queries() in insertion order.  With 178 registered queries,
 # coverage rotates.  Round-5 policy (VERDICT r4 #2): (a) the 8 queries
 # with ZERO driver rows in any round — the four oracle-bearing late
-# round-4 registrations first, then the four rows-only ones; (b) any
+# round-4 registrations first, then the four rows-only ones; (b) every
 # query REGISTERED in round 5 (a first appearance outranks a second row
-# for a green one); (c) backfill with the single-green residue ordered
-# by staleness — the six queries whose only green row dates to round 2,
-# then the round-3 singles (oracle-bearing first).  Left out (all with
-# ≥1 green row, re-checked every round by the driver-sim pytest gate):
-# the multi-green core and the 49 queries that went green in round 4.
-# FROZEN mid-round-5 (the driver window fills from the list below):
-# queries registered AFTER the freeze — b18_unpivot_metrics,
-# e2k_rank_distribution, e12_sequence_match, k4_asof_next_order,
-# j8c_fuzzy_decontaminate, j9e_vocab_coverage, j7c_dataset_card,
-# j1c_chunk_level_dedup, m4_multi_table_mart, e13_gapfill_interpolate,
-# e14_transition_matrix, g8_array_scalars, j9f_heavy_hitters,
-# j6l_negative_sampling, and j3k_ivfpq_adc_topk (rows-only) — must be
-# front-loaded in the round-6 rotation, oracle-bearing first.
+# for a green one) — the early batch, then the post-freeze batch
+# (oracle-bearing first, j3k rows-only last); (c) backfill with the
+# single-green residue ordered by staleness — the six queries whose
+# only green row dates to round 2, then the round-3 singles.  Left out
+# (all with ≥1 green row, re-checked every round by the driver-sim
+# pytest gate): the multi-green core, the 49 queries that went green
+# in round 4, and the round-3 singles past slot 50 (j1/j4x/j2x/j3/
+# k1/k2/j6x/j7 families — next in the round-6 rotation, oldest first,
+# after any round-6 registrations).
 DRIVER_PRIORITY: tuple[str, ...] = (
     # (a) never driver-checked — oracle-bearing late round-4 additions
     "b17_binaryfile_source", "h10_stream_scd2_history",
@@ -62,17 +58,24 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # (a) never driver-checked — rows-only late round-4 additions
     "j3e_ivf_index_topk", "j2f_semantic_dedup", "j3i_mmr_rerank",
     "c23_hll_partial_merge",
-    # (b) registered in round 5 — first driver appearance must be NOW
+    # (b) registered in round 5, early batch — first driver appearance
     "j2h_dedup_eval_pr", "j4j_stopword_profile", "j6k_dupcount_weighted_sample",
     "c24_decimal_exact_agg", "d25_join_null_skew", "j9d_unigram_lm_ppl",
     "j4k_domain_quota", "j3j_pq_codebooks", "e11_retention_matrix",
     "g7_uri_scalars",
+    # (b) registered in round 5 after the mid-round freeze note —
+    # still in time for this round's window (oracle-bearing first)
+    "b18_unpivot_metrics", "e2k_rank_distribution", "e12_sequence_match",
+    "k4_asof_next_order", "j8c_fuzzy_decontaminate", "j9e_vocab_coverage",
+    "j7c_dataset_card", "j1c_chunk_level_dedup", "m4_multi_table_mart",
+    "e13_gapfill_interpolate", "e14_transition_matrix", "g8_array_scalars",
+    "j9f_heavy_hitters", "j6l_negative_sampling", "j3k_ivfpq_adc_topk",
     # (c) backfill, oldest single green first: round-2 singles…
     "d12_tpch_q7_shape", "d13_tpch_q13_shape", "d14_tpch_q4_shape",
     "d16_tpch_q22_shape", "c15_tpch_q17_shape", "d17_tpch_q8_shape",
-    # …then round-3 singles (oracle-bearing first; rows-only j3b/j3c/j5
-    # and the j2 LSH candidate family sit past the window edge and keep
-    # their driver-sim/pytest coverage)
+    # …then round-3 singles up to the window edge (the rest — the
+    # j1/j4/j2/j3/k/j6/j7 round-3 families — keep their driver-sim +
+    # pytest coverage and lead the round-6 backfill)
     "d15_tpch_q18_shape", "d18_tpch_q9_shape", "d19_tpch_q12_shape",
     "c16_tpch_q11_shape", "c17_tpch_q15_shape", "d20_tpch_q2_shape",
     "d21_tpch_q16_shape", "d22_tpch_q20_shape", "d23_tpch_q21_shape",
