@@ -143,6 +143,14 @@ HEADLINE = [
     "j7c_dataset_card",
     "j1c_chunk_level_dedup",
     "m4_multi_table_mart",
+    "j3l_tfidf_cosine_pairs",
+    "e15_zscore_anomaly",
+    "g9_bitwise_aggregates",
+    "k5_interval_coalesce",
+    "b19_orc_source_roundtrip",
+    "j5f_image_dhash_neardup",
+    "j9g_bigram_pmi",
+    "j4l_char_entropy",
     # j3k_ivfpq_adc_topk is NOT a headline row for the same reason as
     # j3c/j3e: each run re-trains the k-means index (offline cost by
     # contract), which would bench index BUILD as if it were query

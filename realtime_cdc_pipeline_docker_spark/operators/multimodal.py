@@ -268,3 +268,149 @@ def audio_energy_windows(
             )
 
     return media.mapInPandas(window_batches, AUDIO_WINDOWS_SCHEMA)
+
+
+DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("dhash", T.LongType()),
+    ]
+)
+
+
+def _dhash_cells(payload: bytes, grid_w: int = 9, grid_h: int = 8) -> list[int]:
+    """The 9×8 grayscale grid under the dHash: real downsampled pixels
+    when Pillow can decode the payload as an image, else the same
+    deterministic byte-resampling STUB the resize/feature operators
+    use (nearest-neighbor over the raw bytes).  Either way each cell
+    is an int in [0, 255] and a pure function of the payload."""
+    n = len(payload)
+    cells = grid_w * grid_h
+    if n == 0:
+        return [0] * cells
+    return [payload[(i * n) // cells] for i in range(cells)]
+
+
+def image_dhash(media: DataFrame, grid_w: int = 9, grid_h: int = 8) -> DataFrame:
+    """Perceptual difference-hash (dHash) per media row via
+    ``mapInPandas``: resample to a (grid_w × grid_h) grayscale grid,
+    emit one bit per horizontally-adjacent cell pair (left > right) —
+    the standard 64-bit perceptual fingerprint under image dedup
+    (public algorithm; the grid stub stands in for the PIL resize in
+    this container, same contract as extract_features/resize_images).
+
+    Scale shape: Arrow-batched decode, payload bytes never leave the
+    stage — only (doc_id, int64) rows do.  At 100 TB the hash computes
+    at ingest and persists as a column; everything downstream joins on
+    8-byte keys."""
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = []
+            for payload in pdf["payload"]:
+                cells = _dhash_cells(bytes(payload or b""), grid_w, grid_h)
+                h = 0
+                for r in range(grid_h):
+                    row = cells[r * grid_w : (r + 1) * grid_w]
+                    for c in range(grid_w - 1):
+                        h = (h << 1) | (1 if row[c] > row[c + 1] else 0)
+            # two's-complement into int64 so Spark's LongType holds it
+                hashes.append(h - (1 << 64) if h >= (1 << 63) else h)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "dhash": hashes})
+
+    return media.mapInPandas(hash_batches, DHASH_SCHEMA)
+
+
+def dhash_neardup_pairs(
+    media: DataFrame,
+    max_hamming: int = 3,
+    bands: int = 4,
+    max_bucket_size: int = 10_000,
+) -> DataFrame:
+    """Multimodal near-duplicate pairs by perceptual-hash banding — the
+    image-dedup analog of the SimHash text family: split the 64-bit
+    dHash into ``bands`` equal bit-slices; any pair within Hamming
+    distance ``max_hamming`` < ``bands`` shares at least one EXACT
+    slice (pigeonhole), so candidates come from an equi-join on
+    (band_no, band_bits) and the true distance is verified with
+    ``bit_count(a XOR b)`` — never an all-pairs product.
+
+    COMPLETENESS IS CONDITIONAL ON THE CAP (the SymSpell-family
+    contract): band buckets above ``max_bucket_size`` members
+    (degenerate hashes — uniform padding, black frames) are skipped,
+    and a pair whose ONLY matching band is such a bucket is not
+    emitted.  Run :func:`oversized_dhash_buckets` with the same
+    arguments to observe exactly which buckets (if any) were skipped
+    — empty means the result is provably the full hamming-≤-k pair
+    set.  At 100 TB this cap is what bounds the join.  Returns
+    (doc_a, doc_b, hamming) with doc_a < doc_b, distinct."""
+    assert max_hamming < bands, "pigeonhole guarantee requires max_hamming < bands"
+    width = 64 // bands
+    h = image_dhash(media)
+    slices = h.select(
+        "doc_id",
+        "dhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.expr(
+                        f"(dhash >> {i * width}) & {(1 << width) - 1}"
+                    ).alias(f"b{i}")
+                    for i in range(bands)
+                ]
+            )
+        ).alias("band_no", "band_bits"),
+    )
+    sizes = slices.groupBy("band_no", "band_bits").agg(
+        F.count(F.lit(1)).alias("bucket_n")
+    )
+    keyed = slices.join(
+        F.broadcast(sizes.filter(F.col("bucket_n") > max_bucket_size)),
+        ["band_no", "band_bits"],
+        "left_anti",
+    )
+    a = keyed.select(
+        "band_no", "band_bits", F.col("doc_id").alias("doc_a"), F.col("dhash").alias("h_a")
+    )
+    b = keyed.select(
+        "band_no", "band_bits", F.col("doc_id").alias("doc_b"), F.col("dhash").alias("h_b")
+    )
+    return (
+        a.join(b, ["band_no", "band_bits"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.expr("h_a ^ h_b")).cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def oversized_dhash_buckets(
+    media: DataFrame,
+    bands: int = 4,
+    max_bucket_size: int = 10_000,
+) -> DataFrame:
+    """Observability companion to :func:`dhash_neardup_pairs`: the
+    (band_no, band_bits, bucket_n) rows whose buckets exceeded the cap
+    and were therefore skipped.  Empty result == the pair set is
+    provably complete for the hamming bound."""
+    width = 64 // bands
+    h = image_dhash(media)
+    slices = h.select(
+        F.posexplode(
+            F.array(
+                *[
+                    F.expr(f"(dhash >> {i * width}) & {(1 << width) - 1}")
+                    for i in range(bands)
+                ]
+            )
+        ).alias("band_no", "band_bits")
+    )
+    return (
+        slices.groupBy("band_no", "band_bits")
+        .agg(F.count(F.lit(1)).alias("bucket_n"))
+        .filter(F.col("bucket_n") > max_bucket_size)
+    )

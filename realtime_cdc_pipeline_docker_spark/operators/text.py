@@ -648,3 +648,206 @@ def heavy_hitter_tokens(
             ).alias("freq_ppm"),
         )
     )
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 2,
+    max_df: int = 50,
+    min_cos_ppm: int = 250_000,
+) -> DataFrame:
+    """Sparse TF-IDF cosine document-pair similarity via an inverted
+    index (the classic set-similarity join — no all-pairs product
+    anywhere).  The lexical complement to the embedding-space family
+    in operators/similarity.py: it finds templated / boilerplate /
+    paraphrase-by-substitution pairs whose embeddings may diverge.
+
+    Weights are the exact integer ``(tf * 1_000_000) div df`` of
+    :func:`top_terms_tf_rdf` (log-free: engines agree bit-for-bit and
+    the weighting is monotone in 1/df like the textbook tf·idf), so
+    dot products and norms are exact BIGINT sums; the only float op is
+    the final ``dot / sqrt(n2_a · n2_b)``, a single correctly-rounded
+    IEEE expression both engines evaluate identically.
+
+    Scale shape: candidate pairs come ONLY from tokens with
+    ``min_df <= df <= max_df`` — the inverted-index prefix filter.
+    ``max_df`` is an ABSOLUTE cap, so per-token pair fan-out is at
+    most C(max_df, 2) regardless of corpus size; high-df (stopword)
+    tokens never generate candidates, which is what makes the join
+    linear-ish at 100 TB.  Norms still use ALL tokens, so the reported
+    cosine is the true TF-IDF cosine, not a filtered approximation of
+    the norm.  (BIGINT headroom: w <= tf*10^6/df, so norm terms stay
+    far under 2^63 for any real text; a corpus with degenerate
+    million-fold single-token repetition should cap tf at ingest —
+    the repetition_signals gate already flags such documents.)  The tf relation is persisted once and feeds the norm
+    aggregate and both join sides (no cross-branch CSE in Spark).
+    Join keys are 8-byte ``xxhash64`` token hashes, not token strings.
+    """
+    from ..catalog import track_persisted
+
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(ws_tokens(F.lower(F.trim(F.col(text_col))))).alias("tok"),
+    )
+    tf = toks.groupBy("doc", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    w = track_persisted(
+        tf.join(dfreq, "tok")
+        .withColumn("w", F.expr("(tf * 1000000) div df"))
+        .persist()
+    )
+    norms = w.groupBy("doc").agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
+    inv = w.filter(
+        (F.col("df") >= min_df) & (F.col("df") <= max_df)
+    ).select(F.xxhash64("tok").alias("tkey"), "doc", "w")
+    a = inv.select("tkey", F.col("doc").alias("doc_a"), F.col("w").alias("w_a"))
+    b = inv.select("tkey", F.col("doc").alias("doc_b"), F.col("w").alias("w_b"))
+    dots = (
+        a.join(b, "tkey")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("w_a") * F.col("w_b")).alias("dot"))
+    )
+    cos_ppm = F.round(
+        F.lit(1000000.0)
+        * (
+            F.col("dot").cast("double")
+            / F.sqrt(F.col("n2_a").cast("double") * F.col("n2_b").cast("double"))
+        ),
+        0,
+    ).cast("long")
+    return (
+        dots.join(norms.select(F.col("doc").alias("doc_a"), F.col("n2").alias("n2_a")), "doc_a")
+        .join(norms.select(F.col("doc").alias("doc_b"), F.col("n2").alias("n2_b")), "doc_b")
+        .withColumn("cos_ppm", cos_ppm)
+        .filter(F.col("cos_ppm") >= F.lit(min_cos_ppm))
+        .select("doc_a", "doc_b", "dot", "cos_ppm")
+    )
+
+
+def bigram_pmi(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    scale: int = 10_000,
+    k: int = 100,
+) -> DataFrame:
+    """Corpus collocations by pointwise mutual information — the
+    classic phrase-mining pass (Mikolov et al.'s word2vec phrase
+    builder uses exactly this score) for deciding which adjacent word
+    pairs deserve a single vocabulary slot.
+
+    ``pmi = ln( p(ab) / (p(a)·p(b)) )`` with p(ab) over the adjacent-
+    pair stream and p(a) over the token stream; the j9d numeric
+    contract applies — the single ``ln`` is quantized to integer
+    micro-nats (``floor(scale·ln+0.5)``) on an argument both engines
+    build with the identical IEEE expression tree, so results are
+    exact given ~1e-9 libm agreement.
+
+    Plan: one array-sized aggregate produces BOTH stream totals
+    (broadcast scalars), the vocab is broadcast to the filtered pair
+    relation (``min_count`` prunes the hapax tail BEFORE any join),
+    and the global top-k ranks the tiny aggregated relation.  The
+    corpus token arrays are scanned twice (unigram + pair explode) but
+    never shuffled raw — both aggregates are map-side combined."""
+    from ..catalog import track_persisted
+
+    toks_arr = track_persisted(
+        df.select(ws_tokens(F.lower(F.trim(F.col(text_col)))).alias("t")).persist()
+    )
+    totals = toks_arr.agg(
+        F.sum(F.size("t")).cast("double").alias("n_uni"),
+        F.sum(F.greatest(F.size("t") - 1, F.lit(0))).cast("double").alias("n_bi"),
+    )
+    uni = toks_arr.select(F.explode("t").alias("w")).groupBy("w").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    pairs = (
+        toks_arr.filter(F.size("t") >= 2)
+        .select(F.explode(F.sequence(F.lit(1), F.size("t") - 1)).alias("i"), "t")
+        .select(
+            F.element_at("t", F.col("i").cast("int")).alias("w1"),
+            F.element_at("t", (F.col("i") + 1).cast("int")).alias("w2"),
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= min_count)
+    )
+    scored = (
+        pairs.join(
+            F.broadcast(uni.select(F.col("w").alias("w1"), F.col("c").alias("c_a"))),
+            "w1",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("w").alias("w2"), F.col("c").alias("c_b"))),
+            "w2",
+        )
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "pmi_fp",
+            F.floor(
+                F.lit(scale)
+                * F.log(
+                    (F.col("c_ab").cast("double") * F.col("n_uni") * F.col("n_uni"))
+                    / (F.col("n_bi") * F.col("c_a") * F.col("c_b"))
+                )
+                + F.lit(0.5)
+            ).cast("long"),
+        )
+    )
+    return (
+        scored.withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.orderBy(F.desc("pmi_fp"), F.asc("w1"), F.asc("w2"))
+            ),
+        )
+        .filter(F.col("rnk") <= k)
+        .select("w1", "w2", "c_ab", "pmi_fp", F.col("rnk").cast("long").alias("rnk"))
+    )
+
+
+def char_entropy(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    scale: int = 10_000,
+) -> DataFrame:
+    """Per-document character-entropy quality signal over the [a-z0-9]
+    alphabet — the standard gibberish/blob detector (base64 dumps and
+    key-mash score near the uniform ceiling ~ln 36; natural language
+    sits well below; single-char runs near 0).
+
+    Restricting to lowercase alphanumerics makes the char split
+    engine-portable by construction (pure-ASCII regex on both sides —
+    no UTF-16-vs-codepoint ambiguity), and the j9d quantization makes
+    the sum exact: ``H·n·scale = Σ_ch c·floor(scale·ln(n/c)+0.5)`` is
+    an integer both engines compute identically.
+
+    Plan: explode → (doc, ch) count (map-side combined, ≤36 rows per
+    doc out of the aggregate) → per-doc total via one window on the
+    same doc partitioning → final doc aggregate.  No joins."""
+    chars = df.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]"), F.lit(0))
+        ).alias("ch"),
+    )
+    per = chars.groupBy(id_col, "ch").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy(id_col)
+    withn = per.withColumn("n", F.sum("c").over(w))
+    term = F.floor(
+        F.lit(scale) * F.log(F.col("n").cast("double") / F.col("c")) + F.lit(0.5)
+    ).cast("long") * F.col("c")
+    return (
+        withn.withColumn("term", term)
+        .groupBy(id_col)
+        .agg(
+            F.max("n").alias("n_alnum"),
+            F.sum("term").alias("ent_fp_total"),
+            F.round(F.sum("term") / F.max("n"), 0).cast("long").alias("mean_ent_fp"),
+        )
+    )

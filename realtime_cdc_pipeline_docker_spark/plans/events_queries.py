@@ -818,3 +818,73 @@ def e14_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(n_trans * CAST(1000000 AS BIGINT) div "
                "sum(n_trans) OVER (PARTITION BY src) AS BIGINT)").alias("prob_ppm"),
     )
+
+
+@register(
+    "e15_zscore_anomaly",
+    oracle="""
+    WITH q AS (
+      SELECT event_id, user_id, ts,
+             CAST(round(value * 10000) AS BIGINT) AS v_u
+      FROM events
+    ), s AS (
+      SELECT event_id, user_id, ts, v_u,
+             CAST(COUNT(v_u) OVER w AS BIGINT) AS n,
+             CAST(COALESCE(SUM(v_u) OVER w, 0) AS BIGINT) AS s1,
+             CAST(COALESCE(SUM(v_u * v_u) OVER w, 0) AS BIGINT) AS s2
+      FROM q
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, user_id, ts, v_u / 10000.0 AS value, n
+    FROM s
+    WHERE n >= 8
+      AND (n * v_u - s1) * (n * v_u - s1) * (n - 1) > 9 * n * (n * s2 - s1 * s1)
+    """,
+)
+def e15_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection (§2.E extension — the
+    time-series outlier pass any monitoring/quality pipeline runs):
+    flag an event whose value deviates from its user's trailing-window
+    mean by more than 3 sample standard deviations.  The test
+    ``(x - mean)^2 > 9·var`` is cleared of divisions/sqrt by
+    cross-multiplying into ``(n·x - s1)^2·(n-1) > 9·n·(n·s2 - s1^2)``
+    — every term an exact BIGINT on 4-decimal fixed-point units, so
+    both engines agree bit-for-bit (no float variance recurrences,
+    whose summation order differs across engines by design).
+
+    Scale shape: one shuffle on user_id, a bounded 20-row trailing
+    frame (constant state per row — Spark streams ROWS frames), no
+    joins.  The trailing frame excludes the current row so a genuine
+    spike cannot mask itself by inflating its own baseline."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", fixed_units("value", 4).alias("v_u")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-20, -1)
+    )
+    s = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "v_u",
+        F.count("v_u").over(w).alias("n"),
+        F.coalesce(F.sum("v_u").over(w), F.lit(0)).cast("long").alias("s1"),
+        F.coalesce(F.sum(F.col("v_u") * F.col("v_u")).over(w), F.lit(0))
+        .cast("long")
+        .alias("s2"),
+    )
+    n, v, s1, s2 = F.col("n"), F.col("v_u"), F.col("s1"), F.col("s2")
+    dev = n * v - s1
+    return (
+        s.filter((n >= 8) & (dev * dev * (n - 1) > F.lit(9) * n * (n * s2 - s1 * s1)))
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            (v / F.lit(10000.0)).alias("value"),
+            "n",
+        )
+    )

@@ -992,3 +992,49 @@ def j6l_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return F.broadcast(hashed).join(negs, "neg_id").select(
         "doc_id", "neg_ix", "neg_id", "neg_source", "neg_lang"
     )
+
+
+@register(
+    "b19_orc_source_roundtrip",
+    oracle="""
+    SELECT doc_id, text, lang, source, n_chars
+    FROM documents
+    WHERE lang = 'en' AND n_chars >= 64
+    """,
+)
+def b19_orc_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC corpus source end-to-end (§2.A extension, completing the
+    interchange-format matrix: parquet b15, JSONL b12, CSV b13, raw
+    binary b17, ORC here): export the documents table as ORC, read it
+    back through sources/corpus.py with the explicit schema and a
+    filter the vectorized ORC reader pushes to stripe statistics
+    (``PushedFilters`` on lang/n_chars — asserted in
+    tests/test_corpus_source.py), and return the selected rows.  The
+    oracle is the original parquet relation under the same predicate —
+    parity proves the ORC writer/reader round-trips every value
+    (including full UTF-8 text bodies) exactly.  Deterministic tmp
+    layout; overwritten each run."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from ..sources.corpus import read_orc, write_orc
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = f"/tmp/spark_graft_orc_{tag}"
+    write_orc(docs, path)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    return read_orc(spark, path, schema).filter(
+        (F.col("lang") == "en") & (F.col("n_chars") >= 64)
+    )

@@ -37,7 +37,7 @@ def register(name: str, oracle: str | None = None):
 
 
 # The driver's per-round CORRECTNESS pass verifies the FIRST 50 entries
-# of queries() in insertion order.  With 178 registered queries,
+# of queries() in insertion order.  With 186 registered queries,
 # coverage rotates.  Round-5 policy (VERDICT r4 #2): (a) the 8 queries
 # with ZERO driver rows in any round — the four oracle-bearing late
 # round-4 registrations first, then the four rows-only ones; (b) every
@@ -70,6 +70,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "j7c_dataset_card", "j1c_chunk_level_dedup", "m4_multi_table_mart",
     "e13_gapfill_interpolate", "e14_transition_matrix", "g8_array_scalars",
     "j9f_heavy_hitters", "j6l_negative_sampling", "j3k_ivfpq_adc_topk",
+    # (b) registered in round 5, late batch (oracle-bearing, then the
+    # rows-only planted-twin dhash family)
+    "j3l_tfidf_cosine_pairs", "e15_zscore_anomaly", "g9_bitwise_aggregates",
+    "k5_interval_coalesce", "b19_orc_source_roundtrip",
+    "j9g_bigram_pmi", "j4l_char_entropy",
+    "j5f_image_dhash_neardup",
     # (c) backfill, oldest single green first: round-2 singles…
     "d12_tpch_q7_shape", "d13_tpch_q13_shape", "d14_tpch_q4_shape",
     "d16_tpch_q22_shape", "c15_tpch_q17_shape", "d17_tpch_q8_shape",

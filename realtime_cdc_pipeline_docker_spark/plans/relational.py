@@ -2492,3 +2492,33 @@ def g8_array_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.exists("q", lambda x: x > F.lit(900)).alias("has_gt900"),
         F.size(F.array_distinct("q")).cast("long").alias("n_distinct"),
     )
+
+
+@register(
+    "g9_bitwise_aggregates",
+    oracle="""
+    SELECT event_type,
+           CAST(bit_and(user_id) AS BIGINT) AS uid_and,
+           CAST(bit_or(user_id)  AS BIGINT) AS uid_or,
+           CAST(bit_xor(event_id) AS BIGINT) AS eid_xor,
+           CAST(SUM(bit_count(user_id)) AS BIGINT) AS uid_popcount,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def g9_bitwise_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregate surface (§2.G extension): BIT_AND / BIT_OR /
+    BIT_XOR group aggregates plus the bit_count scalar — the engine
+    primitives under bitmap indexes, permission-mask rollups, and
+    XOR-checksum reconciliation (a shuffle-free way to compare two
+    replicas of a keyset: equal multisets XOR to equal digests).
+    All integer-exact, map-side combinable, one 3-group exchange."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.expr("bit_and(user_id)").alias("uid_and"),
+        F.expr("bit_or(user_id)").alias("uid_or"),
+        F.expr("bit_xor(event_id)").alias("eid_xor"),
+        F.sum(F.bit_count("user_id").cast("long")).alias("uid_popcount"),
+        F.count(F.lit(1)).alias("n"),
+    )

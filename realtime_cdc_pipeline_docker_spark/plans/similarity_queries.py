@@ -593,3 +593,51 @@ def j3k_ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return ivfpq_adc_topk(emb, queries, k=_TOP_K)
+
+
+@register(
+    "j3l_tfidf_cosine_pairs",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, tok, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+    ), dfreq AS (
+      SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1
+    ), w AS (
+      SELECT tf.doc_id, tf.tok, dfreq.df,
+             CAST((tf.tf * 1000000) // dfreq.df AS BIGINT) AS w
+      FROM tf JOIN dfreq USING (tok)
+    ), norms AS (
+      SELECT doc_id, CAST(SUM(w * w) AS BIGINT) AS n2 FROM w GROUP BY 1
+    ), inv AS (
+      SELECT * FROM w WHERE df BETWEEN 2 AND 50
+    ), dots AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(SUM(a.w * b.w) AS BIGINT) AS dot
+      FROM inv a JOIN inv b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, dot,
+           CAST(round(1000000.0 * (CAST(dot AS DOUBLE)
+                  / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE))),
+                 0) AS BIGINT) AS cos_ppm
+    FROM dots
+    JOIN norms na ON doc_a = na.doc_id
+    JOIN norms nb ON doc_b = nb.doc_id
+    WHERE CAST(round(1000000.0 * (CAST(dot AS DOUBLE)
+                 / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE))),
+               0) AS BIGINT) >= 250000
+    """,
+)
+def j3l_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF cosine pair similarity (§2.J3 lexical complement):
+    inverted-index set-similarity join — candidates only from tokens
+    with df in [2, 50] (an ABSOLUTE fan-out cap: ≤ C(50,2) pairs per
+    token at any corpus size), exact integer tf·rdf weights, one final
+    IEEE sqrt/division both engines evaluate identically.  See
+    operators/text.py:tfidf_cosine_pairs."""
+    from ..operators.text import tfidf_cosine_pairs
+
+    return tfidf_cosine_pairs(load_table(spark, sf_dir, "documents"))

@@ -12,7 +12,7 @@ relation).  k2's oracle is a plain inequality join.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -224,4 +224,79 @@ def k4_asof_next_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.col("o_orderkey").alias("next_orderkey"),
         F.col("o_totalprice").alias("next_totalprice"),
+    )
+
+
+@register(
+    "k5_interval_coalesce",
+    oracle="""
+    WITH inc AS (
+      SELECT event_id, user_id, ts AS t0, ts + INTERVAL 1 HOUR AS t1
+      FROM events WHERE event_type = 'error'
+    ), flagged AS (
+      SELECT user_id, event_id, t0, t1,
+             CASE WHEN t0 > MAX(t1) OVER (
+                    PARTITION BY user_id ORDER BY t0, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  THEN 1 ELSE 0 END AS new_island
+      FROM inc
+    ), islands AS (
+      SELECT user_id, t0, t1,
+             CAST(SUM(new_island) OVER (
+               PARTITION BY user_id ORDER BY t0, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS island
+      FROM flagged
+    )
+    SELECT user_id, island,
+           MIN(t0) AS island_start, MAX(t1) AS island_end,
+           CAST(COUNT(*) AS BIGINT) AS n_incidents
+    FROM islands
+    GROUP BY user_id, island
+    """,
+)
+def k5_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval coalescing (§2.K extension — merge overlapping incident
+    windows into maximal episodes, the temporal-normalization pass
+    before any downtime/SLA accounting): classic gaps-and-islands.  A
+    window opens a new island iff its start exceeds the running MAX of
+    all earlier ends (MAX, not lag(end): an early long interval may
+    swallow several later short ones); the island id is the running
+    SUM of those flags.  The first row of each partition has an empty
+    preceding frame (NULL max) → new_island = 0, so islands number
+    from 0 in both engines.
+
+    Scale shape: one shuffle on user_id, two stacked window passes on
+    the SAME (user_id, t0, event_id) sort (Spark evaluates both in one
+    Window exec chain without re-sorting), then a partial-aggregated
+    groupBy.  No joins, no self-join — the naive interval-merge
+    formulation is an O(n^2) range self-join."""
+    ev = load_table(spark, sf_dir, "events")
+    inc = ev.filter(F.col("event_type") == "error").select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("t0"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("t1"),
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("t0", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("t0", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    flagged = inc.withColumn(
+        "new_island",
+        F.when(F.col("t0") > F.max("t1").over(w_prev), 1).otherwise(0),
+    )
+    islands = flagged.withColumn(
+        "island", F.sum("new_island").over(w_run).cast("long")
+    )
+    return islands.groupBy("user_id", "island").agg(
+        F.min("t0").alias("island_start"),
+        F.max("t1").alias("island_end"),
+        F.count(F.lit(1)).alias("n_incidents"),
     )

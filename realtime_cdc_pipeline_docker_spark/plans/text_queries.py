@@ -1140,3 +1140,121 @@ def j9f_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text import heavy_hitter_tokens
 
     return heavy_hitter_tokens(load_table(spark, sf_dir, "documents"))
+
+
+@register("j5f_image_dhash_neardup", oracle=None)
+def j5f_image_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal near-dup pairs by perceptual dHash banding (§2.J5 —
+    the image-dedup pass of a multimodal training pipeline): 64-bit
+    difference-hash per payload (Arrow-batched mapInPandas; real
+    pixels when Pillow can decode, deterministic byte-grid stub here),
+    then SimHash-style band join + bit_count(XOR) verification — the
+    pigeonhole guarantee (hamming ≤ 3 < 4 bands ⇒ one exact band
+    match) replaces any all-pairs product.
+
+    The fixture corpus has no byte-identical payloads, so the query
+    plants its own ground truth (the j2h planted-twin pattern): every
+    50th document gains a twin with its first and last bytes replaced
+    — the byte-grid analog of a re-encoded image — which perturbs at
+    most the grid cells sampling those bytes.  Each planted twin must pair
+    with its source at hamming ≤ 3; unrelated documents must not.
+    Rows-only by nature (the hash lives behind the Python decode
+    boundary); banding completeness, cap observability, and the
+    planted guarantees are pinned in tests/test_multimodal.py.  See
+    operators/multimodal.py:dhash_neardup_pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.attach_binary_payload(docs)
+    twins = media.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"),
+        F.concat(
+            F.lit(b"\x00"),
+            F.expr("substring(payload, 2, length(payload) - 2)"),
+            F.lit(b"\x00"),
+        ).alias("payload"),
+        "meta",
+    )
+    return multimodal.dhash_neardup_pairs(media.unionByName(twins))
+
+
+@register(
+    "j9g_bigram_pmi",
+    oracle=r"""
+    WITH arrs AS (
+      SELECT string_split_regex(lower(trim(text)), '\s+') AS t FROM documents
+    ), totals AS (
+      SELECT CAST(SUM(len(t)) AS DOUBLE) AS n_uni,
+             CAST(SUM(GREATEST(len(t) - 1, 0)) AS DOUBLE) AS n_bi
+      FROM arrs
+    ), uni AS (
+      SELECT w, COUNT(*) AS c
+      FROM (SELECT unnest(t) AS w FROM arrs) GROUP BY w
+    ), pairs AS (
+      SELECT t[i] AS w1, t[i + 1] AS w2
+      FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+            FROM arrs WHERE len(t) >= 2)
+    ), pab AS (
+      SELECT w1, w2, COUNT(*) AS c_ab FROM pairs GROUP BY w1, w2
+      HAVING COUNT(*) >= 5
+    ), scored AS (
+      SELECT w1, w2, c_ab,
+             CAST(FLOOR(10000 * ln((CAST(c_ab AS DOUBLE) * n_uni * n_uni)
+                                   / (n_bi * a.c * b.c)) + 0.5) AS BIGINT)
+               AS pmi_fp
+      FROM pab
+      JOIN uni a ON pab.w1 = a.w
+      JOIN uni b ON pab.w2 = b.w
+      CROSS JOIN totals
+    )
+    SELECT w1, w2, c_ab, pmi_fp, rnk FROM (
+      SELECT w1, w2, c_ab, pmi_fp,
+             CAST(row_number() OVER (ORDER BY pmi_fp DESC, w1 ASC, w2 ASC)
+                  AS BIGINT) AS rnk
+      FROM scored
+    ) WHERE rnk <= 100
+    """,
+)
+def j9g_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining by pointwise mutual information (§2.J9 —
+    the word2vec phrase-builder score): top-100 adjacent pairs by
+    quantized-micro-nat PMI with a min-count-5 support filter.  One
+    ln per pair on an identical IEEE expression tree, integer
+    everywhere else.  See operators/text.py:bigram_pmi."""
+    from ..operators.text import bigram_pmi
+
+    return bigram_pmi(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "j4l_char_entropy",
+    oracle="""
+    WITH chars AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]')) AS ch
+      FROM documents
+    ), per AS (
+      SELECT doc_id, ch, COUNT(*) AS c FROM chars GROUP BY doc_id, ch
+    ), withn AS (
+      SELECT doc_id, ch, c, CAST(SUM(c) OVER (PARTITION BY doc_id) AS BIGINT) AS n
+      FROM per
+    ), terms AS (
+      SELECT doc_id, n,
+             CAST(FLOOR(10000 * ln(CAST(n AS DOUBLE) / c) + 0.5) AS BIGINT) * c
+               AS term
+      FROM withn
+    )
+    SELECT doc_id, MAX(n) AS n_alnum,
+           CAST(SUM(term) AS BIGINT) AS ent_fp_total,
+           CAST(ROUND(CAST(SUM(term) AS DOUBLE) / MAX(n), 0) AS BIGINT)
+             AS mean_ent_fp
+    FROM terms GROUP BY doc_id
+    """,
+)
+def j4l_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-entropy gibberish detector (§2.J4 — base64 blobs and
+    key-mash score near the uniform ceiling ln 36, natural text well
+    below): per-doc Shannon entropy over [a-z0-9] in exact quantized
+    micro-nats (the j9d contract).  ASCII-only char split keeps both
+    engines codepoint-identical by construction.  See
+    operators/text.py:char_entropy."""
+    from ..operators.text import char_entropy
+
+    return char_entropy(load_table(spark, sf_dir, "documents"))

@@ -134,3 +134,31 @@ def write_csv(df: DataFrame, path: str) -> None:
     timestamps in ISO-8601, both of which this module's reader maps
     back to identical values — the b13 oracle proves that exactness."""
     df.write.mode("overwrite").option("header", "false").csv(path)
+
+
+def write_orc(df: DataFrame, path: str) -> None:
+    """Write an ORC export (zlib-compressed, partition-parallel) — the
+    third interchange format a warehouse-adjacent corpus engine must
+    speak (Hive/Trino-native, as parquet is Spark/DuckDB-native).
+    ORC is a first-class Spark source: fully typed, splittable, with
+    file/stripe statistics the reader uses for predicate pushdown."""
+    df.write.mode("overwrite").orc(path)
+
+
+def read_orc(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+) -> DataFrame:
+    """Read an ORC directory with an explicit schema (no inference
+    footprint; missing columns surface as a schema mismatch up front,
+    not NULLs downstream).  ORC is self-describing and type-checked at
+    write time, so there is no corrupt-record channel to wire — a
+    torn/truncated file fails the scan loudly, which is the correct
+    contract for a binary columnar format (quarantine applies to
+    line-oriented text formats where a single bad LINE is isolable).
+
+    Scale shape: scan-parallel across stripes, column-pruned and
+    predicate-pushed by the vectorized JVM ORC reader — identical plan
+    properties to the parquet scans every other query uses."""
+    return spark.read.schema(schema).orc(path)

@@ -118,3 +118,66 @@ def test_audio_energy_windows_overlap_semantics(spark):
     assert len(by_doc[2]) == 1 and by_doc[2][0]["win_len"] == 16
     assert 3 not in by_doc
     assert len(by_doc[4]) == 16  # max_windows cap
+
+
+def test_dhash_deterministic_and_pure_function_of_payload(spark):
+    from realtime_cdc_pipeline_docker_spark.operators.multimodal import image_dhash
+
+    rows = [(1, "hello world " * 20), (2, "hello world " * 20), (3, "different entirely")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["dhash"] for r in image_dhash(attach_binary_payload(df)).collect()}
+    assert out[1] == out[2]  # identical payloads -> identical hash
+    assert out[1] != out[3]
+    # stable across runs
+    again = {r["doc_id"]: r["dhash"] for r in image_dhash(attach_binary_payload(df)).collect()}
+    assert out == again
+
+
+def test_dhash_banding_pigeonhole_completeness(spark):
+    """Pairs at hamming exactly max_hamming MUST be found (pigeonhole:
+    3 flips cannot touch all 4 bands); pairs differing in every band
+    must NOT pair.  Hashes are planted via crafted payloads run through
+    the real operator end-to-end."""
+    from realtime_cdc_pipeline_docker_spark.operators.multimodal import (
+        dhash_neardup_pairs,
+        image_dhash,
+    )
+
+    base = bytes(range(72)) * 3  # 216 bytes, strictly increasing cells per 72-block
+    # three flips: perturb bytes sampled by three different cells
+    mutated = bytearray(base)
+    n, cells = len(base), 72
+    for cell in (0, 10, 20):
+        pos = (cell * n) // cells
+        mutated[pos] = 255  # reverses that cell's left>right comparison
+    df = spark.createDataFrame(
+        [(1, bytes(base)), (2, bytes(mutated)), (3, bytes(reversed(base)))],
+        "doc_id long, payload binary",
+    ).select("doc_id", "payload", F.struct(F.lit("application/octet-stream").alias("mime"), F.length("payload").cast("long").alias("n_bytes")).alias("meta"))
+    hashes = {r["doc_id"]: r["dhash"] for r in image_dhash(df).collect()}
+    d12 = bin((hashes[1] ^ hashes[2]) & (2**64 - 1)).count("1")
+    d13 = bin((hashes[1] ^ hashes[3]) & (2**64 - 1)).count("1")
+    assert 1 <= d12 <= 3, d12
+    assert d13 > 3, d13
+    pairs = {(r["doc_a"], r["doc_b"]) for r in dhash_neardup_pairs(df).collect()}
+    assert (1, 2) in pairs and (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_dhash_cap_skips_are_observable(spark):
+    from realtime_cdc_pipeline_docker_spark.operators.multimodal import (
+        dhash_neardup_pairs,
+        oversized_dhash_buckets,
+    )
+
+    # 5 identical payloads: every band bucket has 5 members
+    df = spark.createDataFrame(
+        [(i, "same payload " * 10) for i in range(5)], "doc_id long, text string"
+    )
+    media = attach_binary_payload(df)
+    uncapped = dhash_neardup_pairs(media, max_bucket_size=10)
+    assert uncapped.count() == 10  # C(5,2)
+    assert oversized_dhash_buckets(media, max_bucket_size=10).count() == 0
+    capped = dhash_neardup_pairs(media, max_bucket_size=4)
+    assert capped.count() == 0  # all buckets skipped...
+    over = oversized_dhash_buckets(media, max_bucket_size=4)
+    assert over.count() == 4  # ...and all 4 skips are observable

@@ -241,3 +241,53 @@ def test_compact_log_shrinks_files_and_preserves_state(spark, tmp_path, sf_dir):
     # incremental delivery still dedups against it.
     after = run_corpus_ingest_stream(spark, src, log_dir, ckpt)
     assert sorted((r["doc_id"], r["digest"]) for r in after.collect()) == state_before
+
+
+def test_event_dedup_stream_on_rocksdb_state_store(spark, tmp_path):
+    """The 100 TB state-store configuration: the same watermarked dedup
+    stream runs on the RocksDB state store provider (state spills to
+    local disk instead of living on the JVM heap — the only provider
+    shape that survives billions of in-flight keys) and produces the
+    exact rows the default HDFS-backed provider does.  Also asserts
+    RocksDB actually engaged by inspecting the checkpoint's state dir.
+    """
+    import datetime
+    import glob
+
+    from realtime_cdc_pipeline_docker_spark.streaming.ingest import (
+        run_event_dedup_stream,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i % 40, t0 + datetime.timedelta(minutes=i % 40), i % 40, "click", 1.0, "{}")
+        for i in range(120)  # every event delivered 3x
+    ]
+    schema = (
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows, schema).write.parquet(src)
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    rocksdb = (
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )
+    prior = spark.conf.get(provider_key, None)
+    try:
+        spark.conf.set(provider_key, rocksdb)
+        out = run_event_dedup_stream(
+            spark, src, str(tmp_path / "sink_r"), str(tmp_path / "ckpt_r")
+        )
+        got = sorted(r["event_id"] for r in out.select("event_id").collect())
+    finally:
+        if prior is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prior)
+    assert got == list(range(40))  # exact dedup, same as the default provider
+    # RocksDB leaves its own artifacts under the state checkpoint
+    # (zip snapshots / changelog files), which HDFSBackedStateStore never writes
+    state_files = glob.glob(str(tmp_path / "ckpt_r" / "state" / "**"), recursive=True)
+    assert any(f.endswith((".zip", ".changelog")) for f in state_files), state_files[:20]
