@@ -151,6 +151,8 @@ HEADLINE = [
     "j5f_image_dhash_neardup",
     "j9g_bigram_pmi",
     "j4l_char_entropy",
+    "j7d_release_diff",
+    "g10_try_arithmetic",
     # j3k_ivfpq_adc_topk is NOT a headline row for the same reason as
     # j3c/j3e: each run re-trains the k-means index (offline cost by
     # contract), which would bench index BUILD as if it were query

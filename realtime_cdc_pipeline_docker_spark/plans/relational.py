@@ -2522,3 +2522,45 @@ def g9_bitwise_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.bit_count("user_id").cast("long")).alias("uid_popcount"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "g10_try_arithmetic",
+    oracle="""
+    SELECT o_orderkey,
+           TRY_CAST(string_split(o_orderpriority, '-')[1] AS INTEGER)
+             AS prio_num,
+           TRY_CAST(o_orderstatus AS INTEGER) AS status_num,
+           CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                ELSE CAST(round(o_totalprice * 100) AS BIGINT) / (o_orderkey % 3)
+           END AS cents_per_bucket,
+           string_split(o_orderpriority, '-')[3] AS third_part,
+           TRY_CAST(o_orderstatus AS TIMESTAMP) AS status_ts
+    FROM orders
+    """,
+)
+def g10_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe scalar surface (§2.G extension — the ANSI-mode
+    ingestion contract: malformed cells become NULL, never a job
+    abort): ``try_cast`` on parseable and unparseable strings,
+    ``try_divide`` with planted zero denominators, ``try_element_at``
+    past the array end, ``try_to_timestamp`` on garbage.  The DuckDB
+    twins are TRY_CAST, a CASE-guarded division, native NULL
+    out-of-range list access, and TRY_CAST-to-TIMESTAMP — different
+    mechanisms, same relation.  (Spark's try_add/try_multiply overflow
+    family has no DuckDB-1.0 twin — DuckDB raises on overflow with no
+    TRY() wrapper — so overflow-safety is pinned in tests/ instead of
+    an oracle.)  All codegen'd scalar expressions; no shuffle."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.expr("try_cast(split(o_orderpriority, '-')[0] AS INT)").alias("prio_num"),
+        F.expr("try_cast(o_orderstatus AS INT)").alias("status_num"),
+        F.try_divide(fixed_units("o_totalprice"), F.col("o_orderkey") % 3).alias(
+            "cents_per_bucket"
+        ),
+        F.try_element_at(F.split("o_orderpriority", "-"), F.lit(3)).alias(
+            "third_part"
+        ),
+        F.try_to_timestamp(F.col("o_orderstatus")).alias("status_ts"),
+    )

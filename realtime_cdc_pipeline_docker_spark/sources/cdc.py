@@ -226,6 +226,22 @@ def table_envelope(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     )
 
 
+def decoded_table_log(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """The DECODED change log for any captured table — the
+    ``decoded_orders_log`` contract generalized to the reference's full
+    4-table surface: production stores the bronze (decoded) form, so
+    mart-refresh operators read columns, not Debezium JSON.  Decode
+    cost is paid once per process at spill time and stays an
+    explicitly-benched operator via m3/e1."""
+    schema = CDC_TABLES[table][0]
+    return _decoded_spill(
+        spark,
+        sf_dir,
+        f"decoded_{table}",
+        lambda: decode_envelope(table_envelope(spark, sf_dir, table), schema),
+    )
+
+
 _JSON_INPUT_SPILL: dict[str, str] = {}
 
 

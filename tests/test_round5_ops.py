@@ -242,3 +242,25 @@ def test_bigram_pmi_collocation_beats_independent_pair(spark):
     # perfect collocation: p(ab)=c/N_bi, p(a)=p(b)=c/N_uni -> pmi > 0;
     # 'of the' (independent, high-frequency) sits near/below 0
     assert by_pair[("hong", "kong")] > 0
+
+
+def test_try_arithmetic_overflow_family_nulls_not_aborts(spark):
+    """The g10 overflow cases DuckDB 1.0 cannot twin (no TRY() wrapper,
+    raises on BIGINT overflow): Spark's try_add/try_multiply must
+    return NULL, never abort, alongside the oracle-covered cases."""
+    row = (
+        spark.range(1)
+        .select(
+            F.try_add(F.lit(9223372036854775807), F.lit(1)).alias("ov_add"),
+            F.try_multiply(F.lit(2**62), F.lit(4)).alias("ov_mul"),
+            F.try_divide(F.lit(1), F.lit(0)).alias("div0"),
+            F.expr("try_cast('not a number' AS INT)").alias("bad_cast"),
+            F.try_add(F.lit(40), F.lit(2)).alias("fine"),
+        )
+        .collect()[0]
+    )
+    assert row["ov_add"] is None
+    assert row["ov_mul"] is None
+    assert row["div0"] is None
+    assert row["bad_cast"] is None
+    assert row["fine"] == 42
