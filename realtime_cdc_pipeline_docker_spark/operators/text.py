@@ -656,7 +656,8 @@ def tfidf_cosine_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     min_df: int = 2,
-    max_df: int = 50,
+    max_df_frac: float = 0.1,
+    max_bucket_size: int = 10_000,
     min_cos_ppm: int = 250_000,
 ) -> DataFrame:
     """Sparse TF-IDF cosine document-pair similarity via an inverted
@@ -672,25 +673,41 @@ def tfidf_cosine_pairs(
     the final ``dot / sqrt(n2_a · n2_b)``, a single correctly-rounded
     IEEE expression both engines evaluate identically.
 
-    Scale shape: candidate pairs come ONLY from tokens with
-    ``min_df <= df <= max_df`` — the inverted-index prefix filter.
-    ``max_df`` is an ABSOLUTE cap, so per-token pair fan-out is at
-    most C(max_df, 2) regardless of corpus size; high-df (stopword)
-    tokens never generate candidates, which is what makes the join
-    linear-ish at 100 TB.  Norms still use ALL tokens, so the reported
-    cosine is the true TF-IDF cosine, not a filtered approximation of
-    the norm.  (BIGINT headroom: w <= tf*10^6/df, so norm terms stay
-    far under 2^63 for any real text; a corpus with degenerate
-    million-fold single-token repetition should cap tf at ingest —
-    the repetition_signals gate already flags such documents.)  The tf relation is persisted once and feeds the norm
-    aggregate and both join sides (no cross-branch CSE in Spark).
-    Join keys are 8-byte ``xxhash64`` token hashes, not token strings.
+    Scale shape — two distinct bounds, deliberately separate:
+
+    * **Relative df band** (semantic): candidates come only from
+      tokens in ``min_df <= df <= floor(max_df_frac · n_docs)`` — the
+      inverted-index stopword filter.  RELATIVE, not absolute, so the
+      discrimination contract survives corpus growth (an absolute cap
+      silently empties the index once every token's df outgrows it —
+      measured on the 10x replication probe).
+    * **Absolute bucket cap** (operational): token buckets above
+      ``max_bucket_size`` docs are skipped, bounding per-token join
+      fan-out at C(max_bucket_size, 2) at ANY corpus size.  Like the
+      SymSpell/dHash families, completeness is conditional on this
+      cap and the skips are observable: run
+      :func:`oversized_token_buckets` with the same arguments — empty
+      means the pair set is exactly the thresholded TF-IDF cosine
+      relation.
+
+    Norms still use ALL tokens, so the reported cosine is the true
+    TF-IDF cosine, not a filtered approximation of the norm.  (BIGINT
+    headroom: w <= tf*10^6/df, so norm terms stay far under 2^63 for
+    any real text; a corpus with degenerate million-fold single-token
+    repetition should cap tf at ingest — the repetition_signals gate
+    already flags such documents.)  The tf relation is persisted once
+    and feeds the norm aggregate and both join sides (no cross-branch
+    CSE in Spark).  Join keys are 8-byte ``xxhash64`` token hashes,
+    not token strings.
     """
     from ..catalog import track_persisted
 
     toks = df.select(
         F.col(id_col).alias("doc"),
         F.explode(ws_tokens(F.lower(F.trim(F.col(text_col))))).alias("tok"),
+    )
+    n_docs = df.agg(
+        F.floor(F.count(F.lit(1)) * F.lit(max_df_frac)).alias("max_df")
     )
     tf = toks.groupBy("doc", "tok").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
@@ -700,9 +717,15 @@ def tfidf_cosine_pairs(
         .persist()
     )
     norms = w.groupBy("doc").agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
-    inv = w.filter(
-        (F.col("df") >= min_df) & (F.col("df") <= max_df)
-    ).select(F.xxhash64("tok").alias("tkey"), "doc", "w")
+    inv = (
+        w.crossJoin(F.broadcast(n_docs))
+        .filter(
+            (F.col("df") >= min_df)
+            & (F.col("df") <= F.col("max_df"))
+            & (F.col("df") <= max_bucket_size)
+        )
+        .select(F.xxhash64("tok").alias("tkey"), "doc", "w")
+    )
     a = inv.select("tkey", F.col("doc").alias("doc_a"), F.col("w").alias("w_a"))
     b = inv.select("tkey", F.col("doc").alias("doc_b"), F.col("w").alias("w_b"))
     dots = (
@@ -727,6 +750,42 @@ def tfidf_cosine_pairs(
         .select("doc_a", "doc_b", "dot", "cos_ppm")
     )
 
+
+def oversized_token_buckets(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 2,
+    max_df_frac: float = 0.1,
+    max_bucket_size: int = 10_000,
+) -> DataFrame:
+    """Observability companion to :func:`tfidf_cosine_pairs`: the
+    (tok, df) rows inside the relative df band whose buckets exceeded
+    ``max_bucket_size`` and were therefore skipped.  Empty result ==
+    the pair set is provably the full thresholded cosine relation."""
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(ws_tokens(F.lower(F.trim(F.col(text_col))))).alias("tok"),
+    )
+    n_docs = df.agg(
+        F.floor(F.count(F.lit(1)) * F.lit(max_df_frac)).alias("max_df")
+    )
+    dfreq = (
+        toks.groupBy("doc", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    return (
+        dfreq.crossJoin(F.broadcast(n_docs))
+        .filter(
+            (F.col("df") >= min_df)
+            & (F.col("df") <= F.col("max_df"))
+            & (F.col("df") > max_bucket_size)
+        )
+        .select("tok", "df")
+    )
 
 def bigram_pmi(
     df: DataFrame,

@@ -611,8 +611,10 @@ def j3k_ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM tf JOIN dfreq USING (tok)
     ), norms AS (
       SELECT doc_id, CAST(SUM(w * w) AS BIGINT) AS n2 FROM w GROUP BY 1
+    ), cap AS (
+      SELECT CAST(FLOOR(0.1 * COUNT(*)) AS BIGINT) AS max_df FROM documents
     ), inv AS (
-      SELECT * FROM w WHERE df BETWEEN 2 AND 50
+      SELECT w.* FROM w, cap WHERE df BETWEEN 2 AND max_df
     ), dots AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              CAST(SUM(a.w * b.w) AS BIGINT) AS dot
@@ -634,9 +636,12 @@ def j3k_ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def j3l_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sparse TF-IDF cosine pair similarity (§2.J3 lexical complement):
     inverted-index set-similarity join — candidates only from tokens
-    with df in [2, 50] (an ABSOLUTE fan-out cap: ≤ C(50,2) pairs per
-    token at any corpus size), exact integer tf·rdf weights, one final
-    IEEE sqrt/division both engines evaluate identically.  See
+    with df in [2, floor(0.1·n_docs)] (a RELATIVE stopword band that
+    survives corpus growth; the operator additionally skips buckets
+    above an absolute 10k cap, observable via
+    oversized_token_buckets — untripped at fixture scale, so the
+    oracle needs no cap term), exact integer tf·rdf weights, one
+    final IEEE sqrt/division both engines evaluate identically.  See
     operators/text.py:tfidf_cosine_pairs."""
     from ..operators.text import tfidf_cosine_pairs
 

@@ -284,6 +284,36 @@ def main() -> int:
         )
         cands.unpersist()
 
+        # tfidf: inverted-index cosine pairs (j3l shape).  The df band
+        # is RELATIVE (df <= 10% of docs), so replication preserves the
+        # 1x discrimination structure exactly (every df scales by 10
+        # and so does the band edge — an earlier ABSOLUTE band emptied
+        # the index at 10x, the bug this probe caught); the absolute
+        # bucket cap bounds per-token join fan-out.  Claim: pairs grow
+        # with the TRUE near-dup pair count (replication is
+        # quadratic in replicas by construction — same as the keeper
+        # probe) while wall-time stays bounded by the cap, and the
+        # skipped buckets are observable (oversized_token_buckets).
+        from realtime_cdc_pipeline_docker_spark.operators.text import (
+            tfidf_cosine_pairs,
+        )
+
+        t0 = time.time()
+        n_tfidf = tfidf_cosine_pairs(corpus).count()
+        release_persisted()
+        print(
+            json.dumps(
+                {
+                    "probe": "tfidf",
+                    "scale": scale,
+                    "n_docs": n_docs,
+                    "n_pairs": n_tfidf,
+                    "sec": round(time.time() - t0, 2),
+                }
+            ),
+            flush=True,
+        )
+
         corpus.unpersist()
     return 0
 

@@ -180,3 +180,58 @@ def test_window_funnel_single_window_exchange(spark, sf_dir):
     # final level histogram.
     assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2
     assert "EvalPython" not in plan
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join(spark, sf_dir):
+    """Catalyst's runtime row-level filtering (InjectRuntimeFilter): a
+    selective dim filter on the creation side of a SHUFFLE join builds
+    a bloom filter at runtime and applies `might_contain` to the fact
+    side BEFORE the exchange — at 100 TB this is what keeps a
+    non-broadcastable selective join from shuffling the whole fact
+    table.  Broadcast joins don't need it (the filter rides the
+    broadcast), so broadcasting is disabled to exercise the path."""
+    from pyspark.sql import functions as F
+
+    from realtime_cdc_pipeline_docker_spark.catalog import load_table
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    prior = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        orders = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = load_table(spark, sf_dir, "lineitem")
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = j._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert "bloom_filter_agg" in plan  # built from the filtered dim
+        assert "might_contain" in plan  # applied to the fact scan side
+        # and the filtered rows are still exactly right
+        got = {r["o_orderpriority"]: r["n"] for r in j.collect()}
+        want = (
+            li.join(orders.hint("broadcast"), li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        assert got == {r["o_orderpriority"]: r["n"] for r in want}
+    finally:
+        for k, v in prior.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -66,20 +66,22 @@ def test_tfidf_planted_neardup_pair_scores_highest(spark):
         (4, "alpha omega unrelated words entirely different"),
     ]
     out = tfidf_cosine_pairs(
-        _docs(spark, rows), min_df=2, max_df=10, min_cos_ppm=0
+        _docs(spark, rows), min_df=2, max_df_frac=1.0, min_cos_ppm=0
     ).collect()
     best = max(out, key=lambda r: r["cos_ppm"])
     assert (best["doc_a"], best["doc_b"]) == (1, 2)
     # identical-pair ceiling: cosine of a doc with itself is exactly 1
     dup = tfidf_cosine_pairs(
-        _docs(spark, [(1, "x y z"), (2, "x y z")]), min_df=2, max_df=10, min_cos_ppm=0
+        _docs(spark, [(1, "x y z"), (2, "x y z")]), min_df=2, max_df_frac=1.0, min_cos_ppm=0
     ).collect()
     assert len(dup) == 1 and dup[0]["cos_ppm"] == 1_000_000
 
 
-def test_tfidf_max_df_cap_blocks_stopword_fanout(spark):
-    # 'the' appears in every doc (df=4 > max_df=3) -> generates NO
-    # candidate pairs; docs sharing only capped tokens never pair.
+def test_tfidf_relative_band_blocks_stopword_fanout(spark):
+    # 'the' appears in every doc (df=4 > floor(0.75*4)=3) -> generates
+    # NO candidate pairs; docs sharing only banded-out tokens never
+    # pair.  The band is RELATIVE, so the same corpus replicated keeps
+    # the same discrimination (see scripts/scale_probe.py "tfidf").
     rows = [
         (1, "the aardvark"),
         (2, "the bobcat"),
@@ -87,9 +89,31 @@ def test_tfidf_max_df_cap_blocks_stopword_fanout(spark):
         (4, "the dingo"),
     ]
     out = tfidf_cosine_pairs(
-        _docs(spark, rows), min_df=2, max_df=3, min_cos_ppm=0
+        _docs(spark, rows), min_df=2, max_df_frac=0.75, min_cos_ppm=0
     ).collect()
     assert out == []
+
+
+def test_tfidf_bucket_cap_skips_are_observable(spark):
+    from realtime_cdc_pipeline_docker_spark.operators.text import (
+        oversized_token_buckets,
+    )
+
+    # 'dup' is in-band (df=3 of 6 docs = 0.5) but its bucket exceeds
+    # the cap of 2 -> skipped, observable; with the default cap the
+    # pairs exist and the skip report is empty.
+    rows = [(i, "dup filler%d" % i) for i in range(3)] + [
+        (10 + i, "solo%d other%d" % (i, i)) for i in range(3)
+    ]
+    kw = dict(min_df=2, max_df_frac=0.5, min_cos_ppm=0)
+    assert tfidf_cosine_pairs(_docs(spark, rows), **kw).count() == 3  # C(3,2)
+    assert oversized_token_buckets(_docs(spark, rows), **{k: v for k, v in kw.items() if k != "min_cos_ppm"}).count() == 0
+    capped = tfidf_cosine_pairs(_docs(spark, rows), max_bucket_size=2, **kw)
+    assert capped.count() == 0
+    over = oversized_token_buckets(
+        _docs(spark, rows), max_bucket_size=2, min_df=2, max_df_frac=0.5
+    )
+    assert [tuple(r) for r in over.collect()] == [("dup", 3)]
 
 
 def _events(spark, rows):
