@@ -153,6 +153,9 @@ HEADLINE = [
     "j4l_char_entropy",
     "j7d_release_diff",
     "g10_try_arithmetic",
+    "f3d_set_ops_all",
+    "c25_boolean_positional_aggs",
+    "c26_corr_regression",
     # j3k_ivfpq_adc_topk is NOT a headline row for the same reason as
     # j3c/j3e: each run re-trains the k-means index (offline cost by
     # contract), which would bench index BUILD as if it were query

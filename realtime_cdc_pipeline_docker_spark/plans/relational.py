@@ -2564,3 +2564,153 @@ def g10_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.try_to_timestamp(F.col("o_orderstatus")).alias("status_ts"),
     )
+
+
+@register(
+    "f3d_set_ops_all",
+    oracle="""
+    SELECT custkey, COUNT(*) AS n FROM (
+      SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+      INTERSECT ALL
+      SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+    ) GROUP BY custkey
+    UNION ALL
+    SELECT custkey, -COUNT(*) AS n FROM (
+      SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+      EXCEPT ALL
+      SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+    ) GROUP BY custkey
+    """,
+)
+def f3d_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset (ALL) set-operation semantics (§2.F3 completion —
+    INTERSECT/EXCEPT keep one row per value; the ALL variants keep
+    min/difference MULTIPLICITIES, which is what reconciliation
+    between at-least-once feeds actually needs).  Spark compiles both
+    to aggregate+generate (count per side, replicate min/diff) — no
+    join, two map-side-combined aggregates; the counts-by-key output
+    keeps the oracle boundary scalar."""
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    b = orders.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    inter = (
+        a.intersectAll(b)
+        .groupBy("custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    exc = (
+        a.exceptAll(b)
+        .groupBy("custkey")
+        .agg((-F.count(F.lit(1))).alias("n"))
+    )
+    return inter.unionByName(exc)
+
+
+@register(
+    "c25_boolean_positional_aggs",
+    oracle="""
+    WITH r AS (
+      SELECT o_orderstatus, o_orderkey, o_totalprice, o_orderpriority,
+             row_number() OVER (PARTITION BY o_orderstatus
+                                ORDER BY o_orderdate DESC, o_orderkey DESC) AS rd,
+             row_number() OVER (PARTITION BY o_orderstatus
+                                ORDER BY o_orderdate ASC, o_orderkey ASC) AS ra
+      FROM orders
+    )
+    SELECT o_orderstatus,
+           bool_and(o_totalprice > 100)  AS all_over_100,
+           bool_or(o_totalprice > 90000) AS any_over_90k,
+           CAST(COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS BIGINT)
+             AS n_urgent,
+           MAX(CASE WHEN rd = 1 THEN o_orderkey END) AS latest_orderkey,
+           MAX(CASE WHEN ra = 1 THEN o_orderkey END) AS earliest_orderkey
+    FROM r
+    GROUP BY o_orderstatus
+    """,
+)
+def c25_boolean_positional_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean + positional aggregate surface (§2.C completion):
+    bool_and/bool_or (EVERY/ANY), count_if, and max_by/min_by over a
+    composite (date, key) ordering — the arg_max family ClickHouse
+    users reach for constantly.  The ordering struct includes the
+    unique key, so ties are impossible and both engines pick the same
+    row deterministically.  All map-side combinable; one 3-group
+    exchange."""
+    o = load_table(spark, sf_dir, "orders")
+    ordkey = F.struct(F.col("o_orderdate"), F.col("o_orderkey"))
+    return o.groupBy("o_orderstatus").agg(
+        F.every(F.col("o_totalprice") > 100).alias("all_over_100"),
+        F.some(F.col("o_totalprice") > 90000).alias("any_over_90k"),
+        F.count_if(F.col("o_orderpriority") == "1-URGENT").alias("n_urgent"),
+        F.max_by(F.col("o_orderkey"), ordkey).alias("latest_orderkey"),
+        F.min_by(F.col("o_orderkey"), ordkey).alias("earliest_orderkey"),
+    )
+
+
+@register(
+    "c26_corr_regression",
+    oracle="""
+    WITH q AS (
+      SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS x,
+             CAST(round(l_quantity) AS BIGINT) AS y
+      FROM lineitem
+    ), s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM q
+    )
+    SELECT n, sx, sy,
+           CAST(ROUND(1000000.0 * ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                        * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))),
+                 0) AS BIGINT) AS corr_ppm,
+           CAST(ROUND(1000000.0 * ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)),
+                 0) AS BIGINT) AS slope_ppm
+    FROM s
+    """,
+)
+def c26_corr_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (§2.C completion — corr / regr_slope
+    over price vs quantity) in the engine-exact formulation: the five
+    integer power sums are exact BIGINTs (order-independent), and
+    Pearson r / OLS slope are assembled from them in ONE identical
+    IEEE expression per statistic — unlike the built-in ``corr``,
+    whose per-partition co-moment recurrence is summation-order-
+    dependent in the last ulps and therefore unhashable across
+    engines.  (The built-ins agree to ~1e-12; pinned in tests.)
+    Single scan, one map-side-combined aggregate to one row."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = li.select(
+        fixed_units("l_extendedprice").alias("x"),
+        F.round(F.col("l_quantity"), 0).cast("long").alias("y"),
+    )
+    s = q.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n, sx, sy = F.col("n").cast("double"), F.col("sx"), F.col("sy")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    cov_n = n * F.col("sxy") - sxd * sy
+    var_x = n * F.col("sxx") - sxd * sx
+    var_y = n * F.col("syy") - syd * sy
+    return s.select(
+        "n",
+        "sx",
+        "sy",
+        F.round(F.lit(1000000.0) * (cov_n / F.sqrt(var_x * var_y)), 0)
+        .cast("long")
+        .alias("corr_ppm"),
+        F.round(F.lit(1000000.0) * (cov_n / var_x), 0).cast("long").alias("slope_ppm"),
+    )

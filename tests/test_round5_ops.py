@@ -288,3 +288,23 @@ def test_try_arithmetic_overflow_family_nulls_not_aborts(spark):
     assert row["div0"] is None
     assert row["bad_cast"] is None
     assert row["fine"] == 42
+
+
+def test_builtin_corr_agrees_with_integer_exact_formulation(spark):
+    """c26 derives Pearson r from exact integer power sums; the
+    built-in corr (co-moment recurrence, order-dependent ulps) must
+    agree to ~1e-12 — pinning that the exact formulation computes the
+    same statistic, just deterministically."""
+    import math
+
+    from realtime_cdc_pipeline_docker_spark.catalog import load_table
+    from realtime_cdc_pipeline_docker_spark.plans.registry import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    got = REGISTRY["c26_corr_regression"].fn(spark, sf).collect()[0]
+    li = load_table(spark, sf, "lineitem").select(
+        (F.round(F.col("l_extendedprice") * 100, 0)).alias("x"),
+        (F.round(F.col("l_quantity"), 0)).alias("y"),
+    )
+    builtin = li.agg(F.corr("x", "y").alias("r")).collect()[0]["r"]
+    assert math.isclose(got["corr_ppm"] / 1e6, builtin, abs_tol=1e-6)
