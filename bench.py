@@ -156,6 +156,7 @@ HEADLINE = [
     "f3d_set_ops_all",
     "c25_boolean_positional_aggs",
     "c26_corr_regression",
+    "j9h_bpe_train",
     # j3k_ivfpq_adc_topk is NOT a headline row for the same reason as
     # j3c/j3e: each run re-trains the k-means index (offline cost by
     # contract), which would bench index BUILD as if it were query

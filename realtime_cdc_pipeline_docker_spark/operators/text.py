@@ -910,3 +910,92 @@ def char_entropy(
             F.round(F.sum("term") / F.max("n"), 0).cast("long").alias("mean_ent_fp"),
         )
     )
+
+
+def _apply_merge(col: Column, left: str, right: str, joined: str) -> Column:
+    """Greedy left-to-right, non-overlapping application of ONE BPE
+    merge (left,right)→joined over a symbol array — as a single
+    JVM-side ``aggregate`` fold (codegen'd; no explode, no Python).
+    The accumulator carries (prev symbol, output array); the trailing
+    prev is flushed and NULL slots filtered at the end.  Symbols are
+    never NULL (tokenizer output), so NULL is a safe empty sentinel."""
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.array().cast("array<string>").alias("out"),
+    )
+
+    def step(acc, x):
+        is_pair = acc["prev"].eqNullSafe(F.lit(left)) & (x == F.lit(right))
+        return F.when(
+            is_pair,
+            F.struct(
+                F.lit(None).cast("string").alias("prev"),
+                F.concat(acc["out"], F.array(F.lit(joined))).alias("out"),
+            ),
+        ).otherwise(
+            F.struct(
+                x.alias("prev"),
+                F.when(acc["prev"].isNull(), acc["out"])
+                .otherwise(F.concat(acc["out"], F.array(acc["prev"])))
+                .alias("out"),
+            )
+        )
+
+    acc = F.aggregate(col, init, step)
+    return F.filter(
+        F.concat(acc["out"], F.array(acc["prev"])), lambda x: x.isNotNull()
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 5,
+    min_count: int = 2,
+) -> list[tuple[int, str, str, int]]:
+    """Iterative BPE merge training (word-level symbols, the j9c
+    convention): each round counts adjacent symbol pairs corpus-wide,
+    promotes the most frequent pair to a single symbol (deterministic
+    tiebreak: count desc, then lexicographic), rewrites the corpus
+    with :func:`_apply_merge`, and repeats — the actual tokenizer-
+    training loop, distributed the way every iterative-refinement
+    operator in this repo is (k-means, connected components): the
+    per-round REDUCTION is a full Spark job, only the argmax row (a
+    bounded driver value, like the centroid table) crosses to the
+    driver, and each round ends in ``localCheckpoint`` so lineage
+    doesn't stack across iterations.
+
+    Returns the merge table [(iteration, left, right, count), ...] —
+    the artifact a tokenizer ships.  Stops early when no pair reaches
+    ``min_count``.  Scale shape per round: one explode →
+    map-side-combined pair count → TakeOrdered(1); the rewrite is a
+    codegen'd array fold, no shuffle."""
+    from ..functions import ws_tokens
+
+    cur = df.select(
+        ws_tokens(F.lower(F.trim(F.col(text_col)))).alias("t")
+    ).localCheckpoint()
+    merges: list[tuple[int, str, str, int]] = []
+    for it in range(n_merges):
+        pairs = (
+            cur.filter(F.size("t") >= 2)
+            .select(F.explode(F.sequence(F.lit(1), F.size("t") - 1)).alias("i"), "t")
+            .select(
+                F.element_at("t", F.col("i").cast("int")).alias("left"),
+                F.element_at("t", (F.col("i") + 1).cast("int")).alias("right"),
+            )
+            .groupBy("left", "right")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), F.asc("left"), F.asc("right"))
+            .limit(1)
+            .collect()
+        )
+        if not pairs or pairs[0]["n"] < min_count:
+            break
+        left, right, n = pairs[0]["left"], pairs[0]["right"], pairs[0]["n"]
+        joined = f"{left} {right}"
+        merges.append((it, left, right, n))
+        cur = cur.select(
+            _apply_merge(F.col("t"), left, right, joined).alias("t")
+        ).localCheckpoint()
+    return merges

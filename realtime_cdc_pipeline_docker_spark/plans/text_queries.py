@@ -1258,3 +1258,25 @@ def j4l_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text import char_entropy
 
     return char_entropy(load_table(spark, sf_dir, "documents"))
+
+
+@register("j9h_bpe_train", oracle=None)
+def j9h_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative BPE merge training (§2.J9 — the tokenizer-training
+    loop itself, not just its inner scan j9c): five rounds of
+    corpus-wide pair counting → argmax promotion → codegen'd
+    array-fold rewrite, driver-loop-iterative like k-means/CC (only
+    the bounded argmax row crosses to the driver; localCheckpoint per
+    round).  Deterministic (count desc + lexicographic tiebreak,
+    greedy left-to-right non-overlapping apply) but inherently
+    iterative, so rows-only; exact equivalence to an independent pure-
+    Python BPE model is pinned in tests/test_round5_ops.py.  See
+    operators/text.py:bpe_train."""
+    from ..operators.text import bpe_train
+
+    merges = bpe_train(load_table(spark, sf_dir, "documents"), n_merges=5)
+    return spark.createDataFrame(
+        merges or [], "iteration int, left string, right string, n long"
+    ).select(
+        F.col("iteration").cast("long"), "left", "right", F.col("n").cast("long")
+    )

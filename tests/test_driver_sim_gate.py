@@ -65,7 +65,7 @@ def test_driver_window_is_all_oracle_bearing():
         "c23_hll_partial_merge",
         # registered in round 5 (rows-only by nature — first appearance)
         "j2h_dedup_eval_pr", "j3k_ivfpq_adc_topk",
-        "j5f_image_dhash_neardup",
+        "j5f_image_dhash_neardup", "j9h_bpe_train",
     }
     rows_only = [n for n in window[:50] if n not in oracles]
     stray = [n for n in rows_only if n not in allowed_rows_only]

@@ -308,3 +308,59 @@ def test_builtin_corr_agrees_with_integer_exact_formulation(spark):
     )
     builtin = li.agg(F.corr("x", "y").alias("r")).collect()[0]["r"]
     assert math.isclose(got["corr_ppm"] / 1e6, builtin, abs_tol=1e-6)
+
+
+def _bpe_model(texts, n_merges, min_count=2):
+    """Independent pure-Python BPE: adjacent pair counts, argmax with
+    (count desc, lexicographic) tiebreak, greedy left-to-right
+    non-overlapping apply."""
+    corpora = [t.lower().split() for t in texts]
+    merges = []
+    for it in range(n_merges):
+        counts = {}
+        for toks in corpora:
+            for a, b in zip(toks, toks[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + 1
+        if not counts:
+            break
+        (a, b), n = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if n < min_count:
+            break
+        merges.append((it, a, b, n))
+        j = f"{a} {b}"
+        new = []
+        for toks in corpora:
+            out, i = [], 0
+            while i < len(toks):
+                if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+                    out.append(j)
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            new.append(out)
+        corpora = new
+    return merges
+
+
+def test_bpe_train_matches_python_model(spark):
+    from realtime_cdc_pipeline_docker_spark.operators.text import bpe_train
+
+    texts = [
+        "the cat sat on the mat",
+        "the cat ate the rat",
+        "a cat and the cat sat",
+        "aaa aaa aaa aaa",  # self-pair: greedy non-overlap semantics
+    ]
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    assert bpe_train(df, n_merges=6) == _bpe_model(texts, 6)
+
+
+def test_bpe_train_stops_below_min_count(spark):
+    from realtime_cdc_pipeline_docker_spark.operators.text import bpe_train
+
+    df = spark.createDataFrame(
+        [(1, "x y"), (2, "p q"), (3, "r s")], ["doc_id", "text"]
+    )
+    # every pair occurs once < min_count=2 -> zero merges
+    assert bpe_train(df, n_merges=3) == []
