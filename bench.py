@@ -157,6 +157,9 @@ HEADLINE = [
     "c25_boolean_positional_aggs",
     "c26_corr_regression",
     "j9h_bpe_train",
+    "g11_datetime_scalars",
+    "j4m_gopher_rules",
+    "e16_ohlc_bars",
     # j3k_ivfpq_adc_topk is NOT a headline row for the same reason as
     # j3c/j3e: each run re-trains the k-means index (offline cost by
     # contract), which would bench index BUILD as if it were query

@@ -999,3 +999,67 @@ def bpe_train(
             _apply_merge(F.col("t"), left, right, joined).alias("t")
         ).localCheckpoint()
     return merges
+
+
+def gopher_signals(text_col: str = "text") -> dict[str, Column]:
+    """Gopher-style document quality rules (Rae et al. 2021, "Scaling
+    Language Models: ... Gopher", §A1.1 repetition/quality filters —
+    the standard pre-training corpus gate) as EXACT integer signals:
+
+    - word count bounds,
+    - mean word length bounds (cross-multiplied, no division),
+    - fraction of words containing an alphabetic character,
+    - fraction of lines that are bullets / end in an ellipsis,
+    - symbol-to-word ratio ('#' chars + '...' occurrences).
+
+    Every signal is an integer count and every threshold a
+    cross-multiplied integer comparison, so both engines agree
+    bit-for-bit; the composite ``passes_gopher`` is the conjunction.
+    Pure codegen column expressions — no shuffle, no UDF; at 100 TB
+    this is a scan-side filter that fuses into whatever reads the
+    corpus."""
+    c = F.col(text_col)
+    toks = ws_tokens(c)
+    lines = F.split(c, "\n", -1)
+    n_words = F.size(toks).cast("long")
+    word_chars = F.length(F.regexp_replace(c, r"\s", "")).cast("long")
+    alpha_words = F.size(
+        F.filter(toks, lambda t: t.rlike("[A-Za-z]"))
+    ).cast("long")
+    n_lines = F.size(lines).cast("long")
+    bullet_lines = F.size(
+        F.filter(
+            lines,
+            lambda ln: F.trim(ln).startswith("-") | F.trim(ln).startswith("*"),
+        )
+    ).cast("long")
+    ellipsis_lines = F.size(
+        F.filter(lines, lambda ln: F.trim(ln).endswith("..."))
+    ).cast("long")
+    n_ellipsis = (
+        (F.length(c) - F.length(F.regexp_replace(c, r"\.\.\.", ""))) / F.lit(3)
+    ).cast("long")
+    n_hash = (F.length(c) - F.length(F.regexp_replace(c, "#", ""))).cast("long")
+    sym_chars = (n_hash + n_ellipsis).cast("long")
+    sig = {
+        "n_words": n_words,
+        "word_chars": word_chars,
+        "alpha_words": alpha_words,
+        "n_lines": n_lines,
+        "bullet_lines": bullet_lines,
+        "ellipsis_lines": ellipsis_lines,
+        "sym_chars": sym_chars,
+    }
+    rules = {
+        "r_word_count": (n_words >= 50) & (n_words <= 100000),
+        "r_mean_word_len": (word_chars >= 3 * n_words)
+        & (word_chars <= 10 * n_words),
+        "r_alpha_ratio": alpha_words * 10 >= n_words * 8,
+        "r_bullet_ratio": bullet_lines * 10 <= n_lines * 9,
+        "r_ellipsis_ratio": ellipsis_lines * 10 <= n_lines * 3,
+        "r_symbol_ratio": sym_chars * 10 <= n_words,
+    }
+    passes = None
+    for r in rules.values():
+        passes = r if passes is None else (passes & r)
+    return {**sig, **rules, "passes_gopher": passes}

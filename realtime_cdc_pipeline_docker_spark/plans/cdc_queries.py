@@ -602,7 +602,11 @@ def m4_multi_table_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
     decoded form; m3/e1 keep decode itself an explicitly-benched
     operator).  Plan: four bronze scans, one collapse window each,
     then broadcast dims into the fact join — the same shape the
-    100 TB mart runs nightly."""
+    100 TB mart runs nightly.  (The window collapse already prunes to
+    one candidate per key per map task via the partial
+    WindowGroupLimit below its exchange; ``latest_state_agg`` is the
+    aggregate-composable alternative — see collapse.py's measured
+    comparison.)"""
     from ..functions import fixed_units
     from ..operators.collapse import latest_state
     from ..sources.cdc import CDC_TABLES, decoded_table_log

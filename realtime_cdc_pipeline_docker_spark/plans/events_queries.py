@@ -888,3 +888,52 @@ def e15_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+@register(
+    "e16_ohlc_bars",
+    oracle="""
+    WITH e AS (
+      SELECT event_type,
+             CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bar_hour,
+             CAST(round(value * 100) AS BIGINT) AS v_c2,
+             epoch_ms(ts) * 1000000 + event_id AS okey
+      FROM events)
+    SELECT event_type, bar_hour,
+           arg_min(v_c2, okey) AS open_c2,
+           CAST(max(v_c2) AS BIGINT) AS high_c2,
+           CAST(min(v_c2) AS BIGINT) AS low_c2,
+           arg_max(v_c2, okey) AS close_c2,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(v_c2) AS BIGINT) AS flow_c2
+    FROM e GROUP BY event_type, bar_hour
+    """,
+)
+def e16_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candlestick bars (§2.E extension — the time-bucketed
+    first/high/low/last rollup ClickHouse serves with
+    argMin/argMax + min/max over toStartOfHour buckets): per
+    (event_type, hour), open = value at the MIN ordering key, close =
+    at the MAX, plus high/low/volume.  First/last-in-bucket are
+    ``min_by``/``max_by`` on a composite BIGINT ordering key
+    (epoch-millis·10⁶ + event_id — total order, so ties cannot make
+    the answer partition-dependent), which keeps the whole query ONE
+    map-side-combinable hash aggregate — no window sort, no
+    self-join, the shape that holds at any bucket cardinality.
+    Values in fixed-point cents; engine-exact."""
+    ev = load_table(spark, sf_dir, "events")
+    ts_type = ev.schema["ts"].dataType
+    e = ev.select(
+        "event_type",
+        F.date_trunc("hour", "ts").alias("bar_hour"),
+        fixed_units("value").alias("v_c2"),
+        (epoch_ms("ts", ts_type) * F.lit(1000000) + F.col("event_id")).alias("okey"),
+    )
+    return e.groupBy("event_type", "bar_hour").agg(
+        F.min_by("v_c2", "okey").alias("open_c2"),
+        F.max("v_c2").cast("long").alias("high_c2"),
+        F.min("v_c2").cast("long").alias("low_c2"),
+        F.max_by("v_c2", "okey").alias("close_c2"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("v_c2").cast("long").alias("flow_c2"),
+    )

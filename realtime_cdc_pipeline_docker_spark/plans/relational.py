@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..functions import fixed_units, revenue_units
+from ..functions import epoch_ms, fixed_units, revenue_units
 from .registry import register
 
 # ---------------------------------------------------------------------------
@@ -2713,4 +2713,69 @@ def c26_corr_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("corr_ppm"),
         F.round(F.lit(1000000.0) * (cov_n / var_x), 0).cast("long").alias("slope_ppm"),
+    )
+
+
+@register(
+    "g11_datetime_scalars",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           CAST(date_trunc('week', o_orderdate) AS TIMESTAMP) AS week_start,
+           CAST(date_trunc('quarter', o_orderdate) AS TIMESTAMP) AS quarter_start,
+           last_day(CAST(o_orderdate AS DATE)) AS month_end,
+           CAST(year(o_orderdate) AS BIGINT) AS y,
+           CAST(quarter(o_orderdate) AS BIGINT) AS q,
+           CAST(month(o_orderdate) AS BIGINT) AS m,
+           CAST(dayofmonth(o_orderdate) AS BIGINT) AS d,
+           CAST(dayofyear(o_orderdate) AS BIGINT) AS doy,
+           CAST(weekofyear(o_orderdate) AS BIGINT) AS iso_week,
+           CAST(isodow(o_orderdate) AS BIGINT) AS iso_dow,
+           CAST(date_diff('day', DATE '1992-01-01',
+                          CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus3m,
+           epoch_ms(o_orderdate) AS epoch_millis,
+           make_date(CAST(year(o_orderdate) AS INTEGER),
+                     CAST(month(o_orderdate) AS INTEGER),
+                     CAST(dayofmonth(o_orderdate) AS INTEGER)) AS rebuilt,
+           strftime(o_orderdate, '%Y-%m') AS ym
+    FROM orders
+    """,
+)
+def g11_datetime_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime scalar surface (§2.G — the reference's only temporal
+    type is TIMESTAMP, init-db.sql:13/29, and its ClickHouse backend
+    serves the toStartOf*/toDayOf*/dateDiff family; this is that
+    surface natively): calendar truncations (month/ISO-week/quarter),
+    month end, the extract family (year→day, day-of-year, ISO week
+    and ISO weekday), day arithmetic against an epoch, month
+    arithmetic WITH end-of-month clamping (Jan 31 + 3m → Apr 30 —
+    pinned by both engines agreeing), epoch-millis, a make_date
+    roundtrip from extracted parts, and calendar-bucket formatting.
+    ISO-weekday parity: Spark ``weekday()`` is 0=Monday, DuckDB
+    ``isodow`` 1=Monday — the +1 shift is in the Spark plan, not the
+    oracle.  All codegen'd scalar expressions over one scan; no
+    shuffle, nothing for AQE to do."""
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.date_trunc("month", d).alias("month_start"),
+        F.date_trunc("week", d).alias("week_start"),
+        F.date_trunc("quarter", d).alias("quarter_start"),
+        F.last_day(d).alias("month_end"),
+        F.year(d).cast("long").alias("y"),
+        F.quarter(d).cast("long").alias("q"),
+        F.month(d).cast("long").alias("m"),
+        F.dayofmonth(d).cast("long").alias("d"),
+        F.dayofyear(d).cast("long").alias("doy"),
+        F.weekofyear(d).cast("long").alias("iso_week"),
+        (F.weekday(d) + F.lit(1)).cast("long").alias("iso_dow"),
+        F.datediff(d.cast("date"), F.lit("1992-01-01").cast("date"))
+        .cast("long")
+        .alias("days_since"),
+        F.add_months(d, 3).alias("plus3m"),
+        epoch_ms(d, o.schema["o_orderdate"].dataType).alias("epoch_millis"),
+        F.make_date(F.year(d), F.month(d), F.dayofmonth(d)).alias("rebuilt"),
+        F.date_format(d, "yyyy-MM").alias("ym"),
     )

@@ -1280,3 +1280,65 @@ def j9h_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("iteration").cast("long"), "left", "right", F.col("n").cast("long")
     )
+
+
+@register(
+    "j4m_gopher_rules",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id,
+             string_split_regex(trim(text), '\\s+') AS toks,
+             string_split(text, chr(10)) AS lines,
+             CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT)
+               AS word_chars,
+             CAST((length(text)
+                   - length(regexp_replace(text, '\\.\\.\\.', '', 'g'))) // 3
+                  AS BIGINT) AS n_ellipsis,
+             CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+               AS n_hash
+      FROM documents),
+    t AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_words,
+             word_chars,
+             CAST(len(list_filter(toks, tk -> regexp_matches(tk, '[A-Za-z]')))
+                  AS BIGINT) AS alpha_words,
+             CAST(len(lines) AS BIGINT) AS n_lines,
+             CAST(len(list_filter(lines,
+                    ln -> starts_with(trim(ln), '-')
+                          OR starts_with(trim(ln), '*'))) AS BIGINT)
+               AS bullet_lines,
+             CAST(len(list_filter(lines, ln -> ends_with(trim(ln), '...')))
+                  AS BIGINT) AS ellipsis_lines,
+             n_hash + n_ellipsis AS sym_chars
+      FROM s)
+    SELECT doc_id, n_words, word_chars, alpha_words, n_lines, bullet_lines,
+           ellipsis_lines, sym_chars,
+           (n_words >= 50 AND n_words <= 100000) AS r_word_count,
+           (word_chars >= 3 * n_words AND word_chars <= 10 * n_words)
+             AS r_mean_word_len,
+           (alpha_words * 10 >= n_words * 8) AS r_alpha_ratio,
+           (bullet_lines * 10 <= n_lines * 9) AS r_bullet_ratio,
+           (ellipsis_lines * 10 <= n_lines * 3) AS r_ellipsis_ratio,
+           (sym_chars * 10 <= n_words) AS r_symbol_ratio,
+           ((n_words >= 50 AND n_words <= 100000)
+            AND (word_chars >= 3 * n_words AND word_chars <= 10 * n_words)
+            AND (alpha_words * 10 >= n_words * 8)
+            AND (bullet_lines * 10 <= n_lines * 9)
+            AND (ellipsis_lines * 10 <= n_lines * 3)
+            AND (sym_chars * 10 <= n_words)) AS passes_gopher
+    FROM t
+    """,
+)
+def j4m_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-rule gate (§2.J4 — the composite corpus filter
+    every LLM ingest pipeline runs before tokenization; see
+    operators/text.py:gopher_signals for the rule set and the
+    exact-integer design).  Emits the raw signals AND each rule's
+    verdict so a corpus audit can see WHY a document failed, not just
+    that it did."""
+    from ..operators.text import gopher_signals
+
+    docs = load_table(spark, sf_dir, "documents")
+    sig = gopher_signals("text")
+    return docs.select("doc_id", *[col.alias(name) for name, col in sig.items()])

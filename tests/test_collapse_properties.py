@@ -97,6 +97,90 @@ def test_collapse_idempotent_under_redelivery(spark, events):
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
 
 
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(events=events_strategy)
+def test_collapse_agg_matches_model(spark, events):
+    """The max_by aggregate form satisfies the SAME independent model
+    as the window form — incl. version ties, deletes, redelivery."""
+    from realtime_cdc_pipeline_docker_spark.operators.collapse import (
+        latest_state_agg,
+    )
+
+    expected = model_collapse(events)
+    df = spark.createDataFrame(
+        events or [(0, 0, 1, 0)], ["id", "ts_ms", "sign", "payload"]
+    )
+    if not events:
+        df = df.filter("id < 0")
+    out = latest_state_agg(df, key_cols=("id",)).collect()
+    got = {r["id"]: (r["ts_ms"], r["sign"], r["payload"]) for r in out}
+    assert set(got) == set(expected)
+    for k, (ts, sign, payloads) in expected.items():
+        gts, gsign, gpayload = got[k]
+        assert (gts, gsign) == (ts, sign)
+        assert gpayload in payloads
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(events=events_strategy)
+def test_collapse_agg_equals_window_under_total_order(spark, events):
+    """With tiebreak_cols making the ordering TOTAL (payload last), the
+    window and aggregate forms must return identical row sets — the
+    exchangeability contract that lets callers pick the physical shape
+    freely."""
+    from realtime_cdc_pipeline_docker_spark.operators.collapse import (
+        latest_state_agg,
+    )
+
+    if not events:
+        return
+    df = spark.createDataFrame(events, ["id", "ts_ms", "sign", "payload"])
+    kw = dict(key_cols=("id",), tiebreak_cols=("payload",))
+    a = sorted(map(tuple, latest_state(df, **kw).collect()))
+    b = sorted(map(tuple, latest_state_agg(df, **kw).collect()))
+    assert a == b
+
+
+def test_collapse_agg_partial_combine_no_window(spark, sf_dir):
+    """Plan contract for the aggregate form: exactly one exchange, no
+    window sort, and a partial max_by BEFORE the exchange (map-side
+    combine) — shuffle volume ~ distinct keys, not change-log rows."""
+    from realtime_cdc_pipeline_docker_spark.catalog import load_table
+    from realtime_cdc_pipeline_docker_spark.operators.collapse import (
+        latest_state_agg,
+    )
+    import pyspark.sql.functions as F
+
+    log = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_custkey").cast("long").alias("ts_ms"),
+        F.lit(1).alias("sign"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    plan = (
+        latest_state_agg(log)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1
+    assert "Window" not in plan
+    head, _, _ = plan.partition("Exchange")
+    # the post-exchange (final) aggregate appears above the exchange in
+    # the printed tree; the partial one below it
+    assert "max_by" in head
+    _, _, tail = plan.partition("Exchange")
+    assert "partial_max_by" in tail or "max_by" in tail
+
+
 def test_coalescing_upsert_interleaves_partial_updates(spark):
     from realtime_cdc_pipeline_docker_spark.operators.collapse import (
         coalescing_upsert,
