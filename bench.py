@@ -160,6 +160,11 @@ HEADLINE = [
     "g11_datetime_scalars",
     "j4m_gopher_rules",
     "e16_ohlc_bars",
+    "c27_exact_quantiles_mode",
+    "e17_ewma_smoothing",
+    "j6m_temperature_mixture",
+    "h13_stream_ohlc",
+    "e18_graph_pagerank",
     # j3k_ivfpq_adc_topk is NOT a headline row for the same reason as
     # j3c/j3e: each run re-trains the k-means index (offline cost by
     # contract), which would bench index BUILD as if it were query
@@ -169,7 +174,12 @@ HEADLINE = [
 
 # Iterative dedup/CC family: the largest generated-code surfaces in the
 # repo — they need the extra JIT warm-ups (see module docstring).
-JIT_HEAVY = {"j2_minhash_neardup", "j2e_neardup_keepers", "j2g_fuzzy_neardup"}
+JIT_HEAVY = {
+    "j2_minhash_neardup",
+    "j2e_neardup_keepers",
+    "j2g_fuzzy_neardup",
+    "j2h_dedup_eval_pr",  # runs the same MinHash generated code over corpus+twins
+}
 
 
 def short_keys(names: list[str]) -> dict[str, str]:

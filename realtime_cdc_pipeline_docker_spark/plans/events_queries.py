@@ -937,3 +937,86 @@ def e16_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum("v_c2").cast("long").alias("flow_c2"),
     )
+
+
+@register(
+    "e17_ewma_smoothing",
+    oracle="""
+    WITH v AS (
+      SELECT event_id, user_id, ts,
+             CAST(round(value * 10000) AS BIGINT) AS v_u
+      FROM events),
+    l AS (
+      SELECT event_id, user_id, ts, v_u,
+             lag(v_u, 1) OVER w AS l1, lag(v_u, 2) OVER w AS l2,
+             lag(v_u, 3) OVER w AS l3, lag(v_u, 4) OVER w AS l4,
+             lag(v_u, 5) OVER w AS l5, lag(v_u, 6) OVER w AS l6,
+             lag(v_u, 7) OVER w AS l7
+      FROM v
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT event_id, user_id, ts,
+           (128 * v_u
+            + 64 * COALESCE(l1, 0) + 32 * COALESCE(l2, 0)
+            + 16 * COALESCE(l3, 0) + 8 * COALESCE(l4, 0)
+            + 4 * COALESCE(l5, 0) + 2 * COALESCE(l6, 0)
+            + 1 * COALESCE(l7, 0)) AS numer_u,
+           (128
+            + CASE WHEN l1 IS NULL THEN 0 ELSE 64 END
+            + CASE WHEN l2 IS NULL THEN 0 ELSE 32 END
+            + CASE WHEN l3 IS NULL THEN 0 ELSE 16 END
+            + CASE WHEN l4 IS NULL THEN 0 ELSE 8 END
+            + CASE WHEN l5 IS NULL THEN 0 ELSE 4 END
+            + CASE WHEN l6 IS NULL THEN 0 ELSE 2 END
+            + CASE WHEN l7 IS NULL THEN 0 ELSE 1 END) AS denom,
+           CAST(128 * v_u
+            + 64 * COALESCE(l1, 0) + 32 * COALESCE(l2, 0)
+            + 16 * COALESCE(l3, 0) + 8 * COALESCE(l4, 0)
+            + 4 * COALESCE(l5, 0) + 2 * COALESCE(l6, 0)
+            + 1 * COALESCE(l7, 0) AS DOUBLE)
+           / (128
+            + CASE WHEN l1 IS NULL THEN 0 ELSE 64 END
+            + CASE WHEN l2 IS NULL THEN 0 ELSE 32 END
+            + CASE WHEN l3 IS NULL THEN 0 ELSE 16 END
+            + CASE WHEN l4 IS NULL THEN 0 ELSE 8 END
+            + CASE WHEN l5 IS NULL THEN 0 ELSE 4 END
+            + CASE WHEN l6 IS NULL THEN 0 ELSE 2 END
+            + CASE WHEN l7 IS NULL THEN 0 ELSE 1 END) / 10000 AS ewma
+    FROM l
+    """,
+)
+def e17_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average per user (§2.E extension —
+    ClickHouse's exponentialMovingAverage window analog): α = 1/2,
+    truncated at 8 taps so the weights 2⁷…2⁰ are exact BIGINTs — the
+    IEEE-recurrence form (s = αx + (1-α)s) is partition-order-
+    dependent at the ulp level and unverifiable across engines; the
+    truncated integer form is bit-exact and loses < 2⁻⁸ of the mass.
+    Start-of-series partial windows renormalize by the PRESENT weight
+    sum (denom), not the full 255 — no warm-up bias.  Shape: one
+    shuffle on user_id; the 7 lags share one window sort and stream
+    in constant memory (pure ROWS-frame offsets), then a single
+    division at the boundary.  The numer/denom integers carry the
+    exact state; the double quotient is one correctly-rounded IEEE op
+    so both engines agree bit-for-bit."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", fixed_units("value", 4).alias("v_u")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lags = [F.lag("v_u", j).over(w).alias(f"l{j}") for j in range(1, 8)]
+    d = ev.select("event_id", "user_id", "ts", "v_u", *lags)
+    numer = F.lit(128) * F.col("v_u")
+    denom = F.lit(128)
+    for j in range(1, 8):
+        wgt = 1 << (7 - j)
+        numer = numer + F.lit(wgt) * F.coalesce(F.col(f"l{j}"), F.lit(0))
+        denom = denom + F.when(F.col(f"l{j}").isNull(), F.lit(0)).otherwise(
+            F.lit(wgt)
+        )
+    return d.select(
+        "event_id",
+        "user_id",
+        "ts",
+        numer.cast("long").alias("numer_u"),
+        denom.cast("long").alias("denom"),
+        (numer.cast("double") / denom / F.lit(10000)).alias("ewma"),
+    )

@@ -1092,3 +1092,122 @@ def j7d_release_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("unchanged"))
         .alias("status"),
     )
+
+
+@register(
+    "j6m_temperature_mixture",
+    oracle=r"""
+    WITH d AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok,
+             md5('temp:' || CAST(doc_id AS VARCHAR)) AS hex
+      FROM documents
+    ), c AS (
+      SELECT lang, CAST(floor(sqrt(SUM(n_tok))) AS BIGINT) AS w
+      FROM d GROUP BY lang
+    ), b AS (
+      SELECT lang,
+             CAST((50000 * w) // (SELECT SUM(w) FROM c) AS BIGINT)
+               AS lang_budget
+      FROM c
+    ), o AS (
+      SELECT doc_id, lang, n_tok,
+             CAST(SUM(n_tok) OVER (PARTITION BY lang ORDER BY hex, doc_id)
+                  - n_tok AS BIGINT) AS cum_tok
+      FROM d
+    )
+    SELECT o.doc_id, o.lang, o.n_tok, o.cum_tok, b.lang_budget
+    FROM o JOIN b USING (lang)
+    WHERE o.cum_tok < b.lang_budget
+    """,
+)
+def j6m_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-rebalanced multilingual mixture (§2.J6 extension —
+    the UNIMAX / temperature-sampling step every multilingual LLM run
+    applies so head languages don't drown the tail): per-language
+    token budgets ∝ c_l^(1/T) with T = 2, i.e. √(token count), then
+    the deterministic md5-ordered budget fill of
+    ``token_budget_mixture``.  Exactness: the only non-integer op is
+    one correctly-rounded IEEE sqrt whose FLOOR both engines agree on
+    (counts ≪ 2⁵²), and the budget split is integer division — so the
+    selected set is bit-stable.  Shape: a 5-row budget table
+    (aggregate → broadcast) and one md5-ordered window per language —
+    same single shuffle as the plain mixture; the sqrt compresses the
+    head (~10× between the largest and smallest language here),
+    which is visible as near-equal lang_budget values."""
+    from ..functions import token_count
+    from ..operators.sampling import token_budget_mixture
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select("lang", token_count("text").cast("long").alias("n_tok"))
+        .groupBy("lang")
+        .agg(F.sum("n_tok").alias("c"))
+        .select("lang", F.floor(F.sqrt("c")).cast("long").alias("w"))
+    )
+    total = counts.agg(F.sum("w").alias("sw"))
+    budgets = counts.crossJoin(F.broadcast(total)).selectExpr(
+        "lang", "div(50000 * w, sw) AS lang_budget"
+    )
+    mixed = token_budget_mixture(
+        docs.join(F.broadcast(budgets), "lang"),
+        F.col("lang_budget"),
+        stratum_col="lang",
+        salt="temp",
+    )
+    return mixed.select("doc_id", "lang", "n_tok", "cum_tok", "lang_budget")
+
+
+@register(
+    "h13_stream_ohlc",
+    oracle="""
+    WITH e AS (
+      SELECT event_type,
+             CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bar_hour,
+             CAST(round(value * 100) AS BIGINT) AS v_c2,
+             epoch_ms(ts) * 1000000 + event_id AS okey
+      FROM events)
+    SELECT bar_hour, event_type,
+           arg_min(v_c2, okey) AS open_c2,
+           CAST(max(v_c2) AS BIGINT) AS high_c2,
+           CAST(min(v_c2) AS BIGINT) AS low_c2,
+           arg_max(v_c2, okey) AS close_c2,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(v_c2) AS BIGINT) AS flow_c2
+    FROM e GROUP BY bar_hour, event_type
+    """,
+)
+def h13_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming OHLC bars (§2.H × e16): the events fixture through an
+    append-mode watermarked window aggregate — each bar is published
+    exactly once, when the watermark passes its window end.  A
+    far-future sentinel event per type (3 h past max ts, planted in
+    the SOURCE) advances the final watermark so every real bar
+    flushes; the sentinel's own bar stays open in state and never
+    reaches the sink, so the output needs no filtering.  The oracle
+    is the BATCH OHLC relation over the raw fixture — parity proves
+    the streaming incrementalization (min_by/max_by state merge
+    across micro-batches, late-data folding by ordering key) is
+    value-invisible.  See streaming/windows.py:ohlc_window_agg."""
+    from ..streaming.windows import run_ohlc_stream
+    from .cdc_queries import _work_dir
+
+    work = _work_dir("stream_ohlc", sf_dir)
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    hi = events.agg(F.max("ts").alias("hi")).collect()[0]["hi"]
+    sentinels = (
+        events.select("event_type")
+        .distinct()
+        .select(
+            F.lit(-1).cast("long").alias("event_id"),
+            (F.lit(hi) + F.expr("INTERVAL 3 HOURS")).alias("ts"),
+            "event_type",
+            F.lit(0.0).alias("value"),
+        )
+    )
+    events.unionByName(sentinels).repartition(4).write.mode("overwrite").parquet(
+        f"{work}/src"
+    )
+    return run_ohlc_stream(spark, f"{work}/src", f"{work}/sink", f"{work}/ckpt")

@@ -37,7 +37,7 @@ def register(name: str, oracle: str | None = None):
 
 
 # The driver's per-round CORRECTNESS pass verifies the FIRST 50 entries
-# of queries() in insertion order.  With 195 registered queries,
+# of queries() in insertion order.  With 200 registered queries,
 # coverage rotates.  Round-5 policy (VERDICT r4 #2): (a) the 8 queries
 # with ZERO driver rows in any round — the four oracle-bearing late
 # round-4 registrations first, then the four rows-only ones; (b) every
@@ -79,6 +79,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "f3d_set_ops_all", "c25_boolean_positional_aggs", "c26_corr_regression",
     "j5f_image_dhash_neardup", "j9h_bpe_train",
     "g11_datetime_scalars", "j4m_gopher_rules", "e16_ohlc_bars",
+    # (b) registered in round 5 after the window filled (slots > 50 —
+    # these lead the round-6 rotation per the same first-appearance rule)
+    "c27_exact_quantiles_mode", "e17_ewma_smoothing",
+    "j6m_temperature_mixture", "h13_stream_ohlc", "e18_graph_pagerank",
     # (c) backfill, oldest single green first: round-2 singles…
     "d12_tpch_q7_shape", "d13_tpch_q13_shape", "d14_tpch_q4_shape",
     "d16_tpch_q22_shape", "c15_tpch_q17_shape", "d17_tpch_q8_shape",

@@ -2779,3 +2779,119 @@ def g11_datetime_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.make_date(F.year(d), F.month(d), F.dayofmonth(d)).alias("rebuilt"),
         F.date_format(d, "yyyy-MM").alias("ym"),
     )
+
+
+@register(
+    "c27_exact_quantiles_mode",
+    oracle="""
+    WITH v AS (
+      SELECT l_returnflag AS rf,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c2,
+             CAST(round(l_quantity * 100) AS BIGINT) AS qty_c2
+      FROM lineitem),
+    cd AS (
+      SELECT rf, price_c2,
+             cume_dist() OVER (PARTITION BY rf ORDER BY price_c2) AS cd
+      FROM v),
+    q AS (
+      SELECT rf,
+             min(CASE WHEN cd >= 0.25 THEN price_c2 END) AS p25_c2,
+             min(CASE WHEN cd >= 0.5  THEN price_c2 END) AS p50_c2,
+             min(CASE WHEN cd >= 0.75 THEN price_c2 END) AS p75_c2,
+             min(CASE WHEN cd >= 0.9  THEN price_c2 END) AS p90_c2,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM cd GROUP BY rf),
+    m AS (
+      SELECT rf, arg_max(qty_c2, cnt * 100000 + qty_c2) AS mode_qty_c2
+      FROM (SELECT rf, qty_c2, COUNT(*) AS cnt FROM v GROUP BY rf, qty_c2)
+      GROUP BY rf)
+    SELECT q.rf, p25_c2, p50_c2, p75_c2, p90_c2, mode_qty_c2, n
+    FROM q JOIN m ON q.rf = m.rf
+    """,
+)
+def c27_exact_quantiles_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT order statistics per group (§2.C extension — ClickHouse's
+    quantileExact / topK surface, served without sketches):
+    ``percentile_disc`` at 4 probability points (SQL-standard smallest-
+    value-with-cume_dist≥p semantics — the oracle states that
+    definition literally with a window, so DuckDB's own quantile
+    flavor can't drift from Spark's) plus a DETERMINISTIC mode —
+    ``max_by(value, count·10⁵ + value)`` over a per-value count (the
+    fixed-point value is < 10⁵, so the composite key is a total order
+    on (count, value) in one BIGINT — DuckDB's arg_max rejects struct
+    ordering keys, and both engines agree on the scalar), because
+    bare ``mode()`` breaks ties arbitrarily in both engines and would
+    be partition-order-dependent.  Values in integer cents; the
+    percentile_disc result is an exact element so the double→long
+    cast is lossless.  Shape: one exchange on (rf, value) for the
+    mode's inner count (map-side combinable), one on rf for the
+    sort-based percentiles — at 100 TB the mode path dominates and
+    stays aggregate-only."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("rf"),
+        fixed_units("l_extendedprice").alias("price_c2"),
+        fixed_units("l_quantity").alias("qty_c2"),
+    )
+    qs = li.groupBy("rf").agg(
+        *[
+            F.expr(
+                f"CAST(percentile_disc({p}) WITHIN GROUP (ORDER BY price_c2)"
+                f" AS BIGINT)"
+            ).alias(f"p{int(p * 100)}_c2")
+            for p in (0.25, 0.5, 0.75, 0.9)
+        ],
+        F.count(F.lit(1)).alias("n"),
+    )
+    mode = (
+        li.groupBy("rf", "qty_c2")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("rf")
+        .agg(
+            F.max_by(
+                "qty_c2", F.col("cnt") * F.lit(100000) + F.col("qty_c2")
+            ).alias("mode_qty_c2")
+        )
+    )
+    return qs.join(mode, "rf").select(
+        "rf", "p25_c2", "p50_c2", "p75_c2", "p90_c2", "mode_qty_c2", "n"
+    )
+
+
+def _pagerank_oracle() -> str:
+    from ..operators.graph import pagerank_oracle_sql
+
+    edges = """
+      SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      UNION ALL
+      SELECT l_suppkey * 2 + 1 AS src, o_custkey * 2 AS dst
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    """
+    return pagerank_oracle_sql(edges, n_iter=10, damping_pct=85)
+
+
+@register("e18_graph_pagerank", oracle=_pagerank_oracle())
+def e18_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Damped PageRank over the customer↔supplier trade graph (§2
+    extension — the iterative-fixpoint analytic beyond connected
+    components; ClickHouse cannot express this at all, the reference
+    would push it to an external job).  Nodes are customers (2c) and
+    suppliers (2s+1); each lineitem contributes both edge directions,
+    so the walk is over the undirected trade relation.  Ten damped
+    iterations in EXACT scaled-integer arithmetic
+    (operators/graph.py:integer_pagerank) — the oracle replays the
+    identical recurrence as ten unrolled DuckDB CTE stages, making an
+    ITERATIVE algorithm hash-verifiable cross-engine, which the
+    float-recurrence textbook form never is."""
+    from ..operators.graph import integer_pagerank
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cs = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        (F.col("o_custkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    )
+    edges = cs.unionByName(
+        cs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return integer_pagerank(edges, n_iter=10, damping_pct=85)

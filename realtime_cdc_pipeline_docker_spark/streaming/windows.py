@@ -153,3 +153,77 @@ def dedup_events_within_watermark(
     return events.withColumn(
         "ts", F.col("ts").cast("timestamp")
     ).withWatermark("ts", watermark).dropDuplicatesWithinWatermark(list(keys))
+
+
+def ohlc_window_agg(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling-window OHLC bars, batch/stream shared transform (the
+    streaming twin of the e16 batch query): per (event_type, window),
+    open/close = value at the min/max composite ordering key
+    (epoch-millis·10⁶ + event_id — a total order, so micro-batch
+    arrival order can never change a bar), plus high/low/count/sum in
+    fixed-point cents.
+
+    ``min_by``/``max_by`` are declarative aggregates with a
+    merge-able (value, key) state pair, so Structured Streaming
+    incrementalizes them exactly like sum/count: state per open
+    (window, type) bar is a few longs, bounded by the watermark —
+    out-of-order events within the watermark fold into the right bar
+    by KEY comparison, not arrival order, which is the whole point of
+    the composite key."""
+    e = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    e = e.select(
+        "ts",
+        "event_type",
+        fixed_units("value").alias("v_c2"),
+        (F.unix_millis("ts") * F.lit(1000000) + F.col("event_id")).alias("okey"),
+    )
+    return (
+        e.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(
+            F.min_by("v_c2", "okey").alias("open_c2"),
+            F.max("v_c2").cast("long").alias("high_c2"),
+            F.min("v_c2").cast("long").alias("low_c2"),
+            F.max_by("v_c2", "okey").alias("close_c2"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("v_c2").cast("long").alias("flow_c2"),
+        )
+        .select(
+            F.col("win.start").alias("bar_hour"),
+            "event_type",
+            "open_c2",
+            "high_c2",
+            "low_c2",
+            "close_c2",
+            "n_events",
+            "flow_c2",
+        )
+    )
+
+
+def run_ohlc_stream(
+    spark, src_dir: str, sink_dir: str, checkpoint_dir: str
+) -> DataFrame:
+    """Run the OHLC aggregation as an append-mode file-source stream.
+
+    Append mode only emits a bar once the watermark passes its window
+    end — the production contract (a bar is published exactly once,
+    when it can no longer change).  Callers that need EVERY bar of a
+    bounded fixture flushed must ensure the source contains events
+    advancing the watermark past the last real window (the h13 query
+    plants a far-future sentinel per type; the sentinel's own
+    still-open bar never emits, so it needs no output filtering)."""
+    schema = spark.read.parquet(src_dir).schema
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    (
+        ohlc_window_agg(stream)
+        .writeStream.format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.read.parquet(sink_dir)
