@@ -165,6 +165,10 @@ HEADLINE = [
     "j6m_temperature_mixture",
     "h13_stream_ohlc",
     "e18_graph_pagerank",
+    "j5g_audio_vad_segments",
+    "g13_string_scalars",
+    "e19_rolling_active_users",
+    "j4n_linear_classifier",
     # j3k_ivfpq_adc_topk is NOT a headline row for the same reason as
     # j3c/j3e: each run re-trains the k-means index (offline cost by
     # contract), which would bench index BUILD as if it were query

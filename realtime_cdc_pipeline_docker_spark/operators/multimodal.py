@@ -21,7 +21,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -414,3 +414,39 @@ def oversized_dhash_buckets(
         .agg(F.count(F.lit(1)).alias("bucket_n"))
         .filter(F.col("bucket_n") > max_bucket_size)
     )
+
+
+def vad_segments(
+    windows: DataFrame,
+    energy_per_byte: int = 96,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Voice-activity-detection segments over framed audio (the
+    energy-threshold VAD every speech-data pipeline runs before ASR):
+    a window is ACTIVE when its total energy exceeds
+    ``energy_per_byte`` per byte (cross-multiplied — no division), and
+    maximal runs of consecutive active windows coalesce into segments
+    via gaps-and-islands (win_no − row_number is constant within a
+    run).  Input is :func:`audio_energy_windows` output; composing the
+    two is the decode → frame → segment chain a 100 TB speech corpus
+    runs, with the payload bytes never leaving the Arrow-batched frame
+    stage — only (id, win_no, energy) longs reach this operator's
+    single per-document window sort.
+
+    Returns one row per segment: (id, seg_start byte offset, seg_end
+    exclusive, n_windows, total_energy).  Overlapping frames (hop <
+    window) make adjacent segments share boundary bytes — seg_end is
+    the last active frame's end, the standard VAD convention."""
+    active = windows.filter(
+        F.col("energy") > F.col("win_len") * F.lit(energy_per_byte)
+    )
+    w = Window.partitionBy(id_col).orderBy("win_no")
+    runs = active.withColumn(
+        "island", F.col("win_no") - F.row_number().over(w)
+    )
+    return runs.groupBy(id_col, "island").agg(
+        F.min("win_start").cast("long").alias("seg_start"),
+        (F.max(F.col("win_start") + F.col("win_len"))).cast("long").alias("seg_end"),
+        F.count(F.lit(1)).cast("long").alias("n_windows"),
+        F.sum("energy").cast("long").alias("total_energy"),
+    ).drop("island")

@@ -1020,3 +1020,46 @@ def e17_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
         denom.cast("long").alias("denom"),
         (numer.cast("double") / denom / F.lit(10000)).alias("ewma"),
     )
+
+
+@register(
+    "e19_rolling_active_users",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS act_day FROM events
+    ), contrib AS (
+      SELECT user_id, act_day + CAST(o AS INT) AS target_day
+      FROM du, unnest(range(0, 7)) t(o)
+    ), days AS (
+      SELECT DISTINCT act_day AS target_day FROM du
+    )
+    SELECT c.target_day,
+           COUNT(DISTINCT c.user_id) AS mau7
+    FROM contrib c JOIN days d ON c.target_day = d.target_day
+    GROUP BY c.target_day
+    """,
+)
+def e19_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct active users (§2.E extension — the
+    windowed COUNT(DISTINCT) no window frame can express, because
+    distinct doesn't decompose over sliding frames): each (user, day)
+    activity CONTRIBUTES to the 7 target days it keeps the user
+    active for (a 7× explode of the |users×days| DISTINCT pairs, not
+    of raw events), then one count-distinct per target day, restricted
+    to days that exist in the data.  This contribution-explode is the
+    standard EXACT shape at scale — the alternative is an approximate
+    sliding HLL (c23's sketch machinery).  Two shuffles total: the
+    pair distinct and the final count-distinct."""
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select("user_id", F.to_date("ts").alias("act_day")).distinct()
+    contrib = du.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("o"),
+        "act_day",
+    ).select("user_id", F.date_add("act_day", F.col("o")).alias("target_day"))
+    days = du.select(F.col("act_day").alias("target_day")).distinct()
+    return (
+        contrib.join(F.broadcast(days), "target_day")
+        .groupBy("target_day")
+        .agg(F.countDistinct("user_id").alias("mau7"))
+    )

@@ -2895,3 +2895,50 @@ def e18_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         cs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     return integer_pagerank(edges, n_iter=10, damping_pct=85)
+
+
+@register(
+    "g13_string_scalars",
+    oracle="""
+    SELECT c_custkey,
+           CAST(levenshtein(c_name, 'Customer#000000001') AS BIGINT) AS lev,
+           translate(c_name, '#0', '_x') AS tr,
+           lpad(c_mktsegment, 12, '.') AS lp,
+           rpad(c_mktsegment, 12, '.') AS rp,
+           reverse(c_name) AS rev,
+           repeat(c_mktsegment, 2) AS rep,
+           left(c_name, 5) AS l5,
+           right(c_name, 3) AS r3,
+           CAST(strpos(c_name, '1') AS BIGINT) AS pos1,
+           split_part(c_name, '#', 2) AS num_part,
+           CAST(ascii(c_name) AS BIGINT) AS first_byte
+    FROM customer
+    """,
+)
+def g13_string_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar surface (§2.G — the reference's VARCHAR columns,
+    init-db.sql:10-12, served by ClickHouse's string function family):
+    edit distance, character translation, padding both ways, reverse,
+    repeat, prefix/suffix slices, 1-based find (0 = absent, both
+    engines), field extraction by delimiter, and the leading byte.
+    Codegen'd JVM string ops over one scan; no shuffle.  The
+    Levenshtein here is the same engine primitive the SymSpell fuzzy
+    dedup verifies pairs with (operators/dedup.py) — surfaced as a
+    scalar."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.levenshtein("c_name", F.lit("Customer#000000001"))
+        .cast("long")
+        .alias("lev"),
+        F.translate("c_name", "#0", "_x").alias("tr"),
+        F.lpad("c_mktsegment", 12, ".").alias("lp"),
+        F.rpad("c_mktsegment", 12, ".").alias("rp"),
+        F.reverse("c_name").alias("rev"),
+        F.repeat("c_mktsegment", 2).alias("rep"),
+        F.expr("left(c_name, 5)").alias("l5"),
+        F.expr("right(c_name, 3)").alias("r3"),
+        F.instr("c_name", "1").cast("long").alias("pos1"),
+        F.split_part("c_name", F.lit("#"), F.lit(2)).alias("num_part"),
+        F.ascii("c_name").cast("long").alias("first_byte"),
+    )

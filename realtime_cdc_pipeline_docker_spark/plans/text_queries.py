@@ -1342,3 +1342,109 @@ def j4m_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sig = gopher_signals("text")
     return docs.select("doc_id", *[col.alias(name) for name, col in sig.items()])
+
+
+@register(
+    "j5g_audio_vad_segments",
+    oracle="""
+    WITH wins AS (
+      SELECT doc_id, CAST(i AS INT) AS win_no,
+             CAST(i * 16 AS BIGINT) AS win_start,
+             substr(text, CAST(i * 16 + 1 AS INT), 32) AS w
+      FROM documents,
+           unnest(range(0, least(16, CASE WHEN length(text) = 0 THEN 0
+                                          ELSE (length(text) - 1) // 16 + 1 END)))
+             AS t(i)
+    ), framed AS (
+      SELECT doc_id, win_no, win_start,
+             CAST(length(w) AS BIGINT) AS win_len,
+             CAST((SELECT COALESCE(SUM(ord(substr(w, CAST(j AS INT), 1))), 0)
+                   FROM unnest(range(1, length(w) + 1)) AS s(j)) AS BIGINT)
+               AS energy
+      FROM wins
+    ), active AS (
+      SELECT doc_id, win_no, win_start, win_len, energy,
+             win_no - row_number() OVER (PARTITION BY doc_id ORDER BY win_no)
+               AS island
+      FROM framed WHERE energy > win_len * 96
+    )
+    SELECT doc_id,
+           CAST(min(win_start) AS BIGINT) AS seg_start,
+           CAST(max(win_start + win_len) AS BIGINT) AS seg_end,
+           CAST(COUNT(*) AS BIGINT) AS n_windows,
+           CAST(SUM(energy) AS BIGINT) AS total_energy
+    FROM active GROUP BY doc_id, island
+    """,
+)
+def j5g_audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity segments (J5): the decode → frame → threshold →
+    coalesce chain of a speech-corpus pipeline — j5e's Arrow-batched
+    framing feeding the gaps-and-islands segmenter
+    (operators/multimodal.py:vad_segments).  The ASCII fixture keeps
+    frame energies SQL-computable, so the oracle verifies the FULL
+    chain including run-coalescing boundary semantics (shared bytes
+    under hop < window, single-frame islands, tail frames)."""
+    from ..operators.multimodal import (
+        attach_binary_payload,
+        audio_energy_windows,
+        vad_segments,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return vad_segments(audio_energy_windows(attach_binary_payload(docs)))
+
+
+@register(
+    "j4n_linear_classifier",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             list_transform(string_split_regex(trim(text), '\s+'),
+                            t -> lower(t)) AS toks
+      FROM documents
+    ), feats AS (
+      SELECT doc_id, lang,
+             CAST(len(toks) AS BIGINT) AS n_feats,
+             list_transform(toks,
+                t -> CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % 4096) AS b
+      FROM toks
+    )
+    SELECT doc_id, lang, n_feats,
+           CAST(list_sum(list_transform(b, x -> x % 7 - 3)) AS BIGINT)
+             AS score_u,
+           (list_sum(list_transform(b, x -> x % 7 - 3)) > 0) AS predicted_keep
+    FROM feats
+    """,
+)
+def j4n_linear_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-feature linear classifier inference (§2.J4 — the
+    fastText-style quality/safety scorer every modern corpus pipeline
+    runs per document, e.g. the DCLM/FineWeb-Edu filter stage), as
+    PURE column expressions: tokens hash into 4096 feature buckets
+    (md5-prefix — the repo's engine-portable hash convention), each bucket
+    carries an integer weight (here a fixed synthetic weight table
+    w(b) = b mod 7 − 3; in production a broadcast weight array from a
+    trained model), and the document score is the weight sum — a
+    shuffle-free scan-side map, the shape that scores 100 TB without a
+    single exchange or UDF.  Exact integer arithmetic end-to-end."""
+    from ..functions import ws_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.transform(ws_tokens(F.col("text")), lambda t: F.lower(t))
+    b = F.transform(
+        toks,
+        lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+        % 4096,
+    )
+    score = F.aggregate(
+        F.transform(b, lambda x: x % 7 - 3),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.size(toks).cast("long").alias("n_feats"),
+        score.alias("score_u"),
+        (score > 0).alias("predicted_keep"),
+    )
