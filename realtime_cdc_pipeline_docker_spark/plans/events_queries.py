@@ -916,8 +916,12 @@ def e16_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     (event_type, hour), open = value at the MIN ordering key, close =
     at the MAX, plus high/low/volume.  First/last-in-bucket are
     ``min_by``/``max_by`` on a composite BIGINT ordering key
-    (epoch-millis·10⁶ + event_id — total order, so ties cannot make
-    the answer partition-dependent), which keeps the whole query ONE
+    (epoch-millis·10⁶ + event_id — total order matching (ts, id)
+    lexicographically while event_id < 10⁶, the fixture's id contract
+    at every driver scale; above that range use the struct ordering
+    key Spark's min_by accepts natively — the single-BIGINT form
+    exists because DuckDB's arg_min rejects struct keys), so ties
+    cannot make the answer partition-dependent.  The whole query is ONE
     map-side-combinable hash aggregate — no window sort, no
     self-join, the shape that holds at any bucket cardinality.
     Values in fixed-point cents; engine-exact."""

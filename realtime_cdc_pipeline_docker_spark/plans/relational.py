@@ -2661,9 +2661,9 @@ def c25_boolean_positional_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), s AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS n,
              CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
-             CAST(SUM(x * y) AS BIGINT) AS sxy,
-             CAST(SUM(x * x) AS BIGINT) AS sxx,
-             CAST(SUM(y * y) AS BIGINT) AS syy
+             CAST(SUM(x * y) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx,
+             CAST(SUM(y * y) AS DOUBLE) AS syy
       FROM q
     )
     SELECT n, sx, sy,
@@ -2680,13 +2680,18 @@ def c25_boolean_positional_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def c26_corr_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical aggregates (§2.C completion — corr / regr_slope
     over price vs quantity) in the engine-exact formulation: the five
-    integer power sums are exact BIGINTs (order-independent), and
-    Pearson r / OLS slope are assembled from them in ONE identical
-    IEEE expression per statistic — unlike the built-in ``corr``,
-    whose per-partition co-moment recurrence is summation-order-
-    dependent in the last ulps and therefore unhashable across
-    engines.  (The built-ins agree to ~1e-12; pinned in tests.)
-    Single scan, one map-side-combined aggregate to one row."""
+    integer power sums are exact (order-independent) — the squared-
+    cents sum is carried in DECIMAL(38,0), because at sf0.1 it is
+    already 2.2·10¹⁹ > 2⁶³ (a BIGINT sum overflows; DuckDB's HUGEINT
+    twin is the same 128-bit accumulator) — and Pearson r / OLS slope
+    are assembled from them in ONE identical IEEE expression per
+    statistic — unlike the built-in ``corr``, whose per-partition
+    co-moment recurrence is summation-order-dependent in the last
+    ulps and therefore unhashable across engines.  (The built-ins
+    agree to ~1e-12; pinned in tests.)  The exact-integer→double cast
+    at the boundary is the same correctly-rounded conversion in both
+    engines.  Single scan, one map-side-combined aggregate to one
+    row."""
     li = load_table(spark, sf_dir, "lineitem")
     q = li.select(
         fixed_units("l_extendedprice").alias("x"),
@@ -2696,9 +2701,15 @@ def c26_corr_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum("x").alias("sx"),
         F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum((F.col("x").cast("decimal(19,0)") * F.col("x")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("syy"),
     )
     n, sx, sy = F.col("n").cast("double"), F.col("sx"), F.col("sy")
     sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")

@@ -314,6 +314,56 @@ def main() -> int:
             flush=True,
         )
 
+        # pagerank: integer PageRank over the customer↔supplier trade
+        # graph (e18 shape), replicated as DISJOINT copies (node ids
+        # offset per replica).  Claim: iteration count is fixed by
+        # contract (not data), the cached partitioned edge table is
+        # built once, and per-round cost tracks |edges| — so wall time
+        # grows ~linearly and NEVER with rounds×quadratic terms.
+        from realtime_cdc_pipeline_docker_spark.operators.graph import (
+            integer_pagerank,
+        )
+
+        li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+        orders_t = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey"
+        )
+        cs = li.join(orders_t, li["l_orderkey"] == orders_t["o_orderkey"]).select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        base_edges = cs.unionByName(
+            cs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        g = base_edges
+        for r in range(1, scale):
+            off = 10_000_000 * r
+            g = g.unionByName(
+                base_edges.select(
+                    (F.col("src") + off).alias("src"),
+                    (F.col("dst") + off).alias("dst"),
+                )
+            )
+        g = g.persist()
+        n_edges = g.count()
+        t0 = time.time()
+        ranks = integer_pagerank(g, n_iter=10)
+        n_nodes = ranks.count()
+        release_persisted()
+        print(
+            json.dumps(
+                {
+                    "probe": "pagerank",
+                    "scale": scale,
+                    "n_edges": n_edges,
+                    "n_nodes": n_nodes,
+                    "sec": round(time.time() - t0, 2),
+                }
+            ),
+            flush=True,
+        )
+        g.unpersist()
+
         corpus.unpersist()
     return 0
 
