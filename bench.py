@@ -169,6 +169,11 @@ HEADLINE = [
     "g13_string_scalars",
     "e19_rolling_active_users",
     "j4n_linear_classifier",
+    "j2i_lsh_band_sweep",
+    "d26_lateral_topn",
+    "e2l_value_window_family",
+    "j5h_mime_sniffing",
+    "b20_partitioned_source_pruning",
     # j3k_ivfpq_adc_topk is NOT a headline row for the same reason as
     # j3c/j3e: each run re-trains the k-means index (offline cost by
     # contract), which would bench index BUILD as if it were query

@@ -450,3 +450,26 @@ def vad_segments(
         F.count(F.lit(1)).cast("long").alias("n_windows"),
         F.sum("energy").cast("long").alias("total_energy"),
     ).drop("island")
+
+
+PNG_MAGIC = "89504E470D0A1A0A"
+JPEG_MAGIC = "FFD8FF"
+
+
+def sniff_mime(payload_col: str = "payload") -> F.Column:
+    """Container-format detection by magic bytes — the dispatch step a
+    multimodal ingest runs BEFORE routing a blob to the right decoder
+    (PNG/JPEG by hex signature, GIF by its ASCII header, everything
+    else opaque).  Pure binary substring/hex comparisons, codegen'd,
+    scan-side: the payload bytes are inspected where they are read and
+    never shuffled for the dispatch decision."""
+    c = F.col(payload_col)
+    return (
+        F.when(F.hex(F.substring(c, 1, 8)) == PNG_MAGIC, F.lit("image/png"))
+        .when(F.hex(F.substring(c, 1, 3)) == JPEG_MAGIC, F.lit("image/jpeg"))
+        .when(
+            F.substring(c, 1, 6) == F.lit("GIF89a").cast("binary"),
+            F.lit("image/gif"),
+        )
+        .otherwise(F.lit("application/octet-stream"))
+    )

@@ -1212,3 +1212,40 @@ def h13_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{work}/src"
     )
     return run_ohlc_stream(spark, f"{work}/src", f"{work}/sink", f"{work}/ckpt")
+
+
+@register(
+    "b20_partitioned_source_pruning",
+    oracle="""
+    SELECT doc_id, text, source, n_chars, lang
+    FROM documents
+    WHERE lang IN ('en', 'de')
+    """,
+)
+def b20_partitioned_source_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned source with PARTITION PRUNING (§2.A/F —
+    the layout every 100 TB corpus actually sits in): the documents
+    table written `partitionBy(lang)`, read back with a partition
+    predicate.  The pruning is asserted where it matters — the scan's
+    `inputFiles()` must touch ONLY the en/de subdirectories
+    (tests/test_corpus_source.py pins it, plus the two silent
+    disablers: a non-partition predicate alone prunes nothing, and the
+    partition column must be read back as its ORIGINAL type).  The
+    oracle is the unpartitioned relation under the same predicate —
+    parity also proves the partition column survives the
+    directory-encoding roundtrip (values, not just rows).
+    Deterministic tmp layout; overwritten each run."""
+    import os
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source", "n_chars", "lang"
+    )
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = f"/tmp/spark_graft_part_{tag}"
+    docs.write.mode("overwrite").partitionBy("lang").parquet(path)
+    back = spark.read.parquet(path).filter(F.col("lang").isin("en", "de"))
+    # partitionBy turns lang into a directory key read back as string;
+    # reorder + cast pins the original schema contract
+    return back.select(
+        "doc_id", "text", "source", "n_chars", F.col("lang").cast("string").alias("lang")
+    )

@@ -2959,3 +2959,87 @@ def g13_string_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split_part("c_name", F.lit("#"), F.lit(2)).alias("num_part"),
         F.ascii("c_name").cast("long").alias("first_byte"),
     )
+
+
+@register(
+    "d26_lateral_topn",
+    oracle="""
+    SELECT n.n_name AS nation, c.c_custkey, c.c_acctbal, c.rnk
+    FROM nation n, LATERAL (
+      SELECT c_custkey, c_acctbal,
+             CAST(row_number() OVER (ORDER BY c_acctbal DESC, c_custkey)
+                  AS BIGINT) AS rnk
+      FROM customer
+      WHERE c_nationkey = n.n_nationkey
+      ORDER BY c_acctbal DESC, c_custkey LIMIT 3
+    ) c
+    """,
+)
+def d26_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL join (§2.D extension — the SQL-standard
+    per-row subquery surface; ClickHouse expresses this as ARRAY JOIN
+    over groupArray slices): top-3 customers by balance for EACH
+    nation, written as a lateral correlated subquery.  Catalyst
+    DECORRELATES it — the executed plan is the same
+    rank-filter/WindowGroupLimit shape as the window formulation, not
+    |nations| subquery executions: stating it laterally costs nothing,
+    which is the point of testing the surface.  Registered through
+    spark.sql to exercise the SQL-path parser end-to-end (every other
+    query enters through the DataFrame API)."""
+    for t in ("nation", "customer"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"__d26_{t}")
+    return spark.sql(
+        """
+        SELECT n.n_name AS nation, c.c_custkey, c.c_acctbal, c.rnk
+        FROM __d26_nation n JOIN LATERAL (
+          SELECT c_custkey, c_acctbal,
+                 CAST(row_number() OVER (ORDER BY c_acctbal DESC, c_custkey)
+                      AS BIGINT) AS rnk
+          FROM __d26_customer
+          WHERE c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey LIMIT 3
+        ) c
+        """
+    )
+
+
+@register(
+    "e2l_value_window_family",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           first_value(o_orderkey) OVER w AS first_key,
+           last_value(o_orderkey) OVER w_full AS last_key,
+           nth_value(o_orderkey, 3) OVER w_full AS third_key,
+           first_value(CASE WHEN o_orderstatus = 'F' THEN o_orderkey END
+                       IGNORE NULLS) OVER w_full AS first_f_key,
+           lag(o_orderkey, 1, -1) OVER w AS prev_key,
+           lead(o_orderkey, 2) OVER w AS next2_key
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+           w_full AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND UNBOUNDED FOLLOWING)
+    """,
+)
+def e2l_value_window_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-window function family (§2.E completion): first_value /
+    last_value / nth_value over the FULL partition frame (the default
+    running frame makes last_value a no-op — the classic silent bug,
+    avoided explicitly on both sides), IGNORE NULLS navigation to the
+    first 'F'-status order, lag with an explicit default, and a
+    2-step lead.  One partition sort shared by every function; all
+    six run in a single Window operator."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    f_key = F.when(F.col("o_orderstatus") == "F", F.col("o_orderkey"))
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("o_orderkey").over(w).alias("first_key"),
+        F.last("o_orderkey").over(w_full).alias("last_key"),
+        F.nth_value("o_orderkey", 3).over(w_full).alias("third_key"),
+        F.first(f_key, ignorenulls=True).over(w_full).alias("first_f_key"),
+        F.lag("o_orderkey", 1, -1).over(w).alias("prev_key"),
+        F.lead("o_orderkey", 2).over(w).alias("next2_key"),
+    )

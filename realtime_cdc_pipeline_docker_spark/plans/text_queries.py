@@ -1448,3 +1448,54 @@ def j4n_linear_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         score.alias("score_u"),
         (score > 0).alias("predicted_keep"),
     )
+
+
+@register(
+    "j5h_mime_sniffing",
+    oracle=r"""
+    WITH p AS (
+      SELECT doc_id,
+             (CASE doc_id % 4
+                WHEN 0 THEN '\x89\x50\x4E\x47\x0D\x0A\x1A\x0A'::BLOB
+                WHEN 1 THEN '\xFF\xD8\xFF'::BLOB
+                WHEN 2 THEN encode('GIF89a')
+                ELSE ''::BLOB END) || encode(text) AS payload
+      FROM documents)
+    SELECT doc_id,
+           CASE WHEN left(hex(payload), 16) = '89504E470D0A1A0A'
+                  THEN 'image/png'
+                WHEN left(hex(payload), 6) = 'FFD8FF'
+                  THEN 'image/jpeg'
+                WHEN left(hex(payload), 12) = hex(encode('GIF89a'))
+                  THEN 'image/gif'
+                ELSE 'application/octet-stream' END AS sniffed_mime,
+           CAST(octet_length(payload) AS BIGINT) AS n_bytes
+    FROM p
+    """,
+)
+def j5h_mime_sniffing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Magic-byte container sniffing (J5 — the decoder-dispatch step of
+    a multimodal ingest): payloads planted with real PNG/JPEG/GIF
+    signatures (by doc_id mod 4; the remainder stays headerless) are
+    classified by binary prefix inspection
+    (operators/multimodal.py:sniff_mime).  The oracle rebuilds the
+    same blobs with DuckDB BLOB literals and re-sniffs them with its
+    own hex-prefix comparisons — parity proves the byte-level signatures, not
+    just the planting rule."""
+    from ..operators.multimodal import sniff_mime
+
+    docs = load_table(spark, sf_dir, "documents")
+    magic = (
+        F.when(F.col("doc_id") % 4 == 0, F.unhex(F.lit("89504E470D0A1A0A")))
+        .when(F.col("doc_id") % 4 == 1, F.unhex(F.lit("FFD8FF")))
+        .when(F.col("doc_id") % 4 == 2, F.lit("GIF89a").cast("binary"))
+        .otherwise(F.lit("").cast("binary"))
+    )
+    p = docs.select(
+        "doc_id", F.concat(magic, F.col("text").cast("binary")).alias("payload")
+    )
+    return p.select(
+        "doc_id",
+        sniff_mime("payload").alias("sniffed_mime"),
+        F.length("payload").cast("long").alias("n_bytes"),
+    )

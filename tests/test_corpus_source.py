@@ -105,3 +105,55 @@ def test_csv_quarantine_catches_garbage_not_nulls(spark, tmp_path):
     # Quarantine holds the raw offending lines, verbatim.
     qlines = {r["raw_line"] for r in quarantine.collect()}
     assert qlines == {"utter garbage", "1,2,a,not_a_double,also_not_a_ts,x"}
+
+
+def test_partitioned_source_prunes_directories(spark, sf_dir, tmp_path):
+    """b20's scale contract: the lang predicate must reach the scan as
+    a PartitionFilter (FileSourceStrategy prunes directories exactly
+    when it classifies the predicate there — inputFiles() is resolved
+    BEFORE pruning and cannot observe it), the scan must read only
+    the two matching partitions' files (executed-scan file count),
+    and the partition column round-trips its values."""
+    from pyspark.sql import functions as F
+
+    from realtime_cdc_pipeline_docker_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    path = str(tmp_path / "part")
+    docs.write.partitionBy("lang").parquet(path)
+    langs = {r["lang"] for r in docs.select("lang").distinct().collect()}
+    assert len(langs) > 2
+
+    def scan_plan(df):
+        return df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+
+    pruned = spark.read.parquet(path).filter(F.col("lang").isin("en", "de"))
+    plan = scan_plan(pruned)
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and "lang" in pf[0] and " IN " in pf[0], pf
+    assert "en" in pf[0] and "de" in pf[0], pf
+
+    # the unfiltered read touches every partition directory
+    touched_all = {
+        f.split("lang=")[1].split("/")[0]
+        for f in spark.read.parquet(path).inputFiles()
+    }
+    assert touched_all == langs
+
+    # a non-partition predicate must NOT be classified as a partition
+    # filter (empty/omitted PartitionFilters line)
+    unpruned = spark.read.parquet(path).filter(F.col("n_chars") >= 0)
+    pf2 = [l for l in scan_plan(unpruned).splitlines() if "PartitionFilters" in l]
+    assert not pf2 or "lang" not in pf2[0], pf2
+
+    # value roundtrip through the directory encoding
+    back = {
+        (r["doc_id"], r["lang"])
+        for r in spark.read.parquet(path).select("doc_id", "lang").collect()
+    }
+    orig = {(r["doc_id"], r["lang"]) for r in docs.select("doc_id", "lang").collect()}
+    assert back == orig
