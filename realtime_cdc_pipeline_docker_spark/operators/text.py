@@ -1063,3 +1063,31 @@ def gopher_signals(text_col: str = "text") -> dict[str, Column]:
     for r in rules.values():
         passes = r if passes is None else (passes & r)
     return {**sig, **rules, "passes_gopher": passes}
+
+
+def hashed_linear_score(
+    text_col: str = "text",
+    buckets: int = 4096,
+    weight_mod: int = 7,
+    weight_shift: int = 3,
+):
+    """fastText-style hashed-feature linear scoring as pure column
+    expressions (the j4n query body, shared with its hand-computed
+    unit test): lowercase whitespace tokens hash into ``buckets``
+    md5-prefix feature buckets, each bucket carries the integer weight
+    w(b) = b mod ``weight_mod`` − ``weight_shift`` (a broadcast weight
+    array from a trained model in production), and the document score
+    is the array-fold weight sum.  Returns (n_feats, score) columns —
+    shuffle-free, UDF-free, exact integers."""
+    toks = F.transform(ws_tokens(F.col(text_col)), lambda t: F.lower(t))
+    b = F.transform(
+        toks,
+        lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+        % buckets,
+    )
+    score = F.aggregate(
+        F.transform(b, lambda x: x % weight_mod - weight_shift),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return F.size(toks).cast("long"), score

@@ -890,57 +890,50 @@ def e15_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "e16_ohlc_bars",
-    oracle="""
+# ONE statement of the OHLC relation, shared verbatim by the batch
+# query (e16) and its streaming twin (h13) — the bar spec lives in
+# exactly two places total: this SQL and ohlc_window_agg's aggregate
+# list (which BOTH queries execute).
+OHLC_ORACLE = """
     WITH e AS (
       SELECT event_type,
              CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bar_hour,
              CAST(round(value * 100) AS BIGINT) AS v_c2,
              epoch_ms(ts) * 1000000 + event_id AS okey
       FROM events)
-    SELECT event_type, bar_hour,
+    SELECT bar_hour, event_type,
            arg_min(v_c2, okey) AS open_c2,
            CAST(max(v_c2) AS BIGINT) AS high_c2,
            CAST(min(v_c2) AS BIGINT) AS low_c2,
            arg_max(v_c2, okey) AS close_c2,
            CAST(COUNT(*) AS BIGINT) AS n_events,
            CAST(SUM(v_c2) AS BIGINT) AS flow_c2
-    FROM e GROUP BY event_type, bar_hour
-    """,
-)
+    FROM e GROUP BY bar_hour, event_type
+    """
+
+
+@register("e16_ohlc_bars", oracle=OHLC_ORACLE)
 def e16_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OHLC candlestick bars (§2.E extension — the time-bucketed
     first/high/low/last rollup ClickHouse serves with
-    argMin/argMax + min/max over toStartOfHour buckets): per
-    (event_type, hour), open = value at the MIN ordering key, close =
-    at the MAX, plus high/low/volume.  First/last-in-bucket are
-    ``min_by``/``max_by`` on a composite BIGINT ordering key
-    (epoch-millis·10⁶ + event_id — total order matching (ts, id)
-    lexicographically while event_id < 10⁶, the fixture's id contract
-    at every driver scale; above that range use the struct ordering
-    key Spark's min_by accepts natively — the single-BIGINT form
-    exists because DuckDB's arg_min rejects struct keys), so ties
-    cannot make the answer partition-dependent.  The whole query is ONE
-    map-side-combinable hash aggregate — no window sort, no
-    self-join, the shape that holds at any bucket cardinality.
-    Values in fixed-point cents; engine-exact."""
-    ev = load_table(spark, sf_dir, "events")
-    ts_type = ev.schema["ts"].dataType
-    e = ev.select(
-        "event_type",
-        F.date_trunc("hour", "ts").alias("bar_hour"),
-        fixed_units("value").alias("v_c2"),
-        (epoch_ms("ts", ts_type) * F.lit(1000000) + F.col("event_id")).alias("okey"),
+    argMin/argMax + min/max over toStartOfHour buckets), executed
+    through the SHARED batch/stream transform
+    (streaming/windows.py:ohlc_window_agg — withWatermark is a no-op
+    in batch, and the 1-hour window start equals date_trunc('hour')):
+    per (event_type, hour), open/close at the min/max composite
+    ordering key (epoch-millis·10⁶ + event_id — a total order while
+    event_id < 10⁶, the fixture contract; Spark's min_by would take a
+    struct key beyond that, DuckDB's arg_min would not), plus
+    high/low/count/sum in fixed-point cents.  ONE map-side-combinable
+    hash aggregate — no window sort, no self-join.  h13 runs the SAME
+    transform as an append-mode stream against the SAME oracle text
+    (``OHLC_ORACLE``)."""
+    from ..streaming.windows import ohlc_window_agg
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
     )
-    return e.groupBy("event_type", "bar_hour").agg(
-        F.min_by("v_c2", "okey").alias("open_c2"),
-        F.max("v_c2").cast("long").alias("high_c2"),
-        F.min("v_c2").cast("long").alias("low_c2"),
-        F.max_by("v_c2", "okey").alias("close_c2"),
-        F.count(F.lit(1)).alias("n_events"),
-        F.sum("v_c2").cast("long").alias("flow_c2"),
-    )
+    return ohlc_window_agg(ev)
 
 
 @register(
@@ -1026,6 +1019,26 @@ def e17_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rolling_active_users(ev: DataFrame, window_days: int = 7) -> DataFrame:
+    """The e19 plan body over any events-shaped frame (shared with the
+    window-edge unit test so the test exercises the REAL query logic):
+    distinct (user, day) pairs → contribution explode over the next
+    ``window_days`` days → count-distinct per day present in the
+    data."""
+    du = ev.select("user_id", F.to_date("ts").alias("act_day")).distinct()
+    contrib = du.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(window_days - 1))).alias("o"),
+        "act_day",
+    ).select("user_id", F.date_add("act_day", F.col("o")).alias("target_day"))
+    days = du.select(F.col("act_day").alias("target_day")).distinct()
+    return (
+        contrib.join(F.broadcast(days), "target_day")
+        .groupBy("target_day")
+        .agg(F.countDistinct("user_id").alias("mau7"))
+    )
+
+
 @register(
     "e19_rolling_active_users",
     oracle="""
@@ -1054,16 +1067,4 @@ def e19_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard EXACT shape at scale — the alternative is an approximate
     sliding HLL (c23's sketch machinery).  Two shuffles total: the
     pair distinct and the final count-distinct."""
-    ev = load_table(spark, sf_dir, "events")
-    du = ev.select("user_id", F.to_date("ts").alias("act_day")).distinct()
-    contrib = du.select(
-        "user_id",
-        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("o"),
-        "act_day",
-    ).select("user_id", F.date_add("act_day", F.col("o")).alias("target_day"))
-    days = du.select(F.col("act_day").alias("target_day")).distinct()
-    return (
-        contrib.join(F.broadcast(days), "target_day")
-        .groupBy("target_day")
-        .agg(F.countDistinct("user_id").alias("mau7"))
-    )
+    return rolling_active_users(load_table(spark, sf_dir, "events"))

@@ -1158,25 +1158,10 @@ def j6m_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixed.select("doc_id", "lang", "n_tok", "cum_tok", "lang_budget")
 
 
-@register(
-    "h13_stream_ohlc",
-    oracle="""
-    WITH e AS (
-      SELECT event_type,
-             CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bar_hour,
-             CAST(round(value * 100) AS BIGINT) AS v_c2,
-             epoch_ms(ts) * 1000000 + event_id AS okey
-      FROM events)
-    SELECT bar_hour, event_type,
-           arg_min(v_c2, okey) AS open_c2,
-           CAST(max(v_c2) AS BIGINT) AS high_c2,
-           CAST(min(v_c2) AS BIGINT) AS low_c2,
-           arg_max(v_c2, okey) AS close_c2,
-           CAST(COUNT(*) AS BIGINT) AS n_events,
-           CAST(SUM(v_c2) AS BIGINT) AS flow_c2
-    FROM e GROUP BY bar_hour, event_type
-    """,
-)
+from .events_queries import OHLC_ORACLE
+
+
+@register("h13_stream_ohlc", oracle=OHLC_ORACLE)
 def h13_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming OHLC bars (§2.H × e16): the events fixture through an
     append-mode watermarked window aggregate — each bar is published
@@ -1226,9 +1211,11 @@ def b20_partitioned_source_pruning(spark: SparkSession, sf_dir: str) -> DataFram
     """Hive-style partitioned source with PARTITION PRUNING (§2.A/F —
     the layout every 100 TB corpus actually sits in): the documents
     table written `partitionBy(lang)`, read back with a partition
-    predicate.  The pruning is asserted where it matters — the scan's
-    `inputFiles()` must touch ONLY the en/de subdirectories
-    (tests/test_corpus_source.py pins it, plus the two silent
+    predicate.  The pruning is asserted where it matters — the scan
+    must classify the lang predicate as a `PartitionFilters` entry
+    (FileSourceStrategy prunes directories exactly when it does;
+    `inputFiles()` resolves BEFORE pruning and cannot observe it —
+    tests/test_corpus_source.py pins this, plus the two silent
     disablers: a non-partition predicate alone prunes nothing, and the
     partition column must be read back as its ORIGINAL type).  The
     oracle is the unpartitioned relation under the same predicate —

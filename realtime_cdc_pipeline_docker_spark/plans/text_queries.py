@@ -1427,24 +1427,14 @@ def j4n_linear_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     trained model), and the document score is the weight sum — a
     shuffle-free scan-side map, the shape that scores 100 TB without a
     single exchange or UDF.  Exact integer arithmetic end-to-end."""
-    from ..functions import ws_tokens
+    from ..operators.text import hashed_linear_score
 
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.transform(ws_tokens(F.col("text")), lambda t: F.lower(t))
-    b = F.transform(
-        toks,
-        lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
-        % 4096,
-    )
-    score = F.aggregate(
-        F.transform(b, lambda x: x % 7 - 3),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+    n_feats, score = hashed_linear_score("text")
     return docs.select(
         "doc_id",
         "lang",
-        F.size(toks).cast("long").alias("n_feats"),
+        n_feats.alias("n_feats"),
         score.alias("score_u"),
         (score > 0).alias("predicted_keep"),
     )
@@ -1458,7 +1448,8 @@ def j4n_linear_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
              (CASE doc_id % 4
                 WHEN 0 THEN '\x89\x50\x4E\x47\x0D\x0A\x1A\x0A'::BLOB
                 WHEN 1 THEN '\xFF\xD8\xFF'::BLOB
-                WHEN 2 THEN encode('GIF89a')
+                WHEN 2 THEN encode(CASE WHEN doc_id % 8 = 2
+                                        THEN 'GIF87a' ELSE 'GIF89a' END)
                 ELSE ''::BLOB END) || encode(text) AS payload
       FROM documents)
     SELECT doc_id,
@@ -1466,7 +1457,7 @@ def j4n_linear_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
                   THEN 'image/png'
                 WHEN left(hex(payload), 6) = 'FFD8FF'
                   THEN 'image/jpeg'
-                WHEN left(hex(payload), 12) = hex(encode('GIF89a'))
+                WHEN left(hex(payload), 8) = hex(encode('GIF8'))
                   THEN 'image/gif'
                 ELSE 'application/octet-stream' END AS sniffed_mime,
            CAST(octet_length(payload) AS BIGINT) AS n_bytes
@@ -1478,7 +1469,8 @@ def j5h_mime_sniffing(spark: SparkSession, sf_dir: str) -> DataFrame:
     a multimodal ingest): payloads planted with real PNG/JPEG/GIF
     signatures (by doc_id mod 4; the remainder stays headerless) are
     classified by binary prefix inspection
-    (operators/multimodal.py:sniff_mime).  The oracle rebuilds the
+    (operators/multimodal.py:sniff_mime; both GIF87a and GIF89a are
+    planted — the sniff is the version-agnostic 'GIF8' prefix).  The oracle rebuilds the
     same blobs with DuckDB BLOB literals and re-sniffs them with its
     own hex-prefix comparisons — parity proves the byte-level signatures, not
     just the planting rule."""
@@ -1488,7 +1480,12 @@ def j5h_mime_sniffing(spark: SparkSession, sf_dir: str) -> DataFrame:
     magic = (
         F.when(F.col("doc_id") % 4 == 0, F.unhex(F.lit("89504E470D0A1A0A")))
         .when(F.col("doc_id") % 4 == 1, F.unhex(F.lit("FFD8FF")))
-        .when(F.col("doc_id") % 4 == 2, F.lit("GIF89a").cast("binary"))
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.when(F.col("doc_id") % 8 == 2, F.lit("GIF87a"))
+            .otherwise(F.lit("GIF89a"))
+            .cast("binary"),
+        )
         .otherwise(F.lit("").cast("binary"))
     )
     p = docs.select(

@@ -109,39 +109,36 @@ def test_temperature_mixture_budgets_sum_and_compress(spark, sf_dir):
 
 
 def test_linear_classifier_score_is_sum_of_token_weights(spark):
-    from realtime_cdc_pipeline_docker_spark import plans  # noqa: F401
+    """Exercises the REAL query body (operators/text.py:
+    hashed_linear_score — the same expression j4n registers) against a
+    hand-computed python sum."""
     import hashlib
+
+    from realtime_cdc_pipeline_docker_spark.operators.text import (
+        hashed_linear_score,
+    )
 
     def weight(tok: str) -> int:
         b = int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % 4096
         return b % 7 - 3
 
-    from realtime_cdc_pipeline_docker_spark.functions import ws_tokens
-
     text = "The quick brown fox JUMPED over the lazy dog"
     expected = sum(weight(t.lower()) for t in text.split())
     df = spark.createDataFrame([(1, text)], "doc_id long, text string")
-    toks = F.transform(ws_tokens(F.col("text")), lambda t: F.lower(t))
-    b = F.transform(
-        toks,
-        lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long") % 4096,
-    )
-    score = F.aggregate(
-        F.transform(b, lambda x: x % 7 - 3),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    got = df.select(score.alias("s")).collect()[0]["s"]
-    assert got == expected
+    n_feats, score = hashed_linear_score("text")
+    row = df.select(n_feats.alias("n"), score.alias("s")).collect()[0]
+    assert (row["n"], row["s"]) == (9, expected)
 
 
 def test_rolling_active_users_window_edges(spark):
     """A user active on day D contributes to D..D+6 only, and only data
-    days appear."""
-    from realtime_cdc_pipeline_docker_spark.plans.events_queries import (
-        e19_rolling_active_users,  # noqa: F401
-    )
+    days appear — exercising the REAL query body
+    (events_queries.rolling_active_users, which e19 registers)."""
     import datetime as dt
+
+    from realtime_cdc_pipeline_docker_spark.plans.events_queries import (
+        rolling_active_users,
+    )
 
     rows = [
         (1, dt.datetime(2024, 1, 1, 10)),
@@ -149,17 +146,9 @@ def test_rolling_active_users_window_edges(spark):
         (2, dt.datetime(2024, 1, 5, 10)),
     ]
     ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
-    du = ev.select("user_id", F.to_date("ts").alias("act_day")).distinct()
-    contrib = du.select(
-        "user_id", F.explode(F.sequence(F.lit(0), F.lit(6))).alias("o"), "act_day"
-    ).select("user_id", F.date_add("act_day", F.col("o")).alias("target_day"))
-    days = du.select(F.col("act_day").alias("target_day")).distinct()
     out = {
         str(r["target_day"]): r["mau7"]
-        for r in contrib.join(days, "target_day")
-        .groupBy("target_day")
-        .agg(F.countDistinct("user_id").alias("mau7"))
-        .collect()
+        for r in rolling_active_users(ev).collect()
     }
     # day 5: user1 (active Jan 1, within 7) + user2 = 2
     # day 10: user1 (Jan 10) + user2 (Jan 5, still within 7) = 2;
