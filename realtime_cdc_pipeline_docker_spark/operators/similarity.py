@@ -1036,3 +1036,58 @@ def ivfpq_adc_topk(
         .withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= k)
     )
+
+
+def mrl_truncation_eval(
+    emb: DataFrame,
+    query_filter,
+    dims: tuple[int, ...] = (64, 32, 16, 8),
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Matryoshka-truncation retrieval evaluation (Kusupati et al.
+    2022, MRL — the dimension-vs-recall tradeoff report that decides
+    how many dims a 100 TB embedding store actually persists): for
+    each candidate prefix length, run exact cosine top-k with BOTH
+    sides truncated to the prefix and score recall@k against the
+    full-dimension ground truth.
+
+    One row per dim: (dim, n_queries, hits, recall_ppm) — recall in
+    exact integer ppm (Σ|truncated∩full| · 10⁶ div (k·|queries|)).
+    The full-width entry scores 10⁶ by construction (self-check).
+    Shape: |dims|+1 brute-force passes over the corpus with the
+    query side broadcast — an evaluation harness run on a SAMPLE, not
+    a production scan (production uses the chosen dim's IVF/PQ
+    index; this report chooses it)."""
+    queries = emb.filter(query_filter).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col)
+    )
+    truth = brute_force_topk(emb, queries, k, id_col, vec_col).select(
+        "query_id", F.col("neighbor_id").alias("true_id")
+    )
+    n_queries = queries.count()
+    out = None
+    for dim in dims:
+        t_emb = emb.select(id_col, F.slice(vec_col, 1, dim).alias(vec_col))
+        t_q = queries.select(
+            "query_id", F.slice(vec_col, 1, dim).alias(vec_col)
+        )
+        got = brute_force_topk(t_emb, t_q, k, id_col, vec_col).select(
+            "query_id", "neighbor_id"
+        )
+        hits = got.join(
+            truth,
+            (got["query_id"] == truth["query_id"])
+            & (got["neighbor_id"] == truth["true_id"]),
+        ).count()
+        row = emb.sparkSession.createDataFrame(
+            [(dim, n_queries, hits)], "dim long, n_queries long, hits long"
+        ).select(
+            "dim",
+            "n_queries",
+            "hits",
+            F.expr(f"div(1000000 * hits, {k} * n_queries)").alias("recall_ppm"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

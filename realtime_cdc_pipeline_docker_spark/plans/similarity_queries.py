@@ -662,3 +662,21 @@ def j2i_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return lsh_band_sweep(docs)
+
+
+@register("j3n_mrl_truncation_eval", oracle=None)
+def j3n_mrl_truncation_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation retrieval report (§2.J3 extension): exact
+    recall@5 of cosine top-k at embedding prefix lengths 64/32/16/8
+    against the full-width ground truth, over a deterministic query
+    sample.  Rows-only by nature (cosine ranking is not DuckDB-exact
+    across engines at equal cost); the structural contracts — full
+    width scores exactly 10⁶ ppm, truncated widths lose recall on
+    this fixture (NOT claimed monotone between truncated widths: a
+    short prefix can rank a true neighbor luckily, observed 4-dim >
+    16-dim here) — are pinned in tests/test_similarity.py.  See
+    operators/similarity.py:mrl_truncation_eval."""
+    from ..operators.similarity import mrl_truncation_eval
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return mrl_truncation_eval(emb, F.col("vec_id") % 40 == 0)

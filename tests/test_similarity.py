@@ -485,3 +485,29 @@ def test_pq_codes_array_matches_assign_rows(spark, sf_dir):
     arrs = {r["vec_id"]: list(r["codes"]) for r in pq_codes(emb, cb, m=8).collect()}
     for (vid, sub), code in rows.items():
         assert arrs[vid][sub] == code
+
+
+def test_mrl_truncation_recall_monotone_and_exact_at_full_width(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from realtime_cdc_pipeline_docker_spark.catalog import load_table
+    from realtime_cdc_pipeline_docker_spark.operators.similarity import (
+        mrl_truncation_eval,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    full_dim = len(emb.select("embedding").first()[0])
+    rows = {
+        r["dim"]: r
+        for r in mrl_truncation_eval(
+            emb, F.col("vec_id") % 25 == 0, dims=(full_dim, 16, 4)
+        ).collect()
+    }
+    assert rows[full_dim]["recall_ppm"] == 1_000_000  # self-check
+    # truncation LOSES information vs the full width (strictly, on
+    # this fixture); note recall is NOT guaranteed monotone between
+    # two truncated widths — a short prefix can rank a true neighbor
+    # luckily — so the contract is full-width exactness + loss below
+    for d in (16, 4):
+        assert 0 < rows[d]["recall_ppm"] < 1_000_000
+    assert all(r["n_queries"] > 0 for r in rows.values())
