@@ -174,6 +174,8 @@ HEADLINE = [
     "e2l_value_window_family",
     "j5h_mime_sniffing",
     "b20_partitioned_source_pruning",
+    "c28_filtered_aggregates",
+    "f4_topk_with_ties",
     # j3k_ivfpq_adc_topk is NOT a headline row for the same reason as
     # j3c/j3e: each run re-trains the k-means index (offline cost by
     # contract), which would bench index BUILD as if it were query

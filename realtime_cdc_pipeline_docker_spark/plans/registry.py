@@ -37,7 +37,7 @@ def register(name: str, oracle: str | None = None):
 
 
 # The driver's per-round CORRECTNESS pass verifies the FIRST 50 entries
-# of queries() in insertion order.  With 210 registered queries,
+# of queries() in insertion order.  With 212 registered queries,
 # coverage rotates.  Round-5 policy (VERDICT r4 #2): (a) the 8 queries
 # with ZERO driver rows in any round — the four oracle-bearing late
 # round-4 registrations first, then the four rows-only ones; (b) every
@@ -87,6 +87,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "j4n_linear_classifier", "j2i_lsh_band_sweep", "d26_lateral_topn",
     "e2l_value_window_family", "j5h_mime_sniffing",
     "b20_partitioned_source_pruning", "j3n_mrl_truncation_eval",
+    "c28_filtered_aggregates", "f4_topk_with_ties",
     # (c) backfill, oldest single green first: round-2 singles…
     "d12_tpch_q7_shape", "d13_tpch_q13_shape", "d14_tpch_q4_shape",
     "d16_tpch_q22_shape", "c15_tpch_q17_shape", "d17_tpch_q8_shape",

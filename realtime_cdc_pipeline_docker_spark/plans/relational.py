@@ -3043,3 +3043,81 @@ def e2l_value_window_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("o_orderkey", 1, -1).over(w).alias("prev_key"),
         F.lead("o_orderkey", 2).over(w).alias("next2_key"),
     )
+
+
+@register(
+    "c28_filtered_aggregates",
+    oracle="""
+    SELECT o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT)
+             AS n_final,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS open_c2,
+           CAST(MAX(CAST(o_orderdate AS DATE))
+                FILTER (WHERE o_orderpriority LIKE '1-%') AS DATE)
+             AS last_urgent_day
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def c28_filtered_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-standard aggregate FILTER clause (§2.C completion — the
+    per-aggregate predicate form; ClickHouse's -If combinator family:
+    countIf/sumIf/maxIf): unfiltered and filtered aggregates computed
+    side-by-side in ONE grouped pass — the conditional-rollup pattern
+    that otherwise forces either N scans or nested CASE expressions.
+    Spark evaluates FILTER natively inside the aggregate (same plan
+    as the CASE rewrite — one map-side-combined hash aggregate);
+    entered through ``F.expr`` to exercise the clause syntax itself.
+    A filtered SUM over an empty group yields NULL, a filtered COUNT
+    yields 0 — the standard's corner, pinned by parity."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.expr("COUNT(*) FILTER (WHERE o_orderstatus = 'F')").alias("n_final"),
+        F.expr(
+            "SUM(CAST(round(o_totalprice * 100) AS BIGINT))"
+            " FILTER (WHERE o_orderstatus = 'O')"
+        ).alias("open_c2"),
+        F.expr(
+            "MAX(CAST(o_orderdate AS DATE))"
+            " FILTER (WHERE o_orderpriority LIKE '1-%')"
+        ).alias("last_urgent_day"),
+    )
+
+
+@register(
+    "f4_topk_with_ties",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, qty, rnk FROM (
+      SELECT l_orderkey, l_linenumber,
+             CAST(round(l_quantity) AS BIGINT) AS qty,
+             CAST(rank() OVER (PARTITION BY l_orderkey
+                               ORDER BY round(l_quantity) DESC) AS BIGINT)
+               AS rnk
+      FROM lineitem
+    ) WHERE rnk <= 2
+    """,
+)
+def f4_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k WITH TIES (§2.F completion — ANSI FETCH FIRST k WITH
+    TIES / ClickHouse LIMIT ... WITH TIES): rank() ≤ k keeps EVERY
+    row tying the k-th value, where the row_number() top-n family
+    (e2a, j4k) would drop ties arbitrarily — the correct semantics
+    whenever the ranking key is coarse (integer quantities here: most
+    orders tie somewhere in their top-2).  Same
+    WindowGroupLimit-prunable single-sort shape as row_number top-n —
+    rank-based filters push the same partial limit below the
+    exchange."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.round("l_quantity", 0).cast("long")
+    w = Window.partitionBy("l_orderkey").orderBy(qty.desc())
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            qty.alias("qty"),
+            F.rank().over(w).cast("long").alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 2)
+    )
