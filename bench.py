@@ -1,6 +1,11 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
+Headline membership RULE (VERDICT r5 #3): every registered query is
+benched except the explicit ``EXCLUDED`` dict below (name -> reason),
+which is printed at bench time and embedded in BENCH_FULL.json — no
+query drops out of the benchmark silently.
+
 Output protocol (VERDICT r4 #1 — the driver captures only the LAST
 2000 chars of stdout, and round 4's single fat line outgrew it):
 
@@ -46,7 +51,27 @@ from realtime_cdc_pipeline_docker_spark import plans  # noqa: E402
 from realtime_cdc_pipeline_docker_spark.catalog import release_persisted  # noqa: E402
 from realtime_cdc_pipeline_docker_spark.session import get_session  # noqa: E402
 
-HEADLINE = [
+# Headline membership is a RULE, not a hand-kept list (VERDICT r5 #3):
+# every registered query is benched EXCEPT the entries of EXCLUDED,
+# each with a stated reason.  The exclusion list is printed at bench
+# time and recorded in BENCH_FULL.json so nothing drops silently.
+EXCLUDED: dict[str, str] = {
+    "j3c_ivf_ann_topk": (
+        "re-trains the k-means IVF index every run — an offline build "
+        "cost by contract; query-time cost (pre-built index) is "
+        "measured by scripts/ivf_query_probe.py and cited in PERF.md"
+    ),
+    "j3e_ivf_index_topk": (
+        "same as j3c: per-run index re-train; pre-built-index query "
+        "time measured by scripts/ivf_query_probe.py"
+    ),
+    "j3k_ivfpq_adc_topk": (
+        "same as j3c plus PQ codebook training per run; pre-built-index "
+        "ADC query time measured by scripts/ivf_query_probe.py"
+    ),
+}
+
+_LEGACY_ORDER = [
     "flagship_revenue_report",
     "c01_global_sum",
     "c03_order_totals",
@@ -176,18 +201,31 @@ HEADLINE = [
     "b20_partitioned_source_pruning",
     "c28_filtered_aggregates",
     "f4_topk_with_ties",
-    # j3k_ivfpq_adc_topk is NOT a headline row for the same reason as
-    # j3c/j3e: each run re-trains the k-means index (offline cost by
-    # contract), which would bench index BUILD as if it were query
-    # cost.  Its correctness/recall lives in driver-sim + tests.
 ]
 
 
-# Iterative dedup/CC family: the largest generated-code surfaces in the
-# repo — they need the extra JIT warm-ups (see module docstring).
+def build_headline() -> list[str]:
+    """All registered queries except EXCLUDED — round-5 veterans keep
+    their historical order (round-over-round bench diffs stay aligned),
+    new admissions append in registration order."""
+    names = [n for n in _LEGACY_ORDER if n in plans.REGISTRY and n not in EXCLUDED]
+    seen = set(names)
+    names += [n for n in plans.REGISTRY if n not in seen and n not in EXCLUDED]
+    return names
+
+
+HEADLINE = build_headline()
+
+
+# Iterative dedup/CC/clustering family: the largest generated-code
+# surfaces in the repo — they need the extra JIT warm-ups (see module
+# docstring).  j2e added per VERDICT r5 #4 (its samples straddled
+# 4.5–7.8 s across runs with a single warm-up); j2f is the same
+# iterative k-means/pairing class.
 JIT_HEAVY = {
     "j2_minhash_neardup",
     "j2e_neardup_keepers",
+    "j2f_semantic_dedup",
     "j2g_fuzzy_neardup",
     "j2h_dedup_eval_pr",  # runs the same MinHash generated code over corpus+twins
 }
@@ -260,10 +298,15 @@ def main() -> None:
         "runs_per_query": runs,
         "samples": samples,
         "short_keys": short_keys(HEADLINE),
+        "headline_rule": "every registered query except EXCLUDED",
+        "registered": len(plans.REGISTRY),
+        "excluded": EXCLUDED,
     }
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"), "w") as f:
         json.dump(full, f, indent=1)
     print(json.dumps(full))
+    for name, reason in EXCLUDED.items():
+        print(f"EXCLUDED {name}: {reason}")
 
     keys = short_keys(HEADLINE)
     compact = {
@@ -272,11 +315,24 @@ def main() -> None:
         "unit": "sec",
         "queries": {keys[n]: round(t, 2) for n, t in times.items()},
         "sf": sf,
+        "n_queries": len(times),
+        "excluded": len(EXCLUDED),
     }
     line = json.dumps(compact, separators=(",", ":"))
-    if len(line) > 1900:  # belt-and-braces: shed precision before width
+    if len(line) > 1900:  # shed precision, then the FASTEST rows, before width
         compact["queries"] = {keys[n]: round(t, 1) for n, t in times.items()}
         line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:
+        # Keep the slowest rows (the ones worth reading in a capped
+        # stdout tail); the full per-query table is in line 1 and
+        # BENCH_FULL.json either way.
+        by_cost = sorted(times, key=times.get, reverse=True)
+        kept = dict.fromkeys(by_cost)
+        while len(line) > 1900 and kept:
+            kept.popitem()  # drops the current fastest kept row
+            compact["queries"] = {keys[n]: round(times[n], 1) for n in kept}
+            compact["omitted_fast"] = len(times) - len(kept)
+            line = json.dumps(compact, separators=(",", ":"))
     print(line, flush=True)
 
 

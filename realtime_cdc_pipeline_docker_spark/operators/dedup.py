@@ -113,15 +113,10 @@ def minhash_fingerprints(
     return fp
 
 
-def _band_candidates(
-    fp: DataFrame,
-    bands: int,
-    rows_per_band: int,
-    max_bucket_size: int | None,
-) -> DataFrame:
-    """Band the signature table and self-join buckets into candidate
-    pairs (id_a < id_b), with the quadratic-bound bucket cap."""
-    banded = fp.select(
+def _banded(fp: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+    """Project the signature table to one (id, band_id, band_hash) row
+    per band — pure projection, no shuffle."""
+    return fp.select(
         "id",
         F.explode(
             F.array(
@@ -145,6 +140,17 @@ def _band_candidates(
             )
         ).alias("band"),
     ).select("id", "band.band_id", "band.band_hash")
+
+
+def _band_candidates(
+    fp: DataFrame,
+    bands: int,
+    rows_per_band: int,
+    max_bucket_size: int | None,
+) -> DataFrame:
+    """Band the signature table and self-join buckets into candidate
+    pairs (id_a < id_b), with the quadratic-bound bucket cap."""
+    banded = _banded(fp, bands, rows_per_band)
 
     if max_bucket_size is not None:
         # Count per bucket (map-side combinable) and keep only sane
@@ -190,8 +196,14 @@ def lsh_band_sweep(
 
     More, shorter bands → looser S-curve → more candidates (recall ↑,
     precision ↓): candidates and verified counts are monotone
-    non-decreasing in ``bands`` (superset property, pinned by test).
-    The signature/fingerprint table is computed ONCE
+    non-decreasing in ``bands`` (superset property, pinned by test)
+    — PROVIDED no bucket exceeds ``max_bucket_size`` at the finer
+    layout.  Finer layouts hash fewer signature rows per band, so
+    buckets are denser, and the cap can drop a bucket at 16×2 whose
+    pairs survived at 4×8, breaking the superset property on
+    degenerate corpora.  The per-layout ``oversized_buckets`` column
+    makes that observable: monotonicity is guaranteed whenever it is
+    0 for every layout.  The signature/fingerprint table is computed ONCE
     (``minhash_fingerprints``) and re-banded per config — re-banding
     is a projection of the signature columns, so the sweep costs one
     corpus pass plus |configs| small candidate joins, NOT |configs|
@@ -204,6 +216,16 @@ def lsh_band_sweep(
     sides_b = fp.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b"))
     stats = None
     for bands in band_options:
+        banded = _banded(fp, bands, num_hashes // bands)
+        if max_bucket_size is None:
+            oversized = None
+        else:
+            oversized = (
+                banded.groupBy("band_id", "band_hash")
+                .agg(F.count(F.lit(1)).alias("__bsz"))
+                .filter(F.col("__bsz") > max_bucket_size)
+                .agg(F.count(F.lit(1)).alias("oversized_buckets"))
+            )
         cand = _band_candidates(fp, bands, num_hashes // bands, max_bucket_size)
         verified = (
             cand.join(sides, "id_a")
@@ -231,6 +253,12 @@ def lsh_band_sweep(
                 ).alias("precision_ppm"),
             )
         )
+        if oversized is None:
+            verified = verified.withColumn(
+                "oversized_buckets", F.lit(0).cast("long")
+            )
+        else:
+            verified = verified.crossJoin(oversized)
         stats = verified if stats is None else stats.unionByName(verified)
     return stats
 

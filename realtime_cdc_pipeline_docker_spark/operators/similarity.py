@@ -1067,6 +1067,14 @@ def mrl_truncation_eval(
         "query_id", F.col("neighbor_id").alias("true_id")
     )
     n_queries = queries.count()
+    if n_queries == 0:
+        # a silent 0-recall report would read as "truncation destroyed
+        # retrieval"; an empty query sample is a caller bug — and under
+        # the repo's ANSI sessions div-by-zero below would error anyway
+        raise ValueError(
+            "mrl_truncation_eval: query_filter selected no rows — "
+            "recall over an empty query sample is undefined"
+        )
     out = None
     for dim in dims:
         t_emb = emb.select(id_col, F.slice(vec_col, 1, dim).alias(vec_col))

@@ -38,62 +38,34 @@ def register(name: str, oracle: str | None = None):
 
 # The driver's per-round CORRECTNESS pass verifies the FIRST 50 entries
 # of queries() in insertion order.  With 212 registered queries,
-# coverage rotates.  Round-5 policy (VERDICT r4 #2): (a) the 8 queries
-# with ZERO driver rows in any round — the four oracle-bearing late
-# round-4 registrations first, then the four rows-only ones; (b) every
-# query REGISTERED in round 5 (a first appearance outranks a second row
-# for a green one) — the early batch, then the post-freeze batch
-# (oracle-bearing first, j3k rows-only last); (c) backfill with the
-# single-green residue ordered by staleness — the six queries whose
-# only green row dates to round 2, then the round-3 singles.  Left out
-# (all with ≥1 green row, re-checked every round by the driver-sim
-# pytest gate): the multi-green core, the 49 queries that went green
-# in round 4, and the round-3 singles past slot 50 (j1/j4x/j2x/j3/
-# k1/k2/j6x/j7 families — next in the round-6 rotation, oldest first,
-# after any round-6 registrations).
+# coverage rotates.  Round-6 policy (VERDICT r5 #1/#2 — rotation debt
+# outranks surface growth this round, deliberately inverting the
+# round-5 "first appearance outranks" rule): (a) the 17 queries with
+# ZERO driver rows in any round — everything registered after the
+# round-5 window filled at 50 — oracle-bearing first, then the two
+# rows-only ones (j2i, j3n); (b) backfill the remaining 33 slots with
+# the stalest singles: the six queries whose only green row dates to
+# round 2, then the round-3 singles in registration order (all
+# oracle-bearing except j4e).  Left out (all with ≥1 green driver row,
+# re-checked every round by the driver-sim pytest gate): the
+# multi-green core and the round-4/round-5 green rows.  Any round-6
+# registrations go AFTER the 17 never-checked queries, never before.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # (a) never driver-checked — oracle-bearing late round-4 additions
-    "b17_binaryfile_source", "h10_stream_scd2_history",
-    "h6b_outer_attribution", "j9c_bpe_pair_counts",
-    # (a) never driver-checked — rows-only late round-4 additions
-    "j3e_ivf_index_topk", "j2f_semantic_dedup", "j3i_mmr_rerank",
-    "c23_hll_partial_merge",
-    # (b) registered in round 5, early batch — first driver appearance
-    "j2h_dedup_eval_pr", "j4j_stopword_profile", "j6k_dupcount_weighted_sample",
-    "c24_decimal_exact_agg", "d25_join_null_skew", "j9d_unigram_lm_ppl",
-    "j4k_domain_quota", "j3j_pq_codebooks", "e11_retention_matrix",
-    "g7_uri_scalars",
-    # (b) registered in round 5 after the mid-round freeze note —
-    # still in time for this round's window (oracle-bearing first)
-    "b18_unpivot_metrics", "e2k_rank_distribution", "e12_sequence_match",
-    "k4_asof_next_order", "j8c_fuzzy_decontaminate", "j9e_vocab_coverage",
-    "j7c_dataset_card", "j1c_chunk_level_dedup", "m4_multi_table_mart",
-    "e13_gapfill_interpolate", "e14_transition_matrix", "g8_array_scalars",
-    "j9f_heavy_hitters", "j6l_negative_sampling", "j3k_ivfpq_adc_topk",
-    # (b) registered in round 5, late batch (oracle-bearing, then the
-    # rows-only planted-twin dhash family)
-    "j3l_tfidf_cosine_pairs", "e15_zscore_anomaly", "g9_bitwise_aggregates",
-    "k5_interval_coalesce", "b19_orc_source_roundtrip",
-    "j9g_bigram_pmi", "j4l_char_entropy",
-    "j7d_release_diff", "g10_try_arithmetic",
-    "f3d_set_ops_all", "c25_boolean_positional_aggs", "c26_corr_regression",
-    "j5f_image_dhash_neardup", "j9h_bpe_train",
-    "g11_datetime_scalars", "j4m_gopher_rules", "e16_ohlc_bars",
-    # (b) registered in round 5 after the window filled (slots > 50 —
-    # these lead the round-6 rotation per the same first-appearance rule)
+    # (a) never driver-checked — registered after the round-5 window
+    # filled (oracle-bearing first)
     "c27_exact_quantiles_mode", "e17_ewma_smoothing",
     "j6m_temperature_mixture", "h13_stream_ohlc", "e18_graph_pagerank",
     "j5g_audio_vad_segments", "g13_string_scalars", "e19_rolling_active_users",
-    "j4n_linear_classifier", "j2i_lsh_band_sweep", "d26_lateral_topn",
-    "e2l_value_window_family", "j5h_mime_sniffing",
-    "b20_partitioned_source_pruning", "j3n_mrl_truncation_eval",
+    "j4n_linear_classifier", "d26_lateral_topn", "e2l_value_window_family",
+    "j5h_mime_sniffing", "b20_partitioned_source_pruning",
     "c28_filtered_aggregates", "f4_topk_with_ties",
-    # (c) backfill, oldest single green first: round-2 singles…
+    # (a) never driver-checked — the two rows-only ones
+    "j2i_lsh_band_sweep", "j3n_mrl_truncation_eval",
+    # (b) backfill, oldest single green first: round-2 singles…
     "d12_tpch_q7_shape", "d13_tpch_q13_shape", "d14_tpch_q4_shape",
     "d16_tpch_q22_shape", "c15_tpch_q17_shape", "d17_tpch_q8_shape",
-    # …then round-3 singles up to the window edge (the rest — the
-    # j1/j4/j2/j3/k/j6/j7 round-3 families — keep their driver-sim +
-    # pytest coverage and lead the round-6 backfill)
+    # …then round-3 singles up to the window edge (27 of them → the
+    # window closes exactly at slot 50)
     "d15_tpch_q18_shape", "d18_tpch_q9_shape", "d19_tpch_q12_shape",
     "c16_tpch_q11_shape", "c17_tpch_q15_shape", "d20_tpch_q2_shape",
     "d21_tpch_q16_shape", "d22_tpch_q20_shape", "d23_tpch_q21_shape",
@@ -103,7 +75,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "j4d_fingerprint", "j2c_simhash_neardup", "j9_vocab_topk",
     "j9b_top_terms", "j3_similarity_topk", "j2_minhash_neardup",
     "j2b_ngram_jaccard", "j2d_embedding_neardup", "j2e_neardup_keepers",
-    "k1_asof_order_state", "k2_range_join_incidents",
+    "k1_asof_order_state",
+    # --- 50-slot window edge ---
+    # (c) past the window: the remaining round-3 singles (next-stalest,
+    # lead the round-7 backfill), then the round-4/5 multi-green rows
+    # keep their registration order via _ordered()'s stable fallback.
+    "k2_range_join_incidents",
     "j4f_repetition_signals", "j6a_stratified_sample",
     "j6b_sequence_packing", "j6c_corpus_filter_stats",
     "j7_corpus_pipeline_e2e", "j6d_corpus_shuffle",

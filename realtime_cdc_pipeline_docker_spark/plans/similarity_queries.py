@@ -653,11 +653,13 @@ def j2i_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH banding-parameter sweep (§2.J2 extension — the tuning table
     a dedup config change reads before committing a 100 TB run): one
     signature pass over the corpus, re-banded at 4×8 / 8×4 / 16×2,
-    with candidate counts, verified-pair counts and precision ppm per
-    layout.  Rows-only by nature (xxhash64 band keys); the monotone
-    superset property (more bands → more candidates AND more verified
-    pairs) and planted-twin recovery at every layout are pinned in
-    tests/test_dedup.py.  See operators/dedup.py:lsh_band_sweep."""
+    with candidate counts, verified-pair counts, precision ppm and the
+    capped-bucket count per layout.  Rows-only by nature (xxhash64 band
+    keys); the monotone superset property (more bands → more candidates
+    AND more verified pairs) holds whenever ``oversized_buckets`` is 0
+    at every layout — pinned, along with planted-twin recovery at every
+    layout and the degenerate capped case, in tests/test_dedup.py.
+    See operators/dedup.py:lsh_band_sweep."""
     from ..operators.dedup import lsh_band_sweep
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")

@@ -178,7 +178,9 @@ def test_collapse_agg_partial_combine_no_window(spark, sf_dir):
     # the printed tree; the partial one below it
     assert "max_by" in head
     _, _, tail = plan.partition("Exchange")
-    assert "partial_max_by" in tail or "max_by" in tail
+    # the map-side partial combine must sit BELOW the exchange — the
+    # explicit partial-mode marker, not the (always-present) final agg
+    assert "partial_max_by" in tail
 
 
 def test_coalescing_upsert_interleaves_partial_updates(spark):

@@ -538,8 +538,45 @@ def test_lsh_band_sweep_monotone_and_finds_twins(spark, sf_dir):
         # every layout must at least recover the planted twins
         assert r["n_verified"] >= n_twins
         assert 0 <= r["precision_ppm"] <= 1_000_000
+        # no bucket hits the cap on this fixture — the precondition for
+        # the superset/monotonicity guarantee below (a capped bucket at
+        # a finer layout may drop pairs that survived at a coarser one)
+        assert r["oversized_buckets"] == 0
     assert rows[4]["n_candidates"] <= rows[8]["n_candidates"] <= rows[16]["n_candidates"]
     assert rows[4]["n_verified"] <= rows[8]["n_verified"] <= rows[16]["n_verified"]
+
+
+def test_lsh_band_sweep_oversized_buckets_observable(spark):
+    """On a degenerate corpus (many identical docs → one dense bucket),
+    the per-layout oversized_buckets column reports the capped buckets
+    instead of silently breaking the superset claim."""
+    from realtime_cdc_pipeline_docker_spark.operators.dedup import lsh_band_sweep
+
+    corpus = spark.createDataFrame(
+        [(i, "the same exact degenerate document text repeated verbatim")
+         for i in range(40)]
+        + [(100 + i, f"unique filler document number {i} with its own words")
+           for i in range(5)],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["bands"]: r
+        for r in lsh_band_sweep(
+            corpus, band_options=(4, 16), max_bucket_size=10
+        ).collect()
+    }
+    # every band of the 40-clone group exceeds the cap of 10
+    assert rows[4]["oversized_buckets"] >= 4
+    assert rows[16]["oversized_buckets"] >= 16
+    # and with no cap, the column is 0 and the clones all verify
+    unc = {
+        r["bands"]: r
+        for r in lsh_band_sweep(
+            corpus, band_options=(4, 16), max_bucket_size=None
+        ).collect()
+    }
+    assert unc[4]["oversized_buckets"] == 0
+    assert unc[4]["n_verified"] >= 40 * 39 // 2
 
 
 def test_minhash_pairs_unchanged_by_fingerprint_refactor(spark, sf_dir):

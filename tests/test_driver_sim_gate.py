@@ -60,13 +60,27 @@ def test_driver_window_is_all_oracle_bearing():
     window = names[: len(DRIVER_PRIORITY)]
     assert window == list(DRIVER_PRIORITY)
     allowed_rows_only = {
-        # never driver-checked before round 5 (rows-only by nature)
-        "j3e_ivf_index_topk", "j2f_semantic_dedup", "j3i_mmr_rerank",
-        "c23_hll_partial_merge",
-        # registered in round 5 (rows-only by nature — first appearance)
-        "j2h_dedup_eval_pr", "j3k_ivfpq_adc_topk",
-        "j5f_image_dhash_neardup", "j9h_bpe_train",
+        # never driver-checked before round 6 (rows-only by nature —
+        # the last two of the 17-query rotation debt, VERDICT r5 #1)
+        "j2i_lsh_band_sweep", "j3n_mrl_truncation_eval",
     }
     rows_only = [n for n in window[:50] if n not in oracles]
     stray = [n for n in rows_only if n not in allowed_rows_only]
     assert not stray, f"undocumented rows-only queries burn window slots: {stray}"
+
+
+def test_bench_headline_rule():
+    """Bench headline membership is a rule (VERDICT r5 #3): headline
+    plus the reasoned EXCLUDED dict must exactly tile the registry, so
+    no registered query can silently lack a bench row."""
+    sys.path.insert(0, str(REPO))
+    import bench
+    from realtime_cdc_pipeline_docker_spark import plans
+
+    assert set(bench.HEADLINE).isdisjoint(bench.EXCLUDED)
+    assert set(bench.HEADLINE) | set(bench.EXCLUDED) == set(plans.REGISTRY)
+    for name, reason in bench.EXCLUDED.items():
+        assert name in plans.REGISTRY
+        assert len(reason) > 20, f"exclusion reason for {name} is not a reason"
+    # VERDICT r5 #4: the connected-components family gets JIT warm-ups.
+    assert "j2e_neardup_keepers" in bench.JIT_HEAVY

@@ -511,3 +511,9 @@ def test_mrl_truncation_recall_monotone_and_exact_at_full_width(spark, sf_dir):
     for d in (16, 4):
         assert 0 < rows[d]["recall_ppm"] < 1_000_000
     assert all(r["n_queries"] > 0 for r in rows.values())
+    # an empty query sample is a caller bug, reported as such — not an
+    # ANSI div-by-zero from deep inside the recall arithmetic
+    import pytest
+
+    with pytest.raises(ValueError, match="no rows"):
+        mrl_truncation_eval(emb, F.lit(False), dims=(4,))
