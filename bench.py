@@ -58,16 +58,26 @@ from realtime_cdc_pipeline_docker_spark.session import get_session  # noqa: E402
 EXCLUDED: dict[str, str] = {
     "j3c_ivf_ann_topk": (
         "re-trains the k-means IVF index every run — an offline build "
-        "cost by contract; query-time cost (pre-built index) is "
-        "measured by scripts/ivf_query_probe.py and cited in PERF.md"
+        "cost by contract; pre-built-index query time measured by "
+        "scripts/ivf_query_probe.py (IVF_PROBE.json: ivf_inmem 3.7 s "
+        "median at sf0.1; PERF.md §ANN query-time)"
     ),
     "j3e_ivf_index_topk": (
-        "same as j3c: per-run index re-train; pre-built-index query "
-        "time measured by scripts/ivf_query_probe.py"
+        "per-run centroid re-train + index re-write (offline costs by "
+        "contract); pre-built parquet-index query time measured by "
+        "scripts/ivf_query_probe.py (IVF_PROBE.json: ivf_index 2.3 s "
+        "median at sf0.1)"
     ),
     "j3k_ivfpq_adc_topk": (
-        "same as j3c plus PQ codebook training per run; pre-built-index "
-        "ADC query time measured by scripts/ivf_query_probe.py"
+        "per-run centroid + PQ codebook re-train (offline costs); "
+        "pre-built ADC query time measured by scripts/ivf_query_probe.py "
+        "(IVF_PROBE.json: ivfpq_inmem 13.0 s / ivfpq_index 4.8 s median "
+        "at sf0.1)"
+    ),
+    "j3o_ivfpq_index_topk": (
+        "per-run index re-train + re-write, same rule as j3e; its pure "
+        "query half is IVF_PROBE.json's ivfpq_index (4.8 s median at "
+        "sf0.1)"
     ),
 }
 

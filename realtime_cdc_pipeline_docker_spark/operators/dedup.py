@@ -7,8 +7,9 @@ the 100 TB shape of the problem:
   row per digest.  Shuffling 32-byte keys instead of document bodies is
   the difference between a feasible and an infeasible job at scale.
 - **MinHash + LSH** — char-shingle → k minhash values → band → bucket
-  self-join.  Candidate generation is O(n) per band bucket instead of
-  O(n²); only candidates pay the exact-Jaccard verification.
+  group-by pair generation.  Candidate generation is O(n) per band
+  bucket instead of O(n²); only candidates pay exact-Jaccard
+  verification.
 - **SimHash** — 64-bit signature whose hamming distance approximates
   token-multiset similarity; banding the 64 bits into 4×16-bit keys
   finds all pairs within hamming≤3 without a cross join (pigeonhole:
@@ -142,38 +143,76 @@ def _banded(fp: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
     ).select("id", "band.band_id", "band.band_hash")
 
 
+def _bucket_sizes(banded: DataFrame) -> DataFrame:
+    """Per-bucket member count ``(band_id, band_hash, __bsz)`` — one
+    map-side-combinable aggregate over the banded projection."""
+    return banded.groupBy("band_id", "band_hash").agg(
+        F.count(F.lit(1)).alias("__bsz")
+    )
+
+
 def _band_candidates(
     fp: DataFrame,
     bands: int,
     rows_per_band: int,
     max_bucket_size: int | None,
+    banded: DataFrame | None = None,
+    bucket_sizes: DataFrame | None = None,
 ) -> DataFrame:
-    """Band the signature table and self-join buckets into candidate
-    pairs (id_a < id_b), with the quadratic-bound bucket cap."""
-    banded = _banded(fp, bands, rows_per_band)
+    """Band the signature table and emit in-bucket candidate pairs
+    (id_a < id_b), with the quadratic-bound bucket cap.
+
+    ``banded`` / ``bucket_sizes`` let a caller that already built the
+    banded projection or the per-bucket count table (``lsh_band_sweep``
+    needs the counts for its ``oversized_buckets`` column) pass them in
+    instead of re-aggregating the identical buckets here.
+
+    Pair generation is a bucket-local GROUP BY, not a self-join:
+    ``collect_list(id)`` per (band_id, band_hash) — buffer bounded by
+    the pre-filtered ``max_bucket_size`` — then an in-memory
+    combination expansion with codegen'd array lambdas.  One shuffle
+    of the banded table, co-partitioned by construction, no broadcast
+    anywhere in the hot path.  The previous bucket SELF-join left the
+    build-side choice to AQE, and at sf0.1 both sides' size estimates
+    sit at ~9 MiB — right at the 10 MiB broadcast threshold — so a
+    run-to-run stats race on the cached signature table flipped the
+    build side and with it the downstream stage layout (the r6 j2
+    bench bimodality: 2.6 s vs 6.1 s, event-log diagnosis in PERF.md).
+    The grouped form has ONE plan at every scale: at 100 TB neither
+    side of that join was broadcastable anyway, and the group-by needs
+    no co-location guesswork."""
+    if banded is None:
+        banded = _banded(fp, bands, rows_per_band)
 
     if max_bucket_size is not None:
-        # Count per bucket (map-side combinable) and keep only sane
-        # buckets.  One extra shuffle on the band key — the same key the
-        # self-join shuffles on — in exchange for a hard quadratic bound.
-        ok = (
-            banded.groupBy("band_id", "band_hash")
-            .agg(F.count(F.lit(1)).alias("__bsz"))
-            .filter(F.col("__bsz") <= max_bucket_size)
-            .select("band_id", "band_hash")
+        # Keep only sane buckets BEFORE collecting them: the count
+        # aggregate is map-side combinable (small), and pre-filtering
+        # bounds the collect_list buffer below — a degenerate
+        # boilerplate bucket must never materialize as one giant array.
+        if bucket_sizes is None:
+            bucket_sizes = _bucket_sizes(banded)
+        ok = bucket_sizes.filter(F.col("__bsz") <= max_bucket_size).select(
+            "band_id", "band_hash"
         )
         banded = banded.join(ok, ["band_id", "band_hash"])
 
-    left = banded.alias("x")
-    right = banded.alias("y")
-    return (
-        left.join(
-            right,
-            (F.col("x.band_id") == F.col("y.band_id"))
-            & (F.col("x.band_hash") == F.col("y.band_hash"))
-            & (F.col("x.id") < F.col("y.id")),
+    buckets = banded.groupBy("band_id", "band_hash").agg(
+        F.collect_list("id").alias("ids")
+    )
+    pairs = F.flatten(
+        F.transform(
+            "ids",
+            lambda a: F.filter(
+                F.transform(
+                    "ids", lambda b: F.struct(a.alias("id_a"), b.alias("id_b"))
+                ),
+                lambda s: s["id_a"] < s["id_b"],
+            ),
         )
-        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+    )
+    return (
+        buckets.select(F.explode(pairs).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
 
@@ -219,14 +258,24 @@ def lsh_band_sweep(
         banded = _banded(fp, bands, num_hashes // bands)
         if max_bucket_size is None:
             oversized = None
+            sizes = None
         else:
-            oversized = (
-                banded.groupBy("band_id", "band_hash")
-                .agg(F.count(F.lit(1)).alias("__bsz"))
-                .filter(F.col("__bsz") > max_bucket_size)
-                .agg(F.count(F.lit(1)).alias("oversized_buckets"))
+            # ONE bucket-count aggregate per layout, persisted (it is
+            # |buckets| small rows): the oversized_buckets column and
+            # the candidate join's cap filter both read it, instead of
+            # re-banding and re-counting the identical buckets twice.
+            sizes = track_persisted(_bucket_sizes(banded).persist())
+            oversized = sizes.filter(F.col("__bsz") > max_bucket_size).agg(
+                F.count(F.lit(1)).alias("oversized_buckets")
             )
-        cand = _band_candidates(fp, bands, num_hashes // bands, max_bucket_size)
+        cand = _band_candidates(
+            fp,
+            bands,
+            num_hashes // bands,
+            max_bucket_size,
+            banded=banded,
+            bucket_sizes=sizes,
+        )
         verified = (
             cand.join(sides, "id_a")
             .join(sides_b, "id_b")
@@ -282,15 +331,15 @@ def minhash_lsh_pairs(
     Plan shape (all codegen, three shuffles minimum for the semantics):
     1. shingle explode → distinct (id, h)           [shuffle on (id,h)]
     2. hash-aggregate 32 affine minima per id       [map-side combined]
-       → band hashes → bucket self-join             [shuffle on band key]
+       → band hashes → bucket group-by pair-gen     [shuffle on band key]
     3. candidate pairs → shared-shingle counting
        join for exact Jaccard                       [shuffle on id]
 
     Scale: band-bucket keys are (band_id, 8-byte hash); a bucket with B
     docs yields B² candidates, so ``max_bucket_size`` drops buckets
-    larger than the cap before the self-join — *the* guard against
+    larger than the cap before pair generation — *the* guard against
     web-corpus degeneracy (boilerplate pages put thousands of docs in
-    one bucket and make the join quadratic).  Members of a dropped
+    one bucket and make pair expansion quadratic).  Members of a dropped
     bucket keep their other bands; clusters big enough to overflow every
     band are near-identical boilerplate that ``dedup_exact`` catches
     first (run it upstream — that is the documented contract).  The

@@ -661,6 +661,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     max_cluster_size: int = 10_000,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embedding space with spherical
@@ -683,15 +684,22 @@ def semantic_dedup(
     excluded from pairing (their rows all survive) and the skip is
     observable in the returned ``oversized`` flag — the same
     degenerate-bucket cap every dedup family here carries: a fixture
-    where k-means collapses must not produce an O(n²) join."""
+    where k-means collapses must not produce an O(n²) join.
+
+    ``centroids`` accepts a pre-trained centroid set: centroid training
+    is an OFFLINE cost (train on a sample once, reuse across runs — the
+    same contract as the IVF index build), so callers that re-run the
+    dedup pass should train once and pass the result instead of paying
+    Lloyd iterations per run."""
     from ..functions import vec_normalize
 
     normed = embeddings.select(
         F.col(id_col).alias("id"), vec_normalize(vec_col).alias("v")
     )
-    centroids = train_ivf_centroids(
-        embeddings, n_centroids=n_clusters, vec_col=vec_col, id_col=id_col
-    )
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            embeddings, n_centroids=n_clusters, vec_col=vec_col, id_col=id_col
+        )
     assigned = normed.withColumn("cluster", nearest_centroid_expr("v", centroids))
     sizes = assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("__csize"))
     assigned = assigned.join(F.broadcast(sizes), "cluster").withColumn(
@@ -929,27 +937,47 @@ def ivfpq_adc_topk(
     by (nprobe, assign) × (pq_k, shortlist); defaults clear the ≥0.8
     recall@5 bar on the adversarial random fixture
     (tests/test_similarity.py)."""
-    from ..functions import vec_cosine, vec_normalize
+    from ..functions import vec_normalize
 
     if centroids is None:
         centroids = train_ivf_centroids(
             corpus, n_centroids, vec_col=vec_col, id_col=id_col
         )
-    normed = corpus.select(
-        F.col(id_col), F.col(vec_col), vec_normalize(vec_col).alias("__nv")
-    )
     if codebook is None:
+        normed = corpus.select(
+            F.col(id_col), vec_normalize(vec_col).alias("__nv")
+        )
         codebook = seed_codebook(
             normed.select(id_col, F.col("__nv").alias(vec_col)), k=pq_k
         )
-    dim = len(codebook[0])
-    dsub = dim // m
+    indexed = _ivfpq_indexed(corpus, centroids, codebook, m, assign, id_col, vec_col)
+    return _adc_query(
+        indexed, queries, centroids, codebook, k, nprobe, m, pq_k, shortlist,
+        id_col, vec_col, query_id_col,
+    )
 
-    # ---- index at rest: (id, cluster*, codes[m]) + full vector ----
+
+def _ivfpq_indexed(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    codebook: list[list[float]],
+    m: int,
+    assign: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """The IVF-PQ index relation ``(id, vec, __cluster*, codes[m])`` —
+    spherical cluster assignment with boundary replication + PQ codes
+    over UNIT vectors (unit-sphere L2 is monotone in cosine)."""
+    from ..functions import vec_normalize
+
+    normed = corpus.select(
+        F.col(id_col), F.col(vec_col), vec_normalize(vec_col).alias("__nv")
+    )
     codes = pq_codes(
         normed.select(id_col, F.col("__nv").alias(vec_col)), codebook, m=m
     )
-    indexed = (
+    return (
         normed.withColumn(
             "__cluster",
             F.explode(F.slice(centroid_ranks_expr("__nv", centroids), 1, assign)),
@@ -957,6 +985,99 @@ def ivfpq_adc_topk(
         .join(codes, id_col)
         .select(id_col, vec_col, "__cluster", "codes")
     )
+
+
+def write_ivfpq_index(
+    corpus: DataFrame,
+    path: str,
+    centroids: list[list[float]],
+    codebook: list[list[float]],
+    m: int = 8,
+    assign: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF-PQ index as a ``cluster``-partitioned parquet
+    layout — the at-rest form of the 100 TB ANN contract (same storage
+    discipline as ``write_ivf_index``, plus the m-byte PQ codes the ADC
+    probe ranks on without touching candidate vectors).  Built ONCE at
+    ingest; queries partition-prune to their ``nprobe`` cluster
+    directories.  Clustered by ``cluster`` before the write: one file
+    per list per job."""
+    indexed = _ivfpq_indexed(
+        corpus, centroids, codebook, m, assign, id_col, vec_col
+    ).withColumnRenamed("__cluster", "cluster")
+    (
+        indexed.repartition("cluster")
+        .write.mode("overwrite")
+        .partitionBy("cluster")
+        .parquet(path)
+    )
+
+
+def ivfpq_index_topk(
+    spark,
+    path: str,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    codebook: list[list[float]],
+    k: int = 5,
+    nprobe: int = 6,
+    m: int = 8,
+    pq_k: int = 16,
+    shortlist: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Query a ``write_ivfpq_index`` layout: partition-pruned scan of
+    the query batch's probed clusters (the probed-cluster list is a
+    driver-side collect bounded by ``n_queries × nprobe`` integers),
+    then the identical ADC → shortlist → exact-rerank pipeline as
+    ``ivfpq_adc_topk`` — equivalence with the in-memory form under the
+    same centroids/codebook is pytest-pinned."""
+    from ..functions import vec_normalize
+
+    q = queries.select(
+        query_id_col, vec_normalize(vec_col).alias("__qv")
+    ).withColumn(
+        "__cluster",
+        F.explode(F.slice(centroid_ranks_expr("__qv", centroids), 1, nprobe)),
+    )
+    probed = sorted({r[0] for r in q.select("__cluster").distinct().collect()})
+    indexed = (
+        spark.read.parquet(path)
+        .filter(F.col("cluster").isin(probed))
+        .withColumnRenamed("cluster", "__cluster")
+    )
+    return _adc_query(
+        indexed, queries, centroids, codebook, k, nprobe, m, pq_k, shortlist,
+        id_col, vec_col, query_id_col,
+    )
+
+
+def _adc_query(
+    indexed: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    codebook: list[list[float]],
+    k: int,
+    nprobe: int,
+    m: int,
+    pq_k: int,
+    shortlist: int,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+) -> DataFrame:
+    """ADC probe over an ``(id, vec, __cluster, codes)`` index relation:
+    per-query LUT build, table-lookup ADC rank, shortlist, exact cosine
+    rerank — the query half shared by ``ivfpq_adc_topk`` (in-memory
+    index) and ``ivfpq_index_topk`` (parquet index)."""
+    from ..functions import vec_cosine, vec_normalize
+
+    dim = len(codebook[0])
+    dsub = dim // m
 
     # ---- query-side LUT: slot-exploded, collected back to an array ----
     flat_cb = F.array(

@@ -10,6 +10,8 @@ oracles therefore express the *expected end state* directly over
 
 from __future__ import annotations
 
+import atexit
+import glob
 import hashlib
 import os
 import shutil
@@ -24,18 +26,56 @@ from ..sources.cdc import ORDERS_PAYLOAD_SCHEMA, decode_envelope, orders_envelop
 from ..streaming.pipeline import run_cdc_stream
 from .registry import register
 
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True
+    return True
+
+
+_WORK_DIRS_CREATED: set[str] = set()
+
+
+def _reap_work_dirs() -> None:
+    for work in _WORK_DIRS_CREATED:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def _work_dir(query: str, sf_dir: str) -> str:
-    """Deterministic per-(query, sf) scratch dir, reset on entry.
+    """Deterministic per-(query, sf, PROCESS) scratch dir, reset on entry.
 
     ``tempfile.mkdtemp`` would leak one tree per invocation across
     repeated driver/bench runs; a name derived from (query, sf_dir) is
     reused and wiped instead, so N runs occupy one dir, not N.  The wipe
     also clears the streaming checkpoint, which must not outlive its
-    (rewritten) input."""
+    (rewritten) input.
+
+    Per-PROCESS (pid suffix) because the driver's correctness pass and
+    the bench run concurrently on the same sf_dir: with a shared path,
+    one session's reset-on-entry rmtree deletes the other's in-flight
+    streaming checkpoint or input dir mid-run (first hit as a b20
+    bench/driver-sim race, VERDICT r6; applies equally to every
+    streaming consumer, ADVICE r6).  The pid suffix would leak one tree
+    per exited process, so entry also reaps same-(query, sf) siblings
+    whose pid is no longer alive, and an atexit hook removes this
+    process's own dirs."""
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    work = os.path.join(tempfile.gettempdir(), f"rtcdc_{query}_{tag}")
+    base = tempfile.gettempdir()
+    for sibling in glob.glob(os.path.join(base, f"rtcdc_{query}_{tag}_*")):
+        pid_part = sibling.rsplit("_", 1)[-1]
+        if pid_part.isdigit() and int(pid_part) != os.getpid() and not _pid_alive(
+            int(pid_part)
+        ):
+            shutil.rmtree(sibling, ignore_errors=True)
+    work = os.path.join(base, f"rtcdc_{query}_{tag}_{os.getpid()}")
     shutil.rmtree(work, ignore_errors=True)
     os.makedirs(work)
+    if not _WORK_DIRS_CREATED:
+        atexit.register(_reap_work_dirs)
+    _WORK_DIRS_CREATED.add(work)
     return work
 
 

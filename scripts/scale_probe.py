@@ -19,6 +19,9 @@ shifted ids) and prints one JSON line per (probe, scale):
 - ``exact_k``: per-stratum reservoir (j6j shape).  Claim: output stays
   k x strata at every scale; the WindowGroupLimit exchange carries
   O(k x strata x map partitions), so wall-time ~linear.
+- ``bpe``: iterative BPE merge training at fixed rounds (j9h shape).
+  Claim: per-round cost is one map-side-combined pair count plus a
+  codegen'd rewrite — wall-time ~linear in tokens.
 
 Usage: python scripts/scale_probe.py [sf_dir] [scales...]
 """
@@ -363,6 +366,34 @@ def main() -> int:
             flush=True,
         )
         g.unpersist()
+
+        # bpe: iterative BPE merge training (j9h shape) at FIXED merge
+        # rounds (the training contract: rounds are a hyper-parameter,
+        # not data-driven).  Claim: each round is one explode →
+        # map-side-combined pair count → TakeOrdered(1) plus a
+        # codegen'd array-fold rewrite — all ~linear in tokens — and
+        # localCheckpoint keeps lineage flat across rounds, so
+        # wall-time at 10x corpus grows ~linearly, never with
+        # rounds×data² terms (VERDICT r5 #7 / r6 #5: j9h is a top-5
+        # bench cost with a previously unmeasured growth curve).
+        from realtime_cdc_pipeline_docker_spark.operators.text import bpe_train
+
+        t0 = time.time()
+        merges = bpe_train(corpus, n_merges=5)
+        release_persisted()
+        print(
+            json.dumps(
+                {
+                    "probe": "bpe",
+                    "scale": scale,
+                    "n_docs": n_docs,
+                    "n_merges": len(merges),
+                    "top_merge_count": merges[0][3] if merges else 0,
+                    "sec": round(time.time() - t0, 2),
+                }
+            ),
+            flush=True,
+        )
 
         corpus.unpersist()
     return 0

@@ -60,9 +60,10 @@ def test_driver_window_is_all_oracle_bearing():
     window = names[: len(DRIVER_PRIORITY)]
     assert window == list(DRIVER_PRIORITY)
     allowed_rows_only = {
-        # never driver-checked before round 6 (rows-only by nature —
-        # the last two of the 17-query rotation debt, VERDICT r5 #1)
-        "j2i_lsh_band_sweep", "j3n_mrl_truncation_eval",
+        # round-7 backfill (VERDICT r6 #7): the two round-3 singles
+        # that are rows-only by nature take their staleness-ordered
+        # slots (oracle-bearing round-3 singles ranked first).
+        "j4e_winnow_fingerprints", "j3c_ivf_ann_topk",
     }
     rows_only = [n for n in window[:50] if n not in oracles]
     stray = [n for n in rows_only if n not in allowed_rows_only]
@@ -82,5 +83,13 @@ def test_bench_headline_rule():
     for name, reason in bench.EXCLUDED.items():
         assert name in plans.REGISTRY
         assert len(reason) > 20, f"exclusion reason for {name} is not a reason"
-    # VERDICT r5 #4: the connected-components family gets JIT warm-ups.
-    assert "j2e_neardup_keepers" in bench.JIT_HEAVY
+    # VERDICT r5 #4 / ADVICE r6: the iterative dedup/CC/clustering
+    # family gets extra JIT warm-ups — pin the FULL set, not one
+    # member, so the warm-up policy cannot be silently narrowed.
+    assert bench.JIT_HEAVY == {
+        "j2_minhash_neardup",
+        "j2e_neardup_keepers",
+        "j2f_semantic_dedup",
+        "j2g_fuzzy_neardup",
+        "j2h_dedup_eval_pr",
+    }

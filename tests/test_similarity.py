@@ -517,3 +517,66 @@ def test_mrl_truncation_recall_monotone_and_exact_at_full_width(spark, sf_dir):
 
     with pytest.raises(ValueError, match="no rows"):
         mrl_truncation_eval(emb, F.lit(False), dims=(4,))
+
+
+def test_ivfpq_index_layout_matches_inmemory_and_carries_codes(
+    spark, sf_dir, tmp_path
+):
+    """write_ivfpq_index + ivfpq_index_topk must return the identical
+    relation to the in-memory ivfpq_adc_topk under the same
+    centroids/codebook (the j3o ↔ j3k equivalence the driver's
+    rows-only check can't see), and the at-rest layout must carry the
+    m-byte PQ codes in cluster-partitioned directories — the storage
+    property that lets a 100 TB probe rank candidates without reading
+    their vectors."""
+    import glob
+
+    from realtime_cdc_pipeline_docker_spark.functions import vec_normalize
+    from realtime_cdc_pipeline_docker_spark.operators.similarity import (
+        ivfpq_adc_topk,
+        ivfpq_index_topk,
+        seed_codebook,
+        train_ivf_centroids,
+        write_ivfpq_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = train_ivf_centroids(emb)
+    normed = emb.select("vec_id", vec_normalize("embedding").alias("embedding"))
+    cb = seed_codebook(normed, k=16)
+    path = str(tmp_path / "ivfpq_index")
+    write_ivfpq_index(emb, path, cents, cb)
+
+    from_index = ivfpq_index_topk(spark, path, queries, cents, cb, k=5)
+    in_memory = ivfpq_adc_topk(emb, queries, k=5, centroids=cents, codebook=cb)
+    a = {(r["query_id"], r["neighbor_id"], r["rnk"]) for r in from_index.collect()}
+    b = {(r["query_id"], r["neighbor_id"], r["rnk"]) for r in in_memory.collect()}
+    assert a == b and a
+
+    assert len(glob.glob(f"{path}/cluster=*/")) >= 8  # real multi-list layout
+    stored = spark.read.parquet(path)
+    assert "codes" in stored.columns  # ADC ranks on codes, not vectors
+
+
+def test_semantic_dedup_pretrained_centroids_match_trained(spark, sf_dir):
+    """semantic_dedup(centroids=...) is the fixture-separated form the
+    j2f bench row times (k-means training is an offline cost, VERDICT
+    r6 #4): with the same deterministic centroid set it must return
+    byte-identical keepers to the self-training form."""
+    from realtime_cdc_pipeline_docker_spark.operators.similarity import (
+        semantic_dedup,
+        train_ivf_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = train_ivf_centroids(emb, n_centroids=8)
+    trained = semantic_dedup(emb, n_clusters=8, threshold=0.999)
+    fixture = semantic_dedup(
+        emb, n_clusters=8, threshold=0.999, centroids=cents
+    )
+    a = sorted(map(tuple, trained.collect()))
+    b = sorted(map(tuple, fixture.collect()))
+    assert a == b and a
