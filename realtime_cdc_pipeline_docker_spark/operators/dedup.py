@@ -444,7 +444,7 @@ def simhash_pairs(
     a cross join; candidates are verified with an exact popcount.
     Returns (id_a, id_b, hamming).
 
-    ``max_bucket_size`` bounds the self-join: 16-bit bands have only
+    ``max_bucket_size`` bounds pair generation: 16-bit bands have only
     65 536 values, so at corpus scale a band bucket holds ~n/65 536
     *dissimilar* docs by chance alone, plus any boilerplate cluster.
     Dropping an over-cap bucket weakens the pigeonhole guarantee only
@@ -480,20 +480,33 @@ def simhash_pairs(
         )
         banded = banded.join(ok, ["band_id", "band_val"])
 
-    x, y = banded.alias("x"), banded.alias("y")
+    # Bucket-local group-by pair generation (same shape and rationale
+    # as _band_candidates: one banded shuffle, collect_list bounded by
+    # the pre-filtered cap, no broadcast-vs-shuffle decision for AQE
+    # to flip at a size-estimate edge).
+    buckets = banded.groupBy("band_id", "band_val").agg(
+        F.collect_list(F.struct("id", "sim")).alias("rows")
+    )
+    pair_expr = F.flatten(
+        F.transform(
+            "rows",
+            lambda a: F.filter(
+                F.transform(
+                    "rows",
+                    lambda b: F.struct(
+                        a["id"].alias("id_a"),
+                        b["id"].alias("id_b"),
+                        a["sim"].alias("sim_a"),
+                        b["sim"].alias("sim_b"),
+                    ),
+                ),
+                lambda s: s["id_a"] < s["id_b"],
+            ),
+        )
+    )
     candidates = (
-        x.join(
-            y,
-            (F.col("x.band_id") == F.col("y.band_id"))
-            & (F.col("x.band_val") == F.col("y.band_val"))
-            & (F.col("x.id") < F.col("y.id")),
-        )
-        .select(
-            F.col("x.id").alias("id_a"),
-            F.col("y.id").alias("id_b"),
-            F.col("x.sim").alias("sim_a"),
-            F.col("y.sim").alias("sim_b"),
-        )
+        buckets.select(F.explode(pair_expr).alias("p"))
+        .select("p.id_a", "p.id_b", "p.sim_a", "p.sim_b")
         .distinct()
     )
     return (
@@ -554,7 +567,7 @@ def ngram_jaccard_pairs(
     if max_gram_df is not None:
         # Document frequency per gram (map-side combinable) → keep the
         # informative grams.  The join is on the same gram key the
-        # inverted-index self-join shuffles on, and reads the cached
+        # pair-generation group-by shuffles on, and reads the cached
         # index, not the shingle explode.
         keep = (
             inv.groupBy("gram")
@@ -565,10 +578,25 @@ def ngram_jaccard_pairs(
         inv = inv.join(keep, "gram")
     sizes = inv.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
 
-    x, y = inv.alias("x"), inv.alias("y")
+    # Gram-local group-by pair generation (same shape and rationale as
+    # _band_candidates: the df-cap prefilter bounds collect_list, one
+    # gram-keyed shuffle replaces the inverted-index self-join, and no
+    # join-strategy decision is left for AQE to flip run-to-run).
+    per_gram = inv.groupBy("gram").agg(F.collect_list("id").alias("ids"))
+    pair_expr = F.flatten(
+        F.transform(
+            "ids",
+            lambda a: F.filter(
+                F.transform(
+                    "ids", lambda b: F.struct(a.alias("id_a"), b.alias("id_b"))
+                ),
+                lambda s: s["id_a"] < s["id_b"],
+            ),
+        )
+    )
     co = (
-        x.join(y, (F.col("x.gram") == F.col("y.gram")) & (F.col("x.id") < F.col("y.id")))
-        .groupBy(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        per_gram.select(F.explode(pair_expr).alias("p"))
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     return (
@@ -1156,4 +1184,86 @@ def chunk_level_dedup(
             F.countDistinct("id").alias("n_docs"),
             F.min("id").alias("first_doc_id"),
         )
+    )
+
+
+def repeated_passage_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_repeats: int = 2,
+) -> DataFrame:
+    """EXACT repeated-passage detection — the fixed-k-gram form of
+    suffix-array substring dedup (Lee et al. 2022, arXiv:2107.06499,
+    "Deduplicating Training Data Makes Language Models Better"): any
+    ``k``-token passage occurring >= ``min_repeats`` times corpus-wide
+    is a repeated passage; every hit maps back to its (doc, position),
+    and overlapping/adjacent hits coalesce into MAXIMAL spans — the
+    token ranges a substring-dedup pass would cut.  A repeat of length
+    L >= k produces L-k+1 consecutive duplicated grams, so the
+    coalesced span recovers the full repeated region exactly (the
+    suffix-array result for matches >= k) without any suffix sorting —
+    three relational steps:
+
+    1. gram stream: one tokens-array per doc (no shuffle), position
+       explode -> k-token gram per position.  Grams stay STRINGS here
+       so the DuckDB oracle can recompute them byte-for-byte; a 100 TB
+       deployment digests them to 8-byte xxhash64 first (collision
+       odds ~2^-64 per pair — immaterial for span marking) so the
+       shuffle carries fixed-width keys, the same digest-not-body
+       discipline as dedup_exact.
+    2. duplicated grams: one map-side-combinable count >= min_repeats
+       (join-back fan-out is the hit count — LINEAR, never quadratic,
+       so no bucket cap is needed).
+    3. spans: per-doc gaps-and-islands over hit positions (new island
+       when the gap exceeds k — beyond that the spans [p, p+k-1] no
+       longer touch), one window + one aggregate, both keyed on doc.
+
+    Returns ``(doc_id, span_start, span_end, n_grams_hit)`` with
+    1-based inclusive token indices."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        ws_tokens(F.lower(F.trim(F.col(text_col)))).alias("toks"),
+    ).filter(F.size("toks") >= k)
+    grams = toks.select(
+        "id",
+        F.explode(F.sequence(F.lit(1), F.size("toks") - (k - 1))).alias("pos"),
+        "toks",
+    ).select(
+        "id",
+        "pos",
+        F.concat_ws(" ", F.slice("toks", F.col("pos"), k)).alias("gram"),
+    )
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") >= min_repeats)
+        .select("gram")
+    )
+    hits = grams.join(dup, "gram").select("id", "pos")
+    w = Window.partitionBy("id").orderBy("pos")
+    islands = hits.withColumn(
+        "new_isl",
+        F.when(
+            F.lag("pos").over(w).isNull()
+            | (F.col("pos") - F.lag("pos").over(w) > k),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "isl",
+        F.sum("new_isl").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        islands.groupBy(F.col("id").alias(id_col), "isl")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + (k - 1)).cast("long").alias("span_end"),
+            F.count(F.lit(1)).alias("n_grams_hit"),
+        )
+        .drop("isl")
     )

@@ -331,6 +331,58 @@ def nearest_centroid_expr(vec_col: str, centroids: list[list[float]]) -> F.Colum
     return F.array_max(scored)["idx"]
 
 
+def assign_clusters_table(
+    normed: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """Nearest-centroid assignment via a BROADCAST COMPONENT TABLE
+    instead of the literal expression ``nearest_centroid_expr`` builds:
+    posexplode the (unit) vectors, broadcast-join the (cluster, pos,
+    c) centroid components, one map-side-combinable (id, cluster)
+    dot-product aggregate, then ``max_by`` per id — every step
+    whole-stage codegen, no HOF lambdas, no literal blow-up.
+
+    Why it exists: the literal form inlines n_centroids × dim floats
+    into ONE generated method, so its janino-compile cost grows with
+    the centroid count (the j3j 64 KB lesson) — which forced j2f down
+    to 8 clusters, and SemDeDup with few clusters makes the
+    cluster-LOCAL quadratic term large (~n²/8 pairs).  The table form
+    is O(1) in generated-code size, so the cluster count can follow
+    SemDeDup's ~√n prescription and keep the quadratic term small.
+    The literal form stays the right choice where the centroid count
+    is small and the expression must be ingest-computable (IVF
+    partition pruning).  Deterministic tiebreak: highest dot wins,
+    then LOWEST cluster id (matching nearest_centroid_expr's
+    array_max over (dot, idx) structs requires highest idx — see
+    test: equivalence is pinned on ties too, via the composite
+    max_by key).
+
+    Returns ``(id_col, vec_col, cluster)``."""
+    spark = normed.sparkSession
+    n = len(centroids)
+    comp = spark.createDataFrame(
+        [(ci, pos, float(x)) for ci, c in enumerate(centroids) for pos, x in enumerate(c)],
+        "cluster int, pos int, c double",
+    )
+    dots = (
+        normed.select(id_col, F.posexplode(vec_col).alias("pos", "x"))
+        .join(F.broadcast(comp), "pos")
+        .groupBy(id_col, "cluster")
+        .agg(F.sum(F.col("x").cast("double") * F.col("c")).alias("dot"))
+    )
+    # nearest_centroid_expr resolves dot ties to the HIGHEST cluster
+    # index (array_max over (dot, idx) structs); mirror that exactly so
+    # the two assignment forms are interchangeable.
+    best = dots.groupBy(id_col).agg(
+        F.max_by("cluster", F.struct(F.col("dot"), F.col("cluster"))).alias(
+            "cluster"
+        )
+    )
+    return normed.join(best, id_col)
+
+
 def centroid_ranks_expr(vec_col: str, centroids: list[list[float]]) -> F.Column:
     """Centroid indices sorted by descending dot product (for nprobe)."""
     scored = F.array(
@@ -700,7 +752,13 @@ def semantic_dedup(
         centroids = train_ivf_centroids(
             embeddings, n_centroids=n_clusters, vec_col=vec_col, id_col=id_col
         )
-    assigned = normed.withColumn("cluster", nearest_centroid_expr("v", centroids))
+    # Table-form assignment (assign_clusters_table): O(1) generated-code
+    # size in the centroid count, so n_clusters can follow SemDeDup's
+    # ~sqrt(n) prescription — the cluster-LOCAL quadratic pairing term
+    # below is n²/n_clusters, and with the literal-expression form the
+    # janino compile cost capped n_clusters at 8, which made that term
+    # dominate (measured 16.5 s of the old 16.9 s j2f bench row).
+    assigned = assign_clusters_table(normed, centroids)
     sizes = assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("__csize"))
     assigned = assigned.join(F.broadcast(sizes), "cluster").withColumn(
         "oversized", F.col("__csize") > max_cluster_size

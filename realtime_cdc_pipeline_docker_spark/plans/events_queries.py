@@ -246,9 +246,10 @@ def e4_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "e2h_session_window",
-    oracle="""
+# Shared by e2h (batch session_window) and h14 (the same aggregate run
+# as a watermarked append-mode stream): the gaps-and-islands golden
+# recomputation of 30-min session windows.
+SESSION_WINDOW_ORACLE = """
     WITH marked AS (
       SELECT user_id, ts, event_id,
              CASE WHEN lag(ts) OVER w IS NULL
@@ -267,8 +268,10 @@ def e4_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
            MAX(ts) + INTERVAL 30 MINUTE AS session_end,
            COUNT(*) AS n_events
     FROM sess GROUP BY user_id, sid
-    """,
-)
+    """
+
+
+@register("e2h_session_window", oracle=SESSION_WINDOW_ORACLE)
 def e2h_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native session windows (§2.E2/H4): Spark's built-in
     ``session_window`` aggregation — the JVM-side twin of both the e2d

@@ -587,16 +587,14 @@ def b12_jsonl_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a) the JSON writer/reader round-trips every value exactly and
     (b) the quarantine removes precisely the garbage (a PERMISSIVE read
     without the corrupt filter would surface 3 extra all-NULL rows and
-    go red).  Deterministic tmp layout; overwritten each run."""
-    import os
-
+    go red).  Per-process work dir (reset + reaped by _work_dir)."""
     from ..sources.corpus import read_jsonl, write_jsonl
+    from .cdc_queries import _work_dir
 
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "source", "n_chars"
     )
-    tag = os.path.basename(sf_dir.rstrip("/"))
-    path = f"/tmp/spark_graft_jsonl_{tag}"
+    path = f"{_work_dir('b12_jsonl', sf_dir)}/docs"
     write_jsonl(docs, path)
     corrupt = spark.createDataFrame(
         [("{ not json",), ('{"doc_id": "also bad"',), ("}{",)], ["value"]
@@ -702,16 +700,14 @@ def b13_csv_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     and ISO timestamps — AND that quarantine removes precisely the
     garbage.  The planted-count gate is the same lazy broadcast scalar
     predicate as b12."""
-    import os
-
     from ..sources.corpus import ORDERS_CSV_SCHEMA, read_csv, write_csv
+    from .cdc_queries import _work_dir
 
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
         "o_orderdate", "o_orderpriority",
     )
-    tag = os.path.basename(sf_dir.rstrip("/"))
-    path = f"/tmp/spark_graft_csv_{tag}"
+    path = f"{_work_dir('b13_csv', sf_dir)}/docs"
     write_csv(orders, path)
     garbage = spark.createDataFrame(
         [
@@ -1012,19 +1008,17 @@ def b19_orc_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_corpus_source.py), and return the selected rows.  The
     oracle is the original parquet relation under the same predicate —
     parity proves the ORC writer/reader round-trips every value
-    (including full UTF-8 text bodies) exactly.  Deterministic tmp
-    layout; overwritten each run."""
-    import os
-
+    (including full UTF-8 text bodies) exactly.  Per-process work dir
+    (reset + reaped by _work_dir)."""
     from pyspark.sql import types as T
 
     from ..sources.corpus import read_orc, write_orc
+    from .cdc_queries import _work_dir
 
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "source", "n_chars"
     )
-    tag = os.path.basename(sf_dir.rstrip("/"))
-    path = f"/tmp/spark_graft_orc_{tag}"
+    path = f"{_work_dir('b19_orc', sf_dir)}/docs"
     write_orc(docs, path)
     schema = T.StructType(
         [
@@ -1197,6 +1191,44 @@ def h13_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{work}/src"
     )
     return run_ohlc_stream(spark, f"{work}/src", f"{work}/sink", f"{work}/ckpt")
+
+
+from .events_queries import SESSION_WINDOW_ORACLE  # noqa: E402
+
+
+@register("h14_stream_sessions", oracle=SESSION_WINDOW_ORACLE)
+def h14_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SESSION windows (§2.H × e2h): the events fixture
+    through a watermarked append-mode ``session_window`` aggregate —
+    the state-MERGING streaming operator (tumbling-window state only
+    accumulates; session state grows, merges neighboring sessions as
+    out-of-order events arrive within the watermark, and emits each
+    session exactly once when the watermark passes its end).  A
+    far-future sentinel event under user_id = -1 (4 h past max ts,
+    planted in the SOURCE) advances the final watermark to max+2 h —
+    strictly past every real session end (≤ max+30 min) — so every
+    real session flushes; the sentinel's own session stays open in
+    state and never reaches the sink, so the output needs no
+    filtering.  The oracle is the BATCH gaps-and-islands session
+    relation over the raw fixture (shared with e2h) — parity proves
+    the streaming incrementalization (session-merge state folding,
+    late-data placement by event time) is value-invisible.  See
+    streaming/windows.py:session_window_agg."""
+    from ..streaming.windows import run_session_stream
+    from .cdc_queries import _work_dir
+
+    work = _work_dir("stream_sessions", sf_dir)
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    hi = events.agg(F.max("ts").alias("hi")).collect()[0]["hi"]
+    sentinel = spark.createDataFrame(
+        [(-1,)], "user_id long"
+    ).select("user_id", (F.lit(hi) + F.expr("INTERVAL 4 HOURS")).alias("ts"))
+    events.unionByName(sentinel).repartition(4).write.mode("overwrite").parquet(
+        f"{work}/src"
+    )
+    return run_session_stream(spark, f"{work}/src", f"{work}/sink", f"{work}/ckpt")
 
 
 @register(

@@ -3121,3 +3121,151 @@ def f4_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rnk") <= 2)
     )
+
+
+@register(
+    "d27_join_full_outer",
+    oracle="""
+    WITH c AS (
+      SELECT c_nationkey AS nationkey,
+             CAST(COUNT(*) AS BIGINT) AS n_debt_customers,
+             CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+               AS debt_c
+      FROM customer WHERE c_acctbal < -800 GROUP BY 1),
+    s AS (
+      SELECT s_nationkey AS nationkey,
+             CAST(COUNT(*) AS BIGINT) AS n_rich_suppliers,
+             CAST(SUM(CAST(round(s_acctbal * 100) AS BIGINT)) AS BIGINT)
+               AS wealth_c
+      FROM supplier WHERE s_acctbal > 8000 GROUP BY 1)
+    SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+           n_debt_customers, debt_c, n_rich_suppliers, wealth_c
+    FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
+    """,
+)
+def d27_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join (§2.D — the last ANSI join type the D family
+    lacked): per-nation deeply-indebted customers vs high-balance
+    suppliers, where the fixture populates all three categories
+    (left-only, right-only, matched nations), so both sides' null-fill
+    semantics are actually exercised — an outer join whose unmatched
+    sides are empty proves nothing.  Thresholds chosen so sf0.01 has
+    5/5/7 of left-only/right-only/matched.  Money in integer cents.
+    Shape: two map-side-combined aggregates shrink each side to
+    ≤|nations| rows BEFORE the join (aggregate-then-outer-join, never
+    outer-join-then-aggregate — at 100 TB the pre-aggregation is the
+    difference between joining 25 rows and joining 15 B), then a tiny
+    sort-merge/broadcast-nullable join."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") < -800)
+        .groupBy(F.col("c_nationkey").alias("c_nk"))
+        .agg(
+            F.count(F.lit(1)).alias("n_debt_customers"),
+            F.sum(fixed_units("c_acctbal")).alias("debt_c"),
+        )
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 8000)
+        .groupBy(F.col("s_nationkey").alias("s_nk"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rich_suppliers"),
+            F.sum(fixed_units("s_acctbal")).alias("wealth_c"),
+        )
+    )
+    return cust.join(
+        supp, cust["c_nk"] == supp["s_nk"], "full_outer"
+    ).select(
+        F.coalesce("c_nk", "s_nk").alias("nationkey"),
+        "n_debt_customers",
+        "debt_c",
+        "n_rich_suppliers",
+        "wealth_c",
+    )
+
+
+@register(
+    "c29_percentile_cont",
+    oracle="""
+    WITH v AS (
+      SELECT l_returnflag AS rf,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c2,
+             CAST(row_number() OVER (PARTITION BY l_returnflag
+                                     ORDER BY round(l_extendedprice * 100),
+                                              l_orderkey, l_linenumber)
+                  AS BIGINT) AS rn,
+             CAST(COUNT(*) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
+      FROM lineitem)
+    SELECT rf, n,
+           CAST(SUM(CASE WHEN rn = ((1 * (n-1)) // 4) + 1
+                         THEN price_c2 * (4 - ((1 * (n-1)) % 4)) ELSE 0 END)
+              + SUM(CASE WHEN rn = ((1 * (n-1)) // 4) + 2
+                         THEN price_c2 * ((1 * (n-1)) % 4) ELSE 0 END)
+              AS BIGINT) AS p25_qc,
+           CAST(SUM(CASE WHEN rn = ((2 * (n-1)) // 4) + 1
+                         THEN price_c2 * (4 - ((2 * (n-1)) % 4)) ELSE 0 END)
+              + SUM(CASE WHEN rn = ((2 * (n-1)) // 4) + 2
+                         THEN price_c2 * ((2 * (n-1)) % 4) ELSE 0 END)
+              AS BIGINT) AS p50_qc,
+           CAST(SUM(CASE WHEN rn = ((3 * (n-1)) // 4) + 1
+                         THEN price_c2 * (4 - ((3 * (n-1)) % 4)) ELSE 0 END)
+              + SUM(CASE WHEN rn = ((3 * (n-1)) // 4) + 2
+                         THEN price_c2 * ((3 * (n-1)) % 4) ELSE 0 END)
+              AS BIGINT) AS p75_qc
+    FROM v GROUP BY rf, n
+    """,
+)
+def c29_percentile_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT percentile_cont (linear interpolation — the SQL-standard
+    counterpart of c27's percentile_disc) at p ∈ {0.25, 0.5, 0.75},
+    computed entirely in INTEGER arithmetic so the result is
+    engine-exact: for probability p = k/4 over n ordered values the
+    interpolation point is pos = k·(n−1)/4, and the interpolated value
+    ×4 is v[⌊pos⌋]·(4−r) + v[⌊pos⌋+1]·r with r = k·(n−1) mod 4 — all
+    BIGINT products of cents (reported in QUARTER-cents, ``_qc``), no
+    float multiply for either engine to disagree on.  Both sides state
+    the same formula literally (both engines' built-in quantile_cont
+    flavors interpolate in floating point with unspecified op order —
+    exactly what the value-hash gate cannot accept).  Shape: ONE sort
+    per group carries both window functions (row_number and the
+    partition count reuse the exchange), then one map-side-combinable
+    conditional-sum aggregate; the rows that contribute are the ≤6
+    bracketing rows per group, everything else sums zeros.  Ordering
+    is made total with the (orderkey, linenumber) tiebreak so rn is
+    deterministic for equal values — interpolation only reads values,
+    but equal-value ties must land on the same rn in both engines."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("rf"),
+        fixed_units("l_extendedprice").alias("price_c2"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    w = Window.partitionBy("rf").orderBy("price_c2", "l_orderkey", "l_linenumber")
+    wn = Window.partitionBy("rf")
+    v = li.select(
+        "rf",
+        "price_c2",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    def _interp(k: int):
+        # integral div/mod end-to-end (no double division anywhere —
+        # the whole point of the quarter-cent formulation)
+        pos = F.lit(k) * (F.col("n") - 1)
+        lo_rn = F.expr(f"div({k} * (n - 1), 4)").cast("long") + 1
+        r = pos % 4
+        return (
+            F.sum(
+                F.when(F.col("rn") == lo_rn, F.col("price_c2") * (4 - r)).otherwise(
+                    F.lit(0)
+                )
+            )
+            + F.sum(
+                F.when(F.col("rn") == lo_rn + 1, F.col("price_c2") * r).otherwise(
+                    F.lit(0)
+                )
+            )
+        ).alias(f"p{k * 25}_qc")
+
+    return v.groupBy("rf", "n").agg(_interp(1), _interp(2), _interp(3))

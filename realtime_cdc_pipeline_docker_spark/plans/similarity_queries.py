@@ -497,14 +497,17 @@ def j2f_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import semantic_dedup
 
     corpus = _semdedup_corpus(spark, sf_dir)
-    # 8 clusters at fixture scale: cluster count is a corpus-size knob
-    # (SemDeDup uses ~sqrt-ish cluster counts); the literal-heavy
-    # assignment expression dominates compile time here, and halving
-    # the centroid count halves the driver-gate cost (19 s -> 8 s at
-    # sf0.01) without touching any invariant.
-    centroids = _fixture_centroids(corpus, sf_dir, "semdedup", 8)
+    # 64 clusters — SemDeDup's ~sqrt(n) prescription at fixture scale
+    # (5 200 vectors).  The old 8-cluster setting existed only to keep
+    # the literal assignment expression's janino compile time down,
+    # and it made the cluster-local quadratic pairing term n²/8 — the
+    # real cost of the 16.9 s r7 bench row.  With the table-form
+    # assignment (operators/similarity.py:assign_clusters_table) the
+    # generated code is O(1) in cluster count, so the cluster count
+    # can serve its actual purpose: keeping the quadratic term small.
+    centroids = _fixture_centroids(corpus, sf_dir, "semdedup", 64)
     return semantic_dedup(
-        corpus, n_clusters=8, threshold=0.999, centroids=centroids
+        corpus, n_clusters=64, threshold=0.999, centroids=centroids
     )
 
 
@@ -749,3 +752,51 @@ def j3n_mrl_truncation_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return mrl_truncation_eval(emb, F.col("vec_id") % 40 == 0)
+
+
+@register(
+    "j2j_repeated_passages",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS l
+      FROM documents
+    ), g AS (
+      SELECT doc_id, i AS pos, array_to_string(l[i:i+7], ' ') AS gram
+      FROM t, unnest(generate_series(1, len(l) - 7)) AS u(i)
+      WHERE len(l) >= 8
+    ), dup AS (
+      SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2
+    ), h AS (
+      SELECT doc_id, pos FROM g WHERE gram IN (SELECT gram FROM dup)
+    ), marked AS (
+      SELECT doc_id, pos,
+             CASE WHEN lag(pos) OVER w IS NULL OR pos - lag(pos) OVER w > 8
+                  THEN 1 ELSE 0 END AS new_isl
+      FROM h WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ), isl AS (
+      SELECT doc_id, pos,
+             SUM(new_isl) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS UNBOUNDED PRECEDING) AS isl
+      FROM marked
+    )
+    SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+           CAST(MAX(pos) + 7 AS BIGINT) AS span_end,
+           COUNT(*) AS n_grams_hit
+    FROM isl GROUP BY doc_id, isl
+    """,
+)
+def j2j_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suffix-array-style substring dedup, fixed-k-gram form (§2.J2 —
+    Lee et al. 2022: remove repeated >= k-token passages, not whole
+    near-duplicate documents): every 8-token passage occurring >= 2
+    times corpus-wide is mapped back to (doc, position) and coalesced
+    into maximal spans — the exact token ranges a substring-dedup pass
+    cuts.  Oracle recomputes grams/spans byte-for-byte (grams stay
+    strings for parity; production digests them to xxhash64 — see
+    operators/dedup.py:repeated_passage_spans for the three-step
+    relational decomposition and scale notes)."""
+    from ..operators.dedup import repeated_passage_spans
+
+    return repeated_passage_spans(
+        load_table(spark, sf_dir, "documents"), k=8, min_repeats=2
+    )

@@ -89,6 +89,17 @@ def get_session(
         # micros timestamps (matching DuckDB's nanos→micros truncation).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # A 213-query bench session compiles thousands of generated
+        # classes; the JVM's default 240 MB reserved code cache fills
+        # late in the run, HotSpot stops JIT-compiling, and the LAST
+        # queries in the suite run partially interpreted (r7 bench:
+        # j9h samples trending 9.5 s → 17.1 s within one run, plus
+        # 0.5–2 s drift on other late-suite rows).  512 MB keeps the
+        # whole suite compiled; irrelevant to correctness, and on a
+        # real cluster executors run far fewer distinct plans per JVM.
+        .config(
+            "spark.driver.extraJavaOptions", "-XX:ReservedCodeCacheSize=512m"
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

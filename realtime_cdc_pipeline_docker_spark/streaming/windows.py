@@ -203,6 +203,62 @@ def ohlc_window_agg(
     )
 
 
+def session_window_agg(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked native session windows, batch/stream shared
+    transform (the streaming twin of the e2h batch query, and the
+    built-in-operator counterpart of the applyInPandasWithState
+    sessionizer above): per user, events merge into one session while
+    consecutive gaps stay < ``gap`` (Spark merges events exactly gap
+    apart — the strict boundary e2h documents); ``end`` is last event
+    + gap by Spark's definition.
+
+    This is THE state-merging streaming aggregate: unlike tumbling
+    windows, session windows GROW and MERGE in the state store as
+    out-of-order events arrive within the watermark, and a session is
+    emitted exactly once — when the watermark passes its end and it
+    can no longer merge with anything.  State per user is the set of
+    open sessions (a few timestamps + a count), bounded by the
+    watermark."""
+    e = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        e.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def run_session_stream(
+    spark, src_dir: str, sink_dir: str, checkpoint_dir: str
+) -> DataFrame:
+    """Run the session-window aggregation as an append-mode file-source
+    stream.  Append mode emits a session once the watermark passes its
+    end; callers flushing a bounded fixture must plant a far-future
+    sentinel (under a user id excluded from the assertion surface) so
+    the final watermark passes every real session's end — the
+    sentinel's own session stays open in state and never reaches the
+    sink (the h13/h14 sentinel contract)."""
+    schema = spark.read.parquet(src_dir).schema
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    (
+        session_window_agg(stream)
+        .writeStream.format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.read.parquet(sink_dir)
+
+
 def run_ohlc_stream(
     spark, src_dir: str, sink_dir: str, checkpoint_dir: str
 ) -> DataFrame:

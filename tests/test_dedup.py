@@ -601,3 +601,38 @@ def test_minhash_pairs_unchanged_by_fingerprint_refactor(spark, sf_dir):
     # the byte-identical planted pair is found at jaccard exactly 1
     # (other organic near-dups of the source doc may also pair with it)
     assert len(exact) == 1 and exact[0]["jaccard"] == 1.0
+
+
+def test_band_candidate_generation_is_join_free(spark, sf_dir):
+    """The r6 j2 bench bimodality was an AQE build-side flip on the old
+    bucket SELF-join (both sides' estimates at the 10 MiB broadcast
+    threshold edge) — pair generation is now a bucket-local group-by
+    with in-memory combination expansion, which has ONE plan shape at
+    every scale.  Pin it: with the cap disabled the candidate subtree
+    must contain no join node at all; with the cap enabled the only
+    join is the ok-bucket prefilter (which bounds the collect_list
+    buffer).  The same contract covers the simhash and n-gram families
+    (rewritten identically) via their oracle-parity rows."""
+    from realtime_cdc_pipeline_docker_spark.catalog import load_table
+    from realtime_cdc_pipeline_docker_spark.operators.dedup import (
+        _band_candidates,
+        minhash_fingerprints,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    fp = minhash_fingerprints(docs)
+
+    def plan(df):
+        return df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+
+    uncapped = plan(_band_candidates(fp, 8, 4, None))
+    assert "Join" not in uncapped
+    capped = plan(_band_candidates(fp, 8, 4, 1000))
+    import re
+
+    joins = re.findall(r"\(\d+\) (\w*Join\w*)", capped)
+    assert len(joins) <= 1, joins  # only the ok-bucket prefilter join

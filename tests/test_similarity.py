@@ -580,3 +580,33 @@ def test_semantic_dedup_pretrained_centroids_match_trained(spark, sf_dir):
     a = sorted(map(tuple, trained.collect()))
     b = sorted(map(tuple, fixture.collect()))
     assert a == b and a
+
+
+def test_table_assignment_matches_literal_expression(spark, sf_dir):
+    """assign_clusters_table (broadcast component table, O(1) codegen)
+    must assign every fixture vector to the same cluster as the
+    literal nearest_centroid_expr form it replaced inside
+    semantic_dedup — including the highest-index tiebreak."""
+    from realtime_cdc_pipeline_docker_spark.functions import vec_normalize
+    from realtime_cdc_pipeline_docker_spark.operators.similarity import (
+        assign_clusters_table,
+        nearest_centroid_expr,
+        train_ivf_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = train_ivf_centroids(emb, n_centroids=16)
+    normed = emb.select(
+        F.col("vec_id").alias("id"), vec_normalize("embedding").alias("v")
+    )
+    literal = {
+        r["id"]: r["cluster"]
+        for r in normed.withColumn(
+            "cluster", nearest_centroid_expr("v", cents)
+        ).collect()
+    }
+    table = {
+        r["id"]: r["cluster"]
+        for r in assign_clusters_table(normed, cents).collect()
+    }
+    assert literal == table and literal
