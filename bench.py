@@ -55,31 +55,16 @@ from realtime_cdc_pipeline_docker_spark.session import get_session  # noqa: E402
 # every registered query is benched EXCEPT the entries of EXCLUDED,
 # each with a stated reason.  The exclusion list is printed at bench
 # time and recorded in BENCH_FULL.json so nothing drops silently.
-EXCLUDED: dict[str, str] = {
-    "j3c_ivf_ann_topk": (
-        "re-trains the k-means IVF index every run — an offline build "
-        "cost by contract; pre-built-index query time measured by "
-        "scripts/ivf_query_probe.py (IVF_PROBE.json: ivf_inmem 3.7 s "
-        "median at sf0.1; PERF.md §ANN query-time)"
-    ),
-    "j3e_ivf_index_topk": (
-        "per-run centroid re-train + index re-write (offline costs by "
-        "contract); pre-built parquet-index query time measured by "
-        "scripts/ivf_query_probe.py (IVF_PROBE.json: ivf_index 2.3 s "
-        "median at sf0.1)"
-    ),
-    "j3k_ivfpq_adc_topk": (
-        "per-run centroid + PQ codebook re-train (offline costs); "
-        "pre-built ADC query time measured by scripts/ivf_query_probe.py "
-        "(IVF_PROBE.json: ivfpq_inmem 13.0 s / ivfpq_index 4.8 s median "
-        "at sf0.1)"
-    ),
-    "j3o_ivfpq_index_topk": (
-        "per-run index re-train + re-write, same rule as j3e; its pure "
-        "query half is IVF_PROBE.json's ivfpq_index (4.8 s median at "
-        "sf0.1)"
-    ),
-}
+# EMPTY since round 7: the IVF family (j3c/j3e/j3k/j3o) — the only
+# queries ever excluded — now reads its centroids / PQ codebook /
+# materialized index layouts from session-scoped fixtures
+# (plans/similarity_queries.py), the same offline-build contract the
+# CDC envelope spill established, so their bench rows time the QUERY
+# side and they are benched like everything else.  The offline build
+# costs are measured separately by scripts/ivf_query_probe.py
+# (IVF_PROBE.json, PERF.md §ANN query-time).  The rule machinery
+# stays: any future exclusion must state its reason here.
+EXCLUDED: dict[str, str] = {}
 
 _LEGACY_ORDER = [
     "flagship_revenue_report",
