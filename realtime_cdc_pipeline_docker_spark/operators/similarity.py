@@ -290,9 +290,12 @@ def train_ivf_centroids(
     centroids = [list(r["v"]) for r in seeds]
 
     for _ in range(n_iters):
-        assigned = normed.withColumn(
-            "cluster", nearest_centroid_expr("v", centroids)
-        )
+        # Table-form assignment (assign_clusters_table, pinned bit-equal
+        # to the literal nearest_centroid_expr): the literal form
+        # re-plans an n_centroids×dim-literal expression tree every
+        # iteration, which dominated training wall-time at 64 centroids
+        # (driver-side optimization, not compute).
+        assigned = assign_clusters_table(normed, centroids)
         means = (
             assigned.select("cluster", F.posexplode("v").alias("pos", "x"))
             .groupBy("cluster", "pos")
