@@ -3269,3 +3269,101 @@ def c29_percentile_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias(f"p{k * 25}_qc")
 
     return v.groupBy("rf", "n").agg(_interp(1), _interp(2), _interp(3))
+
+
+@register(
+    "g14_regexp_scalars",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT)
+             AS n_digit_runs,
+           regexp_extract(lower(trim(text)), '([a-z]+)', 1) AS first_word,
+           CAST(length(regexp_replace(lower(text), '[aeiou]', '', 'g'))
+                AS BIGINT) AS devoweled_len,
+           CAST(len(regexp_extract_all(text, '[A-Z][a-z]+')) AS BIGINT)
+             AS n_capitalized
+    FROM documents
+    """,
+)
+def g14_regexp_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regular-expression scalar family (§2.G — the regexp surface the
+    text pipeline leans on, stated as its own parity row): match-count
+    (regexp_count), first-group extraction (regexp_extract), global
+    class replacement (regexp_replace), and a capitalized-word count.
+    Patterns restricted to character classes + groups — semantics
+    identical between Java regex (Spark) and RE2 (DuckDB), which is
+    exactly the dialect-portable subset a cross-engine pipeline should
+    stick to (backreferences and lookarounds differ and are avoided
+    on principle).  Pure projection: zero exchanges, codegen'd."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(r"[0-9]+")).cast("long").alias("n_digit_runs"),
+        F.regexp_extract(F.lower(F.trim(F.col("text"))), r"([a-z]+)", 1).alias(
+            "first_word"
+        ),
+        F.length(F.regexp_replace(F.lower(F.col("text")), r"[aeiou]", "")).cast(
+            "long"
+        ).alias("devoweled_len"),
+        F.regexp_count("text", F.lit(r"[A-Z][a-z]+")).cast("long").alias(
+            "n_capitalized"
+        ),
+    )
+
+
+@register(
+    "d28_cross_join_grid",
+    oracle="""
+    WITH months AS (
+      SELECT DISTINCT date_trunc('month', o_orderdate) AS month FROM orders
+    ), nations AS (
+      SELECT n_nationkey, n_name FROM nation
+    ), rev AS (
+      SELECT n_nationkey AS nk, date_trunc('month', o_orderdate) AS month,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_c
+      FROM orders JOIN customer ON o_custkey = c_custkey
+                  JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1, 2
+    )
+    SELECT n_name AS nation, months.month AS month,
+           COALESCE(revenue_c, 0) AS revenue_c
+    FROM nations CROSS JOIN months
+    LEFT JOIN rev ON rev.nk = n_nationkey AND rev.month = months.month
+    """,
+)
+def d28_cross_join_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit CROSS JOIN densification (§2.D — the last join type:
+    deliberate, bounded cartesian): the |nations| × |months| report
+    grid LEFT-joined to actual per-nation-month revenue, zeros filled
+    — the dense-grid pattern every BI export needs (a month with no
+    orders must appear as 0, not vanish).  The cartesian term is
+    dimension × dimension (25 × ~80 rows — both sides BOUNDED
+    dimensions by construction; never fact × anything: the fact table
+    is pre-aggregated to ≤ |grid| rows before it joins the grid).
+    Money in integer cents."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    months = orders.select(
+        F.trunc("o_orderdate", "month").alias("month")
+    ).distinct()
+    rev = (
+        orders.join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .join(nation, customer["c_nationkey"] == nation["n_nationkey"])
+        .groupBy(
+            F.col("n_nationkey").alias("nk"),
+            F.trunc("o_orderdate", "month").alias("rmonth"),
+        )
+        .agg(F.sum(fixed_units("o_totalprice")).alias("rev_c"))
+    )
+    grid = nation.select("n_nationkey", "n_name").crossJoin(months)
+    return grid.join(
+        rev,
+        (grid["n_nationkey"] == rev["nk"]) & (grid["month"] == rev["rmonth"]),
+        "left",
+    ).select(
+        F.col("n_name").alias("nation"),
+        "month",
+        F.coalesce("rev_c", F.lit(0)).cast("long").alias("revenue_c"),
+    )
