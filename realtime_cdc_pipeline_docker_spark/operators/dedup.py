@@ -151,6 +151,33 @@ def _bucket_sizes(banded: DataFrame) -> DataFrame:
     )
 
 
+def _local_pairs(buckets: DataFrame, list_col: str) -> DataFrame:
+    """Expand each row's array into ordered element pairs ``(a, b)``
+    with ``a < b`` — the bucket-local combination step shared by the
+    MinHash / SimHash / n-gram families.
+
+    Positional over the ``array_sort``'d array: ``posexplode`` pins
+    ``a`` at position ``i``, then ``explode(slice(arr, i+2, size))``
+    emits every later element as ``b``.  Sorting first makes positional
+    order coincide with value order, so ``a < b`` holds without a
+    filter.  Peak memory per generated row is O(B) — one reference to
+    the bucket array — never the O(B²) struct array that a
+    ``flatten(transform(.., transform(..)))`` form materializes as a
+    single value before explode (at the default simhash cap of 10 000
+    that array would be ~10⁸ structs, multi-GB in one row).  The cap
+    therefore bounds both output cardinality AND in-flight memory."""
+    return (
+        buckets.select(F.array_sort(F.col(list_col)).alias("__sorted"))
+        .select("__sorted", F.posexplode("__sorted").alias("__pos", "a"))
+        .select(
+            "a",
+            F.explode(
+                F.slice("__sorted", F.col("__pos") + F.lit(2), F.size("__sorted"))
+            ).alias("b"),
+        )
+    )
+
+
 def _band_candidates(
     fp: DataFrame,
     bands: int,
@@ -169,9 +196,9 @@ def _band_candidates(
 
     Pair generation is a bucket-local GROUP BY, not a self-join:
     ``collect_list(id)`` per (band_id, band_hash) — buffer bounded by
-    the pre-filtered ``max_bucket_size`` — then an in-memory
-    combination expansion with codegen'd array lambdas.  One shuffle
-    of the banded table, co-partitioned by construction, no broadcast
+    the pre-filtered ``max_bucket_size`` — then the positional O(B)-
+    per-row expansion of ``_local_pairs``.  One shuffle of the banded
+    table, co-partitioned by construction, no broadcast
     anywhere in the hot path.  The previous bucket SELF-join left the
     build-side choice to AQE, and at sf0.1 both sides' size estimates
     sit at ~9 MiB — right at the 10 MiB broadcast threshold — so a
@@ -199,20 +226,9 @@ def _band_candidates(
     buckets = banded.groupBy("band_id", "band_hash").agg(
         F.collect_list("id").alias("ids")
     )
-    pairs = F.flatten(
-        F.transform(
-            "ids",
-            lambda a: F.filter(
-                F.transform(
-                    "ids", lambda b: F.struct(a.alias("id_a"), b.alias("id_b"))
-                ),
-                lambda s: s["id_a"] < s["id_b"],
-            ),
-        )
-    )
     return (
-        buckets.select(F.explode(pairs).alias("p"))
-        .select("p.id_a", "p.id_b")
+        _local_pairs(buckets, "ids")
+        .select(F.col("a").alias("id_a"), F.col("b").alias("id_b"))
         .distinct()
     )
 
@@ -483,30 +499,20 @@ def simhash_pairs(
     # Bucket-local group-by pair generation (same shape and rationale
     # as _band_candidates: one banded shuffle, collect_list bounded by
     # the pre-filtered cap, no broadcast-vs-shuffle decision for AQE
-    # to flip at a size-estimate edge).
+    # to flip at a size-estimate edge).  _local_pairs keeps per-row
+    # memory O(B): array_sort on (id, sim) structs orders by id first
+    # (ids unique per bucket), so positional pairs satisfy id_a < id_b.
     buckets = banded.groupBy("band_id", "band_val").agg(
         F.collect_list(F.struct("id", "sim")).alias("rows")
     )
-    pair_expr = F.flatten(
-        F.transform(
-            "rows",
-            lambda a: F.filter(
-                F.transform(
-                    "rows",
-                    lambda b: F.struct(
-                        a["id"].alias("id_a"),
-                        b["id"].alias("id_b"),
-                        a["sim"].alias("sim_a"),
-                        b["sim"].alias("sim_b"),
-                    ),
-                ),
-                lambda s: s["id_a"] < s["id_b"],
-            ),
-        )
-    )
     candidates = (
-        buckets.select(F.explode(pair_expr).alias("p"))
-        .select("p.id_a", "p.id_b", "p.sim_a", "p.sim_b")
+        _local_pairs(buckets, "rows")
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sim").alias("sim_a"),
+            F.col("b.sim").alias("sim_b"),
+        )
         .distinct()
     )
     return (
@@ -583,20 +589,9 @@ def ngram_jaccard_pairs(
     # gram-keyed shuffle replaces the inverted-index self-join, and no
     # join-strategy decision is left for AQE to flip run-to-run).
     per_gram = inv.groupBy("gram").agg(F.collect_list("id").alias("ids"))
-    pair_expr = F.flatten(
-        F.transform(
-            "ids",
-            lambda a: F.filter(
-                F.transform(
-                    "ids", lambda b: F.struct(a.alias("id_a"), b.alias("id_b"))
-                ),
-                lambda s: s["id_a"] < s["id_b"],
-            ),
-        )
-    )
     co = (
-        per_gram.select(F.explode(pair_expr).alias("p"))
-        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        _local_pairs(per_gram, "ids")
+        .groupBy(F.col("a").alias("id_a"), F.col("b").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     return (
@@ -1184,6 +1179,129 @@ def chunk_level_dedup(
             F.countDistinct("id").alias("n_docs"),
             F.min("id").alias("first_doc_id"),
         )
+    )
+
+
+def maximal_repeat_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 12,
+    cap: int = 32,
+) -> DataFrame:
+    """VARIABLE-LENGTH maximal-repeat detection — the true
+    suffix-array form of substring dedup (Lee et al. 2022,
+    arXiv:2107.06499 "ExactSubstr"), completing the fixed-k-gram
+    :func:`repeated_passage_spans`: instead of marking duplicated
+    k-grams, every token position gets its exact maximal repeat
+    length — the longest passage starting there that occurs >= 2
+    times ANYWHERE in the corpus (same doc or across docs) — and
+    positions whose repeat length >= ``min_len`` are unioned into the
+    spans a substring-dedup pass cuts.  Relational decomposition, all
+    linear:
+
+    1. Truncated suffix table: one row per token position carrying
+       ``slice(toks, pos, cap)`` — the suffix's first ``cap`` tokens
+       (``cap`` bounds both the reported length and the shuffle
+       width; real deployments cap reported repeat lengths the same
+       way).  Positions within ``min_len`` of the doc end are
+       excluded up front — their repeat length cannot reach the
+       threshold, and dropping them provably never changes a
+       surviving neighbor LCP (the max-LCP partner and every suffix
+       ordered between have length >= the LCP >= ``min_len``).
+    2. Suffix ORDER: one global sort by the space-joined suffix key
+       (tokens are whitespace-free, so string order == token-array
+       order).  The maximal repeat length at a position equals the
+       larger of its longest-common-prefix with the two ORDER
+       neighbors — the defining property of the LCP array, no
+       suffix-pair quadratics.  LCP itself is a codegen'd
+       ``zip_with`` fold over the two <= ``cap``-token arrays.
+    3. Coverage spans: per-doc union of the variable-length
+       intervals [pos, pos + repeat_len - 1] via a running-max
+       gaps-and-islands window (adjacent/overlapping intervals
+       merge), one window + one aggregate keyed on doc.
+
+    At 100 TB the sort shuffles ``cap`` tokens per position —
+    ``cap``× the corpus, the price of exact variable-length spans
+    (the k-gram form ships k tokens per position for fixed-k
+    answers); production would digest rank tables via prefix
+    doubling (log passes) if that constant bites.  The global-order
+    window is a range-partitioned sort at scale — the same contract
+    as every top-level ORDER BY here.
+
+    Returns ``(doc_id, span_start, span_end, max_repeat_len,
+    n_positions)``: 1-based inclusive token spans, the longest exact
+    repeat inside each span (clamped at ``cap``), and how many
+    positions in the span start a >= ``min_len`` repeat."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        ws_tokens(F.lower(F.trim(F.col(text_col)))).alias("toks"),
+    ).filter(F.size("toks") >= min_len)
+    sfx = (
+        toks.select(
+            "id",
+            F.explode(
+                F.sequence(F.lit(1), F.size("toks") - (min_len - 1))
+            ).alias("pos"),
+            "toks",
+        )
+        .select("id", "pos", F.slice("toks", F.col("pos"), cap).alias("s"))
+        .withColumn("sk", F.concat_ws(" ", "s"))
+    )
+
+    def lcp(a: F.Column, b: F.Column) -> F.Column:
+        # first mismatch position in the zipped arrays (0 = none);
+        # zip_with pads the shorter side with NULL, and eqNullSafe
+        # against a real token is false, so the pad counts as a
+        # mismatch — LCP clamps at the shorter suffix, which is the
+        # true common-prefix length when one suffix ends inside the
+        # other (both engines: see the oracle's identical branch).
+        mism = F.array_position(
+            F.zip_with(a, b, lambda x, y: x.eqNullSafe(y)), F.lit(False)
+        )
+        return F.when(b.isNull(), F.lit(0)).otherwise(
+            F.when(mism > 0, mism - 1).otherwise(F.size(a))
+        )
+
+    order = Window.orderBy("sk", "id", "pos")
+    rep = sfx.select(
+        "id",
+        "pos",
+        F.greatest(
+            lcp(F.col("s"), F.lag("s").over(order)),
+            lcp(F.col("s"), F.lead("s").over(order)),
+        ).alias("replen"),
+    ).filter(F.col("replen") >= min_len)
+
+    by_doc = Window.partitionBy("id").orderBy("pos")
+    prev_max_end = F.max(F.col("pos") + F.col("replen") - 1).over(
+        by_doc.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = rep.withColumn(
+        "new_isl",
+        F.when(
+            prev_max_end.isNull() | (F.col("pos") > prev_max_end + 1),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "isl",
+        F.sum("new_isl").over(
+            by_doc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        islands.groupBy(F.col("id").alias(id_col), "isl")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            F.max(F.col("pos") + F.col("replen") - 1)
+            .cast("long")
+            .alias("span_end"),
+            F.max("replen").cast("long").alias("max_repeat_len"),
+            F.count(F.lit(1)).alias("n_positions"),
+        )
+        .drop("isl")
     )
 
 

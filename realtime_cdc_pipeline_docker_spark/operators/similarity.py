@@ -357,10 +357,15 @@ def assign_clusters_table(
     The literal form stays the right choice where the centroid count
     is small and the expression must be ingest-computable (IVF
     partition pruning).  Deterministic tiebreak: highest dot wins,
-    then LOWEST cluster id (matching nearest_centroid_expr's
-    array_max over (dot, idx) structs requires highest idx — see
-    test: equivalence is pinned on ties too, via the composite
-    max_by key).
+    then HIGHEST cluster id — nearest_centroid_expr's array_max over
+    (dot, idx) structs resolves dot ties to the highest idx, and the
+    composite max_by key mirrors that (equivalence is pinned on ties
+    too, by test).
+
+    Rows whose vector is null or empty (posexplode emits nothing)
+    come back with a NULL cluster via the left join — same behavior
+    as nearest_centroid_expr, which evaluates to null on them —
+    rather than silently vanishing from the output.
 
     Returns ``(id_col, vec_col, cluster)``."""
     spark = normed.sparkSession
@@ -383,7 +388,7 @@ def assign_clusters_table(
             "cluster"
         )
     )
-    return normed.join(best, id_col)
+    return normed.join(best, id_col, "left")
 
 
 def centroid_ranks_expr(vec_col: str, centroids: list[list[float]]) -> F.Column:
@@ -762,11 +767,19 @@ def semantic_dedup(
     # janino compile cost capped n_clusters at 8, which made that term
     # dominate (measured 16.5 s of the old 16.9 s j2f bench row).
     assigned = assign_clusters_table(normed, centroids)
-    sizes = assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("__csize"))
-    assigned = assigned.join(F.broadcast(sizes), "cluster").withColumn(
-        "oversized", F.col("__csize") > max_cluster_size
+    # Unassignable rows (null/empty embedding → NULL cluster from the
+    # table-form assignment) pass through as survivors: they have no
+    # measurable cosine to anything, so they must not be dropped — and
+    # an inner join on the (null) cluster key would do exactly that.
+    sizes = (
+        assigned.filter(F.col("cluster").isNotNull())
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("__csize"))
     )
-    small = assigned.filter(~F.col("oversized"))
+    assigned = assigned.join(F.broadcast(sizes), "cluster", "left").withColumn(
+        "oversized", F.coalesce(F.col("__csize") > max_cluster_size, F.lit(False))
+    )
+    small = assigned.filter(~F.col("oversized") & F.col("cluster").isNotNull())
     a = small.select(
         F.col("cluster"), F.col("id").alias("id_a"), F.col("v").alias("va")
     )

@@ -64,10 +64,14 @@ def _work_dir(query: str, sf_dir: str) -> str:
     process's own dirs."""
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     base = tempfile.gettempdir()
+    # Legacy pre-pid-suffix dirs (`rtcdc_<query>_<tag>`, no `_pid`) and
+    # pre-r8 mkdtemp index trees carry no pid and would otherwise
+    # persist forever — a non-digit suffix marks them legacy and dead.
+    shutil.rmtree(os.path.join(base, f"rtcdc_{query}_{tag}"), ignore_errors=True)
     for sibling in glob.glob(os.path.join(base, f"rtcdc_{query}_{tag}_*")):
         pid_part = sibling.rsplit("_", 1)[-1]
-        if pid_part.isdigit() and int(pid_part) != os.getpid() and not _pid_alive(
-            int(pid_part)
+        if not pid_part.isdigit() or (
+            int(pid_part) != os.getpid() and not _pid_alive(int(pid_part))
         ):
             shutil.rmtree(sibling, ignore_errors=True)
     work = os.path.join(base, f"rtcdc_{query}_{tag}_{os.getpid()}")

@@ -571,6 +571,51 @@ def j6i_chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# path of the exported-and-corrupted text corpus, one per (sf_dir,
+# kind) per process — see _corrupted_corpus.
+_CORRUPT_CORPUS: dict[tuple[str, str], str] = {}
+
+
+def _corrupted_corpus(spark: SparkSession, sf_dir: str, kind: str) -> str:
+    """Session fixture for the b12/b13 source roundtrips: export the
+    fixture table in the interchange format and plant three malformed
+    lines, ONCE per process per sf_dir (VERDICT r7 #6 — the bench rows
+    previously re-ran the export every sample, timing the fixture
+    write instead of the read+quarantine path under test).  Uses the
+    ``_work_dir`` pid-suffix/reaping scheme; reset-on-entry only fires
+    on the first build in this process, after which the memo serves
+    the immutable corpus."""
+    from ..sources.corpus import write_csv, write_jsonl
+    from .cdc_queries import _work_dir
+
+    key = (sf_dir, kind)
+    if key in _CORRUPT_CORPUS:
+        return _CORRUPT_CORPUS[key]
+    path = f"{_work_dir(kind, sf_dir)}/docs"
+    if kind == "b12_jsonl":
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text", "lang", "source", "n_chars"
+        )
+        write_jsonl(docs, path)
+        garbage = [("{ not json",), ('{"doc_id": "also bad"',), ("}{",)]
+    else:
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate", "o_orderpriority",
+        )
+        write_csv(orders, path)
+        garbage = [
+            ("this line is not csv at all",),
+            ("x,y,z,not_a_double,not_a_ts,w",),
+            ("99999999999999999999999999,1,a,2.5,1995-01-01T00:00:00.000,b",),
+        ]
+    spark.createDataFrame(garbage, ["value"]).coalesce(1).write.mode(
+        "append"
+    ).format("text").save(path)
+    _CORRUPT_CORPUS[key] = path
+    return path
+
+
 @register(
     "b12_jsonl_source_roundtrip",
     oracle="""
@@ -587,19 +632,13 @@ def b12_jsonl_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a) the JSON writer/reader round-trips every value exactly and
     (b) the quarantine removes precisely the garbage (a PERMISSIVE read
     without the corrupt filter would surface 3 extra all-NULL rows and
-    go red).  Per-process work dir (reset + reaped by _work_dir)."""
-    from ..sources.corpus import read_jsonl, write_jsonl
-    from .cdc_queries import _work_dir
+    go red).  The export + corrupt planting is a SESSION FIXTURE
+    (written once per process per sf_dir via ``_corrupted_corpus``,
+    VERDICT r7 #6: the bench row times the READ+quarantine path —
+    the operator under test — not the fixture write)."""
+    from ..sources.corpus import read_jsonl
 
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "text", "lang", "source", "n_chars"
-    )
-    path = f"{_work_dir('b12_jsonl', sf_dir)}/docs"
-    write_jsonl(docs, path)
-    corrupt = spark.createDataFrame(
-        [("{ not json",), ('{"doc_id": "also bad"',), ("}{",)], ["value"]
-    )
-    corrupt.coalesce(1).write.mode("append").format("text").save(path)
+    path = _corrupted_corpus(spark, sf_dir, "b12_jsonl")
     good, quarantine = read_jsonl(spark, path)
     # The quarantine channel must hold exactly the planted garbage: the
     # gate is a broadcast scalar predicate (lazy — no driver-side count
@@ -699,25 +738,12 @@ def b13_csv_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     round-trips every value exactly — including shortest-form doubles
     and ISO timestamps — AND that quarantine removes precisely the
     garbage.  The planted-count gate is the same lazy broadcast scalar
-    predicate as b12."""
-    from ..sources.corpus import ORDERS_CSV_SCHEMA, read_csv, write_csv
-    from .cdc_queries import _work_dir
+    predicate as b12; the export + planting is the same session
+    fixture (``_corrupted_corpus``) so the bench row times the read
+    path."""
+    from ..sources.corpus import ORDERS_CSV_SCHEMA, read_csv
 
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
-        "o_orderdate", "o_orderpriority",
-    )
-    path = f"{_work_dir('b13_csv', sf_dir)}/docs"
-    write_csv(orders, path)
-    garbage = spark.createDataFrame(
-        [
-            ("this line is not csv at all",),
-            ("x,y,z,not_a_double,not_a_ts,w",),
-            ("99999999999999999999999999,1,a,2.5,1995-01-01T00:00:00.000,b",),
-        ],
-        ["value"],
-    )
-    garbage.coalesce(1).write.mode("append").format("text").save(path)
+    path = _corrupted_corpus(spark, sf_dir, "b13_csv")
     good, quarantine = read_csv(spark, path, ORDERS_CSV_SCHEMA)
     qn = quarantine.agg(F.count(F.lit(1)).alias("qn"))
     return good.crossJoin(F.broadcast(qn)).where(F.col("qn") == 3).drop("qn")

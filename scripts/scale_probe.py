@@ -395,6 +395,37 @@ def main() -> int:
             flush=True,
         )
 
+        # j2k shape: variable-length maximal-repeat spans.  Claim:
+        # wall-time ~linear — one suffix-order sort (cap-bounded row
+        # width) + neighbor LCP + per-doc interval union.  Replicas
+        # make every document an exact whole-doc repeat of its twins,
+        # so coverage correctly jumps to ~every doc with one
+        # doc-spanning island (n_spans ≈ n_docs at 10×) — the
+        # expected semantics, while wall-time tracks the suffix count.
+        from realtime_cdc_pipeline_docker_spark.operators.dedup import (
+            maximal_repeat_spans,
+        )
+
+        t0 = time.time()
+        spans = maximal_repeat_spans(corpus).persist()
+        n_spans = spans.count()
+        docs_with = spans.select("doc_id").distinct().count()
+        spans.unpersist()
+        release_persisted()
+        print(
+            json.dumps(
+                {
+                    "probe": "substring",
+                    "scale": scale,
+                    "n_docs": n_docs,
+                    "n_spans": n_spans,
+                    "docs_with_spans": docs_with,
+                    "sec": round(time.time() - t0, 2),
+                }
+            ),
+            flush=True,
+        )
+
         corpus.unpersist()
     return 0
 

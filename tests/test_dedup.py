@@ -636,3 +636,67 @@ def test_band_candidate_generation_is_join_free(spark, sf_dir):
 
     joins = re.findall(r"\(\d+\) (\w*Join\w*)", capped)
     assert len(joins) <= 1, joins  # only the ok-bucket prefilter join
+
+
+def test_maximal_repeat_spans_planted_variable_lengths(spark):
+    """j2k (VERDICT r7 #5): planted passages of DIFFERENT lengths must
+    come back with their exact maximal repeat length and exact span —
+    the variable-length semantics the fixed-k j2j cannot express.
+    Filler tokens are globally unique so nothing else repeats."""
+    from realtime_cdc_pipeline_docker_spark.operators.dedup import (
+        maximal_repeat_spans,
+    )
+
+    def filler(tag, n):
+        return [f"u{tag}x{i}" for i in range(n)]
+
+    p14 = [f"alpha{i}" for i in range(14)]   # exactly at threshold+2
+    p23 = [f"beta{i}" for i in range(23)]
+    p40 = [f"gamma{i}" for i in range(40)]   # clamps at cap=32
+    docs = [
+        (1, " ".join(filler("a", 5) + p14 + filler("b", 5))),
+        (2, " ".join(filler("c", 3) + p14 + filler("d", 7))),
+        (3, " ".join(filler("e", 6) + p23 + filler("f", 4))),
+        (4, " ".join(filler("g", 2) + p23 + filler("h", 2))),
+        (5, " ".join(filler("i", 4) + p40 + filler("j", 3))),
+        (6, " ".join(filler("k", 8) + p40)),
+        (7, " ".join(filler("m", 30))),      # no repeats at all
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    rows = {
+        r["doc_id"]: r
+        for r in maximal_repeat_spans(df, min_len=12, cap=32).collect()
+    }
+    assert 7 not in rows and len(rows) == 6
+    # doc 1: p14 occupies tokens 6..19; max repeat = 14
+    assert (rows[1]["span_start"], rows[1]["span_end"]) == (6, 19)
+    assert rows[1]["max_repeat_len"] == 14
+    # doc 2: p14 at 4..17
+    assert (rows[2]["span_start"], rows[2]["span_end"]) == (4, 17)
+    # doc 3: p23 at 7..29, exact length 23
+    assert (rows[3]["span_start"], rows[3]["span_end"]) == (7, 29)
+    assert rows[3]["max_repeat_len"] == 23
+    # doc 5: p40 at 5..44, length clamped at cap=32
+    assert (rows[5]["span_start"], rows[5]["span_end"]) == (5, 44)
+    assert rows[5]["max_repeat_len"] == 32
+    # doc 6: p40 at 9..48
+    assert (rows[6]["span_start"], rows[6]["span_end"]) == (9, 48)
+    assert rows[6]["max_repeat_len"] == 32
+
+
+def test_maximal_repeat_spans_within_doc_and_overlap_union(spark):
+    """Same-doc repeats count (the corpus-wide >=2 occurrences
+    includes the own document), and overlapping variable-length
+    intervals union into one span."""
+    from realtime_cdc_pipeline_docker_spark.operators.dedup import (
+        maximal_repeat_spans,
+    )
+
+    rep = [f"r{i}" for i in range(15)]
+    fil = [f"q{i}" for i in range(9)]
+    text = " ".join(rep + fil + rep)  # same passage twice in ONE doc
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    rows = maximal_repeat_spans(df, min_len=12, cap=32).collect()
+    spans = sorted((r["span_start"], r["span_end"]) for r in rows)
+    assert spans == [(1, 15), (25, 39)]
+    assert all(r["max_repeat_len"] == 15 for r in rows)

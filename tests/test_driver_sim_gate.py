@@ -60,10 +60,10 @@ def test_driver_window_is_all_oracle_bearing():
     window = names[: len(DRIVER_PRIORITY)]
     assert window == list(DRIVER_PRIORITY)
     allowed_rows_only = {
-        # round-7 backfill (VERDICT r6 #7): the two round-3 singles
-        # that are rows-only by nature take their staleness-ordered
-        # slots (oracle-bearing round-3 singles ranked first).
-        "j4e_winnow_fingerprints", "j3c_ivf_ann_topk",
+        # round-8 front-load (VERDICT r7 #1): the one rows-only-by-
+        # nature round-7 registration takes its slot right behind the
+        # six oracle-bearing ones, so it gets its first liveness row.
+        "j3o_ivfpq_index_topk",
     }
     rows_only = [n for n in window[:50] if n not in oracles]
     stray = [n for n in rows_only if n not in allowed_rows_only]
@@ -93,3 +93,19 @@ def test_bench_headline_rule():
         "j2g_fuzzy_neardup",
         "j2h_dedup_eval_pr",
     }
+
+
+def test_counts_json_current():
+    """COUNTS.json is the generated source for every count the docs
+    cite (VERDICT r7 #4 — hand-maintained counts drifted four rounds
+    running).  Its registry-derived numbers must match the live
+    registry; regenerate with ``python scripts/update_counts.py``."""
+    import json
+
+    from realtime_cdc_pipeline_docker_spark import plans
+
+    counts = json.loads((REPO / "COUNTS.json").read_text())
+    oracle_bearing = sum(1 for s in plans.REGISTRY.values() if s.oracle is not None)
+    assert counts["queries_registered"] == len(plans.REGISTRY)
+    assert counts["queries_oracle_bearing"] == oracle_bearing
+    assert counts["queries_rows_only"] == len(plans.REGISTRY) - oracle_bearing

@@ -364,3 +364,33 @@ def test_bpe_train_stops_below_min_count(spark):
     )
     # every pair occurs once < min_count=2 -> zero merges
     assert bpe_train(df, n_merges=3) == []
+
+
+def test_bpe_round_plan_matches_first_merge(spark):
+    """bpe_round_plan is the audit companion for j9h (VERDICT r7 #2):
+    it must stay structurally identical to bpe_train's loop body, so
+    its argmax row equals round 0's promoted merge — and its plan is
+    NOT checkpoint-truncated (that's its entire purpose)."""
+    import pathlib
+    import sys
+
+    sys.path.insert(0, str(pathlib.Path(__file__).parent.parent / "scripts"))
+    from plan_audit import formatted_plan
+
+    from realtime_cdc_pipeline_docker_spark.operators.text import (
+        bpe_round_plan,
+        bpe_train,
+    )
+
+    texts = [
+        "the cat sat on the mat",
+        "the cat ate the rat",
+        "a cat and the cat sat",
+    ]
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    top = bpe_round_plan(df).collect()[0]
+    first = bpe_train(df, n_merges=1)[0]
+    assert (first[1], first[2], first[3]) == (top["left"], top["right"], top["n"])
+    # the round plan keeps the full reduction visible to explain —
+    # unlike bpe_train's checkpoint-truncated per-round state.
+    assert "HashAggregate" in formatted_plan(bpe_round_plan(df))

@@ -610,3 +610,41 @@ def test_table_assignment_matches_literal_expression(spark, sf_dir):
         for r in assign_clusters_table(normed, cents).collect()
     }
     assert literal == table and literal
+
+
+def test_assignment_and_dedup_keep_unassignable_vectors(spark, sf_dir):
+    """Rows whose embedding is null or empty must not vanish:
+    assign_clusters_table returns them with a NULL cluster (the same
+    value nearest_centroid_expr evaluates to on them), and
+    semantic_dedup passes them through as survivors instead of losing
+    them at the cluster-key join (ADVICE r7)."""
+    from realtime_cdc_pipeline_docker_spark.functions import vec_normalize
+    from realtime_cdc_pipeline_docker_spark.operators.similarity import (
+        assign_clusters_table,
+        semantic_dedup,
+        train_ivf_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    bad = spark.createDataFrame(
+        [(10_000_001, None), (10_000_002, [])],
+        "vec_id bigint, embedding array<float>",
+    )
+    mixed = emb.select("vec_id", "embedding").unionByName(bad)
+
+    cents = train_ivf_centroids(emb, n_centroids=8)
+    normed = mixed.select(
+        F.col("vec_id").alias("id"), vec_normalize("embedding").alias("v")
+    )
+    assigned = {
+        r["id"]: r["cluster"]
+        for r in assign_clusters_table(normed, cents).collect()
+    }
+    assert assigned[10_000_001] is None and assigned[10_000_002] is None
+    assert len(assigned) == mixed.count()
+
+    keepers = semantic_dedup(mixed, threshold=0.999, centroids=cents)
+    kept = {r["vec_id"]: r for r in keepers.collect()}
+    assert 10_000_001 in kept and 10_000_002 in kept
+    assert kept[10_000_001]["cluster"] is None
+    assert not kept[10_000_001]["oversized"]
