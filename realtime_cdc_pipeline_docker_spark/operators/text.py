@@ -947,6 +947,20 @@ def _apply_merge(col: Column, left: str, right: str, joined: str) -> Column:
     )
 
 
+def apply_bpe_merges(col: Column | str, merges: list) -> Column:
+    """ENCODE with a trained merge table: apply every
+    ``(iteration, left, right, count)`` row of :func:`bpe_train`'s
+    output in training order, each as the greedy left-to-right
+    non-overlapping :func:`_apply_merge` fold — the tokenizer APPLY
+    side, a pure chained column expression (no shuffle, no UDF; at
+    100 TB this fuses into whatever scan reads the corpus, exactly
+    like a production tokenizer's merge-table broadcast)."""
+    out = F.col(col) if isinstance(col, str) else col
+    for _it, left, right, _n in merges:
+        out = _apply_merge(out, left, right, f"{left} {right}")
+    return out
+
+
 def bpe_round_plan(df: DataFrame, text_col: str = "text") -> DataFrame:
     """The UNCHECKPOINTED per-round reduction of :func:`bpe_train` —
     explode adjacent positions → map-side-combined pair count →

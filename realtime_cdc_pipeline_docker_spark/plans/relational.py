@@ -3367,3 +3367,44 @@ def d28_cross_join_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         "month",
         F.coalesce("rev_c", F.lit(0)).cast("long").alias("revenue_c"),
     )
+
+
+@register(
+    "c30_group_array",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           array_to_string((list(o_orderkey ORDER BY o_orderkey))[1:5], ',')
+             AS first_keys,
+           string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus)
+             AS statuses
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def c30_group_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered array / string aggregation (§2.C extension — the
+    ClickHouse ``groupArray`` / ``groupUniqArray`` /
+    ``arrayStringConcat`` signature family the reference's warehouse
+    serves; ANSI ``string_agg``/``listagg``): per group, the first 5
+    member keys in key order and the distinct statuses as an ordered
+    CSV.  Determinism is the point being tested: a bare
+    ``collect_list`` is partition-order-dependent, so both columns
+    pin an explicit ORDER — ``array_sort`` after the collect (the
+    distributed equivalent of ClickHouse's groupArray + arraySort) —
+    making an ordered-aggregation query hash-verifiable cross-engine.
+    Map-side-combinable collects; the first_keys slice bounds the
+    carried array at 5 keys only AFTER the sort, mirroring
+    ``list(...)[1:5]`` exactly."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.concat_ws(
+            ",",
+            F.slice(F.array_sort(F.collect_list("o_orderkey")), 1, 5).cast(
+                "array<string>"
+            ),
+        ).alias("first_keys"),
+        F.concat_ws(",", F.array_sort(F.collect_set("o_orderstatus"))).alias(
+            "statuses"
+        ),
+    )

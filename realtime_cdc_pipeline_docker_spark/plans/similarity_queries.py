@@ -970,3 +970,123 @@ def j2k_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return maximal_repeat_spans(
         load_table(spark, sf_dir, "documents"), min_len=12, cap=32
     )
+
+
+@register(
+    "j2l_dup_cluster_stats",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 20 = 0
+      UNION ALL
+      SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 50 = 0
+    ), clusters AS (
+      SELECT md5(text) AS h, COUNT(*) AS csize,
+             CAST(MIN(doc_id) AS BIGINT) AS keeper
+      FROM corpus GROUP BY h
+    )
+    SELECT CAST(csize AS BIGINT) AS cluster_size,
+           COUNT(*) AS n_clusters,
+           CAST(SUM(csize) AS BIGINT) AS n_docs,
+           CAST(SUM(csize) - COUNT(*) AS BIGINT) AS n_removable,
+           CAST(MIN(keeper) AS BIGINT) AS min_keeper_id
+    FROM clusters GROUP BY csize
+    """,
+)
+def j2l_dup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size distribution (§2.J2 — the corpus-audit
+    table every dedup decision starts from, cf. Lee et al. 2022 §4's
+    duplicate-cluster analysis): group documents by exact content
+    digest, histogram the cluster sizes, and report how many docs a
+    keep-one-per-cluster pass removes at each size.  The corpus
+    plants deterministic replica slices (every 20th and every 50th
+    doc re-appear under shifted ids — docs divisible by both land in
+    size-3 clusters), and the oracle replays the same planting in
+    SQL, so the histogram is exact: one digest groupBy plus one
+    histogram groupBy, both map-side-combinable — the identical scan
+    shape at 100 TB where this table is the cheap first look before
+    any near-dup pass."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.filter(F.col("doc_id") % 20 == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+        )
+    ).unionByName(
+        docs.filter(F.col("doc_id") % 50 == 0).select(
+            (F.col("doc_id") + 2_000_000).alias("doc_id"), "text"
+        )
+    )
+    clusters = corpus.groupBy(F.md5("text").alias("h")).agg(
+        F.count(F.lit(1)).alias("csize"),
+        F.min("doc_id").cast("long").alias("keeper"),
+    )
+    return clusters.groupBy(F.col("csize").cast("long").alias("cluster_size")).agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("csize").cast("long").alias("n_docs"),
+        (F.sum("csize") - F.count(F.lit(1))).cast("long").alias("n_removable"),
+        F.min("keeper").cast("long").alias("min_keeper_id"),
+    )
+
+
+def _recall_oracle() -> str:
+    """Recall@k of the LSH ANN path vs exact brute force, entirely in
+    SQL: both sides' existing oracles (j3 / j3b) run as subqueries and
+    join on (query, neighbor).  Integer permille — no float hashing."""
+    from .registry import REGISTRY
+
+    bf = REGISTRY["j3_similarity_topk"].oracle
+    ann = _lsh_oracle_sql()
+    return f"""
+    SELECT q.query_id,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(COALESCE(h.n_hits, 0) * 1000 / {_TOP_K} AS BIGINT)
+             AS recall_permille
+    FROM (SELECT DISTINCT query_id FROM ({bf})) q
+    LEFT JOIN (
+      SELECT a.query_id, COUNT(*) AS n_hits
+      FROM ({ann}) a
+      JOIN ({bf}) b
+        ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+      GROUP BY a.query_id
+    ) h USING (query_id)
+    """
+
+
+@register("j3q_ann_recall_eval", oracle=_recall_oracle())
+def j3q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN recall evaluation harness (§2.J3 — the accept/reject table
+    an index rollout reads before switching retrieval paths): per
+    query, how many of the LSH path's top-5 are in the EXACT top-5,
+    as an integer permille.  Both retrieval paths already carry exact
+    oracles (j3's rank subquery, j3b's mirrored hyperplane bucketing),
+    so their INTERSECTION is oracle-exact too — an approximate
+    index's quality measured with zero tolerance for engine drift.
+    One broadcast-query scan per path + a tiny (queries × k) join."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    bf = brute_force_topk(emb, queries, k=_TOP_K).select(
+        "query_id", "neighbor_id"
+    )
+    ann = lsh_ann_topk(emb, queries, k=_TOP_K).select(
+        "query_id", "neighbor_id"
+    )
+    hits = (
+        ann.join(bf, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        bf.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) * 1000 / _TOP_K)
+            .cast("long")
+            .alias("recall_permille"),
+        )
+    )

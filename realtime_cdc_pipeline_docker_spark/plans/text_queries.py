@@ -1496,3 +1496,119 @@ def j5h_mime_sniffing(spark: SparkSession, sf_dir: str) -> DataFrame:
         sniff_mime("payload").alias("sniffed_mime"),
         F.length("payload").cast("long").alias("n_bytes"),
     )
+
+
+def _bpe_encode_oracle(n_merges: int = 4) -> str:
+    """DuckDB twin of train-then-encode BPE: the merge table is
+    RE-DERIVED inside the oracle (n_merges unrolled rounds of pair
+    count -> deterministic argmax -> greedy apply), so an ITERATIVE
+    tokenizer becomes hash-verifiable cross-engine — the e18-pagerank
+    contract applied to BPE.  Greedy left-to-right non-overlapping
+    apply is expressed as string ``replace`` over a chr(1)-anchored
+    encoding: every token is wrapped in single chr(1) anchors and
+    joined, so a token reads chr(1)tok chr(1) and a pair pattern
+    chr(1)l chr(1)chr(1)r chr(1) is boundary-anchored on BOTH sides
+    (an un-anchored right side would prefix-match a longer merged
+    token — e.g. pair (order, order) against token "order fast";
+    caught by the doc-464 parity diff).  Tokens are whitespace-split
+    so they contain no chr(1); replace scans left-to-right and
+    resumes AFTER each replacement, and consecutive pair occurrences
+    never share characters under this encoding — exactly the
+    operators/text.py:_apply_merge fold semantics.  A round whose
+    best pair falls below min_count=2 rewrites with a chr(2) pattern
+    that matches nothing — the no-op twin of bpe_train's early stop
+    (once a round no-ops, the corpus is unchanged, so every later
+    round derives the same sub-threshold argmax and no-ops too)."""
+    sep = "chr(1) || chr(1)"
+    parts = [
+        r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS l
+      FROM documents
+    ), r0 AS (
+      SELECT doc_id, len(l) AS n_before,"""
+        + f"\n             chr(1) || array_to_string(l, {sep}) || chr(1) AS s"
+        + "\n      FROM t\n    )"
+    ]
+    for i in range(1, n_merges + 1):
+        prev = f"r{i - 1}"
+        parts.append(
+            f""", p{i} AS (
+      SELECT w[i] AS lft, w[i + 1] AS rght, COUNT(*) AS n
+      FROM (SELECT w, unnest(generate_series(1, len(w) - 1)) AS i
+            FROM (SELECT string_split(trim(s, chr(1)), {sep}) AS w
+                  FROM {prev})
+            WHERE len(w) >= 2)
+      GROUP BY 1, 2
+    ), m{i} AS (
+      SELECT lft, rght, n FROM p{i} ORDER BY n DESC, lft, rght LIMIT 1
+    ), r{i} AS (
+      SELECT doc_id, n_before,
+             replace(s,
+               coalesce((SELECT CASE WHEN n >= 2
+                                     THEN chr(1) || lft || {sep} || rght || chr(1)
+                                     ELSE chr(2) END FROM m{i}), chr(2)),
+               coalesce((SELECT CASE WHEN n >= 2
+                                     THEN chr(1) || lft || ' ' || rght || chr(1)
+                                     ELSE chr(3) END FROM m{i}), chr(3))) AS s
+      FROM {prev}
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT doc_id,
+           CAST(n_before AS BIGINT) AS n_tokens_raw,
+           CAST(len(string_split(trim(s, chr(1)), {sep})) AS BIGINT)
+             AS n_tokens_bpe,
+           CAST(n_before - len(string_split(trim(s, chr(1)), {sep}))
+                AS BIGINT) AS n_merged
+    FROM r{n_merges}"""
+    )
+    return "".join(parts)
+
+
+# trained merge tables, one per (sf_dir, n_merges) per process — the
+# same offline-artifact contract as the IVF centroids: training cost
+# is paid once (bench warm-up), the row times the ENCODE scan.
+_BPE_MERGE_FIXTURE: dict[tuple[str, int], list] = {}
+
+
+def _bpe_merges(spark: SparkSession, sf_dir: str, n_merges: int) -> list:
+    from ..operators.text import bpe_train
+
+    key = (sf_dir, n_merges)
+    if key not in _BPE_MERGE_FIXTURE:
+        _BPE_MERGE_FIXTURE[key] = bpe_train(
+            load_table(spark, sf_dir, "documents"), n_merges=n_merges
+        )
+    return _BPE_MERGE_FIXTURE[key]
+
+
+@register("j9i_bpe_encode", oracle=_bpe_encode_oracle(4))
+def j9i_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODE with the trained merge table (§2.J9 — the apply side
+    of the tokenizer j9h trains, and the family's first ORACLE-BEARING
+    iterative row): four trained merges applied in order as chained
+    greedy folds (operators/text.py:apply_bpe_merges — pure column
+    expressions, scan-fused, no shuffle), reporting per-doc raw vs
+    encoded token counts.  The oracle re-derives the merge table
+    itself — four unrolled count/argmax/apply rounds in DuckDB — so
+    training AND encoding are verified end-to-end cross-engine (see
+    _bpe_encode_oracle).  Merge training is a session fixture (offline
+    artifact, the IVF-centroid contract); the bench row times the
+    encode scan."""
+    from ..functions import ws_tokens
+    from ..operators.text import apply_bpe_merges
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = _bpe_merges(spark, sf_dir, 4)
+    toks = docs.select(
+        "doc_id", ws_tokens(F.lower(F.trim(F.col("text")))).alias("t")
+    )
+    encoded = apply_bpe_merges(F.col("t"), merges)
+    return toks.select(
+        "doc_id",
+        F.size("t").cast("long").alias("n_tokens_raw"),
+        F.size(encoded).cast("long").alias("n_tokens_bpe"),
+        (F.size("t") - F.size(encoded)).cast("long").alias("n_merged"),
+    )
