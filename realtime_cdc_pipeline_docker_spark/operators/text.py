@@ -917,8 +917,13 @@ def _apply_merge(col: Column, left: str, right: str, joined: str) -> Column:
     merge (left,right)→joined over a symbol array — as a single
     JVM-side ``aggregate`` fold (codegen'd; no explode, no Python).
     The accumulator carries (prev symbol, output array); the trailing
-    prev is flushed and NULL slots filtered at the end.  Symbols are
-    never NULL (tokenizer output), so NULL is a safe empty sentinel."""
+    prev is flushed and NULL slots filtered in the fold's FINISH
+    lambda — flushing outside the aggregate read ``.out`` and
+    ``.prev`` as two separate extracts of the same expression, which
+    the projection does not common-subexpression-eliminate, so the
+    whole fold ran TWICE (measured 2× on the j9h/j9i rows).  Symbols
+    are never NULL (tokenizer output), so NULL is a safe empty
+    sentinel."""
     init = F.struct(
         F.lit(None).cast("string").alias("prev"),
         F.array().cast("array<string>").alias("out"),
@@ -941,23 +946,72 @@ def _apply_merge(col: Column, left: str, right: str, joined: str) -> Column:
             )
         )
 
-    acc = F.aggregate(col, init, step)
+    def finish(acc):
+        return F.filter(
+            F.concat(acc["out"], F.array(acc["prev"])),
+            lambda x: x.isNotNull(),
+        )
+
+    return F.aggregate(col, init, step, finish)
+
+
+def _apply_merge_disjoint(col: Column, left: str, right: str, joined: str) -> Column:
+    """ONE merge with ``left != right`` — the common case, as a
+    vectorized transform+filter instead of the sequential fold.
+
+    Exactness: with left != right, two occurrences of the pair cannot
+    overlap (an overlap would need the shared symbol to be both
+    ``right`` and ``left``), and a candidate's left symbol can never
+    have been consumed by an earlier occurrence in the same pass (it
+    would have to be a ``right``), so greedy left-to-right
+    non-overlapping == merge-every-occurrence — each position decides
+    locally from its neighbors.  Pinned equivalent to the fold by
+    test on random corpora.  NOTE: ``col`` is referenced three times
+    (the transform target and two element_at lookups), so callers
+    must pass an ATTRIBUTE (a materialized column), never a nested
+    expression — see apply_bpe_merges' staged projections."""
     return F.filter(
-        F.concat(acc["out"], F.array(acc["prev"])), lambda x: x.isNotNull()
+        F.transform(
+            col,
+            lambda x, i: F.when(
+                (x == F.lit(left))
+                & (F.try_element_at(col, (i + 2).cast("int")) == F.lit(right)),
+                F.lit(joined),
+            )
+            .when(
+                (x == F.lit(right))
+                & (i > 0)
+                & (F.try_element_at(col, (i).cast("int")) == F.lit(left)),
+                F.lit(None).cast("string"),
+            )
+            .otherwise(x),
+        ),
+        lambda y: y.isNotNull(),
     )
 
 
-def apply_bpe_merges(col: Column | str, merges: list) -> Column:
+def apply_bpe_merges(df: DataFrame, merges: list, col: str = "t") -> DataFrame:
     """ENCODE with a trained merge table: apply every
     ``(iteration, left, right, count)`` row of :func:`bpe_train`'s
-    output in training order, each as the greedy left-to-right
-    non-overlapping :func:`_apply_merge` fold — the tokenizer APPLY
-    side, a pure chained column expression (no shuffle, no UDF; at
-    100 TB this fuses into whatever scan reads the corpus, exactly
-    like a production tokenizer's merge-table broadcast)."""
-    out = F.col(col) if isinstance(col, str) else col
+    output in training order over the token-array column ``col`` —
+    the tokenizer APPLY side (no shuffle, no Python; at 100 TB this
+    is a scan-side map, exactly a production tokenizer's merge-table
+    broadcast).
+
+    STAGED projections, one merge per Project node, on purpose:
+    nesting the merge expressions composes them into one tree that
+    re-evaluates every inner merge per reference (measured 20 s vs
+    5.5 s for 4 merges at sf0.1); as separate stages each merge reads
+    the previous stage's ATTRIBUTE, and CollapseProject declines to
+    inline the non-cheap HOFs, so each pass runs exactly once.
+    ``left != right`` merges (the common case) take the vectorized
+    :func:`_apply_merge_disjoint`; self-merges keep the sequential
+    greedy fold they require."""
+    out = df
     for _it, left, right, _n in merges:
-        out = _apply_merge(out, left, right, f"{left} {right}")
+        joined = f"{left} {right}"
+        applier = _apply_merge if left == right else _apply_merge_disjoint
+        out = out.withColumn(col, applier(F.col(col), left, right, joined))
     return out
 
 
@@ -1034,8 +1088,12 @@ def bpe_train(
         left, right, n = pairs[0]["left"], pairs[0]["right"], pairs[0]["n"]
         joined = f"{left} {right}"
         merges.append((it, left, right, n))
+        # vectorized pass when left != right (greedy == merge-all, see
+        # _apply_merge_disjoint); the input is a checkpointed attribute,
+        # so its triple reference is free.  Self-merges keep the fold.
+        applier = _apply_merge if left == right else _apply_merge_disjoint
         cur = cur.select(
-            _apply_merge(F.col("t"), left, right, joined).alias("t")
+            applier(F.col("t"), left, right, joined).alias("t")
         ).localCheckpoint()
     return merges
 

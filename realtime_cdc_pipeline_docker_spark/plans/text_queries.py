@@ -1603,12 +1603,18 @@ def j9i_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     merges = _bpe_merges(spark, sf_dir, 4)
     toks = docs.select(
-        "doc_id", ws_tokens(F.lower(F.trim(F.col("text")))).alias("t")
-    )
-    encoded = apply_bpe_merges(F.col("t"), merges)
-    return toks.select(
         "doc_id",
-        F.size("t").cast("long").alias("n_tokens_raw"),
-        F.size(encoded).cast("long").alias("n_tokens_bpe"),
-        (F.size("t") - F.size(encoded)).cast("long").alias("n_merged"),
+        F.size(ws_tokens(F.lower(F.trim(F.col("text"))))).cast("long").alias(
+            "n_tokens_raw"
+        ),
+        ws_tokens(F.lower(F.trim(F.col("text")))).alias("t"),
+    )
+    encoded = apply_bpe_merges(toks, merges, col="t")
+    # n_tokens_bpe referenced once; n_merged derived from the two size
+    # ATTRIBUTES so the encode chain is never double-evaluated.
+    sized = encoded.select(
+        "doc_id", "n_tokens_raw", F.size("t").cast("long").alias("n_tokens_bpe")
+    )
+    return sized.withColumn(
+        "n_merged", (F.col("n_tokens_raw") - F.col("n_tokens_bpe")).cast("long")
     )

@@ -394,3 +394,38 @@ def test_bpe_round_plan_matches_first_merge(spark):
     # the round plan keeps the full reduction visible to explain —
     # unlike bpe_train's checkpoint-truncated per-round state.
     assert "HashAggregate" in formatted_plan(bpe_round_plan(df))
+
+
+def test_apply_merge_disjoint_equals_fold(spark):
+    """_apply_merge_disjoint (vectorized, left != right) must be
+    byte-identical to the sequential greedy fold on adversarial
+    shapes: chained occurrences (l r l r), l-runs before r, candidates
+    at array edges, and tokens equal to the joined symbol."""
+    from pyspark.sql import functions as F
+
+    from realtime_cdc_pipeline_docker_spark.operators.text import (
+        _apply_merge,
+        _apply_merge_disjoint,
+    )
+
+    cases = [
+        "a b a b a b",
+        "a a a b b b a b",
+        "b a b a b a",
+        "a b",
+        "b a",
+        "a",
+        "x y z",
+        "a b x a b a a b b",
+        "a b a b a b a b a b a b",
+    ]
+    df = spark.createDataFrame(
+        [(i, t.split(" ")) for i, t in enumerate(cases)], ["i", "t"]
+    )
+    out = df.select(
+        "i",
+        _apply_merge(F.col("t"), "a", "b", "a b").alias("fold"),
+        _apply_merge_disjoint(F.col("t"), "a", "b", "a b").alias("vec"),
+    ).collect()
+    for r in out:
+        assert r["fold"] == r["vec"], (r["i"], r["fold"], r["vec"])
