@@ -3408,3 +3408,83 @@ def c30_group_array(spark: SparkSession, sf_dir: str) -> DataFrame:
             "statuses"
         ),
     )
+
+
+@register(
+    "g16_map_scalars",
+    oracle="""
+    WITH c AS (
+      SELECT o_orderpriority AS p, l_returnflag AS rf,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1, 2
+    ), t AS (
+      SELECT p, CAST(SUM(n) AS BIGINT) AS total FROM c GROUP BY p
+    )
+    SELECT c.p AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(COALESCE(SUM(n) FILTER (rf = 'R'), 0) AS BIGINT) AS r_cnt,
+           string_agg(rf, ',' ORDER BY rf) AS keys_csv,
+           CAST(SUM(n) AS BIGINT) AS total_cnt,
+           COALESCE(string_agg(rf, ',' ORDER BY rf)
+                      FILTER (n * 3 > t.total), '') AS major_keys,
+           CAST(COALESCE(SUM(n * 2) FILTER (rf = 'A'), 0) AS BIGINT)
+             AS a_doubled
+    FROM c JOIN t ON c.p = t.p
+    GROUP BY c.p, t.total
+    """,
+)
+def g16_map_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP-typed scalar/lambda surface (§2.G extension — Spark's map
+    function family: map_from_entries / try_element_at / map_keys /
+    map_values / map_filter / transform_values + an aggregate fold
+    over the values), exercised end-to-end on a real aggregate: per
+    order priority, the return-flag→count map, then every output is a
+    SCALAR derived through map operations.  Determinism: entries are
+    array_sort'ed before map_from_entries, so key order (and
+    therefore map_keys/concat_ws output) is pinned.  The oracle
+    computes the same VALUES with plain conditional aggregation — the
+    contract verifies results, not mechanism, which is exactly what
+    lets a map-based plan be checked by a map-less engine.
+    try_element_at (not element_at): ANSI mode throws on missing map
+    keys.  ``major_keys`` = flags holding >1/3 of the group's rows
+    (cross-multiplied integer test)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_returnflag")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    c = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(
+            F.col("o_orderpriority").alias("p"), F.col("l_returnflag").alias("rf")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    m = c.groupBy("p").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("rf", "n")))
+        ).alias("m")
+    )
+    total = F.aggregate(
+        F.map_values("m"), F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    with_total = m.withColumn("total_cnt", total)
+    major = F.map_filter(
+        F.col("m"), lambda k, v: v * 3 > F.col("total_cnt")
+    )
+    return with_total.select(
+        F.col("p").alias("priority"),
+        F.size("m").cast("long").alias("n_keys"),
+        F.coalesce(F.try_element_at("m", F.lit("R")), F.lit(0))
+        .cast("long")
+        .alias("r_cnt"),
+        F.concat_ws(",", F.map_keys("m")).alias("keys_csv"),
+        F.col("total_cnt"),
+        F.concat_ws(",", F.map_keys(major)).alias("major_keys"),
+        F.coalesce(
+            F.try_element_at(
+                F.transform_values(F.col("m"), lambda k, v: v * 2), F.lit("A")
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("a_doubled"),
+    )

@@ -1090,3 +1090,105 @@ def j3q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("recall_permille"),
         )
     )
+
+
+@register(
+    "j8d_semantic_decontaminate",
+    oracle="""
+    WITH bench AS (
+      SELECT vec_id AS bid, embedding FROM embeddings WHERE vec_id % 40 = 0
+    ), corpus AS (
+      SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id % 40 <> 0
+      UNION ALL
+      SELECT vec_id + 1000000,
+             list_transform(embedding, x -> x * CAST(2.0 AS FLOAT))
+      FROM embeddings WHERE vec_id % 120 = 0
+    ), qc AS (
+      SELECT cid, CAST(generate_subscripts(embedding, 1) AS INT) AS j,
+             CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                  AS BIGINT) AS qv
+      FROM corpus
+    ), qb AS (
+      SELECT bid, CAST(generate_subscripts(embedding, 1) AS INT) AS j,
+             CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                  AS BIGINT) AS qv
+      FROM bench
+    ), nc AS (
+      SELECT cid, SUM(qv * qv) AS n2 FROM qc GROUP BY cid
+    ), nb AS (
+      SELECT bid, SUM(qv * qv) AS n2 FROM qb GROUP BY bid
+    ), dots AS (
+      SELECT qc.cid, qb.bid, SUM(qc.qv * qb.qv) AS dot
+      FROM qc JOIN qb ON qc.j = qb.j
+      GROUP BY qc.cid, qb.bid
+    ), hits AS (
+      SELECT d.cid, d.bid
+      FROM dots d JOIN nc ON nc.cid = d.cid JOIN nb ON nb.bid = d.bid
+      WHERE d.dot > 0
+        AND CAST(d.dot AS HUGEINT) * d.dot * 1000000
+            >= CAST(810000 AS HUGEINT) * nc.n2 * nb.n2
+    )
+    SELECT cid AS vec_id, COUNT(*) AS n_bench_hits,
+           CAST(MIN(bid) AS BIGINT) AS first_bench_id
+    FROM hits GROUP BY cid
+    """,
+)
+def j8d_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC decontamination (§2.J8 — the embedding-space
+    complement of the 13-gram rule: flag corpus docs whose embedding
+    is near-identical to any benchmark/eval embedding, the check
+    modern data cards run because paraphrased eval leakage defeats
+    n-gram matching).  Exactness trick: components quantize to
+    integer MICRO-UNITS (the j3g contract — one IEEE multiply + one
+    half-away round, bit-equal in both engines), so dot products and
+    norms are BIGINT and the cosine >= 0.9 gate is the
+    cross-multiplied integer test  dot²·10⁶ >= 900²·‖a‖²·‖b‖²  — no
+    float comparison anywhere, DECIMAL(38,0) headroom proven from the
+    fixture's |x| <= 0.53, dim 64.  The corpus plants scaled copies
+    of a benchmark slice (cosine exactly 1, scale-invariant);
+    unrelated random vectors sit far below the gate.  Scale shape:
+    benchmark side is tiny and BROADCAST (the j8 contract); corpus
+    streams through one scan; at 100 TB the per-component join is the
+    same broadcast-hash shape."""
+    from ..functions import vec_dot
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = lambda c: F.transform(
+        c, lambda x: F.round(x.cast("double") * 1_000_000).cast("long")
+    )
+    bench = emb.filter(F.col("vec_id") % 40 == 0).select(
+        F.col("vec_id").alias("bid"), q(F.col("embedding")).alias("qb")
+    )
+    corpus = (
+        emb.filter(F.col("vec_id") % 40 != 0)
+        .select(F.col("vec_id").alias("cid"), F.col("embedding"))
+        .unionByName(
+            emb.filter(F.col("vec_id") % 120 == 0).select(
+                (F.col("vec_id") + 1_000_000).alias("cid"),
+                F.transform(
+                    "embedding", lambda x: x * F.lit(2.0).cast("float")
+                ).alias("embedding"),
+            )
+        )
+        .select("cid", q(F.col("embedding")).alias("qc"))
+    )
+    isum = lambda arr: F.aggregate(
+        arr, F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    corpus = corpus.withColumn("nc2", isum(F.zip_with("qc", "qc", lambda a, b: a * b)))
+    bench = bench.withColumn("nb2", isum(F.zip_with("qb", "qb", lambda a, b: a * b)))
+    pairs = corpus.crossJoin(F.broadcast(bench)).withColumn(
+        "dot", isum(F.zip_with("qc", "qb", lambda a, b: a * b))
+    )
+    dec = lambda c: c.cast("decimal(38,0)")
+    hits = pairs.filter(
+        (F.col("dot") > 0)
+        & (
+            dec(F.col("dot")) * dec(F.col("dot")) * F.lit(1_000_000)
+            >= F.lit(810_000) * dec(F.col("nc2")) * dec(F.col("nb2"))
+        )
+    )
+    return hits.groupBy(F.col("cid").alias("vec_id")).agg(
+        F.count(F.lit(1)).alias("n_bench_hits"),
+        F.min("bid").cast("long").alias("first_bench_id"),
+    )
