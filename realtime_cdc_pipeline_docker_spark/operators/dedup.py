@@ -1182,6 +1182,95 @@ def chunk_level_dedup(
     )
 
 
+def _lcp_arrays(a: F.Column, b: F.Column) -> F.Column:
+    """Longest common prefix of two token arrays as a codegen'd
+    zip/position expression: first mismatch position in the zipped
+    arrays (0 = none); ``zip_with`` pads the shorter side with NULL,
+    and eqNullSafe against a real token is false, so the pad counts
+    as a mismatch — LCP clamps at the shorter suffix, which is the
+    true common-prefix length when one suffix ends inside the other
+    (both engines: see the j2k oracle's identical branch)."""
+    mism = F.array_position(
+        F.zip_with(a, b, lambda x, y: x.eqNullSafe(y)), F.lit(False)
+    )
+    return F.when(b.isNull(), F.lit(0)).otherwise(
+        F.when(mism > 0, mism - 1).otherwise(F.size(a))
+    )
+
+
+def _suffix_order_replen(sfx: DataFrame) -> DataFrame:
+    """Per-suffix maximal repeat length = max LCP with the two
+    suffix-ORDER neighbors (the defining property of the LCP array),
+    computed WITHOUT a single-partition global window:
+
+    1. ``repartitionByRange`` on the sort key — the distributed sort
+       every engine uses for ORDER BY; partition ids then follow key
+       order by construction.
+    2. lag/lead inside each partition (`Window.partitionBy(pid)` —
+       every partition processes its own rows in parallel).
+    3. An O(partitions) BOUNDARY table — each partition's first/last
+       suffix — stitched with a window over the tiny table itself,
+       broadcast back, fills the one missing neighbor at each
+       partition edge.
+
+    Input: ``(id, pos, s, sk)``; output ``(id, pos, replen)``.
+    Exactly equal to the naive ``Window.orderBy(sk, id, pos)`` over
+    the whole table (test-pinned), without its one-task bottleneck."""
+    from pyspark.sql import Window
+
+    spark = sfx.sparkSession
+    nparts = spark.sparkContext.defaultParallelism
+    d = sfx.repartitionByRange(nparts, "sk", "id", "pos").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    w_in = Window.partitionBy("pid").orderBy("sk", "id", "pos")
+    nb = d.select(
+        "id",
+        "pos",
+        "s",
+        "pid",
+        F.lag("s").over(w_in).alias("sp"),
+        F.lead("s").over(w_in).alias("sn"),
+    )
+    # first/last suffix per partition, stitched to neighbor partitions
+    # over the tiny boundary table (O(partitions) rows).
+    key = F.struct("sk", "id", "pos")
+    edges = d.groupBy("pid").agg(
+        F.min_by("s", key).alias("first_s"), F.max_by("s", key).alias("last_s")
+    )
+    w_pid = Window.orderBy("pid")
+    edges = edges.select(
+        "pid",
+        F.lag("last_s").over(w_pid).alias("prev_last"),
+        F.lead("first_s").over(w_pid).alias("next_first"),
+    )
+    return nb.join(F.broadcast(edges), "pid").select(
+        "id",
+        "pos",
+        F.greatest(
+            _lcp_arrays(F.col("s"), F.coalesce("sp", "prev_last")),
+            _lcp_arrays(F.col("s"), F.coalesce("sn", "next_first")),
+        ).alias("replen"),
+    )
+
+
+def _suffix_order_replen_naive(sfx: DataFrame) -> DataFrame:
+    """The single-partition global-window form of
+    :func:`_suffix_order_replen` — reference semantics for the
+    equivalence test only; never called by the operator."""
+    from pyspark.sql import Window
+
+    order = Window.orderBy("sk", "id", "pos")
+    return sfx.select(
+        "id",
+        "pos",
+        F.greatest(
+            _lcp_arrays(F.col("s"), F.lag("s").over(order)),
+            _lcp_arrays(F.col("s"), F.lead("s").over(order)),
+        ).alias("replen"),
+    )
+
+
 def maximal_repeat_spans(
     df: DataFrame,
     text_col: str = "text",
@@ -1225,16 +1314,18 @@ def maximal_repeat_spans(
     ``cap``× the corpus, the price of exact variable-length spans
     (the k-gram form ships k tokens per position for fixed-k
     answers); production would digest rank tables via prefix
-    doubling (log passes) if that constant bites.  The global-order
-    window is a range-partitioned sort at scale — the same contract
-    as every top-level ORDER BY here.
+    doubling (log passes) if that constant bites.  The suffix-order
+    NEIGHBOR computation is fully distributed: a range-partitioned
+    sort, per-partition lag/lead windows, and an O(partitions)
+    boundary table that stitches each partition's edge rows to its
+    neighbors' — never a single-partition global window (the naive
+    ``Window.orderBy(<whole table>)`` form; equality of the two forms
+    is pinned by test).
 
     Returns ``(doc_id, span_start, span_end, max_repeat_len,
     n_positions)``: 1-based inclusive token spans, the longest exact
     repeat inside each span (clamped at ``cap``), and how many
     positions in the span start a >= ``min_len`` repeat."""
-    from pyspark.sql import Window
-
     toks = df.select(
         F.col(id_col).alias("id"),
         ws_tokens(F.lower(F.trim(F.col(text_col)))).alias("toks"),
@@ -1250,30 +1341,9 @@ def maximal_repeat_spans(
         .select("id", "pos", F.slice("toks", F.col("pos"), cap).alias("s"))
         .withColumn("sk", F.concat_ws(" ", "s"))
     )
+    rep = _suffix_order_replen(sfx).filter(F.col("replen") >= min_len)
 
-    def lcp(a: F.Column, b: F.Column) -> F.Column:
-        # first mismatch position in the zipped arrays (0 = none);
-        # zip_with pads the shorter side with NULL, and eqNullSafe
-        # against a real token is false, so the pad counts as a
-        # mismatch — LCP clamps at the shorter suffix, which is the
-        # true common-prefix length when one suffix ends inside the
-        # other (both engines: see the oracle's identical branch).
-        mism = F.array_position(
-            F.zip_with(a, b, lambda x, y: x.eqNullSafe(y)), F.lit(False)
-        )
-        return F.when(b.isNull(), F.lit(0)).otherwise(
-            F.when(mism > 0, mism - 1).otherwise(F.size(a))
-        )
-
-    order = Window.orderBy("sk", "id", "pos")
-    rep = sfx.select(
-        "id",
-        "pos",
-        F.greatest(
-            lcp(F.col("s"), F.lag("s").over(order)),
-            lcp(F.col("s"), F.lead("s").over(order)),
-        ).alias("replen"),
-    ).filter(F.col("replen") >= min_len)
+    from pyspark.sql import Window
 
     by_doc = Window.partitionBy("id").orderBy("pos")
     prev_max_end = F.max(F.col("pos") + F.col("replen") - 1).over(

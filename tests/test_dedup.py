@@ -700,3 +700,42 @@ def test_maximal_repeat_spans_within_doc_and_overlap_union(spark):
     spans = sorted((r["span_start"], r["span_end"]) for r in rows)
     assert spans == [(1, 15), (25, 39)]
     assert all(r["max_repeat_len"] == 15 for r in rows)
+
+
+def test_suffix_order_replen_distributed_equals_naive(spark):
+    """The range-partitioned + boundary-stitched neighbor-LCP
+    (_suffix_order_replen) must return exactly the naive
+    single-partition global-window form on a corpus small enough that
+    EVERY partition boundary cuts between near-identical suffixes —
+    the case the boundary table exists for."""
+    from pyspark.sql import functions as F
+
+    from realtime_cdc_pipeline_docker_spark.functions import ws_tokens
+    from realtime_cdc_pipeline_docker_spark.operators.dedup import (
+        _suffix_order_replen,
+        _suffix_order_replen_naive,
+    )
+
+    rep = " ".join(f"r{i}" for i in range(20))
+    docs = [(i, f"u{i}a u{i}b " + rep + f" u{i}c") for i in range(30)] + [
+        (100 + i, " ".join(f"w{i}x{j}" for j in range(25))) for i in range(10)
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    toks = df.select(
+        F.col("doc_id").alias("id"),
+        ws_tokens(F.lower(F.trim(F.col("text")))).alias("toks"),
+    ).filter(F.size("toks") >= 12)
+    sfx = (
+        toks.select(
+            "id",
+            F.explode(F.sequence(F.lit(1), F.size("toks") - 11)).alias("pos"),
+            "toks",
+        )
+        .select("id", "pos", F.slice("toks", F.col("pos"), 32).alias("s"))
+        .withColumn("sk", F.concat_ws(" ", "s"))
+    )
+    dist = sorted(map(tuple, _suffix_order_replen(sfx).collect()))
+    naive = sorted(map(tuple, _suffix_order_replen_naive(sfx).collect()))
+    assert dist == naive and dist
+    # the shared 20-token repeat is found at full length
+    assert max(r[2] for r in dist) == 20
