@@ -739,3 +739,91 @@ def test_suffix_order_replen_distributed_equals_naive(spark):
     assert dist == naive and dist
     # the shared 20-token repeat is found at full length
     assert max(r[2] for r in dist) == 20
+
+
+def _py_maximal_repeat_spans(docs, min_len=12, cap=32):
+    """Independent pure-Python model of maximal_repeat_spans: brute
+    force every suffix pair's common prefix (capped), threshold,
+    union the per-doc intervals.  O(n²·cap) — fine for tiny corpora."""
+    import re
+
+    toked = {
+        d: re.split(r"\s+", t.lower().strip()) if t.strip() else []
+        for d, t in docs
+    }
+    toked = {d: t for d, t in toked.items() if len(t) >= min_len}
+    sfx = [
+        (d, p, tuple(t[p - 1 : p - 1 + cap]))
+        for d, t in toked.items()
+        for p in range(1, len(t) - min_len + 2)
+    ]
+
+    def lcp(a, b):
+        n = 0
+        for x, y in zip(a, b):
+            if x != y:
+                break
+            n += 1
+        return n
+
+    spans = {}
+    for i, (d, p, s) in enumerate(sfx):
+        best = 0
+        for j, (d2, p2, s2) in enumerate(sfx):
+            if i != j:
+                best = max(best, lcp(s, s2))
+        if best >= min_len:
+            spans.setdefault(d, []).append((p, p + best - 1, best))
+    out = []
+    for d, ivs in spans.items():
+        ivs.sort()
+        cur_s, cur_e, mx, n = ivs[0][0], ivs[0][1], ivs[0][2], 1
+        for p, e, r in ivs[1:]:
+            if p <= cur_e + 1:
+                cur_e, mx, n = max(cur_e, e), max(mx, r), n + 1
+            else:
+                out.append((d, cur_s, cur_e, mx, n))
+                cur_s, cur_e, mx, n = p, e, r, 1
+        out.append((d, cur_s, cur_e, mx, n))
+    return sorted(out)
+
+
+def test_maximal_repeat_spans_matches_python_model_random(spark):
+    """Property check against the independent O(n²) model on
+    adversarial small corpora: shared prefixes/suffixes, repeats at
+    doc edges, overlapping repeats, a repeat longer than cap, and a
+    deterministic pseudo-random corpus built from a tiny alphabet so
+    accidental repeats occur naturally."""
+    from realtime_cdc_pipeline_docker_spark.operators.dedup import (
+        maximal_repeat_spans,
+    )
+
+    rep = [f"r{i}" for i in range(14)]
+    long_rep = [f"L{i}" for i in range(40)]
+    # 3-letter alphabet => plenty of natural >=4-token repeats at min_len=4
+    rand = lambda seed, n: [
+        "abc"[(seed * 7 + i * i * 31 + i) % 3] for i in range(n)
+    ]
+    docs = [
+        (1, " ".join(rep + ["x1", "x2"] + rep)),          # twice in one doc
+        (2, " ".join(["y1"] + rep)),                      # repeat at doc end
+        (3, " ".join(long_rep)),                          # > cap, whole doc
+        (4, " ".join(["z1", "z2"] + long_rep + ["z3"])),
+        (5, " ".join(rand(1, 30))),
+        (6, " ".join(rand(2, 25))),
+        (7, " ".join(rand(3, 20))),
+        (8, "short doc"),
+    ]
+    for min_len, cap in ((4, 8), (6, 32), (12, 32)):
+        got = sorted(
+            map(
+                tuple,
+                maximal_repeat_spans(
+                    spark.createDataFrame(docs, ["doc_id", "text"]),
+                    min_len=min_len,
+                    cap=cap,
+                ).collect(),
+            )
+        )
+        want = _py_maximal_repeat_spans(docs, min_len=min_len, cap=cap)
+        assert got == want, (min_len, cap, got, want)
