@@ -738,7 +738,7 @@ def connected_components(
     # twice, and Spark re-executes duplicated subtrees (no cross-branch
     # CSE) — for LSH-generated pairs that doubles the dominant cost of
     # the whole keeper pipeline.  explode keeps a single pairs scan.
-    edges = (
+    pre = (
         pairs.select(
             F.explode(
                 F.array(
@@ -751,6 +751,24 @@ def connected_components(
         .distinct()
         .persist()
     )
+    # Row-count-sized layout for the table every round probes — the
+    # e18 lesson (operators/graph.py:EDGE_ROWS_PER_PARTITION): near-dup
+    # pair graphs are typically tiny next to the corpus, and inheriting
+    # the distinct shuffle's full width makes each propagation round
+    # pay per-task scheduling for near-empty partitions.  On a big
+    # graph the defaultParallelism cap binds and nothing changes.
+    from .graph import EDGE_ROWS_PER_PARTITION
+
+    n_edges = pre.count()
+    spark = pairs.sparkSession
+    nparts = max(
+        1,
+        min(
+            spark.sparkContext.defaultParallelism,
+            -(-n_edges // EDGE_ROWS_PER_PARTITION),
+        ),
+    )
+    edges = pre.repartition(nparts, "src").persist()
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
@@ -793,6 +811,7 @@ def connected_components(
         if changed == 0:
             break
     edges.unpersist()
+    pre.unpersist()
     if stats is not None:
         stats["rounds"] = rounds
     if changed != 0:

@@ -820,18 +820,67 @@ def j2i_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_band_sweep(docs)
 
 
-@register("j3n_mrl_truncation_eval", oracle=None)
+def _mrl_oracle(dims=(64, 32, 16, 8), k=5) -> str:
+    """DuckDB twin of the MRL truncation report: full-width top-k per
+    query is the ground truth (the j3 rank-comparison contract — ties
+    broken by neighbor id; random embeddings have no near-ties at any
+    prefix length), each dim's truncated top-k intersects it, recall
+    in exact integer ppm.  One CTE per prefix length."""
+    got = ",\n    ".join(
+        f"""g{d} AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY list_cosine_similarity(e.v[1:{d}], q.v[1:{d}]) DESC,
+                          e.vec_id) AS rnk
+        FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id)
+      WHERE rnk <= {k}
+    ), h{d} AS (
+      SELECT COUNT(*) AS hits FROM g{d} JOIN truth USING (query_id, neighbor_id)
+    )"""
+        for d in dims
+    )
+    rows = "\n    UNION ALL ".join(
+        f"""SELECT CAST({d} AS BIGINT) AS dim,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM q) AS n_queries,
+             CAST(hits AS BIGINT) AS hits,
+             CAST(hits * 1000000 // ({k} * (SELECT COUNT(*) FROM q))
+                  AS BIGINT) AS recall_ppm
+      FROM h{d}"""
+        for d in dims
+    )
+    return f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, v FROM e WHERE vec_id % 40 = 0
+    ), truth AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY list_cosine_similarity(e.v, q.v) DESC, e.vec_id)
+                 AS rnk
+        FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id)
+      WHERE rnk <= {k}
+    ),
+    {got}
+    {rows}"""
+
+
+@register("j3n_mrl_truncation_eval", oracle=_mrl_oracle())
 def j3n_mrl_truncation_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Matryoshka-truncation retrieval report (§2.J3 extension): exact
     recall@5 of cosine top-k at embedding prefix lengths 64/32/16/8
     against the full-width ground truth, over a deterministic query
-    sample.  Rows-only by nature (cosine ranking is not DuckDB-exact
-    across engines at equal cost); the structural contracts — full
-    width scores exactly 10⁶ ppm, truncated widths lose recall on
-    this fixture (NOT claimed monotone between truncated widths: a
-    short prefix can rank a true neighbor luckily, observed 4-dim >
-    16-dim here) — are pinned in tests/test_similarity.py.  See
-    operators/similarity.py:mrl_truncation_eval."""
+    sample.  ORACLE-BEARING since round 8 (was rows-only): the same
+    rank-comparison contract that verifies j3/j3b/j3q applies per
+    prefix length, so the whole dimension-vs-recall report is
+    hash-verified cross-engine (recall in exact integer ppm).  The
+    structural contracts — full width scores exactly 10⁶ ppm,
+    truncated widths lose recall on this fixture (NOT claimed
+    monotone between truncated widths: a short prefix can rank a true
+    neighbor luckily) — remain pinned in tests/test_similarity.py.
+    See operators/similarity.py:mrl_truncation_eval."""
     from ..operators.similarity import mrl_truncation_eval
 
     def build() -> DataFrame:

@@ -1260,18 +1260,94 @@ def j4l_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return char_entropy(load_table(spark, sf_dir, "documents"))
 
 
-@register("j9h_bpe_train", oracle=None)
+def _bpe_rounds_sql(n_merges: int) -> str:
+    """The shared WITH-chain that RE-DERIVES BPE training in DuckDB —
+    ``n_merges`` unrolled rounds of pair count -> deterministic argmax
+    (count desc, left, right) -> greedy apply — over a chr(1)-anchored
+    string encoding of the token stream: every token is wrapped in
+    single chr(1) anchors and joined, so a pair pattern
+    chr(1)l chr(1)chr(1)r chr(1) is boundary-anchored on BOTH sides
+    (an un-anchored right side would prefix-match a longer merged
+    token — e.g. pair (order, order) against token "order fast";
+    caught by a doc-464 parity diff).  Tokens are whitespace-split so
+    they contain no chr(1); ``replace`` scans left-to-right and
+    resumes AFTER each replacement, and consecutive pair occurrences
+    never share characters under this encoding — exactly the
+    operators/text.py:_apply_merge fold semantics.  A round whose
+    best pair falls below min_count=2 rewrites with a chr(2) pattern
+    that matches nothing — the no-op twin of bpe_train's early stop
+    (once a round no-ops, the corpus is unchanged, so every later
+    round derives the same sub-threshold argmax and no-ops too).
+    Exposes CTEs ``m1..mN`` (the per-round argmax rows) and ``rN``
+    (the fully-rewritten corpus) for the callers' final SELECTs."""
+    sep = "chr(1) || chr(1)"
+    parts = [
+        r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS l
+      FROM documents
+    ), r0 AS (
+      SELECT doc_id, len(l) AS n_before,"""
+        + f"\n             chr(1) || array_to_string(l, {sep}) || chr(1) AS s"
+        + "\n      FROM t\n    )"
+    ]
+    for i in range(1, n_merges + 1):
+        prev = f"r{i - 1}"
+        parts.append(
+            f""", p{i} AS (
+      SELECT w[i] AS lft, w[i + 1] AS rght, COUNT(*) AS n
+      FROM (SELECT w, unnest(generate_series(1, len(w) - 1)) AS i
+            FROM (SELECT string_split(trim(s, chr(1)), {sep}) AS w
+                  FROM {prev})
+            WHERE len(w) >= 2)
+      GROUP BY 1, 2
+    ), m{i} AS (
+      SELECT lft, rght, n FROM p{i} ORDER BY n DESC, lft, rght LIMIT 1
+    ), r{i} AS (
+      SELECT doc_id, n_before,
+             replace(s,
+               coalesce((SELECT CASE WHEN n >= 2
+                                     THEN chr(1) || lft || {sep} || rght || chr(1)
+                                     ELSE chr(2) END FROM m{i}), chr(2)),
+               coalesce((SELECT CASE WHEN n >= 2
+                                     THEN chr(1) || lft || ' ' || rght || chr(1)
+                                     ELSE chr(3) END FROM m{i}), chr(3))) AS s
+      FROM {prev}
+    )"""
+        )
+    return "".join(parts)
+
+
+def _bpe_train_oracle(n_merges: int = 5) -> str:
+    """DuckDB twin of ``bpe_train`` ITSELF: the merge table the
+    training loop emits, one row per effective round, re-derived by
+    the shared unrolled-round chain.  Rounds whose argmax falls below
+    min_count=2 produce no row — and once one no-ops, all later
+    rounds re-derive the same sub-threshold argmax (corpus unchanged),
+    so the plain ``n >= 2`` filter reproduces the early stop."""
+    rows = "\n      UNION ALL ".join(
+        f"""SELECT CAST({i - 1} AS BIGINT) AS iteration,
+             lft AS "left", rght AS "right", CAST(n AS BIGINT) AS n
+      FROM m{i} WHERE n >= 2"""
+        for i in range(1, n_merges + 1)
+    )
+    return _bpe_rounds_sql(n_merges) + f"\n    {rows}"
+
+
+@register("j9h_bpe_train", oracle=_bpe_train_oracle(5))
 def j9h_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative BPE merge training (§2.J9 — the tokenizer-training
     loop itself, not just its inner scan j9c): five rounds of
     corpus-wide pair counting → argmax promotion → codegen'd
     array-fold rewrite, driver-loop-iterative like k-means/CC (only
     the bounded argmax row crosses to the driver; localCheckpoint per
-    round).  Deterministic (count desc + lexicographic tiebreak,
-    greedy left-to-right non-overlapping apply) but inherently
-    iterative, so rows-only; exact equivalence to an independent pure-
-    Python BPE model is pinned in tests/test_round5_ops.py.  See
-    operators/text.py:bpe_train."""
+    round).  ORACLE-BEARING since round 8 (was rows-only): the oracle
+    RE-DERIVES the merge table itself — five unrolled
+    count/argmax/apply rounds over the chr(1)-anchored greedy replace
+    (_bpe_rounds_sql), early stop reproduced by the n >= 2 filter —
+    so the training loop's OUTPUT is hash-verified cross-engine, on
+    top of the pure-Python-model equivalence pinned in
+    tests/test_round5_ops.py.  See operators/text.py:bpe_train."""
     from ..operators.text import bpe_train
 
     merges = bpe_train(load_table(spark, sf_dir, "documents"), n_merges=5)
@@ -1500,62 +1576,17 @@ def j5h_mime_sniffing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _bpe_encode_oracle(n_merges: int = 4) -> str:
     """DuckDB twin of train-then-encode BPE: the merge table is
-    RE-DERIVED inside the oracle (n_merges unrolled rounds of pair
-    count -> deterministic argmax -> greedy apply), so an ITERATIVE
-    tokenizer becomes hash-verifiable cross-engine — the e18-pagerank
-    contract applied to BPE.  Greedy left-to-right non-overlapping
-    apply is expressed as string ``replace`` over a chr(1)-anchored
-    encoding: every token is wrapped in single chr(1) anchors and
-    joined, so a token reads chr(1)tok chr(1) and a pair pattern
-    chr(1)l chr(1)chr(1)r chr(1) is boundary-anchored on BOTH sides
-    (an un-anchored right side would prefix-match a longer merged
-    token — e.g. pair (order, order) against token "order fast";
-    caught by the doc-464 parity diff).  Tokens are whitespace-split
-    so they contain no chr(1); replace scans left-to-right and
-    resumes AFTER each replacement, and consecutive pair occurrences
-    never share characters under this encoding — exactly the
-    operators/text.py:_apply_merge fold semantics.  A round whose
-    best pair falls below min_count=2 rewrites with a chr(2) pattern
-    that matches nothing — the no-op twin of bpe_train's early stop
-    (once a round no-ops, the corpus is unchanged, so every later
-    round derives the same sub-threshold argmax and no-ops too)."""
+    RE-DERIVED inside the oracle by the shared unrolled-round chain
+    (:func:`_bpe_rounds_sql` — see there for the chr(1)-anchored
+    greedy-replace mechanics and the early-stop no-op twin), then the
+    per-doc raw vs encoded token counts are read off the final
+    rewritten corpus — so an ITERATIVE tokenizer becomes
+    hash-verifiable cross-engine, the e18-pagerank contract applied
+    to BPE."""
     sep = "chr(1) || chr(1)"
-    parts = [
-        r"""
-    WITH t AS (
-      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS l
-      FROM documents
-    ), r0 AS (
-      SELECT doc_id, len(l) AS n_before,"""
-        + f"\n             chr(1) || array_to_string(l, {sep}) || chr(1) AS s"
-        + "\n      FROM t\n    )"
-    ]
-    for i in range(1, n_merges + 1):
-        prev = f"r{i - 1}"
-        parts.append(
-            f""", p{i} AS (
-      SELECT w[i] AS lft, w[i + 1] AS rght, COUNT(*) AS n
-      FROM (SELECT w, unnest(generate_series(1, len(w) - 1)) AS i
-            FROM (SELECT string_split(trim(s, chr(1)), {sep}) AS w
-                  FROM {prev})
-            WHERE len(w) >= 2)
-      GROUP BY 1, 2
-    ), m{i} AS (
-      SELECT lft, rght, n FROM p{i} ORDER BY n DESC, lft, rght LIMIT 1
-    ), r{i} AS (
-      SELECT doc_id, n_before,
-             replace(s,
-               coalesce((SELECT CASE WHEN n >= 2
-                                     THEN chr(1) || lft || {sep} || rght || chr(1)
-                                     ELSE chr(2) END FROM m{i}), chr(2)),
-               coalesce((SELECT CASE WHEN n >= 2
-                                     THEN chr(1) || lft || ' ' || rght || chr(1)
-                                     ELSE chr(3) END FROM m{i}), chr(3))) AS s
-      FROM {prev}
-    )"""
-        )
-    parts.append(
-        f"""
+    return (
+        _bpe_rounds_sql(n_merges)
+        + f"""
     SELECT doc_id,
            CAST(n_before AS BIGINT) AS n_tokens_raw,
            CAST(len(string_split(trim(s, chr(1)), {sep})) AS BIGINT)
@@ -1564,7 +1595,6 @@ def _bpe_encode_oracle(n_merges: int = 4) -> str:
                 AS BIGINT) AS n_merged
     FROM r{n_merges}"""
     )
-    return "".join(parts)
 
 
 # trained merge tables, one per (sf_dir, n_merges) per process — the
