@@ -300,3 +300,77 @@ def k5_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("t1").alias("island_end"),
         F.count(F.lit(1)).alias("n_incidents"),
     )
+
+
+@register(
+    "k6_asof_staleness_gate",
+    oracle="""
+    WITH rd AS (
+      SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice
+      FROM orders
+      QUALIFY row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                                 ORDER BY o_orderkey DESC) = 1
+    ), m AS (
+      SELECT e.event_id, e.user_id, e.ts,
+             rd.o_orderkey, rd.o_totalprice, rd.o_orderdate
+      FROM events e
+      ASOF LEFT JOIN rd ON e.user_id = rd.o_custkey AND e.ts >= rd.o_orderdate
+    )
+    SELECT event_id, user_id,
+           o_orderkey AS raw_orderkey,
+           CASE WHEN o_orderkey IS NOT NULL
+                 AND date_diff('day', o_orderdate, CAST(ts AS DATE)) <= 8400
+                THEN o_orderkey END AS fresh_orderkey,
+           CASE WHEN o_orderkey IS NOT NULL
+                 AND date_diff('day', o_orderdate, CAST(ts AS DATE)) <= 8400
+                THEN o_totalprice END AS fresh_totalprice
+    FROM m
+    """,
+)
+def k6_asof_staleness_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tolerance-gated as-of join (§2.K extension — pandas
+    ``merge_asof(tolerance=...)``): the k1 point-in-time lookup plus a
+    MAX-STALENESS rule — a match staler than the gate resolves to
+    NULL (kept row, left-join semantics), the feature-store freshness
+    gate
+    that prevents a years-old order from silently standing in as
+    "current state".  Both the raw and the gated columns are emitted
+    so stale matches are observable as raw≠NULL ∧ fresh=NULL.
+    Exactness: the gate compares in integer DAY arithmetic
+    (datediff both engines) — the operator's ``tolerance_seconds``
+    path truncates sub-second fractions differently per engine at the
+    exact boundary, so it stays unit-tested
+    (operators/temporal.py:asof_join) while the query pins the
+    cross-engine-exact day-granular form.  One as-of pass; the gate
+    is a post-join column expression reading the attached
+    ``__asof_ts``."""
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    out = asof_join(
+        events,
+        orders,
+        left_on="user_id",
+        right_on="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        right_cols=["o_orderkey", "o_totalprice"],
+        tiebreak="o_orderkey",
+    )
+    # 8400 days is fixture-calibrated to populate BOTH branches (the
+    # synthetic events sit ~8.2k-8.8k days after the order dates, so a
+    # "30 days" gate would nullify every match and test nothing); the
+    # semantics are threshold-independent.
+    fresh = F.col("o_orderkey").isNotNull() & (
+        F.datediff(F.to_date("ts"), F.col("__asof_ts")) <= 8400
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("o_orderkey").alias("raw_orderkey"),
+        F.when(fresh, F.col("o_orderkey")).alias("fresh_orderkey"),
+        F.when(fresh, F.col("o_totalprice")).alias("fresh_totalprice"),
+    )
