@@ -8,6 +8,11 @@ Counts emitted:
   ``queries_rows_only``: from the live registry.
 - ``driver_sim``: per-status tally of the latest
   ``DRIVER_SIM_REPORT.jsonl`` (written by the in-suite gate), if any.
+- ``bench_headline``: total/query-count/sf copied from the committed
+  ``BENCH_FULL.json`` (VERDICT r8 #3 — the prose headline drifted from
+  the artifact exactly like the hand-maintained test counts did; docs
+  must cite THIS number and the gate test cross-checks any literal
+  "N s for ALL" headline in PERF.md/SURVEY.md against it).
 
 ``tests/test_driver_sim_gate.py::test_counts_json_current`` pins the
 registry-derived numbers so COUNTS.json cannot silently go stale.
@@ -59,6 +64,17 @@ def main() -> int:
         "queries_oracle_bearing": oracle_bearing,
         "queries_rows_only": registered - oracle_bearing,
     }
+
+    bench_full = os.path.join(REPO, "BENCH_FULL.json")
+    if os.path.exists(bench_full):
+        bench = json.load(open(bench_full))
+        counts["bench_headline"] = {
+            "total_sec": bench["value"],
+            "queries": len(bench["queries"]),
+            "registered": bench.get("registered"),
+            "excluded": len(bench.get("excluded", {})),
+            "sf": bench.get("sf"),
+        }
 
     report = os.path.join(REPO, "DRIVER_SIM_REPORT.jsonl")
     if os.path.exists(report):

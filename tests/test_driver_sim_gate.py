@@ -60,9 +60,15 @@ def test_driver_window_is_all_oracle_bearing():
     window = names[: len(DRIVER_PRIORITY)]
     assert window == list(DRIVER_PRIORITY)
     allowed_rows_only = {
-        # round-8 front-load (VERDICT r7 #1): the one rows-only-by-
-        # nature round-7 registration takes its slot right behind the
-        # six oracle-bearing ones, so it gets its first liveness row.
+        # round-9 backfill (VERDICT r8 #1): the stalest singles are the
+        # rows-only-by-nature round-5/6 queries (one liveness row each,
+        # from rounds 5–6) plus j3o (one row, round 8).  Each takes a
+        # slot AFTER every oracle-bearing query in its staleness tier
+        # so they get a second liveness row without displacing a hash
+        # check of equal staleness.
+        "c23_hll_partial_merge", "j2f_semantic_dedup", "j2h_dedup_eval_pr",
+        "j3e_ivf_index_topk", "j3i_mmr_rerank", "j3k_ivfpq_adc_topk",
+        "j5f_image_dhash_neardup", "j2i_lsh_band_sweep",
         "j3o_ivfpq_index_topk",
     }
     rows_only = [n for n in window[:50] if n not in oracles]
@@ -109,3 +115,32 @@ def test_counts_json_current():
     assert counts["queries_registered"] == len(plans.REGISTRY)
     assert counts["queries_oracle_bearing"] == oracle_bearing
     assert counts["queries_rows_only"] == len(plans.REGISTRY) - oracle_bearing
+
+
+def test_bench_headline_generated():
+    """The bench headline the docs quote is GENERATED (VERDICT r8 #3 —
+    PERF.md said 182.8 s while the committed BENCH_FULL.json said
+    187.2 s, the same hand-maintained-number drift COUNTS.json fixed
+    for test counts).  Two pins: COUNTS.json's ``bench_headline``
+    must equal the committed BENCH_FULL.json, and every literal
+    "<N> s for ALL <K>" headline in PERF.md / SURVEY.md must quote
+    exactly that artifact's total and query count."""
+    import json
+    import re
+
+    counts = json.loads((REPO / "COUNTS.json").read_text())
+    bench = json.loads((REPO / "BENCH_FULL.json").read_text())
+    head = counts["bench_headline"]
+    assert head["total_sec"] == bench["value"]
+    assert head["queries"] == len(bench["queries"])
+    assert head["excluded"] == len(bench.get("excluded", {}))
+
+    pat = re.compile(r"(\d+(?:\.\d+)?)\s*s for ALL (\d+)")
+    for doc in ("PERF.md", "SURVEY.md"):
+        for total, nq in pat.findall((REPO / doc).read_text()):
+            assert abs(float(total) - bench["value"]) < 0.05, (
+                f"{doc} quotes a headline of {total} s; the committed "
+                f"BENCH_FULL.json says {bench['value']} s — regenerate "
+                "with scripts/update_counts.py and update the doc"
+            )
+            assert int(nq) == len(bench["queries"]), doc
