@@ -769,6 +769,12 @@ def connected_components(
         ),
     )
     edges = pre.repartition(nparts, "src").persist()
+    # ``pre`` exists only to size and feed this one repartition;
+    # materialize ``edges`` eagerly and drop ``pre`` NOW — keeping
+    # both cached for the whole propagation loop doubles cache memory
+    # on large pair graphs (ADVICE r8).
+    edges.count()
+    pre.unpersist()
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
@@ -811,7 +817,6 @@ def connected_components(
         if changed == 0:
             break
     edges.unpersist()
-    pre.unpersist()
     if stats is not None:
         stats["rounds"] = rounds
     if changed != 0:
@@ -1239,6 +1244,19 @@ def _suffix_order_replen(sfx: DataFrame) -> DataFrame:
 
     spark = sfx.sparkSession
     nparts = spark.sparkContext.defaultParallelism
+    # Both consumers below (the lag/lead table and the boundary table)
+    # must observe the SAME RangePartitioner boundaries.  Two layers
+    # guarantee it (ADVICE r8 flagged the invariant as implicit; an
+    # eager localCheckpoint would also pin it but costs ~1.7× on j2k —
+    # measured, PERF.md §Round-9):
+    #  1. ReuseExchange compiles the range exchange ONCE per executed
+    #     plan — pinned by tests/test_dedup.py (exactly one
+    #     `Exchange rangepartitioning` + a `ReusedExchange` in the
+    #     operator's physical plan).
+    #  2. Even under separate compilations, RangePartitioner's
+    #     reservoir sampling is seeded by partition index
+    #     (byteswap32(idx)), so identical deterministic input yields
+    #     identical boundaries.
     d = sfx.repartitionByRange(nparts, "sk", "id", "pos").withColumn(
         "pid", F.spark_partition_id()
     )

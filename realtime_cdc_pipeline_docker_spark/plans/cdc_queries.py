@@ -44,6 +44,34 @@ def _reap_work_dirs() -> None:
         shutil.rmtree(work, ignore_errors=True)
 
 
+_LEGACY_REAPED = False
+
+
+def _reap_legacy_dirs(base: str) -> None:
+    """One-time sweep of scratch dirs older naming schemes left behind
+    (ADVICE r8: the per-query reap below only matches the CURRENT
+    ``rtcdc_<query>_<tag>_<pid>`` shape, so pre-r8 ``mkdtemp`` index
+    trees — ``rtcdc_<kind>_index_<random>`` — and pid-before-tag dirs
+    — ``rtcdc_<query>_<pid>_<tag>`` — persisted forever).  A dir is
+    CURRENT iff its name ends ``_<8-hex-tag>_<digits-pid>``; anything
+    else under ``rtcdc_*`` is a dead scheme and is removed."""
+    global _LEGACY_REAPED
+    if _LEGACY_REAPED:
+        return
+    _LEGACY_REAPED = True
+    hexdigits = set("0123456789abcdef")
+    for path in glob.glob(os.path.join(base, "rtcdc_*")):
+        parts = os.path.basename(path).split("_")
+        current = (
+            len(parts) >= 4
+            and parts[-1].isdigit()
+            and len(parts[-2]) == 8
+            and set(parts[-2]) <= hexdigits
+        )
+        if not current:
+            shutil.rmtree(path, ignore_errors=True)
+
+
 def _work_dir(query: str, sf_dir: str) -> str:
     """Deterministic per-(query, sf, PROCESS) scratch dir, reset on entry.
 
@@ -64,9 +92,11 @@ def _work_dir(query: str, sf_dir: str) -> str:
     process's own dirs."""
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     base = tempfile.gettempdir()
-    # Legacy pre-pid-suffix dirs (`rtcdc_<query>_<tag>`, no `_pid`) and
-    # pre-r8 mkdtemp index trees carry no pid and would otherwise
-    # persist forever — a non-digit suffix marks them legacy and dead.
+    # Older naming schemes (no-pid, mkdtemp index trees, pid-before-
+    # tag) are swept once per process by _reap_legacy_dirs; the
+    # per-(query, tag) reap below handles the current scheme's
+    # dead-pid siblings.
+    _reap_legacy_dirs(base)
     shutil.rmtree(os.path.join(base, f"rtcdc_{query}_{tag}"), ignore_errors=True)
     for sibling in glob.glob(os.path.join(base, f"rtcdc_{query}_{tag}_*")):
         pid_part = sibling.rsplit("_", 1)[-1]

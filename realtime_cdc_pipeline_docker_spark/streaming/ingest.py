@@ -211,6 +211,7 @@ def run_event_dedup_stream(
     sink_dir: str,
     checkpoint_dir: str,
     dedup_horizon: str = "365 days",
+    state_partitions: int | None = 8,
 ) -> DataFrame:
     """Exactly-once event ingestion via Spark's native watermarked
     dedup state: ``dropDuplicatesWithinWatermark("event_id")``.
@@ -232,20 +233,28 @@ def run_event_dedup_stream(
     delivery contract.  The sink append is the same parquet+checkpoint
     commit protocol as the CDC pipeline (H2/H5): a restart replays
     no batch and re-appends nothing.
+
+    ``state_partitions`` sizes the query's pinned state-store shard
+    count (windows._scoped_shuffle_partitions); the fixture default
+    suits the O(10⁵)-key test state — production sizes it to
+    (event rate × horizon) / target-rows-per-shard.
     """
+    from .windows import _scoped_shuffle_partitions
+
     batch_schema = spark.read.parquet(src_dir).schema
     stream = spark.readStream.schema(batch_schema).parquet(src_dir)
     deduped = stream.withWatermark("ts", dedup_horizon).dropDuplicatesWithinWatermark(
         ["event_id"]
     )
-    (
-        deduped.writeStream.format("parquet")
-        .option("path", sink_dir)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
+    with _scoped_shuffle_partitions(spark, state_partitions):
+        (
+            deduped.writeStream.format("parquet")
+            .option("path", sink_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
     return spark.read.parquet(sink_dir)
 
 

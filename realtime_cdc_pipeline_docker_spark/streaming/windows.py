@@ -235,8 +235,40 @@ def session_window_agg(
     )
 
 
+class _scoped_shuffle_partitions:
+    """Set ``spark.sql.shuffle.partitions`` for the duration of a
+    streaming query START (restored afterwards).  A stateful streaming
+    query pins its STATE partition count from the session conf at
+    first batch — it is a per-query physical-layout choice, not a
+    session one, so it must be sized to the query's state cardinality:
+    a few thousand state rows sharded 32 ways is pure per-partition
+    state-store maintenance overhead (round-9 h13 decomposition:
+    3 605 state rows × 32 partitions ran 2.5–5.9 s/run with the widest
+    variance in the suite; 8 partitions → 1.4–1.8 s, tight.  The same
+    per-task scheduling floor as the PageRank iteration sizing,
+    PERF.md §Round-8).  On a real cluster the caller passes a count
+    sized rows/250k-ish and ≥ executor parallelism; ``None`` keeps the
+    session default."""
+
+    def __init__(self, spark, n: int | None):
+        self.spark, self.n = spark, n
+
+    def __enter__(self):
+        if self.n is not None:
+            self.old = self.spark.conf.get("spark.sql.shuffle.partitions")
+            self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
+
+    def __exit__(self, *exc):
+        if self.n is not None:
+            self.spark.conf.set("spark.sql.shuffle.partitions", self.old)
+
+
 def run_session_stream(
-    spark, src_dir: str, sink_dir: str, checkpoint_dir: str
+    spark,
+    src_dir: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    state_partitions: int | None = 8,
 ) -> DataFrame:
     """Run the session-window aggregation as an append-mode file-source
     stream.  Append mode emits a session once the watermark passes its
@@ -244,23 +276,31 @@ def run_session_stream(
     sentinel (under a user id excluded from the assertion surface) so
     the final watermark passes every real session's end — the
     sentinel's own session stays open in state and never reaches the
-    sink (the h13/h14 sentinel contract)."""
+    sink (the h13/h14 sentinel contract).  ``state_partitions`` sizes
+    the query's pinned state-store shard count (see
+    ``_scoped_shuffle_partitions``); the fixture default suits the
+    O(10⁴)-open-session test state."""
     schema = spark.read.parquet(src_dir).schema
     stream = spark.readStream.schema(schema).parquet(src_dir)
-    (
-        session_window_agg(stream)
-        .writeStream.format("parquet")
-        .option("path", sink_dir)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
+    with _scoped_shuffle_partitions(spark, state_partitions):
+        (
+            session_window_agg(stream)
+            .writeStream.format("parquet")
+            .option("path", sink_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
     return spark.read.parquet(sink_dir)
 
 
 def run_ohlc_stream(
-    spark, src_dir: str, sink_dir: str, checkpoint_dir: str
+    spark,
+    src_dir: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    state_partitions: int | None = 8,
 ) -> DataFrame:
     """Run the OHLC aggregation as an append-mode file-source stream.
 
@@ -270,16 +310,20 @@ def run_ohlc_stream(
     bounded fixture flushed must ensure the source contains events
     advancing the watermark past the last real window (the h13 query
     plants a far-future sentinel per type; the sentinel's own
-    still-open bar never emits, so it needs no output filtering)."""
+    still-open bar never emits, so it needs no output filtering).
+    ``state_partitions`` sizes the query's pinned state-store shard
+    count (see ``_scoped_shuffle_partitions``); the fixture default
+    suits the |types|×|hours| ≈ 3.6 k-bar test state."""
     schema = spark.read.parquet(src_dir).schema
     stream = spark.readStream.schema(schema).parquet(src_dir)
-    (
-        ohlc_window_agg(stream)
-        .writeStream.format("parquet")
-        .option("path", sink_dir)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
+    with _scoped_shuffle_partitions(spark, state_partitions):
+        (
+            ohlc_window_agg(stream)
+            .writeStream.format("parquet")
+            .option("path", sink_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
     return spark.read.parquet(sink_dir)

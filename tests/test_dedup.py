@@ -741,6 +741,40 @@ def test_suffix_order_replen_distributed_equals_naive(spark):
     assert max(r[2] for r in dist) == 20
 
 
+def test_suffix_order_range_exchange_reused(spark):
+    """Both consumers of the range-partitioned suffix table (the
+    lag/lead table and the boundary table) must observe the SAME
+    RangePartitioner boundaries.  ADVICE r8: relying on exchange reuse
+    left that invariant implicit — this pins it: the FINAL adaptive
+    plan must materialize the range exchange once and serve the second
+    consumer a ReusedExchange of it.  (Backstop even without reuse:
+    RangePartitioner's reservoir sampling is seeded per partition
+    index, so identical input gives identical boundaries — but reuse
+    is what we actually run on.)"""
+    import re
+
+    from realtime_cdc_pipeline_docker_spark.operators.dedup import (
+        maximal_repeat_spans,
+    )
+
+    rep = " ".join(f"r{i}" for i in range(20))
+    df = spark.createDataFrame(
+        [(i, f"u{i}a u{i}b " + rep + f" u{i}c") for i in range(30)],
+        ["doc_id", "text"],
+    )
+    out = maximal_repeat_spans(df, min_len=12, cap=32)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    materialized = len(re.findall(r"\+- Exchange rangepartitioning", final))
+    reused = len(
+        re.findall(r"ReusedExchange \[[^\]]*\], Exchange rangepartitioning", final)
+    )
+    assert materialized == 1, f"range exchange compiled {materialized}× — boundary\
+ stitching would read differently-sampled partitions:\n{final[:3000]}"
+    assert reused >= 1, f"no ReusedExchange of the range exchange:\n{final[:3000]}"
+
+
 def _py_maximal_repeat_spans(docs, min_len=12, cap=32):
     """Independent pure-Python model of maximal_repeat_spans: brute
     force every suffix pair's common prefix (capped), threshold,
