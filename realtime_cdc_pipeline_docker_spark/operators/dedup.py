@@ -1492,3 +1492,92 @@ def repeated_passage_spans(
         )
         .drop("isl")
     )
+
+
+def incremental_neardup_dedup(
+    df: DataFrame,
+    n_waves: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    jaccard_threshold: float = 0.5,
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """BATCH twin of ``streaming.ingest.run_neardup_ingest_stream``:
+    the corpus partitioned into ``n_waves`` arrival waves
+    (``wave = doc_id % n_waves``, processed in wave order), each wave
+    near-dup-deduplicated against the SURVIVORS of earlier waves plus
+    the shadow rule within its own wave:
+
+    - dropped iff exact-Jaccard >= ``jaccard_threshold`` vs an
+      earlier-wave SURVIVOR, or vs a smaller-id document of the SAME
+      wave (shadowing peers count regardless of their own fate).
+    - First-ARRIVED survives: an earlier-wave survivor suppresses a
+      later near-dup even when the later doc has the smaller id — the
+      property that separates incremental dedup from the batch
+      min-keeper family, and the parity tests plant exactly that case.
+
+    Mechanism differs from the stream on purpose (independent-path
+    agreement for the parity test): ONE LSH pass over the whole corpus
+    yields the verified near-dup pair table (``minhash_lsh_pairs`` —
+    exhaustive on fixtures whose true pairs sit far above the
+    threshold, the documented j2 contract), then the wave fold is
+    plain set algebra over that table — ``n_waves`` anti-joins, no
+    driver-side row data.  The stream instead probes the at-rest
+    index per batch and never sees a global pair table.
+
+    Returns one row per document: ``(doc_id, wave, survived)``.
+    """
+    pairs = minhash_lsh_pairs(
+        df,
+        text_col,
+        id_col,
+        shingle_k,
+        num_hashes,
+        bands,
+        jaccard_threshold,
+        max_bucket_size,
+    ).select("id_a", "id_b")
+    sym = pairs.unionByName(
+        pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    ).persist()
+    track_persisted(sym)
+    docs = df.select(
+        F.col(id_col).alias("doc_id"),
+        (F.col(id_col) % n_waves).cast("long").alias("wave"),
+    )
+    survivors = None
+    out = None
+    for w in range(n_waves):
+        wave = docs.filter(F.col("wave") == w)
+        shadowed = (
+            sym.filter(F.col("id_a") < F.col("id_b"))
+            .join(wave.select(F.col("doc_id").alias("id_a")), "id_a")
+            .join(wave.select(F.col("doc_id").alias("id_b")), "id_b")
+            .select(F.col("id_b").alias("doc_id"))
+        )
+        dropped = shadowed
+        if survivors is not None:
+            matched = (
+                sym.join(
+                    survivors.select(F.col("doc_id").alias("id_a")), "id_a"
+                )
+                .join(wave.select(F.col("doc_id").alias("id_b")), "id_b")
+                .select(F.col("id_b").alias("doc_id"))
+            )
+            dropped = dropped.unionByName(matched)
+        surv_w = wave.join(dropped.distinct(), "doc_id", "left_anti")
+        survivors = (
+            surv_w if survivors is None else survivors.unionByName(surv_w)
+        )
+        flagged = wave.join(
+            surv_w.select("doc_id", F.lit(True).alias("survived")),
+            "doc_id",
+            "left",
+        ).select(
+            "doc_id", "wave", F.coalesce("survived", F.lit(False)).alias("survived")
+        )
+        out = flagged if out is None else out.unionByName(flagged)
+    return out

@@ -235,32 +235,44 @@ def session_window_agg(
     )
 
 
-class _scoped_shuffle_partitions:
-    """Set ``spark.sql.shuffle.partitions`` for the duration of a
-    streaming query START (restored afterwards).  A stateful streaming
-    query pins its STATE partition count from the session conf at
-    first batch — it is a per-query physical-layout choice, not a
-    session one, so it must be sized to the query's state cardinality:
-    a few thousand state rows sharded 32 ways is pure per-partition
-    state-store maintenance overhead (round-9 h13 decomposition:
-    3 605 state rows × 32 partitions ran 2.5–5.9 s/run with the widest
-    variance in the suite; 8 partitions → 1.4–1.8 s, tight.  The same
-    per-task scheduling floor as the PageRank iteration sizing,
-    PERF.md §Round-8).  On a real cluster the caller passes a count
-    sized rows/250k-ish and ≥ executor parallelism; ``None`` keeps the
-    session default."""
+class _scoped_confs:
+    """Set session confs for the duration of a streaming query START
+    (restored afterwards).  A streaming query clones the session conf
+    at start, so confs set here are per-query physical-layout choices,
+    not session-wide behavior changes."""
 
-    def __init__(self, spark, n: int | None):
-        self.spark, self.n = spark, n
+    def __init__(self, spark, confs: dict[str, str]):
+        self.spark, self.confs = spark, confs
 
     def __enter__(self):
-        if self.n is not None:
-            self.old = self.spark.conf.get("spark.sql.shuffle.partitions")
-            self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
+        self.old = {k: self.spark.conf.get(k) for k in self.confs}
+        for k, v in self.confs.items():
+            self.spark.conf.set(k, v)
 
     def __exit__(self, *exc):
-        if self.n is not None:
-            self.spark.conf.set("spark.sql.shuffle.partitions", self.old)
+        for k, v in self.old.items():
+            self.spark.conf.set(k, v)
+
+
+class _scoped_shuffle_partitions(_scoped_confs):
+    """Scope ``spark.sql.shuffle.partitions`` around a streaming query
+    start.  A stateful streaming query pins its STATE partition count
+    from the session conf at first batch — it is a per-query
+    physical-layout choice, not a session one, so it must be sized to
+    the query's state cardinality: a few thousand state rows sharded
+    32 ways is pure per-partition state-store maintenance overhead
+    (round-9 h13 decomposition: 3 605 state rows × 32 partitions ran
+    2.5–5.9 s/run with the widest variance in the suite; 8 partitions
+    → 1.4–1.8 s, tight.  The same per-task scheduling floor as the
+    PageRank iteration sizing, PERF.md §Round-8).  On a real cluster
+    the caller passes a count sized rows/250k-ish and ≥ executor
+    parallelism; ``None`` keeps the session default."""
+
+    def __init__(self, spark, n: int | None):
+        super().__init__(
+            spark,
+            {} if n is None else {"spark.sql.shuffle.partitions": str(n)},
+        )
 
 
 def run_session_stream(

@@ -94,6 +94,34 @@ def main() -> int:
         pairs.unpersist()
         del comp
 
+        # incremental: wave-ordered near-dup dedup (j2m/h15 shape —
+        # replica copies land at shifted ids, so each replica wave
+        # near-dups its original and the survivor count stays ~constant
+        # while the corpus scales).  Claim: one LSH pass + n_waves
+        # anti-joins over the pair table — wall-time ~linear, never a
+        # per-wave corpus rescan.
+        from realtime_cdc_pipeline_docker_spark.operators.dedup import (
+            incremental_neardup_dedup,
+        )
+
+        t0 = time.time()
+        inc = incremental_neardup_dedup(corpus).persist()
+        n_inc_surv = inc.filter("survived").count()
+        release_persisted()
+        print(
+            json.dumps(
+                {
+                    "probe": "incremental",
+                    "scale": scale,
+                    "n_docs": n_docs,
+                    "n_survivors": n_inc_surv,
+                    "sec": round(time.time() - t0, 2),
+                }
+            ),
+            flush=True,
+        )
+        inc.unpersist()
+
         t0 = time.time()
         sharded = shuffle_corpus(corpus, num_shards=64).groupBy("shard").count()
         szs = [r["count"] for r in sharded.collect()]

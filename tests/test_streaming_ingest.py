@@ -291,3 +291,208 @@ def test_event_dedup_stream_on_rocksdb_state_store(spark, tmp_path):
     # (zip snapshots / changelog files), which HDFSBackedStateStore never writes
     state_files = glob.glob(str(tmp_path / "ckpt_r" / "state" / "**"), recursive=True)
     assert any(f.endswith((".zip", ".changelog")) for f in state_files), state_files[:20]
+
+
+# --- incremental near-dup ingestion (run_neardup_ingest_stream, h15/j2m) ---
+
+
+def _ndoc(doc_id, text, lang="en", source="test"):
+    return (doc_id, text, lang, source, len(text))
+
+
+def _ntext(seed: str, n: int = 30, tweak: int = -1) -> str:
+    # Every 5-char shingle of a token (and of a token boundary)
+    # contains the group letter, so distinct groups share NO shingles
+    # and sit at Jaccard 0; within-group near-dups differ by one token.
+    toks = [f"{seed * 3}{j}{seed * 3}" for j in range(n)]
+    if tweak >= 0:
+        toks[tweak] = f"{seed * 2}9{tweak}9{seed * 2}"
+    return " ".join(toks)
+
+
+def _neardup_fixture(spark):
+    """Planted waves exercising every semantic branch of the
+    incremental contract:
+
+    - cross-wave suppression: 301 (wave 1) near-dups indexed 3 (wave 0)
+    - FIRST-ARRIVED survives: 300 (wave 0) and 7 (wave 1) are
+      near-dups; 300 has the larger id but the earlier wave -> 300
+      survives, 7 drops (the case no min-keeper dedup reproduces)
+    - within-wave shadow: 9 drops against smaller-id 6 (both wave 0)
+    - chain through the index: 15 shadowed by 12 in wave 0; 302
+      (wave 2) near-dups BOTH -> drops against indexed survivor 12
+    - unique docs pass through every wave
+    """
+    w0 = spark.createDataFrame(
+        [
+            _ndoc(3, _ntext("a")),
+            _ndoc(300, _ntext("b")),
+            _ndoc(6, _ntext("c")),
+            _ndoc(9, _ntext("c", tweak=2)),
+            _ndoc(12, _ntext("d")),
+            _ndoc(15, _ntext("d", tweak=4)),
+            _ndoc(18, _ntext("e")),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    w1 = spark.createDataFrame(
+        [
+            _ndoc(301, _ntext("a", tweak=1)),
+            _ndoc(7, _ntext("b", tweak=3)),
+            _ndoc(19, _ntext("f")),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    w2 = spark.createDataFrame(
+        [
+            _ndoc(302, _ntext("d", tweak=7)),
+            _ndoc(20, _ntext("g")),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    expected_survivors = {3, 300, 6, 12, 18, 19, 20}
+    return [w0, w1, w2], expected_survivors
+
+
+def test_neardup_ingest_planted_semantics(spark, tmp_path):
+    from realtime_cdc_pipeline_docker_spark.streaming.ingest import (
+        run_neardup_ingest_stream,
+    )
+
+    waves, expected = _neardup_fixture(spark)
+    src = str(tmp_path / "src")
+    for w in waves:
+        w.coalesce(1).write.mode("append").parquet(src)
+    out = run_neardup_ingest_stream(
+        spark,
+        src,
+        str(tmp_path / "log"),
+        str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    assert {r["doc_id"] for r in out.collect()} == expected
+
+
+def test_neardup_ingest_stream_equals_batch_twin(spark, tmp_path):
+    """Independent-path agreement: the per-batch index-probe stream and
+    the global-pair-table batch fold must produce the same survivor
+    set on waves that match the batch twin's doc_id % 3 assignment."""
+    from realtime_cdc_pipeline_docker_spark.operators.dedup import (
+        incremental_neardup_dedup,
+    )
+    from realtime_cdc_pipeline_docker_spark.streaming.ingest import (
+        run_neardup_ingest_stream,
+    )
+
+    waves, _ = _neardup_fixture(spark)
+    # _neardup_fixture ids are constructed so wave == doc_id % 3
+    corpus = waves[0]
+    for w in waves[1:]:
+        corpus = corpus.unionByName(w)
+    src = str(tmp_path / "src")
+    for w in waves:
+        w.coalesce(1).write.mode("append").parquet(src)
+    stream_surv = {
+        r["doc_id"]
+        for r in run_neardup_ingest_stream(
+            spark,
+            src,
+            str(tmp_path / "log"),
+            str(tmp_path / "ckpt"),
+            max_files_per_trigger=1,
+        ).collect()
+    }
+    twin = incremental_neardup_dedup(corpus, n_waves=3)
+    twin_surv = {r["doc_id"] for r in twin.collect() if r["survived"]}
+    assert stream_surv == twin_surv
+    # and the twin's wave assignment matches the planted waves
+    assert all(
+        r["wave"] == r["doc_id"] % 3 for r in twin.collect()
+    )
+
+
+def test_neardup_ingest_periodic_drains_equal_single_run(spark, tmp_path):
+    """Delivering one wave per availableNow run over a SHARED
+    checkpoint (the periodic-drain cadence — each later run is exactly
+    a checkpoint RESTART with new files pending) must equal the single
+    rate-limited run."""
+    from realtime_cdc_pipeline_docker_spark.streaming.ingest import (
+        run_neardup_ingest_stream,
+    )
+
+    waves, expected = _neardup_fixture(spark)
+    src_a = str(tmp_path / "src_a")
+    out = None
+    for w in waves:
+        w.coalesce(1).write.mode("append").parquet(src_a)
+        out = run_neardup_ingest_stream(
+            spark, src_a, str(tmp_path / "log_a"), str(tmp_path / "ckpt_a")
+        )
+    drained = {r["doc_id"] for r in out.collect()}
+    assert drained == expected
+    # restart with nothing pending appends nothing
+    again = run_neardup_ingest_stream(
+        spark, src_a, str(tmp_path / "log_a"), str(tmp_path / "ckpt_a")
+    )
+    assert {r["doc_id"] for r in again.collect()} == expected
+
+
+def test_neardup_ingest_redelivery_is_absorbed(spark, tmp_path):
+    """Full redelivery of every wave under a NEW checkpoint (the h10
+    at-least-once delivery pattern): each redelivered document
+    re-verifies against its own indexed copy at Jaccard 1.0 and drops,
+    so the ledger read-back is unchanged."""
+    from realtime_cdc_pipeline_docker_spark.streaming.ingest import (
+        run_neardup_ingest_stream,
+    )
+
+    waves, expected = _neardup_fixture(spark)
+    src = str(tmp_path / "src")
+    log = str(tmp_path / "log")
+    for w in waves:
+        w.coalesce(1).write.mode("append").parquet(src)
+    first = run_neardup_ingest_stream(
+        spark, src, log, str(tmp_path / "ckpt1"), max_files_per_trigger=1
+    )
+    assert {r["doc_id"] for r in first.collect()} == expected
+    # redeliver everything: new files, fresh checkpoint, same ledgers
+    for w in waves:
+        w.coalesce(1).write.mode("append").parquet(src)
+    second = run_neardup_ingest_stream(
+        spark, src, log, str(tmp_path / "ckpt2"), max_files_per_trigger=1
+    )
+    rows = second.collect()
+    assert {r["doc_id"] for r in rows} == expected
+    assert len(rows) == len(expected)  # read-back collapses, no doubles
+
+
+def test_neardup_ingest_index_probe_is_bucket_pruned(spark, tmp_path):
+    """The per-batch index probe must read only the bucket partitions
+    the batch's band hashes touch (h8's partition-pruning contract,
+    applied to the LSH index ledger)."""
+    from realtime_cdc_pipeline_docker_spark.streaming.ingest import (
+        run_neardup_ingest_stream,
+    )
+
+    waves, _ = _neardup_fixture(spark)
+    src = str(tmp_path / "src")
+    log = str(tmp_path / "log")
+    for w in waves:
+        w.coalesce(1).write.mode("append").parquet(src)
+    run_neardup_ingest_stream(
+        spark, src, log, str(tmp_path / "ckpt"), max_files_per_trigger=1
+    )
+    idx = spark.read.parquet(f"{log}/index")
+    all_buckets = {r[0] for r in idx.select("bucket").distinct().collect()}
+    assert len(all_buckets) > 1, "fixture bands should spread over buckets"
+    # the probe shape write_batch builds: filter on the partition column
+    probe = idx.filter(F.col("bucket").isin([min(all_buckets)]))
+    plan = probe._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    part = plan.split("PartitionFilters", 1)
+    assert len(part) == 2 and "bucket" in part[1].split("]", 1)[0], (
+        "bucket predicate must prune partitions at the scan, not filter rows"
+    )
