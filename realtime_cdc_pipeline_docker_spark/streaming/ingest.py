@@ -352,8 +352,14 @@ def run_neardup_ingest_stream(
       + their ``hs`` fingerprint sets) and ``index/`` (one
       (doc_id, band_id, band_hash) row per band per survivor,
       partitioned by ``bucket = pmod(xxhash64(band_hash),
-      index_buckets)``).  Every row carries ``__batch_id``.
-    - The per-batch probe EXCLUDES rows of its own ``__batch_id`` and
+      index_buckets)``).  Every row carries ``__batch_id`` plus a
+      ``__run_tag`` derived from the CHECKPOINT path: batch ids are
+      only unique within one checkpoint lineage (a redelivery run
+      under a fresh checkpoint restarts at 0), so the own-batch
+      exclusion below keys on (tag, batch) — a fresh-checkpoint
+      batch 0 must still see the ORIGINAL run's batch-0 appends
+      (found by the post-compaction redelivery test).
+    - The per-batch probe EXCLUDES rows of its own (tag, batch) and
       dedups what it reads, so a replayed batch (foreachBatch is
       at-least-once within a run) recomputes the identical survivor
       set no matter which of the two appends the crash interrupted;
@@ -385,6 +391,12 @@ def run_neardup_ingest_stream(
     index_dir = f"{log_dir}/index"
     rows_per_band = num_hashes // bands
     bucket_expr = F.pmod(F.xxhash64("band_hash"), F.lit(index_buckets)).cast("int")
+    # Lineage tag: batch ids restart at 0 under a fresh checkpoint, so
+    # the own-batch replay exclusion is keyed (tag, batch) — stable
+    # across RESTARTS of one checkpoint, distinct across lineages.
+    import hashlib as _hashlib
+
+    run_tag = _hashlib.md5(checkpoint_dir.encode()).hexdigest()[:12]
     # Explicit ledger schemas: spark.read without a schema costs one
     # footer-inference job per probe per batch — the layouts are fixed.
     # (Built from a COPY of the fields: StructType.add mutates in place.)
@@ -393,6 +405,7 @@ def run_neardup_ingest_stream(
         + [
             T.StructField("hs", T.ArrayType(T.LongType())),
             T.StructField("__batch_id", T.LongType()),
+            T.StructField("__run_tag", T.StringType()),
         ]
     )
     index_ledger_schema = T.StructType(
@@ -401,6 +414,7 @@ def run_neardup_ingest_stream(
             T.StructField("band_id", T.IntegerType()),
             T.StructField("band_hash", T.LongType()),
             T.StructField("__batch_id", T.LongType()),
+            T.StructField("__run_tag", T.StringType()),
             T.StructField("bucket", T.IntegerType()),
         ]
     )
@@ -452,7 +466,10 @@ def run_neardup_ingest_stream(
                 nb.join(
                     idx.filter(
                         F.col("bucket").isin(touched)
-                        & (F.col("__batch_id") != batch_id)
+                        & ~(
+                            (F.col("__batch_id") == batch_id)
+                            & (F.col("__run_tag") == run_tag)
+                        )
                     ).select(
                         F.col("doc_id").alias("id_b"), "band_id", "band_hash"
                     ),
@@ -463,7 +480,12 @@ def run_neardup_ingest_stream(
             )
             led = (
                 _read_ledger(sess, docs_dir, docs_ledger_schema)
-                .filter(F.col("__batch_id") != batch_id)
+                .filter(
+                    ~(
+                        (F.col("__batch_id") == batch_id)
+                        & (F.col("__run_tag") == run_tag)
+                    )
+                )
                 .select(F.col("doc_id").alias("id_b"), F.col("hs").alias("hs_b"))
             )
             dropped = _verified(
@@ -490,6 +512,7 @@ def run_neardup_ingest_stream(
                 fp.select(F.col("id").alias("doc_id"), "hs"), "doc_id", "left"
             )
             .withColumn("__batch_id", F.lit(batch_id))
+            .withColumn("__run_tag", F.lit(run_tag))
             # One execution of the dedup DAG serves both ledger
             # appends below (unpersisted after; bounded by batch size).
             .persist()
@@ -506,6 +529,7 @@ def run_neardup_ingest_stream(
                     "band_hash",
                     "bucket",
                     F.lit(batch_id).alias("__batch_id"),
+                    F.lit(run_tag).alias("__run_tag"),
                 )
                 .repartition("bucket")
                 .write.mode("append")
@@ -551,6 +575,84 @@ def run_neardup_ingest_stream(
     if log is None:
         return spark.createDataFrame([], DOCUMENT_SCHEMA)
     return (
-        log.drop("__batch_id", "hs")
+        log.drop("__batch_id", "__run_tag", "hs")
         .dropDuplicates(["doc_id"])
     )
+
+
+def compact_neardup_ledgers(
+    spark: SparkSession, log_dir: str, files_per_bucket: int = 1
+) -> dict:
+    """Table maintenance for the incremental near-dup ledgers
+    (``run_neardup_ingest_stream``): every micro-batch appends one
+    docs file and one file per touched index bucket, and replayed
+    batches add duplicate rows by design (merge-on-read collapses
+    them) — a long-running ingest accumulates O(batches) small files
+    and replay duplicates that every probe re-reads.
+
+    Compaction collapses each ledger to its canonical state — one row
+    per doc_id (docs) / per (doc_id, band_id) (index), keeping the
+    MIN ``__batch_id`` so a post-compaction replay of a crashed batch
+    still sees pre-batch state (the own-batch exclusion contract) —
+    and rewrites:
+
+    - the index with *dynamic* per-bucket partition overwrite (the
+      ``compact_log`` mechanics: per-partition atomic, a concurrent
+      probe sees each bucket either old or new, both collapse to the
+      same state), rows sorted by ``band_hash`` so the bucket-local
+      probe also gets footer min/max row-group skipping;
+    - the docs ledger with a plain overwrite after an eager
+      ``localCheckpoint`` — it is unpartitioned, so THIS rewrite is a
+      maintenance-window step (at 100 TB the docs ledger would carry
+      the index's bucket layout and compact rolling too; the index —
+      the per-batch probe surface — already does).
+
+    Returns {"files_before": n, "files_after": m} per ledger."""
+    docs_dir = f"{log_dir}/docs"
+    index_dir = f"{log_dir}/index"
+    out: dict = {}
+
+    docs = _read_log(spark, docs_dir)
+    if docs is not None:
+        before = len(docs.inputFiles())
+        w = Window.partitionBy("doc_id").orderBy("__batch_id")
+        snap = (
+            docs.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+            .localCheckpoint(eager=True)
+        )
+        snap.coalesce(max(1, files_per_bucket)).write.mode("overwrite").parquet(
+            docs_dir
+        )
+        out["docs"] = {
+            "files_before": before,
+            "files_after": len(spark.read.parquet(docs_dir).inputFiles()),
+        }
+
+    idx = _read_log(spark, index_dir)
+    if idx is not None:
+        before = len(idx.inputFiles())
+        w = Window.partitionBy("doc_id", "band_id").orderBy("__batch_id")
+        snap = (
+            idx.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+            .localCheckpoint(eager=True)
+        )
+        (
+            snap.repartition(
+                F.col("bucket"),
+                F.pmod(F.xxhash64("band_hash"), F.lit(files_per_bucket)),
+            )
+            .sortWithinPartitions("band_hash")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket")
+            .parquet(index_dir)
+        )
+        out["index"] = {
+            "files_before": before,
+            "files_after": len(spark.read.parquet(index_dir).inputFiles()),
+        }
+    return out

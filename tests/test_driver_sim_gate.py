@@ -136,11 +136,19 @@ def test_bench_headline_generated():
     assert head["excluded"] == len(bench.get("excluded", {}))
 
     pat = re.compile(r"(\d+(?:\.\d+)?)\s*s for ALL (\d+)")
+    n_current = len(bench["queries"])
     for doc in ("PERF.md", "SURVEY.md"):
-        for total, nq in pat.findall((REPO / doc).read_text()):
+        hits = pat.findall((REPO / doc).read_text())
+        # Historical round sections quote the headline of THEIR round's
+        # artifact; the suite grows every round, so those literals are
+        # distinguishable by query count and stay frozen.  Every literal
+        # quoting the CURRENT query count must match the current
+        # artifact, and each doc must carry at least one current quote.
+        current = [t for t, nq in hits if int(nq) == n_current]
+        assert current, f"{doc} never quotes the current {n_current}-query headline"
+        for total in current:
             assert abs(float(total) - bench["value"]) < 0.05, (
-                f"{doc} quotes a headline of {total} s; the committed "
-                f"BENCH_FULL.json says {bench['value']} s — regenerate "
-                "with scripts/update_counts.py and update the doc"
+                f"{doc} quotes a {n_current}-query headline of {total} s; "
+                f"the committed BENCH_FULL.json says {bench['value']} s — "
+                "regenerate with scripts/update_counts.py and update the doc"
             )
-            assert int(nq) == len(bench["queries"]), doc

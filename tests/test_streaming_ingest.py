@@ -496,3 +496,49 @@ def test_neardup_ingest_index_probe_is_bucket_pruned(spark, tmp_path):
     assert len(part) == 2 and "bucket" in part[1].split("]", 1)[0], (
         "bucket predicate must prune partitions at the scan, not filter rows"
     )
+
+
+def test_neardup_ledger_compaction_preserves_state(spark, tmp_path):
+    """Compaction must shrink both ledgers' file counts, leave the
+    survivor read-back unchanged, and keep the at-rest index fully
+    probe-able: a post-compaction delivery of a near-dup of an indexed
+    survivor must still drop."""
+    from realtime_cdc_pipeline_docker_spark.streaming.ingest import (
+        compact_neardup_ledgers,
+        run_neardup_ingest_stream,
+    )
+
+    waves, expected = _neardup_fixture(spark)
+    src = str(tmp_path / "src")
+    log = str(tmp_path / "log")
+    for w in waves:
+        w.coalesce(1).write.mode("append").parquet(src)
+    run_neardup_ingest_stream(
+        spark, src, log, str(tmp_path / "ckpt1"), max_files_per_trigger=1
+    )
+    # redeliver everything (new checkpoint): absorbed, but the ledgers
+    # now hold replay-duplicate APPENDS the compaction should fold away
+    for w in waves:
+        w.coalesce(1).write.mode("append").parquet(src)
+    run_neardup_ingest_stream(
+        spark, src, log, str(tmp_path / "ckpt2"), max_files_per_trigger=1
+    )
+
+    stats = compact_neardup_ledgers(spark, log)
+    assert stats["docs"]["files_after"] < stats["docs"]["files_before"]
+    assert stats["index"]["files_after"] < stats["index"]["files_before"]
+    docs_led = spark.read.parquet(f"{log}/docs")
+    assert docs_led.count() == len(expected)  # one row per survivor
+    assert {r["doc_id"] for r in docs_led.collect()} == expected
+
+    # the compacted index still drives the probe: a fresh near-dup of
+    # survivor 3 ("a" group) delivered post-compaction must drop
+    extra = spark.createDataFrame(
+        [_ndoc(999, _ntext("a", tweak=5)), _ndoc(998, _ntext("h"))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    extra.coalesce(1).write.mode("append").parquet(src)
+    out = run_neardup_ingest_stream(
+        spark, src, log, str(tmp_path / "ckpt3"), max_files_per_trigger=100
+    )
+    assert {r["doc_id"] for r in out.collect()} == expected | {998}
