@@ -1540,16 +1540,30 @@ def incremental_neardup_dedup(
         jaccard_threshold,
         max_bucket_size,
     ).select("id_a", "id_b")
-    sym = pairs.unionByName(
-        pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
-    ).persist()
+    # Both orientations from ONE pass via explode — a union of pairs
+    # with its own reversal puts the LSH subtree in the DAG twice and
+    # Spark re-executes duplicated subtrees (the connected_components
+    # lesson; measured 2× the dominant cost here).
+    sym = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("id_a"), F.col("id_b")),
+                    F.struct(
+                        F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.id_a", "e.id_b")
+        .persist()
+    )
     track_persisted(sym)
     docs = df.select(
         F.col(id_col).alias("doc_id"),
         (F.col(id_col) % n_waves).cast("long").alias("wave"),
     )
     survivors = None
-    out = None
     for w in range(n_waves):
         wave = docs.filter(F.col("wave") == w)
         shadowed = (
@@ -1568,16 +1582,16 @@ def incremental_neardup_dedup(
                 .select(F.col("id_b").alias("doc_id"))
             )
             dropped = dropped.unionByName(matched)
-        surv_w = wave.join(dropped.distinct(), "doc_id", "left_anti")
+        surv_w = wave.join(dropped, "doc_id", "left_anti")
         survivors = (
             surv_w if survivors is None else survivors.unionByName(surv_w)
         )
-        flagged = wave.join(
-            surv_w.select("doc_id", F.lit(True).alias("survived")),
-            "doc_id",
-            "left",
-        ).select(
-            "doc_id", "wave", F.coalesce("survived", F.lit(False)).alias("survived")
-        )
-        out = flagged if out is None else out.unionByName(flagged)
-    return out
+    # Flags in ONE pass at the end (a per-wave flag join would add
+    # n_waves more joins over the same docs table).
+    return docs.join(
+        survivors.select("doc_id", F.lit(True).alias("survived")),
+        "doc_id",
+        "left",
+    ).select(
+        "doc_id", "wave", F.coalesce("survived", F.lit(False)).alias("survived")
+    )

@@ -1199,24 +1199,30 @@ def h13_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .cdc_queries import _work_dir
 
     work = _work_dir("stream_ohlc", sf_dir)
-    events = load_table(spark, sf_dir, "events").select(
-        "event_id", "ts", "event_type", "value"
-    ).withColumn("ts", F.col("ts").cast("timestamp"))
-    hi = events.agg(F.max("ts").alias("hi")).collect()[0]["hi"]
-    sentinels = (
-        events.select("event_type")
-        .distinct()
-        .select(
-            F.lit(-1).cast("long").alias("event_id"),
-            (F.lit(hi) + F.expr("INTERVAL 4 HOURS")).alias("ts"),
-            "event_type",
-            F.lit(0.0).alias("value"),
+    key = ("ohlc", sf_dir)
+    if key not in _STREAM_SRC:
+        src = f"{_work_dir('stream_ohlc_src', sf_dir)}/src"
+        events = load_table(spark, sf_dir, "events").select(
+            "event_id", "ts", "event_type", "value"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        hi = events.agg(F.max("ts").alias("hi")).collect()[0]["hi"]
+        sentinels = (
+            events.select("event_type")
+            .distinct()
+            .select(
+                F.lit(-1).cast("long").alias("event_id"),
+                (F.lit(hi) + F.expr("INTERVAL 4 HOURS")).alias("ts"),
+                "event_type",
+                F.lit(0.0).alias("value"),
+            )
         )
+        events.unionByName(sentinels).repartition(4).write.mode(
+            "overwrite"
+        ).parquet(src)
+        _STREAM_SRC[key] = src
+    return run_ohlc_stream(
+        spark, _STREAM_SRC[key], f"{work}/sink", f"{work}/ckpt"
     )
-    events.unionByName(sentinels).repartition(4).write.mode("overwrite").parquet(
-        f"{work}/src"
-    )
-    return run_ohlc_stream(spark, f"{work}/src", f"{work}/sink", f"{work}/ckpt")
 
 
 from .events_queries import SESSION_WINDOW_ORACLE  # noqa: E402
@@ -1244,17 +1250,23 @@ def h14_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .cdc_queries import _work_dir
 
     work = _work_dir("stream_sessions", sf_dir)
-    events = load_table(spark, sf_dir, "events").select(
-        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    key = ("sessions", sf_dir)
+    if key not in _STREAM_SRC:
+        src = f"{_work_dir('stream_sessions_src', sf_dir)}/src"
+        events = load_table(spark, sf_dir, "events").select(
+            "user_id", F.col("ts").cast("timestamp").alias("ts")
+        )
+        hi = events.agg(F.max("ts").alias("hi")).collect()[0]["hi"]
+        sentinel = spark.createDataFrame(
+            [(-1,)], "user_id long"
+        ).select("user_id", (F.lit(hi) + F.expr("INTERVAL 4 HOURS")).alias("ts"))
+        events.unionByName(sentinel).repartition(4).write.mode(
+            "overwrite"
+        ).parquet(src)
+        _STREAM_SRC[key] = src
+    return run_session_stream(
+        spark, _STREAM_SRC[key], f"{work}/sink", f"{work}/ckpt"
     )
-    hi = events.agg(F.max("ts").alias("hi")).collect()[0]["hi"]
-    sentinel = spark.createDataFrame(
-        [(-1,)], "user_id long"
-    ).select("user_id", (F.lit(hi) + F.expr("INTERVAL 4 HOURS")).alias("ts"))
-    events.unionByName(sentinel).repartition(4).write.mode("overwrite").parquet(
-        f"{work}/src"
-    )
-    return run_session_stream(spark, f"{work}/src", f"{work}/sink", f"{work}/ckpt")
 
 
 @register(
@@ -1306,6 +1318,12 @@ from .similarity_queries import NEARDUP_WAVES_ORACLE  # noqa: E402
 # under the reset-on-entry work dir so every run re-executes the whole
 # incremental dedup.
 _NEARDUP_SRC: dict[str, str] = {}
+
+# Same pattern for the h13/h14 sentinel event sources: pure functions
+# of (sf_dir), written once per process; the sink/checkpoint dirs stay
+# under the reset-on-entry work dir so every run re-executes the
+# streaming aggregation itself.
+_STREAM_SRC: dict[tuple[str, str], str] = {}
 
 
 @register("h15_stream_neardup_ingest", oracle=NEARDUP_WAVES_ORACLE)
