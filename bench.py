@@ -223,6 +223,13 @@ JIT_HEAVY = {
     "j2f_semantic_dedup",
     "j2g_fuzzy_neardup",
     "j2h_dedup_eval_pr",  # runs the same MinHash generated code over corpus+twins
+    # Round-9: the suffix-sort pair — the zip_with LCP fold is the
+    # largest single codegen surface in the repo and its C2 ramp spans
+    # >3 post-warm runs (solo: 10.4 / 3.8 / 2.9 / 2.7 s; a single
+    # warm-up left the r9 in-suite median at 3.9 s vs the 2.7 s floor).
+    "j2k_substring_dedup",
+    "j2n_substring_dedup_apply",
+    "j9i_bpe_encode",  # chained HOF-fold codegen, same slow-ramp class
 }
 
 

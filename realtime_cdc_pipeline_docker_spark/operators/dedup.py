@@ -1595,3 +1595,56 @@ def incremental_neardup_dedup(
     ).select(
         "doc_id", "wave", F.coalesce("survived", F.lit(False)).alias("survived")
     )
+
+
+def apply_substring_dedup(
+    df: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """APPLY substring dedup: cut the coverage spans
+    :func:`maximal_repeat_spans` found out of each document and emit
+    the cleaned corpus — the transformation step of Lee et al. 2022
+    ExactSubstr (their tool likewise removes EVERY occurrence of a
+    duplicated passage; a keep-first policy would need a global
+    occurrence ranking and is deliberately out of contract — both
+    copies of a marked repeat are cut).
+
+    Output, one row per input document: ``(doc_id, n_tokens,
+    n_removed, cleaned_text)`` where ``cleaned_text`` is the
+    space-join of the surviving NORMALIZED tokens (lower/trim/ws-split
+    — span positions are defined over that token array, so the
+    cleaned text is too; a production pass that must preserve raw
+    bytes would map token spans back through char offsets).
+
+    Shape: spans collapse to one small array per doc (they are unioned
+    intervals — a handful per document), broadcast-joined to the token
+    table; the cut is a per-row higher-order ``filter`` with the
+    position index tested against the span array — O(len · spans) per
+    document, no shuffle beyond the span groupBy, scales with the
+    corpus scan."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        ws_tokens(F.lower(F.trim(F.col(text_col)))).alias("toks"),
+    )
+    sp = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("sps")
+    )
+    kept = F.filter(
+        "toks",
+        lambda t, i: ~F.exists(
+            F.coalesce(F.col("sps"), F.array()),
+            lambda s: (i + 1 >= s["span_start"]) & (i + 1 <= s["span_end"]),
+        ),
+    )
+    return (
+        toks.join(sp, "doc_id", "left")
+        .withColumn("__kept", kept)
+        .select(
+            "doc_id",
+            F.size("toks").cast("long").alias("n_tokens"),
+            (F.size("toks") - F.size("__kept")).cast("long").alias("n_removed"),
+            F.concat_ws(" ", "__kept").alias("cleaned_text"),
+        )
+    )

@@ -218,3 +218,60 @@ def range_join(
         F.col(left_ts).between(F.col(rname(right_start)), F.col(rname(right_end)))
     )
     return joined.drop(l_tag["__bucket"]).drop(r_tag["__bucket"])
+
+
+def trailing_events_join(
+    probe: DataFrame,
+    events: DataFrame,
+    k: int = 3,
+    horizon_days: int = 90,
+    probe_key: str = "o_custkey",
+    probe_ts: str = "o_orderdate",
+    event_key: str = "user_id",
+    event_ts: str = "ts",
+    event_cols: tuple[str, ...] = ("event_id",),
+) -> DataFrame:
+    """Trailing-k event history per probe row (§2.K extension — the
+    feature-store lookup one step past the as-of join: not just the
+    latest state but the LAST ``k`` events strictly before the probe
+    time, e.g. "the customer's last 3 interactions before this
+    order").
+
+    The lookback is HORIZON-BOUNDED by contract (``horizon_days``):
+    an unbounded trailing join is a per-key quadratic at 100 TB, and
+    no production feature reads unbounded history — the horizon is
+    the feature definition.  Shape: one equi-key sort-merge join with
+    the range predicate applied inside it (never a cartesian), then a
+    per-probe descending-time rank the optimizer truncates map-side
+    at ``k`` (WindowGroupLimit — the same bound as top-k).  Ties
+    break (ts DESC, first event col DESC), a total order, so the
+    selected history is deterministic cross-engine.
+
+    Returns one row per (probe row, hist_rank <= k)."""
+    e_ts = F.col(event_ts).cast("timestamp")
+    p_ts = F.col(f"__p.{probe_ts}").cast("timestamp")
+    p = probe.alias("__p")
+    e = events.withColumn("__ets", e_ts).alias("__e")
+    joined = p.join(
+        e,
+        (F.col(f"__e.{event_key}") == F.col(f"__p.{probe_key}"))
+        & (F.col("__ets") < p_ts)
+        & (F.col("__ets") >= p_ts - F.expr(f"INTERVAL {int(horizon_days)} DAYS")),
+        "inner",
+    )
+    order_cols = [F.col("__ets").desc()] + [
+        F.col(f"__e.{c}").desc() for c in event_cols[:1]
+    ]
+    w = Window.partitionBy(*[F.col(f"__p.{c}") for c in probe.columns]).orderBy(
+        *order_cols
+    )
+    return (
+        joined.withColumn("hist_rank", F.row_number().over(w))
+        .filter(F.col("hist_rank") <= k)
+        .select(
+            *[F.col(f"__p.{c}") for c in probe.columns],
+            F.col("hist_rank").cast("long").alias("hist_rank"),
+            *[F.col(f"__e.{c}") for c in event_cols],
+            F.col("__ets").alias("event_ts"),
+        )
+    )

@@ -1055,6 +1055,85 @@ def j2k_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "j2n_substring_dedup_apply",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS l
+      FROM documents
+    ), tt AS (
+      SELECT doc_id, l FROM t WHERE len(l) >= 12
+    ), sfx AS (
+      SELECT doc_id, i AS pos, l[i:i+31] AS s,
+             array_to_string(l[i:i+31], ' ') AS sk
+      FROM tt, unnest(generate_series(1, len(l) - 11)) AS u(i)
+    ), nb AS (
+      SELECT doc_id, pos, s, lag(s) OVER w AS sp, lead(s) OVER w AS sn
+      FROM sfx WINDOW w AS (ORDER BY sk, doc_id, pos)
+    ), rep AS (
+      SELECT doc_id, pos,
+             GREATEST({_lcp_sql('s', 'sp')}, {_lcp_sql('s', 'sn')}) AS replen
+      FROM nb
+    ), hits AS (
+      SELECT doc_id, pos, replen FROM rep WHERE replen >= 12
+    ), m AS (
+      SELECT doc_id, pos, replen,
+             MAX(pos + replen - 1) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+      FROM hits
+    ), mi AS (
+      SELECT doc_id, pos, replen,
+             CASE WHEN pme IS NULL OR pos > pme + 1 THEN 1 ELSE 0 END
+               AS new_isl
+      FROM m
+    ), ii AS (
+      SELECT doc_id, pos, replen,
+             SUM(new_isl) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS UNBOUNDED PRECEDING) AS isl
+      FROM mi
+    ), spans AS (
+      SELECT doc_id, MIN(pos) AS s, MAX(pos + replen - 1) AS e
+      FROM ii GROUP BY doc_id, isl
+    ), tok AS (
+      SELECT doc_id, i AS pos, l[CAST(i AS INT)] AS tok
+      FROM t, unnest(generate_series(1, len(l))) AS u(i)
+    ), kept AS (
+      SELECT k.doc_id, k.pos, k.tok
+      FROM tok k
+      WHERE NOT EXISTS (
+        SELECT 1 FROM spans sp
+        WHERE sp.doc_id = k.doc_id AND k.pos BETWEEN sp.s AND sp.e)
+    )
+    SELECT t.doc_id,
+           CAST(len(t.l) AS BIGINT) AS n_tokens,
+           CAST(len(t.l) - COUNT(k.pos) AS BIGINT) AS n_removed,
+           COALESCE(string_agg(k.tok, ' ' ORDER BY k.pos), '') AS cleaned_text
+    FROM t LEFT JOIN kept k USING (doc_id)
+    GROUP BY t.doc_id, t.l
+    """,
+)
+def j2n_substring_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring dedup APPLIED (§2.J2 completion of j2k — the
+    transformation a production ExactSubstr pass actually ships):
+    j2k's variable-length coverage spans are CUT out of every
+    document, emitting the cleaned corpus plus removal accounting
+    (n_tokens / n_removed / cleaned_text over the normalized token
+    array the spans are defined on).  Every occurrence of a marked
+    repeat is removed — the Lee et al. 2022 tool's policy; keep-first
+    would need a global occurrence rank and is out of contract.  The
+    oracle replays the full j2k decomposition AND the cut (token
+    explode WITH ORDINALITY, span anti-join, ordered re-aggregation)
+    so the cleaned TEXT itself is hash-verified cross-engine.  See
+    operators/dedup.py:apply_substring_dedup."""
+    from ..operators.dedup import apply_substring_dedup, maximal_repeat_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return apply_substring_dedup(
+        docs, maximal_repeat_spans(docs, min_len=12, cap=32)
+    )
+
+
+@register(
     "j2l_dup_cluster_stats",
     oracle="""
     WITH corpus AS (

@@ -374,3 +374,64 @@ def k6_asof_staleness_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(fresh, F.col("o_orderkey")).alias("fresh_orderkey"),
         F.when(fresh, F.col("o_totalprice")).alias("fresh_totalprice"),
     )
+
+
+@register(
+    "k7_trailing_event_history",
+    oracle="""
+    WITH p AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_id % 17 = 0
+    ), h AS (
+      SELECT p.event_id AS probe_event_id, e.event_id, e.ts,
+             row_number() OVER (
+               PARTITION BY p.event_id
+               ORDER BY e.ts DESC, e.event_id DESC) AS hist_rank
+      FROM p JOIN events e
+        ON e.user_id = p.user_id
+       AND e.ts < p.ts
+       AND e.ts >= p.ts - INTERVAL 7 DAY
+    )
+    SELECT probe_event_id, CAST(hist_rank AS BIGINT) AS hist_rank,
+           event_id, epoch_ms(ts) AS event_ts_ms
+    FROM h WHERE hist_rank <= 3
+    """,
+)
+def k7_trailing_event_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-k event history (§2.K7 — the feature-store lookup one
+    step past k1's as-of join: for each probed event, the SAME user's
+    last 3 events strictly before it, horizon-bounded at 7 days — the
+    trailing-context features a next-event model trains on).  The
+    probe set is a deterministic event sample (event_id % 17 — a
+    feature job scores a batch of examples, not the whole log at
+    once).  One equi-key join carrying the range predicate (never a
+    cartesian; the horizon bound is the feature definition and the
+    100 TB contract), then a per-probe descending-time rank truncated
+    map-side at k (WindowGroupLimit).  Total order (ts DESC, event_id
+    DESC) makes the selected history deterministic cross-engine; the
+    oracle states the same relation as a plain SQL window.  See
+    operators/temporal.py:trailing_events_join."""
+    from ..operators.temporal import trailing_events_join
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts"
+    )
+    probes = events.filter(F.col("event_id") % 17 == 0).select(
+        F.col("event_id").alias("probe_event_id"),
+        F.col("user_id").alias("probe_user_id"),
+        F.col("ts").alias("probe_ts"),
+    )
+    out = trailing_events_join(
+        probes,
+        events,
+        k=3,
+        horizon_days=7,
+        probe_key="probe_user_id",
+        probe_ts="probe_ts",
+        event_cols=("event_id",),
+    )
+    return out.select(
+        "probe_event_id",
+        "hist_rank",
+        "event_id",
+        F.unix_millis("event_ts").alias("event_ts_ms"),
+    )

@@ -861,3 +861,36 @@ def test_maximal_repeat_spans_matches_python_model_random(spark):
         )
         want = _py_maximal_repeat_spans(docs, min_len=min_len, cap=cap)
         assert got == want, (min_len, cap, got, want)
+
+
+def test_apply_substring_dedup_cuts_exact_spans(spark):
+    """The APPLY step must cut exactly the marked spans: a shared
+    passage disappears from BOTH carriers (every occurrence — the
+    ExactSubstr policy), unique text survives verbatim, a fully
+    duplicated doc cleans to empty."""
+    from realtime_cdc_pipeline_docker_spark.operators.dedup import (
+        apply_substring_dedup,
+        maximal_repeat_spans,
+    )
+
+    rep = " ".join(f"r{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [
+            (1, "u1a u1b " + rep + " u1c"),
+            (2, "u2a " + rep + " u2b u2c u2d"),
+            (3, rep),           # fully duplicated content
+            (4, rep),           # (its twin)
+            (5, " ".join(f"w{j}" for j in range(25))),  # unique
+        ],
+        ["doc_id", "text"],
+    )
+    spans = maximal_repeat_spans(docs, min_len=12, cap=32)
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["cleaned_text"])
+        for r in apply_substring_dedup(docs, spans).collect()
+    }
+    assert out[1] == (23, 20, "u1a u1b u1c")
+    assert out[2] == (24, 20, "u2a u2b u2c u2d")
+    assert out[3] == (20, 20, "")
+    assert out[4] == (20, 20, "")
+    assert out[5][1] == 0 and out[5][2] == " ".join(f"w{j}" for j in range(25))

@@ -98,6 +98,11 @@ def test_bench_headline_rule():
         "j2f_semantic_dedup",
         "j2g_fuzzy_neardup",
         "j2h_dedup_eval_pr",
+        # round-9: the suffix-sort pair (zip_with LCP fold — the
+        # repo's largest codegen surface; its C2 ramp spans >3 runs)
+        "j2k_substring_dedup",
+        "j2n_substring_dedup_apply",
+        "j9i_bpe_encode",
     }
 
 

@@ -118,3 +118,49 @@ def test_range_join_plan_is_equi_join(spark):
         left, ivl, "ts", "t0", "t1", left_on=["user"], right_on=["user"]
     )._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_trailing_events_join_horizon_and_rank(spark):
+    """Planted: ranks select the k most-recent strictly-before events,
+    the horizon excludes older ones, same-ts ties break by event_id
+    DESC, and probes with no history emit nothing."""
+    from datetime import datetime
+
+    from realtime_cdc_pipeline_docker_spark.operators.temporal import (
+        trailing_events_join,
+    )
+
+    ev = spark.createDataFrame(
+        [
+            (1, 10, datetime(2026, 1, 1)),
+            (2, 10, datetime(2026, 1, 3)),
+            (3, 10, datetime(2026, 1, 5)),
+            (4, 10, datetime(2026, 1, 5)),    # tie with 3 -> id DESC first
+            (5, 10, datetime(2026, 1, 20)),   # the probe
+            (6, 10, datetime(2025, 12, 1)),   # outside 7-day horizon of nothing
+            (7, 99, datetime(2026, 1, 19)),   # other user
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    probes = ev.filter("event_id = 5").select(
+        ev.event_id.alias("probe_event_id"),
+        ev.user_id.alias("probe_user_id"),
+        ev.ts.alias("probe_ts"),
+    )
+    # horizon 30 days: events 1-4 eligible; k=3 keeps 4,3,2 (ts DESC, id DESC)
+    out = trailing_events_join(
+        probes, ev, k=3, horizon_days=30,
+        probe_key="probe_user_id", probe_ts="probe_ts",
+        event_cols=("event_id",),
+    )
+    got = [(r["hist_rank"], r["event_id"]) for r in
+           out.orderBy("hist_rank").collect()]
+    assert got == [(1, 4), (2, 3), (3, 2)]
+
+    # horizon 3 days: only the 1/5 pair... nothing within 3 days of 1/20
+    out2 = trailing_events_join(
+        probes, ev, k=3, horizon_days=3,
+        probe_key="probe_user_id", probe_ts="probe_ts",
+        event_cols=("event_id",),
+    )
+    assert out2.count() == 0
