@@ -247,6 +247,10 @@ def trailing_events_join(
     break (ts DESC, first event col DESC), a total order, so the
     selected history is deterministic cross-engine.
 
+    Probe ROWS must be distinct (the rank partitions by the full
+    probe row); duplicate probes would merge their histories into one
+    rank sequence.
+
     Returns one row per (probe row, hist_rank <= k)."""
     e_ts = F.col(event_ts).cast("timestamp")
     p_ts = F.col(f"__p.{probe_ts}").cast("timestamp")
