@@ -372,8 +372,9 @@ def run_neardup_ingest_stream(
     (never the corpus), a band-bucket join against the index pruned to
     the <= ``index_buckets`` partitions the batch's band hashes touch
     (batch side tiny -> AQE broadcasts it against the at-rest scan),
-    one column-pruned fingerprint fetch from the docs ledger for the
-    candidate ids, and the batch-local grouped pair generation
+    one fingerprint fetch from the docs ledger pruned to the
+    candidates' doc_id-hash partitions (both ledgers are bucketed on
+    disk), and the batch-local grouped pair generation
     (O(bucket) memory, capped).  Index growth is one small row per
     band per SURVIVOR; dropped documents never enter the index.
     ``batch_shuffle_partitions`` scopes the batch plans' shuffle width
@@ -406,8 +407,10 @@ def run_neardup_ingest_stream(
             T.StructField("hs", T.ArrayType(T.LongType())),
             T.StructField("__batch_id", T.LongType()),
             T.StructField("__run_tag", T.StringType()),
+            T.StructField("dbucket", T.IntegerType()),
         ]
     )
+    dbucket_expr = F.pmod(F.xxhash64("doc_id"), F.lit(index_buckets)).cast("int")
     index_ledger_schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),
@@ -446,6 +449,7 @@ def run_neardup_ingest_stream(
         if batch_df.isEmpty():
             return
         sess = batch_df.sparkSession
+        to_unpersist = []
         fp = minhash_fingerprints(
             batch_df, shingle_k=shingle_k, num_hashes=num_hashes
         )
@@ -478,10 +482,28 @@ def run_neardup_ingest_stream(
                 .select(F.col("id").alias("id_a"), "id_b")
                 .distinct()
             )
+            # Fingerprint fetch pruned to the candidates' doc_id-hash
+            # partitions: at 100 TB the docs ledger is corpus-sized and
+            # a per-batch full scan of (doc_id, hs) would read
+            # terabytes; the candidate set is batch-sized, so its
+            # bucket list is a <= index_buckets driver collect.
+            cand = cand.persist()
+            to_unpersist.append(cand)
+            dtouched = [
+                r[0]
+                for r in cand.select(
+                    F.pmod(F.xxhash64("id_b"), F.lit(index_buckets))
+                    .cast("int")
+                    .alias("b")
+                )
+                .distinct()
+                .collect()
+            ]
             led = (
                 _read_ledger(sess, docs_dir, docs_ledger_schema)
                 .filter(
-                    ~(
+                    F.col("dbucket").isin(dtouched)
+                    & ~(
                         (F.col("__batch_id") == batch_id)
                         & (F.col("__run_tag") == run_tag)
                     )
@@ -513,12 +535,18 @@ def run_neardup_ingest_stream(
             )
             .withColumn("__batch_id", F.lit(batch_id))
             .withColumn("__run_tag", F.lit(run_tag))
+            .withColumn("dbucket", dbucket_expr)
             # One execution of the dedup DAG serves both ledger
             # appends below (unpersisted after; bounded by batch size).
             .persist()
         )
         try:
-            survivors.write.mode("append").parquet(docs_dir)
+            (
+                survivors.repartition("dbucket")
+                .write.mode("append")
+                .partitionBy("dbucket")
+                .parquet(docs_dir)
+            )
             (
                 nb.join(
                     survivors.select(F.col("doc_id").alias("id")), "id"
@@ -539,6 +567,8 @@ def run_neardup_ingest_stream(
         finally:
             survivors.unpersist()
             fp.unpersist()
+            for df_ in to_unpersist:
+                df_.unpersist()
 
     from .windows import _scoped_confs
 
@@ -575,7 +605,7 @@ def run_neardup_ingest_stream(
     if log is None:
         return spark.createDataFrame([], DOCUMENT_SCHEMA)
     return (
-        log.drop("__batch_id", "__run_tag", "hs")
+        log.drop("__batch_id", "__run_tag", "hs", "dbucket")
         .dropDuplicates(["doc_id"])
     )
 
@@ -601,11 +631,10 @@ def compact_neardup_ledgers(
       probe sees each bucket either old or new, both collapse to the
       same state), rows sorted by ``band_hash`` so the bucket-local
       probe also gets footer min/max row-group skipping;
-    - the docs ledger with a plain overwrite after an eager
-      ``localCheckpoint`` — it is unpartitioned, so THIS rewrite is a
-      maintenance-window step (at 100 TB the docs ledger would carry
-      the index's bucket layout and compact rolling too; the index —
-      the per-batch probe surface — already does).
+    - the docs ledger with the same dynamic per-``dbucket`` partition
+      overwrite (it is doc_id-hash-bucketed on disk like the index),
+      rows sorted by ``doc_id`` — both ledgers compact rolling, a few
+      partitions per pass, with per-partition-atomic commits.
 
     Returns {"files_before": n, "files_after": m} per ledger."""
     docs_dir = f"{log_dir}/docs"
@@ -622,8 +651,16 @@ def compact_neardup_ledgers(
             .drop("__rn")
             .localCheckpoint(eager=True)
         )
-        snap.coalesce(max(1, files_per_bucket)).write.mode("overwrite").parquet(
-            docs_dir
+        (
+            snap.repartition(
+                F.col("dbucket"),
+                F.pmod(F.xxhash64("doc_id"), F.lit(files_per_bucket)),
+            )
+            .sortWithinPartitions("doc_id")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("dbucket")
+            .parquet(docs_dir)
         )
         out["docs"] = {
             "files_before": before,

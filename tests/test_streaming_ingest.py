@@ -485,17 +485,30 @@ def test_neardup_ingest_index_probe_is_bucket_pruned(spark, tmp_path):
     idx = spark.read.parquet(f"{log}/index")
     all_buckets = {r[0] for r in idx.select("bucket").distinct().collect()}
     assert len(all_buckets) > 1, "fixture bands should spread over buckets"
-    # the probe shape write_batch builds: filter on the partition column
-    probe = idx.filter(F.col("bucket").isin([min(all_buckets)]))
-    plan = probe._jdf.queryExecution().explainString(
-        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-            "formatted"
+
+    def _pruned(df, col):
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
         )
-    )
-    part = plan.split("PartitionFilters", 1)
-    assert len(part) == 2 and "bucket" in part[1].split("]", 1)[0], (
+        part = plan.split("PartitionFilters", 1)
+        return len(part) == 2 and col in part[1].split("]", 1)[0]
+
+    # the index probe shape: filter on the band-bucket partition column
+    assert _pruned(idx.filter(F.col("bucket").isin([min(all_buckets)])), "bucket"), (
         "bucket predicate must prune partitions at the scan, not filter rows"
     )
+    # the fingerprint fetch shape: the docs ledger is doc_id-hash
+    # bucketed and the per-batch hs read filters on dbucket — at 100 TB
+    # the ledger is corpus-sized, so this prune is what keeps the
+    # per-batch fetch batch-sized instead of corpus-sized.
+    docs_led = spark.read.parquet(f"{log}/docs")
+    dbuckets = {r[0] for r in docs_led.select("dbucket").distinct().collect()}
+    assert len(dbuckets) > 1, "fixture docs should spread over dbuckets"
+    assert _pruned(
+        docs_led.filter(F.col("dbucket").isin([min(dbuckets)])), "dbucket"
+    ), "dbucket predicate must prune the docs-ledger scan"
 
 
 def test_neardup_ledger_compaction_preserves_state(spark, tmp_path):
