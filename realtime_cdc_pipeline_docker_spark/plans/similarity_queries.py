@@ -839,18 +839,23 @@ def j3l_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def j2i_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH banding-parameter sweep (§2.J2 extension — the tuning table
     a dedup config change reads before committing a 100 TB run): one
-    signature pass over the corpus, re-banded at 4×8 / 8×4 / 16×2,
+    signature pass over a deterministic corpus SAMPLE (salted-hash
+    Bernoulli at 40%, hard-capped at 50k docs — VERDICT r9 #4: the
+    sample contract is code, and the ``sampled_docs`` column in every
+    output row is its witness; the S-curve estimate needs 10⁴–10⁵
+    docs, and exact-verifying a FULL corpus's candidates is the very
+    cost the tuning exists to avoid), re-banded at 4×8 / 8×4 / 16×2,
     with candidate counts, verified-pair counts, precision ppm and the
     capped-bucket count per layout.  Rows-only by nature (xxhash64 band
     keys); the monotone superset property (more bands → more candidates
     AND more verified pairs) holds whenever ``oversized_buckets`` is 0
     at every layout — pinned, along with planted-twin recovery at every
-    layout and the degenerate capped case, in tests/test_dedup.py.
-    See operators/dedup.py:lsh_band_sweep."""
+    layout, the degenerate capped case, and the sample determinism, in
+    tests/test_dedup.py.  See operators/dedup.py:lsh_band_sweep."""
     from ..operators.dedup import lsh_band_sweep
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return lsh_band_sweep(docs)
+    return lsh_band_sweep(docs, sample_fraction=0.4, max_docs=50_000)
 
 
 def _mrl_oracle(dims=(64, 32, 16, 8), k=5) -> str:

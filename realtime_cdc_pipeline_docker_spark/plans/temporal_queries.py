@@ -428,6 +428,7 @@ def k7_trailing_event_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         probe_key="probe_user_id",
         probe_ts="probe_ts",
         event_cols=("event_id",),
+        probe_id="probe_event_id",
     )
     return out.select(
         "probe_event_id",

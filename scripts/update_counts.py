@@ -75,6 +75,14 @@ def main() -> int:
             "excluded": len(bench.get("excluded", {})),
             "sf": bench.get("sf"),
         }
+        # Freeze the artifact the headline was generated FROM (VERDICT r9
+        # #2): the driver's own bench re-run overwrites BENCH_FULL.json in
+        # the post-commit working tree, so the gate test compares the docs
+        # against THIS snapshot — written only here, alongside COUNTS.json,
+        # and committed with it — never against the mutable BENCH_FULL.
+        with open(os.path.join(REPO, "BENCH_COMMITTED.json"), "w") as f:
+            json.dump(bench, f)
+            f.write("\n")
 
     report = os.path.join(REPO, "DRIVER_SIM_REPORT.jsonl")
     if os.path.exists(report):

@@ -164,3 +164,50 @@ def test_trailing_events_join_horizon_and_rank(spark):
         event_cols=("event_id",),
     )
     assert out2.count() == 0
+
+
+def test_trailing_events_join_duplicate_probes_keep_own_history(spark):
+    """VERDICT r9 #3: duplicate probe ROWS must each keep their own
+    independent trailing-k history — the old full-row rank partition
+    merged them into one interleaved sequence (the first duplicate got
+    ranks 1..k, the second got k+1..2k and was filtered away)."""
+    from datetime import datetime
+
+    from realtime_cdc_pipeline_docker_spark.operators.temporal import (
+        trailing_events_join,
+    )
+
+    ev = spark.createDataFrame(
+        [
+            (1, 10, datetime(2026, 1, 1)),
+            (2, 10, datetime(2026, 1, 3)),
+            (3, 10, datetime(2026, 1, 5)),
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    one = spark.createDataFrame(
+        [(10, datetime(2026, 1, 10))],
+        "probe_user_id long, probe_ts timestamp",
+    )
+    probes = one.union(one)  # two IDENTICAL probe rows
+    out = trailing_events_join(
+        probes, ev, k=2, horizon_days=30,
+        probe_key="probe_user_id", probe_ts="probe_ts",
+        event_cols=("event_id",),
+    )
+    rows = [(r["hist_rank"], r["event_id"]) for r in out.collect()]
+    # each duplicate independently ranks (1, ev3), (2, ev2) -> 4 rows
+    assert sorted(rows) == [(1, 3), (1, 3), (2, 2), (2, 2)]
+
+    # and a caller-named unique probe id partitions by THAT column
+    keyed = spark.createDataFrame(
+        [(100, 10, datetime(2026, 1, 10)), (200, 10, datetime(2026, 1, 10))],
+        "pid long, probe_user_id long, probe_ts timestamp",
+    )
+    out2 = trailing_events_join(
+        keyed, ev, k=2, horizon_days=30,
+        probe_key="probe_user_id", probe_ts="probe_ts",
+        event_cols=("event_id",), probe_id="pid",
+    )
+    per_pid = {(r["pid"], r["hist_rank"]): r["event_id"] for r in out2.collect()}
+    assert per_pid == {(100, 1): 3, (100, 2): 2, (200, 1): 3, (200, 2): 2}
