@@ -1353,11 +1353,15 @@ def h15_stream_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "text", "lang", "source", "n_chars"
     )
     if sf_dir not in _NEARDUP_SRC:
+        from ..streaming.ingest import write_arrival_wave
+
         src = f"{_work_dir('neardup_src', sf_dir)}/waves"
+        # write_arrival_wave pins strictly increasing mtimes so the
+        # FileStreamSource's modification-time ordering — and hence
+        # the first-arrived-survives result — is deterministic even
+        # when sequential appends land same-millisecond (ADVICE r9).
         for w in range(3):
-            docs.filter(F.col("doc_id") % 3 == w).coalesce(1).write.mode(
-                "append"
-            ).parquet(src)
+            write_arrival_wave(docs.filter(F.col("doc_id") % 3 == w), src, w)
         _NEARDUP_SRC[sf_dir] = src
     surv = run_neardup_ingest_stream(
         spark,

@@ -105,6 +105,32 @@ def _read_log(spark: SparkSession, log_dir: str) -> DataFrame | None:
         return None
 
 
+def write_arrival_wave(df: DataFrame, src_dir: str, seq: int) -> None:
+    """Append one arrival wave to a file-stream source dir and pin its
+    files' mtime to a strictly increasing per-``seq`` timestamp.
+
+    The FileStreamSource orders files by modification time; waves
+    written back-to-back on a fast local filesystem can land
+    same-millisecond mtimes, making the drain order — and any
+    first-arrived-survives result downstream — nondeterministic
+    (ADVICE r9).  Fixture writers (tests, registered queries) pin the
+    order explicitly; production ingest does not need this (real
+    deliveries are seconds apart, and the dedup ledgers' keeper
+    semantics are arrival-order-stable per wave regardless).
+
+    Local-filesystem-only by design: ``os.utime`` is the fixture
+    mechanism, not part of the ingest contract."""
+    import glob
+    import os
+
+    before = set(glob.glob(f"{src_dir}/part-*.parquet"))
+    df.coalesce(1).write.mode("append").parquet(src_dir)
+    base = 1_000_000_000  # fixed epoch: deterministic across runs
+    for f in glob.glob(f"{src_dir}/part-*.parquet"):
+        if f not in before:
+            os.utime(f, (base + seq, base + seq))
+
+
 def run_corpus_ingest_stream(
     spark: SparkSession,
     src_dir: str,
@@ -192,8 +218,15 @@ def run_corpus_ingest_stream(
     query.awaitTermination()
     log = _read_log(spark, log_dir)
     if log is None:
+        # Fresh StructType: StructType.add mutates in place, and
+        # DOCUMENT_SCHEMA is a shared module constant the neardup
+        # ledger schemas are also built from.
         return spark.createDataFrame(
-            [], DOCUMENT_SCHEMA.add("digest", T.StringType())
+            [],
+            T.StructType(
+                list(DOCUMENT_SCHEMA.fields)
+                + [T.StructField("digest", T.StringType())]
+            ),
         )
     return (
         log.withColumn(
@@ -499,22 +532,29 @@ def run_neardup_ingest_stream(
                 .distinct()
                 .collect()
             ]
-            led = (
-                _read_ledger(sess, docs_dir, docs_ledger_schema)
-                .filter(
+            # The docs ledger is written before the index ledger, so an
+            # existing index implies an existing docs ledger — but that
+            # invariant lives outside this function (external cleanup,
+            # future reorder), so guard the None like the idx probe
+            # does instead of AttributeError-ing inside foreachBatch.
+            docs_led = _read_ledger(sess, docs_dir, docs_ledger_schema)
+            if docs_led is not None:
+                led = docs_led.filter(
                     F.col("dbucket").isin(dtouched)
                     & ~(
                         (F.col("__batch_id") == batch_id)
                         & (F.col("__run_tag") == run_tag)
                     )
+                ).select(
+                    F.col("doc_id").alias("id_b"), F.col("hs").alias("hs_b")
                 )
-                .select(F.col("doc_id").alias("id_b"), F.col("hs").alias("hs_b"))
-            )
-            dropped = _verified(
-                cand,
-                fp.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a")),
-                led,
-            ).select(F.col("id_a").alias("doc_id"))
+                dropped = _verified(
+                    cand,
+                    fp.select(
+                        F.col("id").alias("id_a"), F.col("hs").alias("hs_a")
+                    ),
+                    led,
+                ).select(F.col("id_a").alias("doc_id"))
 
         pairs = _band_candidates(fp, bands, rows_per_band, max_bucket_size)
         shadowed = _verified(
@@ -622,9 +662,11 @@ def compact_neardup_ledgers(
 
     Compaction collapses each ledger to its canonical state — one row
     per doc_id (docs) / per (doc_id, band_id) (index), keeping the
-    MIN ``__batch_id`` so a post-compaction replay of a crashed batch
-    still sees pre-batch state (the own-batch exclusion contract) —
-    and rewrites:
+    MIN ``(__batch_id, __run_tag)`` row so a post-compaction replay of
+    a crashed batch still sees pre-batch state (the own-batch
+    exclusion contract; the ``__run_tag`` tiebreak makes the kept row
+    deterministic when two lineages wrote the same batch id) — and
+    rewrites:
 
     - the index with *dynamic* per-bucket partition overwrite (the
       ``compact_log`` mechanics: per-partition atomic, a concurrent
@@ -636,6 +678,15 @@ def compact_neardup_ledgers(
       rows sorted by ``doc_id`` — both ledgers compact rolling, a few
       partitions per pass, with per-partition-atomic commits.
 
+    Lineage constraint: the own-batch exclusion is keyed on the
+    ORIGINAL writer's ``(__run_tag, __batch_id)``, so compaction must
+    not run while two checkpoint lineages of one ledger interleave —
+    a cross-lineage redelivery row kept over the original would stop
+    shielding the original lineage's crash-replay (the replayed batch
+    would see the doc's own row and self-drop it).  Run compaction
+    only between ingest runs of a single lineage; the deterministic
+    ordering above makes any violation at least reproducible.
+
     Returns {"files_before": n, "files_after": m} per ledger."""
     docs_dir = f"{log_dir}/docs"
     index_dir = f"{log_dir}/index"
@@ -644,7 +695,7 @@ def compact_neardup_ledgers(
     docs = _read_log(spark, docs_dir)
     if docs is not None:
         before = len(docs.inputFiles())
-        w = Window.partitionBy("doc_id").orderBy("__batch_id")
+        w = Window.partitionBy("doc_id").orderBy("__batch_id", "__run_tag")
         snap = (
             docs.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
@@ -670,7 +721,9 @@ def compact_neardup_ledgers(
     idx = _read_log(spark, index_dir)
     if idx is not None:
         before = len(idx.inputFiles())
-        w = Window.partitionBy("doc_id", "band_id").orderBy("__batch_id")
+        w = Window.partitionBy("doc_id", "band_id").orderBy(
+            "__batch_id", "__run_tag"
+        )
         snap = (
             idx.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)

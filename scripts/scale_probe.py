@@ -23,6 +23,12 @@ shifted ids) and prints one JSON line per (probe, scale):
   Claim: per-round cost is one map-side-combined pair count plus a
   codegen'd rewrite — wall-time ~linear in tokens.
 
+- ``index_growth``: a FIXED probe batch against a 1x/10x AT-REST
+  near-dup index ledger (h15 shape, VERDICT r9 #5).  Claim: per-batch
+  cost tracks the batch (bucket-pruned probe + dbucket-pruned
+  fingerprint fetch), not the ledger — probe-batch wall-time ~flat as
+  the index grows.
+
 Usage: python scripts/scale_probe.py [sf_dir] [scales...]
 """
 
@@ -455,7 +461,101 @@ def main() -> int:
         )
 
         corpus.unpersist()
+
+    probe_index_growth(spark, docs, scales)
     return 0
+
+
+def probe_index_growth(spark, docs, scales) -> None:
+    """h15's 100 TB claim, measured on the axis that actually grows:
+    the AT-REST INDEX (VERDICT r9 #5).  The per-scale loop above grows
+    the INCOMING corpus; a production ingest instead holds batch size
+    ~fixed while the at-rest ledgers grow without bound — per-batch
+    cost must track the BATCH (bucket-pruned probe + dbucket-pruned
+    fingerprint fetch), not the ledger.
+
+    Build: ingest a ``scale``× corpus of mutually-distinct documents
+    (per-replica letter-rotation keeps replicas from near-dupping
+    their originals, so the index really is ``scale``× larger), then
+    deliver one FIXED probe batch — near-dups of indexed docs plus
+    fresh docs — and time only that batch's drain.  Claim: probe-batch
+    wall-time ~flat from 1× to 10× index."""
+    import shutil
+    import tempfile
+
+    from realtime_cdc_pipeline_docker_spark.streaming.ingest import (
+        run_neardup_ingest_stream,
+        write_arrival_wave,
+    )
+
+    alphabet = "abcdefghijklmnopqrstuvwxyz"
+    base = docs.select("doc_id", "text").withColumn(
+        "lang", F.lit("en")
+    ).withColumn("source", F.lit("probe")).withColumn(
+        "n_chars", F.length("text").cast("long")
+    )
+    # Fixed probe batch: 200 exact re-texts of indexed docs at new ids
+    # (each must probe, verify at Jaccard 1.0, and drop) + 200 fresh
+    # letter-rotated docs (each must probe, miss, and append).
+    probe_dup = (
+        base.orderBy("doc_id")
+        .limit(200)
+        .withColumn("doc_id", F.col("doc_id") + 50_000_000)
+    )
+    probe_new = (
+        base.orderBy("doc_id")
+        .limit(200)
+        .withColumn("doc_id", F.col("doc_id") + 60_000_000)
+        .withColumn(
+            "text", F.translate("text", alphabet, alphabet[13:] + alphabet[:13])
+        )
+        .withColumn("source", F.lit("fresh"))
+    )
+    probe_batch = probe_dup.unionByName(probe_new).persist()
+    probe_batch.count()
+
+    for scale in scales:
+        work = tempfile.mkdtemp(prefix=f"idx_growth_{scale}x_")
+        try:
+            corpus = base
+            for r in range(1, scale):
+                rot = alphabet[r % 25 + 1 :] + alphabet[: r % 25 + 1]
+                corpus = corpus.unionByName(
+                    base.withColumn(
+                        "doc_id", F.col("doc_id") + 1_000_000 * r
+                    ).withColumn("text", F.translate("text", alphabet, rot))
+                )
+            src = f"{work}/src"
+            log = f"{work}/log"
+            write_arrival_wave(corpus, src, 0)
+            run_neardup_ingest_stream(
+                spark, src, log, f"{work}/ckpt_build", index_buckets=32
+            )
+            idx_rows = spark.read.parquet(f"{log}/index").count()
+
+            write_arrival_wave(probe_batch, src, 1)
+            t0 = time.time()
+            out = run_neardup_ingest_stream(
+                spark, src, log, f"{work}/ckpt_build", index_buckets=32
+            )
+            n_surv = out.count()
+            sec = round(time.time() - t0, 2)
+            print(
+                json.dumps(
+                    {
+                        "probe": "index_growth",
+                        "scale": scale,
+                        "index_rows": idx_rows,
+                        "probe_batch_docs": 400,
+                        "survivors_total": n_surv,
+                        "probe_batch_sec": sec,
+                    }
+                ),
+                flush=True,
+            )
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+    probe_batch.unpersist()
 
 
 if __name__ == "__main__":

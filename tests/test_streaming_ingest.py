@@ -354,6 +354,18 @@ def _neardup_fixture(spark):
     return [w0, w1, w2], expected_survivors
 
 
+def _write_waves(waves, src, start=0):
+    """Append waves with pinned strictly-increasing mtimes so the
+    FileStreamSource's modification-time drain order is deterministic
+    (first-arrived-survives depends on it)."""
+    from realtime_cdc_pipeline_docker_spark.streaming.ingest import (
+        write_arrival_wave,
+    )
+
+    for i, w in enumerate(waves):
+        write_arrival_wave(w, src, start + i)
+
+
 def test_neardup_ingest_planted_semantics(spark, tmp_path):
     from realtime_cdc_pipeline_docker_spark.streaming.ingest import (
         run_neardup_ingest_stream,
@@ -361,8 +373,7 @@ def test_neardup_ingest_planted_semantics(spark, tmp_path):
 
     waves, expected = _neardup_fixture(spark)
     src = str(tmp_path / "src")
-    for w in waves:
-        w.coalesce(1).write.mode("append").parquet(src)
+    _write_waves(waves, src)
     out = run_neardup_ingest_stream(
         spark,
         src,
@@ -390,8 +401,7 @@ def test_neardup_ingest_stream_equals_batch_twin(spark, tmp_path):
     for w in waves[1:]:
         corpus = corpus.unionByName(w)
     src = str(tmp_path / "src")
-    for w in waves:
-        w.coalesce(1).write.mode("append").parquet(src)
+    _write_waves(waves, src)
     stream_surv = {
         r["doc_id"]
         for r in run_neardup_ingest_stream(
@@ -449,15 +459,13 @@ def test_neardup_ingest_redelivery_is_absorbed(spark, tmp_path):
     waves, expected = _neardup_fixture(spark)
     src = str(tmp_path / "src")
     log = str(tmp_path / "log")
-    for w in waves:
-        w.coalesce(1).write.mode("append").parquet(src)
+    _write_waves(waves, src)
     first = run_neardup_ingest_stream(
         spark, src, log, str(tmp_path / "ckpt1"), max_files_per_trigger=1
     )
     assert {r["doc_id"] for r in first.collect()} == expected
     # redeliver everything: new files, fresh checkpoint, same ledgers
-    for w in waves:
-        w.coalesce(1).write.mode("append").parquet(src)
+    _write_waves(waves, src, start=len(waves))
     second = run_neardup_ingest_stream(
         spark, src, log, str(tmp_path / "ckpt2"), max_files_per_trigger=1
     )
@@ -477,8 +485,7 @@ def test_neardup_ingest_index_probe_is_bucket_pruned(spark, tmp_path):
     waves, _ = _neardup_fixture(spark)
     src = str(tmp_path / "src")
     log = str(tmp_path / "log")
-    for w in waves:
-        w.coalesce(1).write.mode("append").parquet(src)
+    _write_waves(waves, src)
     run_neardup_ingest_stream(
         spark, src, log, str(tmp_path / "ckpt"), max_files_per_trigger=1
     )
@@ -524,15 +531,13 @@ def test_neardup_ledger_compaction_preserves_state(spark, tmp_path):
     waves, expected = _neardup_fixture(spark)
     src = str(tmp_path / "src")
     log = str(tmp_path / "log")
-    for w in waves:
-        w.coalesce(1).write.mode("append").parquet(src)
+    _write_waves(waves, src)
     run_neardup_ingest_stream(
         spark, src, log, str(tmp_path / "ckpt1"), max_files_per_trigger=1
     )
     # redeliver everything (new checkpoint): absorbed, but the ledgers
     # now hold replay-duplicate APPENDS the compaction should fold away
-    for w in waves:
-        w.coalesce(1).write.mode("append").parquet(src)
+    _write_waves(waves, src, start=len(waves))
     run_neardup_ingest_stream(
         spark, src, log, str(tmp_path / "ckpt2"), max_files_per_trigger=1
     )
@@ -550,7 +555,7 @@ def test_neardup_ledger_compaction_preserves_state(spark, tmp_path):
         [_ndoc(999, _ntext("a", tweak=5)), _ndoc(998, _ntext("h"))],
         "doc_id long, text string, lang string, source string, n_chars long",
     )
-    extra.coalesce(1).write.mode("append").parquet(src)
+    _write_waves([extra], src, start=2 * len(waves))
     out = run_neardup_ingest_stream(
         spark, src, log, str(tmp_path / "ckpt3"), max_files_per_trigger=100
     )
