@@ -1694,3 +1694,91 @@ def apply_substring_dedup(
             F.concat_ws(" ", "__kept").alias("cleaned_text"),
         )
     )
+
+
+def incremental_substring_dedup(
+    df: DataFrame,
+    n_waves: int = 3,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental KEEP-FIRST substring dedup, batch twin of
+    ``streaming.ingest.run_substring_dedup_stream`` (§2.J2 × H — the
+    ExactSubstr complement of :func:`incremental_neardup_dedup`,
+    VERDICT r9 #6): the corpus arrives in ``n_waves`` waves
+    (``wave = doc_id % n_waves``), and every ``k``-token passage of an
+    arriving document that ALREADY APPEARED — in an earlier wave, in a
+    smaller-id document of the same wave, or earlier in the same
+    document — is cut from the arriving copy.  The first occurrence in
+    arrival order always survives: this is the keep-first policy that
+    the at-rest form (``apply_substring_dedup``/j2n, which cuts every
+    occurrence per Lee et al. 2022) deliberately leaves out, because a
+    batch pass has no occurrence ranking — arrival order IS the
+    ranking an incremental pipeline gets for free.
+
+    Ledger contract (shared with the stream): a document contributes
+    the grams of its ORIGINAL normalized token stream regardless of
+    what was cut from its emitted text.  That makes the cut relation
+    non-cascading — one global first-occurrence window, no per-wave
+    iteration:
+
+    1. gram stream: tokens-array per doc, position explode, gram
+       DIGESTED to xxhash64 so the one shuffle carries a fixed 8-byte
+       key + (wave, doc, pos) — never gram text (the dedup_exact
+       digest-not-body discipline; the oracle recomputes on strings,
+       byte-exact modulo 2^-64 collisions).
+    2. hit relation: ``row_number() OVER (PARTITION BY gram ORDER BY
+       wave, doc_id, pos) > 1`` — one window on the gram shuffle.
+    3. cut: hit positions collapse to one small per-doc array; a
+       codegen'd higher-order filter drops tokens covered by any
+       [p, p + k - 1] hit window (the ``apply_substring_dedup`` cut
+       shape) — no second shuffle beyond the per-doc collect.
+
+    Returns one row per document: ``(doc_id, wave, n_tokens,
+    n_removed, cleaned_text)`` over the normalized token array."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        (F.col(id_col) % n_waves).cast("long").alias("wave"),
+        ws_tokens(F.lower(F.trim(F.col(text_col)))).alias("toks"),
+    )
+    grams = toks.filter(F.size("toks") >= k).select(
+        "doc_id",
+        "wave",
+        F.explode(F.sequence(F.lit(1), F.size("toks") - (k - 1))).alias("pos"),
+        "toks",
+    ).select(
+        "doc_id",
+        "wave",
+        "pos",
+        F.xxhash64(F.concat_ws(" ", F.slice("toks", F.col("pos"), k))).alias(
+            "gh"
+        ),
+    )
+    from pyspark.sql import Window
+
+    first_w = Window.partitionBy("gh").orderBy("wave", "doc_id", "pos")
+    hits = (
+        grams.withColumn("__rn", F.row_number().over(first_w))
+        .filter(F.col("__rn") > 1)
+        .groupBy("doc_id")
+        .agg(F.collect_list("pos").alias("hp"))
+    )
+    kept = F.filter(
+        "toks",
+        lambda t, i: ~F.exists(
+            F.coalesce(F.col("hp"), F.array()),
+            lambda p: (i + 1 >= p) & (i + 1 <= p + (k - 1)),
+        ),
+    )
+    return (
+        toks.join(hits, "doc_id", "left")
+        .withColumn("__kept", kept)
+        .select(
+            "doc_id",
+            "wave",
+            F.size("toks").cast("long").alias("n_tokens"),
+            (F.size("toks") - F.size("__kept")).cast("long").alias("n_removed"),
+            F.concat_ws(" ", "__kept").alias("cleaned_text"),
+        )
+    )

@@ -1450,3 +1450,68 @@ def j2m_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return incremental_neardup_dedup(docs)
+
+
+# Shared by j2o (batch twin) and h16 (streaming) — the keep-first
+# incremental substring relation over 3 arrival waves (doc_id % 3):
+# a k=8-gram occurrence is cut iff some earlier occurrence exists in
+# (wave, doc_id, pos) lexicographic order; cut coverage is the union
+# of [p, p+7] over cut positions; the cleaned TEXT itself is
+# hash-verified cross-engine (the j2n oracle pattern).
+INCSUBSTR_WAVES_ORACLE = r"""
+    WITH t AS (
+      SELECT doc_id, doc_id % 3 AS wave,
+             string_split_regex(lower(trim(text)), '\s+') AS l
+      FROM documents
+    ), g AS (
+      SELECT doc_id, wave, i AS pos, array_to_string(l[i:i+7], ' ') AS gram
+      FROM t, unnest(generate_series(1, len(l) - 7)) AS u(i)
+      WHERE len(l) >= 8
+    ), r AS (
+      SELECT doc_id, pos,
+             row_number() OVER (PARTITION BY gram
+                                ORDER BY wave, doc_id, pos) AS rn
+      FROM g
+    ), hits AS (
+      SELECT doc_id, pos FROM r WHERE rn > 1
+    ), tok AS (
+      SELECT doc_id, i AS pos, l[CAST(i AS INT)] AS tok
+      FROM t, unnest(generate_series(1, len(l))) AS u(i)
+    ), kept AS (
+      SELECT k.doc_id, k.pos, k.tok
+      FROM tok k
+      WHERE NOT EXISTS (
+        SELECT 1 FROM hits h
+        WHERE h.doc_id = k.doc_id AND k.pos BETWEEN h.pos AND h.pos + 7)
+    )
+    SELECT t.doc_id, t.wave,
+           CAST(len(t.l) AS BIGINT) AS n_tokens,
+           CAST(len(t.l) - COUNT(k.pos) AS BIGINT) AS n_removed,
+           COALESCE(string_agg(k.tok, ' ' ORDER BY k.pos), '') AS cleaned_text
+    FROM t LEFT JOIN kept k USING (doc_id)
+    GROUP BY t.doc_id, t.wave, t.l
+    """
+
+
+@register("j2o_incremental_substring", oracle=INCSUBSTR_WAVES_ORACLE)
+def j2o_incremental_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental KEEP-FIRST substring dedup, BATCH twin (§2.J2 × H —
+    VERDICT r9 #6, the ExactSubstr complement of j2m): the corpus
+    arrives in 3 waves (doc_id % 3); every 8-token passage of an
+    arriving document that already appeared — earlier wave, smaller-id
+    same-wave doc, or earlier in the same doc — is CUT from the
+    arriving copy; the first occurrence in arrival order survives
+    (the keep-first policy j2n deliberately omits, because arrival
+    order supplies the occurrence ranking a batch pass lacks).
+    Documents contribute their ORIGINAL grams to the seen-set
+    regardless of cuts, so the relation is non-cascading: ONE
+    first-occurrence window over the digested gram stream (8-byte
+    xxhash64 keys, never gram text), then the j2n higher-order cut.
+    The oracle replays the identical relation on gram STRINGS and
+    hash-verifies the cleaned text itself.  The streaming twin (h16)
+    reaches the same rows through bucket-pruned probes of an at-rest
+    gram ledger.  See operators/dedup.py:incremental_substring_dedup."""
+    from ..operators.dedup import incremental_substring_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return incremental_substring_dedup(docs, n_waves=3, k=8)

@@ -746,3 +746,522 @@ def compact_neardup_ledgers(
             "files_after": len(spark.read.parquet(index_dir).inputFiles()),
         }
     return out
+
+
+def run_substring_dedup_stream(
+    spark: SparkSession,
+    src_dir: str,
+    log_dir: str,
+    checkpoint_dir: str,
+    k: int = 8,
+    ledger_buckets: int = 8,
+    batch_shuffle_partitions: int | None = 8,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Incremental KEEP-FIRST substring dedup under streaming delivery
+    — the ExactSubstr complement of ``run_neardup_ingest_stream``
+    (VERDICT r9 #6): every ``k``-token passage of an arriving document
+    that already appeared — in the AT-REST corpus, in a smaller-id
+    document of the same micro-batch, or earlier in the same document
+    — is CUT from the arriving copy; the first arrival of a passage
+    always survives.  Near-dup ingest drops whole documents; this
+    surgically removes the repeated spans and keeps the rest, the
+    transformation a production "never ship the same passage twice"
+    gate runs on crawl deliveries.
+
+    Semantics contract (mirrored by the SQL oracle and the batch twin
+    ``operators.dedup.incremental_substring_dedup``): the hit relation
+    is ``first occurrence in (arrival, doc_id, position) order
+    survives``; a document contributes the grams of its ORIGINAL
+    normalized token stream to the ledger regardless of what was cut
+    from its emitted text — which makes the relation non-cascading
+    and the replay recomputation exact.
+
+    State & idempotence — the h15 ledger pattern:
+
+    - Two appended ledgers under ``log_dir``: ``docs/`` (one cleaned
+      row per ingested document, partitioned by
+      ``dbucket = pmod(xxhash64(doc_id), ledger_buckets)``) and
+      ``grams/`` (one 8-byte xxhash64 digest per DISTINCT gram per
+      batch, partitioned by ``gbucket = pmod(xxhash64(gh),
+      ledger_buckets)``).  Every row carries ``(__run_tag,
+      __batch_id)`` — the checkpoint-lineage key, because batch ids
+      restart at 0 under a fresh checkpoint.
+    - Replay of a crashed batch: both probes EXCLUDE own-(tag, batch)
+      rows, so the recomputation is byte-identical and duplicate
+      appends collapse in the read-back.
+    - Redelivery under a NEW checkpoint: absorbed by an exact doc_id
+      probe of the docs ledger (dbucket-pruned) — an already-ingested
+      document is skipped entirely, never re-cut (its text at rest is
+      immutable; re-cleaning a redelivered copy against its own grams
+      would emit an empty document).
+
+    100 TB shape: per micro-batch — one tokenization over the BATCH,
+    one batch-sized gram shuffle (8-byte digests + (doc, pos), never
+    gram text) for the within-batch first-occurrence window, one
+    bucket-pruned semi-join probe of the gram ledger (reads only the
+    <= ``ledger_buckets`` partitions the batch's digests hash into —
+    per-batch cost tracks the BATCH, not the corpus; the h15
+    index_growth probe measures exactly this axis), and a codegen'd
+    higher-order cut.  Ledger growth: one digest row per distinct new
+    gram — the corpus's gram vocabulary, the same asymptotics as the
+    suffix table ExactSubstr maintains."""
+    import hashlib as _hashlib
+
+    from .windows import _scoped_confs
+
+    docs_dir = f"{log_dir}/docs"
+    grams_dir = f"{log_dir}/grams"
+    run_tag = _hashlib.md5(checkpoint_dir.encode()).hexdigest()[:12]
+    dbucket_expr = F.pmod(F.xxhash64("doc_id"), F.lit(ledger_buckets)).cast(
+        "int"
+    )
+    gbucket_expr = F.pmod(F.xxhash64("gh"), F.lit(ledger_buckets)).cast("int")
+    docs_ledger_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_tokens", T.LongType()),
+            T.StructField("n_removed", T.LongType()),
+            T.StructField("cleaned_text", T.StringType()),
+            T.StructField("__batch_id", T.LongType()),
+            T.StructField("__run_tag", T.StringType()),
+            T.StructField("dbucket", T.IntegerType()),
+        ]
+    )
+    gram_ledger_schema = T.StructType(
+        [
+            T.StructField("gh", T.LongType()),
+            T.StructField("__batch_id", T.LongType()),
+            T.StructField("__run_tag", T.StringType()),
+            T.StructField("gbucket", T.IntegerType()),
+        ]
+    )
+
+    def _read_ledger(sess: SparkSession, path: str, schema) -> DataFrame | None:
+        try:
+            df = sess.read.schema(schema).parquet(path)
+            df.schema  # force analysis so a missing path surfaces here
+            return df
+        except AnalysisException:
+            return None
+
+    def _not_own_batch(batch_id: int) -> F.Column:
+        return ~(
+            (F.col("__batch_id") == batch_id)
+            & (F.col("__run_tag") == run_tag)
+        )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sess = batch_df.sparkSession
+        to_unpersist: list[DataFrame] = []
+
+        # Redelivery absorption: exact doc_id probe, dbucket-pruned.
+        new_docs = batch_df
+        docs_led = _read_ledger(sess, docs_dir, docs_ledger_schema)
+        if docs_led is not None:
+            dtouched = [
+                r[0]
+                for r in batch_df.select(dbucket_expr.alias("b"))
+                .distinct()
+                .collect()
+            ]
+            seen = docs_led.filter(
+                F.col("dbucket").isin(dtouched) & _not_own_batch(batch_id)
+            ).select("doc_id")
+            new_docs = batch_df.join(seen, "doc_id", "left_anti")
+
+        toks = new_docs.select(
+            "doc_id", ws_tokens(F.lower(F.trim(F.col("text")))).alias("toks")
+        ).persist()
+        to_unpersist.append(toks)
+        grams = (
+            toks.filter(F.size("toks") >= k)
+            .select(
+                "doc_id",
+                F.explode(
+                    F.sequence(F.lit(1), F.size("toks") - (k - 1))
+                ).alias("pos"),
+                "toks",
+            )
+            .select(
+                "doc_id",
+                "pos",
+                F.xxhash64(
+                    F.concat_ws(" ", F.slice("toks", F.col("pos"), k))
+                ).alias("gh"),
+            )
+            .withColumn("gbucket", gbucket_expr)
+            .persist()
+        )
+        to_unpersist.append(grams)
+
+        first_w = Window.partitionBy("gh").orderBy("doc_id", "pos")
+        hits = (
+            grams.withColumn("__rn", F.row_number().over(first_w))
+            .filter(F.col("__rn") > 1)
+            .select("doc_id", "pos")
+        )
+        gled = _read_ledger(sess, grams_dir, gram_ledger_schema)
+        if gled is not None:
+            gtouched = [
+                r[0] for r in grams.select("gbucket").distinct().collect()
+            ]
+            at_rest = gled.filter(
+                F.col("gbucket").isin(gtouched) & _not_own_batch(batch_id)
+            ).select("gh")
+            hits = hits.unionByName(
+                grams.join(at_rest, "gh", "left_semi").select("doc_id", "pos")
+            )
+        # A position can hit BOTH ways (in-batch repeat of an at-rest
+        # gram); collapse before the per-doc collect.
+        hp = hits.distinct().groupBy("doc_id").agg(
+            F.collect_list("pos").alias("hp")
+        )
+        kept = F.filter(
+            "toks",
+            lambda t, i: ~F.exists(
+                F.coalesce(F.col("hp"), F.array()),
+                lambda p: (i + 1 >= p) & (i + 1 <= p + (k - 1)),
+            ),
+        )
+        cleaned = (
+            toks.join(hp, "doc_id", "left")
+            .withColumn("__kept", kept)
+            .select(
+                "doc_id",
+                F.size("toks").cast("long").alias("n_tokens"),
+                (F.size("toks") - F.size("__kept"))
+                .cast("long")
+                .alias("n_removed"),
+                F.concat_ws(" ", "__kept").alias("cleaned_text"),
+                F.lit(batch_id).alias("__batch_id"),
+                F.lit(run_tag).alias("__run_tag"),
+            )
+            .withColumn("dbucket", dbucket_expr)
+        )
+        try:
+            (
+                cleaned.repartition("dbucket")
+                .write.mode("append")
+                .partitionBy("dbucket")
+                .parquet(docs_dir)
+            )
+            (
+                grams.select("gh", "gbucket")
+                .distinct()
+                .select(
+                    "gh",
+                    F.lit(batch_id).alias("__batch_id"),
+                    F.lit(run_tag).alias("__run_tag"),
+                    "gbucket",
+                )
+                .repartition("gbucket")
+                .write.mode("append")
+                .partitionBy("gbucket")
+                .parquet(grams_dir)
+            )
+        finally:
+            for df_ in to_unpersist:
+                df_.unpersist()
+
+    reader = spark.readStream.schema(DOCUMENT_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(src_dir)
+    scoped: dict[str, str] = {}
+    if batch_shuffle_partitions is not None:
+        # Micro-batch-sized shuffle width + static planning, the
+        # run_neardup_ingest_stream sizing lesson (measured there).
+        scoped = {
+            "spark.sql.shuffle.partitions": str(batch_shuffle_partitions),
+            "spark.sql.adaptive.enabled": "false",
+        }
+    with _scoped_confs(spark, scoped):
+        (
+            stream.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+    log = _read_ledger(spark, docs_dir, docs_ledger_schema)
+    if log is None:
+        return spark.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField("doc_id", T.LongType()),
+                    T.StructField("n_tokens", T.LongType()),
+                    T.StructField("n_removed", T.LongType()),
+                    T.StructField("cleaned_text", T.StringType()),
+                ]
+            ),
+        )
+    return (
+        log.select("doc_id", "n_tokens", "n_removed", "cleaned_text")
+        .dropDuplicates(["doc_id"])
+    )
+
+
+def compact_substring_ledgers(
+    spark: SparkSession, log_dir: str, files_per_bucket: int = 1
+) -> dict:
+    """Table maintenance for the incremental substring-dedup ledgers
+    (``run_substring_dedup_stream``) — the ``compact_neardup_ledgers``
+    mechanics applied to the docs/grams pair: collapse each ledger to
+    one row per doc_id (docs) / per gh (grams), keeping the MIN
+    ``(__batch_id, __run_tag)`` row (own-batch exclusion contract +
+    deterministic cross-lineage tiebreak), and rewrite with dynamic
+    per-bucket partition overwrite — per-partition atomic, rolling,
+    sorted within partitions for footer min/max skipping.  The same
+    single-lineage compaction constraint applies (see
+    ``compact_neardup_ledgers``).  Returns per-ledger file counts."""
+    docs_dir = f"{log_dir}/docs"
+    grams_dir = f"{log_dir}/grams"
+    out: dict = {}
+    for path, key_cols, bucket_col, sort_col in (
+        (docs_dir, ["doc_id"], "dbucket", "doc_id"),
+        (grams_dir, ["gh"], "gbucket", "gh"),
+    ):
+        led = _read_log(spark, path)
+        if led is None:
+            continue
+        before = len(led.inputFiles())
+        w = Window.partitionBy(*key_cols).orderBy("__batch_id", "__run_tag")
+        snap = (
+            led.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+            .localCheckpoint(eager=True)
+        )
+        (
+            snap.repartition(
+                F.col(bucket_col),
+                F.pmod(F.xxhash64(sort_col), F.lit(files_per_bucket)),
+            )
+            .sortWithinPartitions(sort_col)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(bucket_col)
+            .parquet(path)
+        )
+        out[path.rsplit("/", 1)[-1]] = {
+            "files_before": before,
+            "files_after": len(spark.read.parquet(path).inputFiles()),
+        }
+    return out
+
+
+def run_decontaminate_stream(
+    spark: SparkSession,
+    src_dir: str,
+    benchmark: DataFrame,
+    log_dir: str,
+    checkpoint_dir: str,
+    n: int = 5,
+    min_overlaps: int = 1,
+    max_files_per_trigger: int | None = None,
+    batch_shuffle_partitions: int | None = 8,
+) -> DataFrame:
+    """Streaming benchmark DECONTAMINATION gate (§2.J8 × H): every
+    arriving document is checked against the eval suite's n-gram set
+    before it can enter the corpus — contaminated rows land in a
+    ``quarantine/`` ledger (with their offending-gram counts, the
+    audit trail a data card cites), clean rows in ``clean/``.  This is
+    the gate order a production pipeline runs: decontamination happens
+    at INGEST, not as a later batch sweep, so an eval gram never
+    transits the training store.
+
+    The check is STATELESS per document given the (small, at-rest)
+    benchmark: ``operators.dedup.decontaminate`` runs per micro-batch
+    with the benchmark persisted across batches — corpus-side grams
+    stream through a broadcast hash join, zero shuffle, zero streaming
+    state, so stream == batch == SQL oracle row-for-row and replay /
+    redelivery append byte-identical rows that collapse in the
+    read-back (idempotence without ledger probes: the gate writes are
+    deterministic functions of the document alone).
+
+    100 TB shape: per-batch cost is one map pass over the batch's
+    grams against the broadcast eval set (j8's plan, proven
+    exchange-free on the corpus side); the benchmark-side gram build
+    re-executes per batch over a persisted eval frame — eval suites
+    are thousands of rows, so this is driver-noise, and a continuous
+    deployment would snapshot the gram set once per suite release.
+
+    Returns the read-back: ``(doc_id, quarantined, n_contaminated_grams)``
+    for every ingested document."""
+    from ..operators.dedup import decontaminate
+
+    clean_dir = f"{log_dir}/clean"
+    quar_dir = f"{log_dir}/quarantine"
+    bench = benchmark.persist()
+    bench.count()
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("quarantined", T.BooleanType()),
+            T.StructField("n_contaminated_grams", T.LongType()),
+        ]
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        flagged = decontaminate(
+            batch_df, bench, n=n, min_overlaps=min_overlaps
+        )
+        marked = (
+            batch_df.select("doc_id")
+            .join(flagged, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.col("n_contaminated_grams").isNotNull().alias("quarantined"),
+                F.coalesce("n_contaminated_grams", F.lit(0))
+                .cast("long")
+                .alias("n_contaminated_grams"),
+            )
+            .persist()
+        )
+        try:
+            marked.filter("quarantined").write.mode("append").parquet(quar_dir)
+            marked.filter(~F.col("quarantined")).write.mode("append").parquet(
+                clean_dir
+            )
+        finally:
+            marked.unpersist()
+
+    from .windows import _scoped_confs
+
+    reader = spark.readStream.schema(DOCUMENT_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(src_dir)
+    scoped: dict[str, str] = {}
+    if batch_shuffle_partitions is not None:
+        scoped = {
+            "spark.sql.shuffle.partitions": str(batch_shuffle_partitions),
+            "spark.sql.adaptive.enabled": "false",
+        }
+    with _scoped_confs(spark, scoped):
+        (
+            stream.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+    parts = [
+        df for df in (_read_log(spark, quar_dir), _read_log(spark, clean_dir))
+        if df is not None
+    ]
+    bench.unpersist()
+    if not parts:
+        return spark.createDataFrame([], out_schema)
+    out = parts[0]
+    for df in parts[1:]:
+        out = out.unionByName(df)
+    return out.dropDuplicates(["doc_id"])
+
+
+EMBEDDING_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType(), True),
+        T.StructField("embedding", T.ArrayType(T.FloatType()), True),
+        T.StructField("label", T.IntegerType(), True),
+    ]
+)
+
+
+def run_topk_maintenance_stream(
+    spark: SparkSession,
+    src_dir: str,
+    queries: DataFrame,
+    log_dir: str,
+    checkpoint_dir: str,
+    k: int = 5,
+    max_files_per_trigger: int | None = None,
+    batch_shuffle_partitions: int | None = 8,
+) -> DataFrame:
+    """CONTINUOUS exact kNN against a standing query set (§2.J3 × H):
+    embedding vectors stream in; each micro-batch is scored against
+    the (small, broadcast) queries and only the batch's per-query
+    top-``k`` survives into the candidates ledger; the read-back folds
+    the ledger to the GLOBAL per-query top-``k``.  This is the
+    similarity-alerting primitive — "tell me when anything close to X
+    arrives" — and the streaming complement of the j3 brute-force
+    baseline, exactly equal to it over the drained corpus.
+
+    Correctness invariant (what makes the fold exact): a vector in the
+    global top-``k`` of query q is necessarily in its own batch's
+    top-``k`` for q, so the ledger — per-batch winners only — always
+    contains the global winners.  Replay appends byte-identical rows
+    (scoring is deterministic) and redelivered vectors re-produce
+    their existing rows; both collapse in the read-back's
+    (query_id, neighbor_id) dedup, so no lineage bookkeeping is
+    needed at all — the h12 ledger pattern degenerates to
+    content-addressed rows.
+
+    100 TB shape: per-batch cost is one broadcast map over the batch
+    (batch × |queries| dot products, zero shuffle on the corpus side —
+    the j3 plan) + a per-query k-row TakeOrdered; ledger growth is
+    |queries| × k per batch regardless of batch size, and the
+    read-back fold is over that k-per-batch stream, never the corpus.
+    Returns ``(query_id, neighbor_id, sim, rnk)`` with rnk 1..k."""
+    from ..operators.similarity import brute_force_topk
+
+    from .windows import _scoped_confs
+
+    q = queries.persist()
+    q.count()
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        (
+            brute_force_topk(batch_df, q, k=k)
+            .select("query_id", "neighbor_id", "sim")
+            .write.mode("append")
+            .parquet(log_dir)
+        )
+
+    reader = spark.readStream.schema(EMBEDDING_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(src_dir)
+    scoped: dict[str, str] = {}
+    if batch_shuffle_partitions is not None:
+        scoped = {
+            "spark.sql.shuffle.partitions": str(batch_shuffle_partitions),
+            "spark.sql.adaptive.enabled": "false",
+        }
+    with _scoped_confs(spark, scoped):
+        (
+            stream.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+    q.unpersist()
+    log = _read_log(spark, log_dir)
+    if log is None:
+        return spark.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField("query_id", T.LongType()),
+                    T.StructField("neighbor_id", T.LongType()),
+                    T.StructField("sim", T.DoubleType()),
+                    T.StructField("rnk", T.LongType()),
+                ]
+            ),
+        )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
+    return (
+        log.dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+    )

@@ -941,3 +941,84 @@ def test_apply_substring_dedup_cuts_exact_spans(spark):
     assert out[3] == (20, 20, "")
     assert out[4] == (20, 20, "")
     assert out[5][1] == 0 and out[5][2] == " ".join(f"w{j}" for j in range(25))
+
+
+class TestIncrementalSubstringDedup:
+    """Keep-first incremental substring dedup (j2o batch twin).
+
+    Planted corpus, k=8, waves = doc_id % 3: passage P (10 tokens)
+    first arrives in wave 0 at doc 3; every later occurrence — same
+    wave higher id (doc 6), later wave SMALLER id (doc 1, the
+    first-arrived-beats-min-keeper case) — is cut; a within-doc
+    repeat (doc 9) keeps its first occurrence only; unique doc 2 is
+    untouched."""
+
+    def _fixture(self, spark):
+        P = " ".join(f"p{i}" for i in range(10))
+        Q = " ".join(f"q{i}" for i in range(10))
+        mk = lambda pre, body, post: f"{pre} {body} {post}".strip()
+        rows = [
+            # wave 0, arrives first: P at token positions 6..15
+            (3, mk(" ".join(f"a{i}" for i in range(5)), P,
+                   " ".join(f"a{i}" for i in range(5, 10)))),
+            # wave 0, same wave, higher id: P at 5..14 -> cut
+            (6, mk(" ".join(f"b{i}" for i in range(4)), P,
+                   " ".join(f"b{i}" for i in range(4, 8)))),
+            # wave 1, SMALLER id than doc 3: P at 3..12 -> still cut
+            (1, mk("c0 c1", P, " ".join(f"c{i}" for i in range(2, 8)))),
+            # wave 2, unique -> untouched
+            (2, " ".join(f"d{i}" for i in range(20))),
+            # wave 0, within-doc repeat of Q: second occurrence cut
+            (9, f"{Q} e0 e1 {Q}"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_planted_semantics(self, spark):
+        from realtime_cdc_pipeline_docker_spark.operators.dedup import (
+            incremental_substring_dedup,
+        )
+
+        out = {
+            r["doc_id"]: r
+            for r in incremental_substring_dedup(
+                self._fixture(spark), n_waves=3, k=8
+            ).collect()
+        }
+        assert len(out) == 5
+        # first arrival of P survives intact
+        assert out[3]["n_removed"] == 0
+        assert out[3]["n_tokens"] == 20
+        # same-wave higher id: P's grams (pos 5,6,7) cover [5,14]
+        assert out[6]["n_removed"] == 10
+        assert "p0" not in out[6]["cleaned_text"].split()
+        assert out[6]["cleaned_text"].split() == (
+            [f"b{i}" for i in range(4)] + [f"b{i}" for i in range(4, 8)]
+        )
+        # later wave, smaller id: still cut (first-ARRIVED, not min-id)
+        assert out[1]["n_removed"] == 10
+        assert "p0" not in out[1]["cleaned_text"].split()
+        # unique doc untouched
+        assert out[2]["n_removed"] == 0
+        assert out[2]["cleaned_text"].split() == [f"d{i}" for i in range(20)]
+        # within-doc repeat: first Q stays, second Q cut
+        assert out[9]["n_removed"] == 10
+        assert out[9]["cleaned_text"].split() == (
+            [f"q{i}" for i in range(10)] + ["e0", "e1"]
+        )
+
+    def test_short_docs_pass_through(self, spark):
+        from realtime_cdc_pipeline_docker_spark.operators.dedup import (
+            incremental_substring_dedup,
+        )
+
+        docs = spark.createDataFrame(
+            [(0, "only three tokens"), (1, "only three tokens")],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: r
+            for r in incremental_substring_dedup(docs, k=8).collect()
+        }
+        # below k tokens: no grams, nothing to cut — even exact copies
+        assert out[0]["n_removed"] == 0 and out[1]["n_removed"] == 0
+        assert out[1]["cleaned_text"] == "only three tokens"

@@ -560,3 +560,291 @@ def test_neardup_ledger_compaction_preserves_state(spark, tmp_path):
         spark, src, log, str(tmp_path / "ckpt3"), max_files_per_trigger=100
     )
     assert {r["doc_id"] for r in out.collect()} == expected | {998}
+
+
+def _substr_fixture(spark):
+    """Planted keep-first substring corpus, wave == doc_id % 3 (the
+    TestIncrementalSubstringDedup fixture re-cut into wave frames)."""
+    P = " ".join(f"p{i}" for i in range(10))
+    Q = " ".join(f"q{i}" for i in range(10))
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+
+    def doc(i, text):
+        return (i, text, "en", "t", len(text))
+
+    w0 = spark.createDataFrame(
+        [
+            doc(3, " ".join(f"a{i}" for i in range(5)) + f" {P} "
+                + " ".join(f"a{i}" for i in range(5, 10))),
+            doc(6, " ".join(f"b{i}" for i in range(4)) + f" {P} "
+                + " ".join(f"b{i}" for i in range(4, 8))),
+            doc(9, f"{Q} e0 e1 {Q}"),
+        ],
+        schema,
+    )
+    w1 = spark.createDataFrame(
+        [doc(1, f"c0 c1 {P} " + " ".join(f"c{i}" for i in range(2, 8)))],
+        schema,
+    )
+    w2 = spark.createDataFrame(
+        [doc(2, " ".join(f"d{i}" for i in range(20)))], schema
+    )
+    return [w0, w1, w2]
+
+
+def test_substring_stream_planted_and_equals_batch_twin(spark, tmp_path):
+    """Stream result == batch twin on the planted corpus, and the
+    planted expectations hold: first arrival of P (doc 3) intact,
+    same-wave higher id (doc 6) cut, later-wave SMALLER id (doc 1)
+    still cut (first-arrived beats min-keeper), within-doc repeat
+    (doc 9) keeps its first occurrence, unique doc 2 untouched."""
+    from realtime_cdc_pipeline_docker_spark.operators.dedup import (
+        incremental_substring_dedup,
+    )
+    from realtime_cdc_pipeline_docker_spark.streaming.ingest import (
+        run_substring_dedup_stream,
+    )
+
+    waves = _substr_fixture(spark)
+    src = str(tmp_path / "src")
+    _write_waves(waves, src)
+    out = {
+        r["doc_id"]: r
+        for r in run_substring_dedup_stream(
+            spark,
+            src,
+            str(tmp_path / "log"),
+            str(tmp_path / "ckpt"),
+            max_files_per_trigger=1,
+        ).collect()
+    }
+    assert out[3]["n_removed"] == 0
+    assert out[6]["n_removed"] == 10
+    assert out[1]["n_removed"] == 10
+    assert out[2]["n_removed"] == 0
+    assert out[9]["n_removed"] == 10
+    assert out[9]["cleaned_text"].split() == (
+        [f"q{i}" for i in range(10)] + ["e0", "e1"]
+    )
+
+    corpus = waves[0]
+    for w in waves[1:]:
+        corpus = corpus.unionByName(w)
+    twin = {
+        r["doc_id"]: r
+        for r in incremental_substring_dedup(corpus, n_waves=3, k=8).collect()
+    }
+    assert set(twin) == set(out)
+    for i, r in twin.items():
+        assert (r["n_tokens"], r["n_removed"], r["cleaned_text"]) == (
+            out[i]["n_tokens"],
+            out[i]["n_removed"],
+            out[i]["cleaned_text"],
+        ), f"doc {i} diverges"
+
+
+def test_substring_stream_redelivery_absorbed(spark, tmp_path):
+    """Full redelivery under a NEW checkpoint: every redelivered doc is
+    skipped by the doc_id probe (never re-cut against its own grams),
+    so the read-back is byte-identical."""
+    from realtime_cdc_pipeline_docker_spark.streaming.ingest import (
+        run_substring_dedup_stream,
+    )
+
+    waves = _substr_fixture(spark)
+    src = str(tmp_path / "src")
+    log = str(tmp_path / "log")
+    _write_waves(waves, src)
+    first = {
+        r["doc_id"]: r
+        for r in run_substring_dedup_stream(
+            spark, src, log, str(tmp_path / "ckpt1"), max_files_per_trigger=1
+        ).collect()
+    }
+    _write_waves(waves, src, start=len(waves))
+    rows = run_substring_dedup_stream(
+        spark, src, log, str(tmp_path / "ckpt2"), max_files_per_trigger=1
+    ).collect()
+    assert len(rows) == len(first)
+    for r in rows:
+        f = first[r["doc_id"]]
+        assert (r["n_removed"], r["cleaned_text"]) == (
+            f["n_removed"],
+            f["cleaned_text"],
+        )
+
+
+def test_substring_stream_gram_probe_is_bucket_pruned(spark, tmp_path):
+    """Both at-rest probes (gram ledger by gbucket, docs ledger by
+    dbucket) must prune partitions at the scan — the 100 TB contract
+    that keeps per-batch cost batch-sized as the ledgers grow."""
+    from realtime_cdc_pipeline_docker_spark.streaming.ingest import (
+        run_substring_dedup_stream,
+    )
+
+    waves = _substr_fixture(spark)
+    src = str(tmp_path / "src")
+    log = str(tmp_path / "log")
+    _write_waves(waves, src)
+    run_substring_dedup_stream(
+        spark, src, log, str(tmp_path / "ckpt"), max_files_per_trigger=1
+    )
+
+    def _pruned(df, col):
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        part = plan.split("PartitionFilters", 1)
+        return len(part) == 2 and col in part[1].split("]", 1)[0]
+
+    grams = spark.read.parquet(f"{log}/grams")
+    gbuckets = {r[0] for r in grams.select("gbucket").distinct().collect()}
+    assert len(gbuckets) > 1, "fixture grams should spread over buckets"
+    assert _pruned(grams.filter(F.col("gbucket").isin([min(gbuckets)])), "gbucket")
+    docs_led = spark.read.parquet(f"{log}/docs")
+    dbuckets = {r[0] for r in docs_led.select("dbucket").distinct().collect()}
+    assert _pruned(docs_led.filter(F.col("dbucket").isin([min(dbuckets)])), "dbucket")
+
+
+def test_substring_ledger_compaction_preserves_state(spark, tmp_path):
+    """Compaction must shrink both substring ledgers' file counts,
+    leave the cleaned read-back unchanged, and keep the gram ledger
+    probe-able: a post-compaction delivery repeating an indexed
+    passage must still be cut."""
+    from realtime_cdc_pipeline_docker_spark.streaming.ingest import (
+        compact_substring_ledgers,
+        run_substring_dedup_stream,
+        write_arrival_wave,
+    )
+
+    waves = _substr_fixture(spark)
+    src = str(tmp_path / "src")
+    log = str(tmp_path / "log")
+    _write_waves(waves, src)
+    first = {
+        (r["doc_id"], r["n_removed"], r["cleaned_text"])
+        for r in run_substring_dedup_stream(
+            spark, src, log, str(tmp_path / "ckpt1"), max_files_per_trigger=1
+        ).collect()
+    }
+    # full redelivery (new checkpoint): absorbed, ledgers gain files
+    _write_waves(waves, src, start=len(waves))
+    run_substring_dedup_stream(
+        spark, src, log, str(tmp_path / "ckpt2"), max_files_per_trigger=1
+    )
+
+    stats = compact_substring_ledgers(spark, log)
+    assert stats["docs"]["files_after"] < stats["docs"]["files_before"]
+    assert stats["grams"]["files_after"] < stats["grams"]["files_before"]
+    docs_led = spark.read.parquet(f"{log}/docs")
+    assert docs_led.count() == len(first)  # one row per doc
+    assert {
+        (r["doc_id"], r["n_removed"], r["cleaned_text"])
+        for r in docs_led.collect()
+    } == first
+
+    # the compacted gram ledger still drives the cut: a fresh doc
+    # repeating P (first seen in doc 3) must lose it post-compaction
+    P = " ".join(f"p{i}" for i in range(10))
+    extra = spark.createDataFrame(
+        [(100, f"z0 z1 z2 {P} z3 z4", "en", "t", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    write_arrival_wave(extra, src, 99)
+    out = {
+        r["doc_id"]: r
+        for r in run_substring_dedup_stream(
+            spark, src, log, str(tmp_path / "ckpt3")
+        ).collect()
+    }
+    assert out[100]["n_removed"] == 10
+    assert "p0" not in out[100]["cleaned_text"].split()
+
+
+def test_decontaminate_stream_equals_batch_and_absorbs_redelivery(
+    spark, sf_dir, tmp_path
+):
+    """The streaming gate must reproduce the batch j8 relation
+    row-for-row (stateless per doc), and a full redelivery under a new
+    checkpoint must collapse in the read-back."""
+    from realtime_cdc_pipeline_docker_spark.operators.dedup import decontaminate
+    from realtime_cdc_pipeline_docker_spark.streaming.ingest import (
+        run_decontaminate_stream,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 101 == 0).select("text")
+    waves = [docs.filter(F.col("doc_id") % 3 == w) for w in range(3)]
+    src = str(tmp_path / "src")
+    log = str(tmp_path / "log")
+    _write_waves(waves, src)
+    out = {
+        r["doc_id"]: r
+        for r in run_decontaminate_stream(
+            spark, src, bench, log, str(tmp_path / "ckpt1"),
+            max_files_per_trigger=1,
+        ).collect()
+    }
+    assert len(out) == docs.count()
+    batch = {
+        r["doc_id"]: r["n_contaminated_grams"]
+        for r in decontaminate(docs, bench).collect()
+    }
+    for i, r in out.items():
+        if i in batch:
+            assert r["quarantined"] and r["n_contaminated_grams"] == batch[i]
+        else:
+            assert not r["quarantined"] and r["n_contaminated_grams"] == 0
+
+    # redelivery under a new checkpoint: absorbed
+    _write_waves(waves, src, start=len(waves))
+    rows = run_decontaminate_stream(
+        spark, src, bench, log, str(tmp_path / "ckpt2"),
+        max_files_per_trigger=1,
+    ).collect()
+    assert len(rows) == len(out)
+
+
+def test_topk_maintenance_stream_equals_batch_and_absorbs_redelivery(
+    spark, sf_dir, tmp_path
+):
+    """The per-batch-winners ledger fold must equal the batch
+    brute-force top-k over the drained corpus (global winner ⊆ its own
+    batch's winners), and redelivery must collapse content-addressed."""
+    from realtime_cdc_pipeline_docker_spark.operators.similarity import (
+        brute_force_topk,
+    )
+    from realtime_cdc_pipeline_docker_spark.streaming.ingest import (
+        run_topk_maintenance_stream,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    waves = [emb.filter(F.col("vec_id") % 3 == w) for w in range(3)]
+    src = str(tmp_path / "src")
+    log = str(tmp_path / "log")
+    _write_waves(waves, src)
+    out = run_topk_maintenance_stream(
+        spark, src, queries, log, str(tmp_path / "ckpt1"),
+        k=5, max_files_per_trigger=1,
+    )
+    got = {(r["query_id"], r["neighbor_id"], r["rnk"]) for r in out.collect()}
+    want = {
+        (r["query_id"], r["neighbor_id"], r["rnk"])
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+    assert got == want
+
+    # redelivery under a new checkpoint: ledger gains rows, fold unchanged
+    _write_waves(waves, src, start=len(waves))
+    again = run_topk_maintenance_stream(
+        spark, src, queries, log, str(tmp_path / "ckpt2"),
+        k=5, max_files_per_trigger=1,
+    )
+    assert {
+        (r["query_id"], r["neighbor_id"], r["rnk"]) for r in again.collect()
+    } == want
