@@ -28,6 +28,10 @@ shifted ids) and prints one JSON line per (probe, scale):
   cost tracks the batch (bucket-pruned probe + dbucket-pruned
   fingerprint fetch), not the ledger — probe-batch wall-time ~flat as
   the index grows.
+- ``gram_ledger_growth``: the same fixed-batch axis for the
+  incremental substring dedup (h16 shape).  Claim: the gbucket-pruned
+  semi-join probe keeps probe-batch wall ~flat as the gram ledger
+  grows 10x.
 
 Usage: python scripts/scale_probe.py [sf_dir] [scales...]
 """
@@ -463,7 +467,91 @@ def main() -> int:
         corpus.unpersist()
 
     probe_index_growth(spark, docs, scales)
+    probe_gram_ledger_growth(spark, docs, scales)
     return 0
+
+
+def probe_gram_ledger_growth(spark, docs, scales) -> None:
+    """h16's version of the index_growth probe: a FIXED probe batch
+    against a 1×/10× AT-REST gram ledger (run_substring_dedup_stream).
+    Build with per-replica letter rotation (mutually-distinct grams →
+    the ledger really is ``scale``× larger), then drain one fixed
+    batch — 200 exact re-texts (every gram hits, whole doc cut) + 200
+    rotated fresh docs (every gram misses, doc passes intact) — and
+    clock only that drain.  Claim: the gbucket-pruned semi-join probe
+    keeps probe-batch wall ~flat as the ledger grows."""
+    import shutil
+    import tempfile
+
+    from realtime_cdc_pipeline_docker_spark.streaming.ingest import (
+        run_substring_dedup_stream,
+        write_arrival_wave,
+    )
+
+    alphabet = "abcdefghijklmnopqrstuvwxyz"
+    base = docs.select("doc_id", "text").withColumn(
+        "lang", F.lit("en")
+    ).withColumn("source", F.lit("probe")).withColumn(
+        "n_chars", F.length("text").cast("long")
+    )
+    probe_dup = (
+        base.orderBy("doc_id")
+        .limit(200)
+        .withColumn("doc_id", F.col("doc_id") + 50_000_000)
+    )
+    probe_new = (
+        base.orderBy("doc_id")
+        .limit(200)
+        .withColumn("doc_id", F.col("doc_id") + 60_000_000)
+        .withColumn(
+            "text", F.translate("text", alphabet, alphabet[13:] + alphabet[:13])
+        )
+    )
+    probe_batch = probe_dup.unionByName(probe_new).persist()
+    probe_batch.count()
+
+    for scale in scales:
+        work = tempfile.mkdtemp(prefix=f"gram_growth_{scale}x_")
+        try:
+            corpus = base
+            for r in range(1, scale):
+                rot = alphabet[r % 25 + 1 :] + alphabet[: r % 25 + 1]
+                corpus = corpus.unionByName(
+                    base.withColumn(
+                        "doc_id", F.col("doc_id") + 1_000_000 * r
+                    ).withColumn("text", F.translate("text", alphabet, rot))
+                )
+            src = f"{work}/src"
+            log = f"{work}/log"
+            write_arrival_wave(corpus, src, 0)
+            run_substring_dedup_stream(
+                spark, src, log, f"{work}/ckpt", ledger_buckets=32
+            )
+            gram_rows = spark.read.parquet(f"{log}/grams").count()
+
+            write_arrival_wave(probe_batch, src, 1)
+            t0 = time.time()
+            out = run_substring_dedup_stream(
+                spark, src, log, f"{work}/ckpt", ledger_buckets=32
+            )
+            sec = round(time.time() - t0, 2)
+            n_cut = out.filter("n_removed > 0").count()
+            print(
+                json.dumps(
+                    {
+                        "probe": "gram_ledger_growth",
+                        "scale": scale,
+                        "gram_rows": gram_rows,
+                        "probe_batch_docs": 400,
+                        "docs_cut_total": n_cut,
+                        "probe_batch_sec": sec,
+                    }
+                ),
+                flush=True,
+            )
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+    probe_batch.unpersist()
 
 
 def probe_index_growth(spark, docs, scales) -> None:
