@@ -1586,10 +1586,28 @@ def incremental_neardup_dedup(
         jaccard_threshold,
         max_bucket_size,
     ).select("id_a", "id_b")
+    docs = df.select(
+        F.col(id_col).alias("doc_id"),
+        (F.col(id_col) % n_waves).cast("long").alias("wave"),
+    )
+    return incremental_wave_fold(docs, pairs, n_waves)
+
+
+def incremental_wave_fold(
+    docs: DataFrame, pairs: DataFrame, n_waves: int
+) -> DataFrame:
+    """The arrival-wave survivor fold shared by the incremental dedup
+    batch twins (j2m text near-dup, j5g media near-dup): given
+    ``docs (doc_id, wave)`` and an undirected near-dup ``pairs (id_a,
+    id_b)`` relation, compute first-ARRIVED-survives — a doc is
+    dropped iff it pairs with an earlier-wave SURVIVOR or with a
+    smaller-id doc of its own wave (shadowing peers count regardless
+    of their own fate).  ``n_waves`` anti-joins over the pair table,
+    no driver-side row data.  Returns ``(doc_id, wave, survived)``."""
     # Both orientations from ONE pass via explode — a union of pairs
-    # with its own reversal puts the LSH subtree in the DAG twice and
-    # Spark re-executes duplicated subtrees (the connected_components
-    # lesson; measured 2× the dominant cost here).
+    # with its own reversal puts the pair-generation subtree in the DAG
+    # twice and Spark re-executes duplicated subtrees (the
+    # connected_components lesson; measured 2× the dominant cost here).
     sym = (
         pairs.select(
             F.explode(
@@ -1605,10 +1623,6 @@ def incremental_neardup_dedup(
         .persist()
     )
     track_persisted(sym)
-    docs = df.select(
-        F.col(id_col).alias("doc_id"),
-        (F.col(id_col) % n_waves).cast("long").alias("wave"),
-    )
     survivors = None
     for w in range(n_waves):
         wave = docs.filter(F.col("wave") == w)

@@ -474,3 +474,36 @@ def sniff_mime(payload_col: str = "payload") -> F.Column:
         )
         .otherwise(F.lit("application/octet-stream"))
     )
+
+
+def incremental_media_dedup(
+    media: DataFrame,
+    n_waves: int = 3,
+    max_hamming: int = 3,
+    bands: int = 4,
+    max_bucket_size: int = 10_000,
+) -> DataFrame:
+    """Incremental MULTIMODAL near-dup dedup, batch twin of
+    ``streaming.ingest.run_media_dedup_stream`` (§2.J5 × H — the
+    image-dedup analog of the j2m/h15 pairing): media rows arrive in
+    ``n_waves`` waves (``wave = doc_id % n_waves``); a row is dropped
+    iff its 64-bit perceptual dHash is within Hamming distance
+    ``max_hamming`` of an earlier-wave SURVIVOR or of a smaller-id row
+    of its own wave.  First-ARRIVED survives.
+
+    Mechanism: one dHash pass + banded pair generation
+    (:func:`dhash_neardup_pairs` — pigeonhole-complete under the
+    observable bucket cap), then the shared arrival-wave fold
+    (``operators.dedup.incremental_wave_fold`` — the exact set algebra
+    j2m uses, applied to a hamming pair relation instead of a Jaccard
+    one).  Returns ``(doc_id, wave, survived)``."""
+    from .dedup import incremental_wave_fold
+
+    pairs = dhash_neardup_pairs(
+        media, max_hamming=max_hamming, bands=bands,
+        max_bucket_size=max_bucket_size,
+    ).select(F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b"))
+    docs = media.select(
+        "doc_id", (F.col("doc_id") % n_waves).cast("long").alias("wave")
+    )
+    return incremental_wave_fold(docs, pairs, n_waves)

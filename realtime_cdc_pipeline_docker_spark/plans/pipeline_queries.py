@@ -1549,3 +1549,48 @@ def h18_stream_topk_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5,
         max_files_per_trigger=1,
     ).select("query_id", "neighbor_id", "rnk")
+
+
+@register("h19_stream_media_dedup", oracle=None)
+def h19_stream_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental STREAMING multimodal near-dup ingest (§2.H × J5 —
+    the image analog of h15): the documents fixture arrives as the 3
+    mtime-pinned waves; each micro-batch is perceptual-dHashed
+    (Arrow-batched mapInPandas, byte-grid stub for the decode), probed
+    bucket-pruned against the AT-REST dHash band index with the
+    Hamming verify INSIDE the probe join (the 8-byte fingerprint rides
+    on every index row — no second ledger fetch), shadowed by
+    smaller-id batch peers, and survivors append idempotently.
+    First-arrived survives; redelivery re-verifies at Hamming 0 and
+    drops.  Rows-only by nature (j5f contract); stream == batch twin
+    (j5g) parity and redelivery absorption are pinned in
+    tests/test_streaming_ingest.py.  See
+    streaming/ingest.py:run_media_dedup_stream."""
+    from ..streaming.ingest import run_media_dedup_stream, write_arrival_wave
+    from .cdc_queries import _work_dir
+
+    work = _work_dir("media_ingest", sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    if sf_dir not in _NEARDUP_SRC:
+        src = f"{_work_dir('neardup_src', sf_dir)}/waves"
+        for w in range(3):
+            write_arrival_wave(docs.filter(F.col("doc_id") % 3 == w), src, w)
+        _NEARDUP_SRC[sf_dir] = src
+    surv = run_media_dedup_stream(
+        spark,
+        _NEARDUP_SRC[sf_dir],
+        f"{work}/log",
+        f"{work}/ckpt",
+        max_files_per_trigger=1,
+    )
+    return (
+        docs.select("doc_id", (F.col("doc_id") % 3).cast("long").alias("wave"))
+        .join(surv.select("doc_id", F.lit(True).alias("survived")), "doc_id", "left")
+        .select(
+            "doc_id",
+            "wave",
+            F.coalesce("survived", F.lit(False)).alias("survived"),
+        )
+    )

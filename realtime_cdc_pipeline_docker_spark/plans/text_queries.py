@@ -1648,3 +1648,32 @@ def j9i_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sized.withColumn(
         "n_merged", (F.col("n_tokens_raw") - F.col("n_tokens_bpe")).cast("long")
     )
+
+
+@register("j5g_incremental_media_dedup", oracle=None)
+def j5g_incremental_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental multimodal near-dup dedup, BATCH twin (§2.J5 × H —
+    the image-dedup analog of j2m): the media corpus (documents
+    wrapped as binary payloads, plus the j5f planted re-encoded twins)
+    arrives in 3 waves (doc_id % 3); a row is dropped iff its 64-bit
+    perceptual dHash is within Hamming 3 of an earlier-wave SURVIVOR
+    or a smaller-id row of its own wave — first-ARRIVED survives.
+    One dHash pass + pigeonhole-complete band pairs + the SHARED
+    arrival-wave fold (operators/dedup.py:incremental_wave_fold, the
+    exact set algebra j2m uses).  Rows-only by nature (the hash lives
+    behind the Python decode boundary — the j5f contract); planted
+    twin/cap/parity guarantees are pinned in tests/test_multimodal.py
+    and the streaming twin's tests.  See
+    operators/multimodal.py:incremental_media_dedup."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.attach_binary_payload(docs)
+    twins = media.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"),
+        F.concat(
+            F.lit(b"\x00"),
+            F.expr("substring(payload, 2, length(payload) - 2)"),
+            F.lit(b"\x00"),
+        ).alias("payload"),
+        "meta",
+    )
+    return multimodal.incremental_media_dedup(media.unionByName(twins))

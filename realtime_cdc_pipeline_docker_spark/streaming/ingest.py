@@ -1265,3 +1265,219 @@ def run_topk_maintenance_stream(
         .withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= k)
     )
+
+
+def run_media_dedup_stream(
+    spark: SparkSession,
+    src_dir: str,
+    log_dir: str,
+    checkpoint_dir: str,
+    max_hamming: int = 3,
+    bands: int = 4,
+    index_buckets: int = 8,
+    max_bucket_size: int = 10_000,
+    max_files_per_trigger: int | None = None,
+    batch_shuffle_partitions: int | None = 8,
+) -> DataFrame:
+    """Incremental MULTIMODAL near-dup ingestion (§2.J5 × H — the
+    image-dedup analog of ``run_neardup_ingest_stream``): each arriving
+    micro-batch of media rows is perceptual-dHashed (Arrow-batched
+    mapInPandas; real pixels when Pillow decodes, byte-grid stub here),
+    checked against the AT-REST dHash band index and against
+    smaller-id peers of its own batch, and survivors append themselves
+    + their band slices idempotently.  First-ARRIVED survives; a
+    redelivered row re-verifies against its own indexed copy at
+    Hamming 0 and drops — the h15 absorption semantics.
+
+    Simpler than the MinHash pipeline in one load-bearing way: the
+    fingerprint IS 8 bytes, so the index ledger carries the full dhash
+    on every band row and verification (``bit_count(a XOR b) <=
+    max_hamming``) happens inside the probe join — there is no second
+    docs-ledger fetch at all.  One bucket-pruned probe per batch.
+
+    Ledgers under ``log_dir``: ``docs/`` (survivor doc_id + dhash,
+    dbucket-partitioned) and ``index/`` (one (doc_id, band_no,
+    band_bits, dhash) row per band per survivor, partitioned by
+    ``bucket = pmod(xxhash64(band_no, band_bits), index_buckets)``).
+    (tag, batch)-keyed own-batch exclusion exactly as h15.  Batch
+    twin: ``operators.multimodal.incremental_media_dedup`` (banded
+    pair table + the shared arrival-wave fold).  Pigeonhole guarantee
+    requires ``max_hamming < bands``; batch-local pair generation caps
+    degenerate buckets at ``max_bucket_size`` (observable through the
+    batch twin's companion ``oversized_dhash_buckets``)."""
+    assert max_hamming < bands, "pigeonhole guarantee requires max_hamming < bands"
+    import hashlib as _hashlib
+
+    from ..operators.multimodal import attach_binary_payload, image_dhash
+    from .windows import _scoped_confs
+
+    docs_dir = f"{log_dir}/docs"
+    index_dir = f"{log_dir}/index"
+    width = 64 // bands
+    run_tag = _hashlib.md5(checkpoint_dir.encode()).hexdigest()[:12]
+    bucket_expr = F.pmod(
+        F.xxhash64("band_no", "band_bits"), F.lit(index_buckets)
+    ).cast("int")
+    dbucket_expr = F.pmod(F.xxhash64("doc_id"), F.lit(index_buckets)).cast(
+        "int"
+    )
+    index_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("band_no", T.IntegerType()),
+            T.StructField("band_bits", T.LongType()),
+            T.StructField("dhash", T.LongType()),
+            T.StructField("__batch_id", T.LongType()),
+            T.StructField("__run_tag", T.StringType()),
+            T.StructField("bucket", T.IntegerType()),
+        ]
+    )
+    docs_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("dhash", T.LongType()),
+            T.StructField("__batch_id", T.LongType()),
+            T.StructField("__run_tag", T.StringType()),
+            T.StructField("dbucket", T.IntegerType()),
+        ]
+    )
+
+    def _read_ledger(sess: SparkSession, path: str, schema) -> DataFrame | None:
+        try:
+            df = sess.read.schema(schema).parquet(path)
+            df.schema
+            return df
+        except AnalysisException:
+            return None
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sess = batch_df.sparkSession
+        h = image_dhash(attach_binary_payload(batch_df)).persist()
+        slices = h.select(
+            "doc_id",
+            "dhash",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.expr(f"(dhash >> {i * width}) & {(1 << width) - 1}")
+                        for i in range(bands)
+                    ]
+                )
+            ).alias("band_no", "band_bits"),
+        ).withColumn("bucket", bucket_expr).persist()
+        try:
+            # Within-batch: smaller id shadows (cap-filtered, the
+            # dhash_neardup_pairs shape on the batch alone).
+            sizes = slices.groupBy("band_no", "band_bits").agg(
+                F.count(F.lit(1)).alias("__n")
+            )
+            keyed = slices.join(
+                F.broadcast(sizes.filter(F.col("__n") > max_bucket_size)),
+                ["band_no", "band_bits"],
+                "left_anti",
+            )
+            a = keyed.select(
+                "band_no", "band_bits",
+                F.col("doc_id").alias("id_a"), F.col("dhash").alias("h_a"),
+            )
+            b = keyed.select(
+                "band_no", "band_bits",
+                F.col("doc_id").alias("id_b"), F.col("dhash").alias("h_b"),
+            )
+            dropped = (
+                a.join(b, ["band_no", "band_bits"])
+                .filter(
+                    (F.col("id_a") < F.col("id_b"))
+                    & (F.bit_count(F.expr("h_a ^ h_b")) <= max_hamming)
+                )
+                .select(F.col("id_b").alias("doc_id"))
+            )
+            # At-rest probe: bucket-pruned, own-(tag, batch) excluded,
+            # dhash carried by the index row — verify in the join.
+            idx = _read_ledger(sess, index_dir, index_schema)
+            if idx is not None:
+                touched = [
+                    r[0] for r in slices.select("bucket").distinct().collect()
+                ]
+                at_rest = idx.filter(
+                    F.col("bucket").isin(touched)
+                    & ~(
+                        (F.col("__batch_id") == batch_id)
+                        & (F.col("__run_tag") == run_tag)
+                    )
+                ).select("band_no", "band_bits", F.col("dhash").alias("h_b"))
+                matched = (
+                    slices.join(at_rest, ["band_no", "band_bits"])
+                    .filter(
+                        F.bit_count(F.expr("dhash ^ h_b")) <= max_hamming
+                    )
+                    .select("doc_id")
+                )
+                dropped = dropped.unionByName(matched)
+            survivors = (
+                h.join(dropped, "doc_id", "left_anti")
+                .withColumn("__batch_id", F.lit(batch_id))
+                .withColumn("__run_tag", F.lit(run_tag))
+                .withColumn("dbucket", dbucket_expr)
+                .persist()
+            )
+            try:
+                (
+                    survivors.repartition("dbucket")
+                    .write.mode("append")
+                    .partitionBy("dbucket")
+                    .parquet(docs_dir)
+                )
+                (
+                    slices.join(
+                        survivors.select("doc_id"), "doc_id", "left_semi"
+                    )
+                    .select(
+                        "doc_id", "band_no", "band_bits", "dhash",
+                        F.lit(batch_id).alias("__batch_id"),
+                        F.lit(run_tag).alias("__run_tag"),
+                        "bucket",
+                    )
+                    .repartition("bucket")
+                    .write.mode("append")
+                    .partitionBy("bucket")
+                    .parquet(index_dir)
+                )
+            finally:
+                survivors.unpersist()
+        finally:
+            h.unpersist()
+            slices.unpersist()
+
+    reader = spark.readStream.schema(DOCUMENT_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(src_dir)
+    scoped: dict[str, str] = {}
+    if batch_shuffle_partitions is not None:
+        scoped = {
+            "spark.sql.shuffle.partitions": str(batch_shuffle_partitions),
+            "spark.sql.adaptive.enabled": "false",
+        }
+    with _scoped_confs(spark, scoped):
+        (
+            stream.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+    log = _read_ledger(spark, docs_dir, docs_schema)
+    if log is None:
+        return spark.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField("doc_id", T.LongType()),
+                    T.StructField("dhash", T.LongType()),
+                ]
+            ),
+        )
+    return log.select("doc_id", "dhash").dropDuplicates(["doc_id"])

@@ -848,3 +848,76 @@ def test_topk_maintenance_stream_equals_batch_and_absorbs_redelivery(
     assert {
         (r["query_id"], r["neighbor_id"], r["rnk"]) for r in again.collect()
     } == want
+
+
+def test_media_dedup_stream_equals_batch_twin_and_plants(spark, sf_dir, tmp_path):
+    """Stream == batch twin on the real fixture corpus, and a planted
+    near-twin text (same bytes except the ends — hamming ≤ 3 dhash)
+    delivered in a LATER wave is dropped while its original survives."""
+    from realtime_cdc_pipeline_docker_spark.operators.multimodal import (
+        attach_binary_payload,
+        incremental_media_dedup,
+    )
+    from realtime_cdc_pipeline_docker_spark.streaming.ingest import (
+        run_media_dedup_stream,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    waves = [docs.filter(F.col("doc_id") % 3 == w) for w in range(3)]
+    src = str(tmp_path / "src")
+    _write_waves(waves, src)
+    surv = {
+        r["doc_id"]
+        for r in run_media_dedup_stream(
+            spark, src, str(tmp_path / "log"), str(tmp_path / "ckpt"),
+            max_files_per_trigger=1,
+        ).collect()
+    }
+    twin = incremental_media_dedup(attach_binary_payload(docs), n_waves=3)
+    twin_surv = {r["doc_id"] for r in twin.collect() if r["survived"]}
+    assert surv == twin_surv
+
+    # planted near-twin: doc 0's text, first char swapped, delivered
+    # later at a higher id in a fresh stream — must drop against the
+    # indexed original
+    base = docs.orderBy("doc_id").limit(1).collect()[0]
+    src2 = str(tmp_path / "src2")
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    w0 = spark.createDataFrame([(base["doc_id"], base["text"], "en", "t", 1)], schema)
+    tweaked = "Z" + base["text"][1:]
+    w1 = spark.createDataFrame([(base["doc_id"] + 3, tweaked, "en", "t", 1)], schema)
+    _write_waves([w0, w1], src2)
+    out2 = {
+        r["doc_id"]
+        for r in run_media_dedup_stream(
+            spark, src2, str(tmp_path / "log2"), str(tmp_path / "ckpt2"),
+            max_files_per_trigger=1,
+        ).collect()
+    }
+    assert out2 == {base["doc_id"]}
+
+
+def test_media_dedup_stream_redelivery_absorbed(spark, sf_dir, tmp_path):
+    """Redelivered media rows re-verify against their own indexed copy
+    at Hamming 0 and drop; the survivor set is unchanged."""
+    from realtime_cdc_pipeline_docker_spark.streaming.ingest import (
+        run_media_dedup_stream,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    waves = [docs.filter(F.col("doc_id") % 3 == w) for w in range(3)]
+    src = str(tmp_path / "src")
+    log = str(tmp_path / "log")
+    _write_waves(waves, src)
+    first = {
+        r["doc_id"]
+        for r in run_media_dedup_stream(
+            spark, src, log, str(tmp_path / "ckpt1"), max_files_per_trigger=1
+        ).collect()
+    }
+    _write_waves(waves, src, start=len(waves))
+    rows = run_media_dedup_stream(
+        spark, src, log, str(tmp_path / "ckpt2"), max_files_per_trigger=1
+    ).collect()
+    assert {r["doc_id"] for r in rows} == first
+    assert len(rows) == len(first)
