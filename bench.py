@@ -229,6 +229,7 @@ JIT_HEAVY = {
     # warm-up left the r9 in-suite median at 3.9 s vs the 2.7 s floor).
     "j2k_substring_dedup",
     "j2n_substring_dedup_apply",
+    "j2o_incremental_substring",  # same gram-explode + HOF-cut codegen class as j2n
     "j9i_bpe_encode",  # chained HOF-fold codegen, same slow-ramp class
 }
 

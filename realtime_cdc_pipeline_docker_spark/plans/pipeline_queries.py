@@ -1563,7 +1563,7 @@ def h19_stream_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     smaller-id batch peers, and survivors append idempotently.
     First-arrived survives; redelivery re-verifies at Hamming 0 and
     drops.  Rows-only by nature (j5f contract); stream == batch twin
-    (j5h) parity and redelivery absorption are pinned in
+    (j5i) parity and redelivery absorption are pinned in
     tests/test_streaming_ingest.py.  See
     streaming/ingest.py:run_media_dedup_stream."""
     from ..streaming.ingest import run_media_dedup_stream, write_arrival_wave

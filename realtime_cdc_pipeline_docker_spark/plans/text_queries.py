@@ -1650,8 +1650,8 @@ def j9i_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("j5h_incremental_media_dedup", oracle=None)
-def j5h_incremental_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+@register("j5i_incremental_media_dedup", oracle=None)
+def j5i_incremental_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental multimodal near-dup dedup, BATCH twin (§2.J5 × H —
     the image-dedup analog of j2m): the media corpus (documents
     wrapped as binary payloads, plus the j5f planted re-encoded twins)
