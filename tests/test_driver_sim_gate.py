@@ -99,6 +99,9 @@ def test_bench_headline_rule():
         # repo's largest codegen surface; its C2 ramp spans >3 runs)
         "j2k_substring_dedup",
         "j2n_substring_dedup_apply",
+        # round-10: the incremental substring twin shares j2n's
+        # gram-explode + HOF-cut codegen class
+        "j2o_incremental_substring",
         "j9i_bpe_encode",
     }
 
