@@ -1022,3 +1022,71 @@ class TestIncrementalSubstringDedup:
         # below k tokens: no grams, nothing to cut — even exact copies
         assert out[0]["n_removed"] == 0 and out[1]["n_removed"] == 0
         assert out[1]["cleaned_text"] == "only three tokens"
+
+
+def _py_incremental_substring(docs, n_waves=3, k=8):
+    """Independent O(total²) Python model of the keep-first relation:
+    a k-gram occurrence is cut iff some earlier occurrence exists in
+    (wave, doc_id, pos) order; coverage = union of [p, p+k-1]; docs
+    contribute ORIGINAL grams regardless of cuts."""
+    toks = {
+        d: text.lower().strip().split() for d, text in docs
+    }
+    occs = []  # (wave, doc_id, pos, gram)
+    for d, _ in docs:
+        t = toks[d]
+        for p in range(len(t) - k + 1):
+            occs.append((d % n_waves, d, p + 1, " ".join(t[p : p + k])))
+    first = {}
+    for w, d, p, g in sorted(occs):
+        first.setdefault(g, (w, d, p))
+    out = {}
+    for d, _ in docs:
+        t = toks[d]
+        cut = set()
+        for p in range(len(t) - k + 1):
+            g = " ".join(t[p : p + k])
+            if first[g] != (d % n_waves, d, p + 1):
+                cut.update(range(p + 1, p + k + 1))
+        kept = [tok for i, tok in enumerate(t, 1) if i not in cut]
+        out[d] = (
+            d % n_waves,
+            len(t),
+            len(t) - len(kept),
+            " ".join(kept),
+        )
+    return out
+
+
+def test_incremental_substring_matches_python_model_random(spark):
+    """Property check against the independent model on adversarial
+    corpora: cross-wave repeats in both id directions, within-doc
+    repeats, overlapping repeats, sub-k docs, and a tiny-alphabet
+    pseudo-random corpus where k-gram collisions occur naturally."""
+    from realtime_cdc_pipeline_docker_spark.operators.dedup import (
+        incremental_substring_dedup,
+    )
+
+    rep = [f"r{i}" for i in range(12)]
+    rand = lambda seed, n: [
+        "ab"[(seed * 7 + i * i * 31 + i) % 2] for i in range(n)
+    ]
+    docs = [
+        (3, " ".join(["a1", "a2"] + rep + ["a3"])),        # wave 0, first
+        (6, " ".join(rep + ["b1", "b2"])),                 # wave 0, higher id
+        (1, " ".join(["c1"] + rep)),                       # wave 1, SMALLER id
+        (2, " ".join(rep + ["d1"] + rep)),                 # wave 2, within-doc too
+        (4, " ".join(rand(1, 30))),                        # wave 1
+        (5, " ".join(rand(2, 26))),                        # wave 2
+        (9, " ".join(rand(1, 30))),                        # wave 0: exact dup of 4's text, EARLIER wave, higher id
+        (7, "short doc"),                                  # sub-k
+    ]
+    for k in (4, 8):
+        got = {
+            r["doc_id"]: (r["wave"], r["n_tokens"], r["n_removed"], r["cleaned_text"])
+            for r in incremental_substring_dedup(
+                spark.createDataFrame(docs, ["doc_id", "text"]), n_waves=3, k=k
+            ).collect()
+        }
+        want = _py_incremental_substring(docs, n_waves=3, k=k)
+        assert got == want, (k, got, want)
