@@ -921,3 +921,35 @@ def test_media_dedup_stream_redelivery_absorbed(spark, sf_dir, tmp_path):
     ).collect()
     assert {r["doc_id"] for r in rows} == first
     assert len(rows) == len(first)
+
+
+def test_substring_stream_wiped_checkpoint_replay_is_stable(spark, tmp_path):
+    """Full crash-replay: wiping the checkpoint replays every wave
+    under the SAME lineage tag with batch ids restarting at 0 — each
+    replayed batch must exclude exactly the original run's
+    corresponding appends via the (tag, batch) key, recompute
+    byte-identically, and collapse in the read-back."""
+    from realtime_cdc_pipeline_docker_spark.streaming.ingest import (
+        run_substring_dedup_stream,
+    )
+
+    waves = _substr_fixture(spark)
+    src = str(tmp_path / "src")
+    log = str(tmp_path / "log")
+    ckpt = str(tmp_path / "ckpt")
+    _write_waves(waves, src)
+    first = {
+        r["doc_id"]: (r["n_removed"], r["cleaned_text"])
+        for r in run_substring_dedup_stream(
+            spark, src, log, ckpt, max_files_per_trigger=1
+        ).collect()
+    }
+    import shutil
+
+    shutil.rmtree(ckpt)
+    rows = run_substring_dedup_stream(
+        spark, src, log, ckpt, max_files_per_trigger=1
+    ).collect()
+    assert len(rows) == len(first)
+    for r in rows:
+        assert (r["n_removed"], r["cleaned_text"]) == first[r["doc_id"]]
