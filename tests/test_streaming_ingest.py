@@ -953,3 +953,35 @@ def test_substring_stream_wiped_checkpoint_replay_is_stable(spark, tmp_path):
     assert len(rows) == len(first)
     for r in rows:
         assert (r["n_removed"], r["cleaned_text"]) == first[r["doc_id"]]
+
+
+def test_media_dedup_stream_wiped_checkpoint_replay_is_stable(
+    spark, sf_dir, tmp_path
+):
+    """Same crash-replay contract for the media stream: a wiped
+    checkpoint replays every wave under the original lineage tag and
+    the survivor set must be unchanged."""
+    from realtime_cdc_pipeline_docker_spark.streaming.ingest import (
+        run_media_dedup_stream,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    waves = [docs.filter(F.col("doc_id") % 3 == w) for w in range(3)]
+    src = str(tmp_path / "src")
+    log = str(tmp_path / "log")
+    ckpt = str(tmp_path / "ckpt")
+    _write_waves(waves, src)
+    first = {
+        r["doc_id"]
+        for r in run_media_dedup_stream(
+            spark, src, log, ckpt, max_files_per_trigger=1
+        ).collect()
+    }
+    import shutil
+
+    shutil.rmtree(ckpt)
+    rows = run_media_dedup_stream(
+        spark, src, log, ckpt, max_files_per_trigger=1
+    ).collect()
+    assert {r["doc_id"] for r in rows} == first
+    assert len(rows) == len(first)
