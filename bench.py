@@ -234,6 +234,68 @@ JIT_HEAVY = {
 }
 
 
+# Host-degradation control set (VERDICT r10 #6): plan-stable, JIT-light
+# rows untouched since the early rounds, heavy enough (>= ~0.3 s
+# committed median) that their ratio to the committed artifact is not
+# timer noise.  The round-10 degradation episode was separated from
+# code by HAND-picking exactly such rows (d23 1.04→2.26, g10
+# 1.29→2.11 under load, back to parity after); this automates that
+# instrument: every bench run stamps the control ratios + their median
+# into BENCH_FULL.json and flags the run when the median moves > 1.3×
+# — a machine annotation that a wall-clock regression is environmental
+# before anyone diffs plans.
+CONTROL_SET = [
+    "d23_tpch_q21_shape",
+    "g10_try_arithmetic",
+    "e2a_window_topn",
+    "c06_pricing_summary",
+    "c01_global_sum",
+    "d1_join_inner_fk",
+    "d9_tpch_q5_shape",
+    "e2d_sessionization",
+]
+
+CONTROL_FLAG_THRESHOLD = 1.3
+
+
+def control_inflation(
+    times: dict[str, float], committed: dict[str, float] | None = None
+) -> dict:
+    """Per-control inflation ratios vs the committed clean-host
+    artifact (BENCH_COMMITTED.json), their MEDIAN, and the degraded
+    flag.  Median, not mean: one control hitting a cold file cache
+    must not flag the host.  Returns None fields when no committed
+    baseline exists (first run of a fresh clone)."""
+    if committed is None:
+        try:
+            with open(
+                os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)),
+                    "BENCH_COMMITTED.json",
+                )
+            ) as f:
+                committed = json.load(f)["queries"]
+        except (OSError, KeyError, json.JSONDecodeError):
+            committed = {}
+    ratios = {
+        n: round(times[n] / committed[n], 3)
+        for n in CONTROL_SET
+        if n in times and committed.get(n)
+    }
+    if not ratios:
+        return {
+            "control_ratios": {},
+            "control_inflation": None,
+            "host_degraded": None,
+        }
+    med = sorted(ratios.values())[len(ratios) // 2]
+    return {
+        "control_ratios": ratios,
+        "control_inflation": med,
+        "host_degraded": med > CONTROL_FLAG_THRESHOLD,
+    }
+
+
 def short_keys(names: list[str]) -> dict[str, str]:
     """Unique SURVEY §2 prefix per query (``j2_minhash_neardup`` →
     ``j2``) for the size-capped final line; falls back to the full name
@@ -292,6 +354,7 @@ def main() -> None:
         samples[name] = sample
         times[name] = sorted(sample)[len(sample) // 2]
 
+    control = control_inflation(times)
     full = {
         "metric": "total_wall_sec",
         "value": round(sum(times.values()), 3),
@@ -304,6 +367,7 @@ def main() -> None:
         "headline_rule": "every registered query except EXCLUDED",
         "registered": len(plans.REGISTRY),
         "excluded": EXCLUDED,
+        **control,
     }
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"), "w") as f:
         json.dump(full, f, indent=1)
@@ -320,6 +384,8 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(times),
         "excluded": len(EXCLUDED),
+        "ctl_inflation": control["control_inflation"],
+        "host_degraded": control["host_degraded"],
     }
     line = json.dumps(compact, separators=(",", ":"))
     if len(line) > 1900:  # shed precision, then the FASTEST rows, before width

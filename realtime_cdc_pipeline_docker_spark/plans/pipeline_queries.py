@@ -1324,6 +1324,35 @@ _NEARDUP_SRC: dict[str, str] = {}
 # under the reset-on-entry work dir so every run re-executes the
 # streaming aggregation itself.
 _STREAM_SRC: dict[tuple[str, str], str] = {}
+_EMB_SRC: dict[str, str] = {}
+
+
+def _ensure_doc_waves(docs, sf_dir: str) -> None:
+    """Write the shared 3-wave documents source (wave = doc_id % 3,
+    one file per wave, strictly increasing pinned mtimes so the
+    FileStreamSource's modification-time ordering — and hence every
+    first-arrived-survives result — is deterministic, ADVICE r9) in
+    ONE Spark job via ``write_arrival_waves``, memoized per process."""
+    if sf_dir in _NEARDUP_SRC:
+        return
+    from ..streaming.ingest import write_arrival_waves
+    from .cdc_queries import _work_dir
+
+    src = f"{_work_dir('neardup_src', sf_dir)}/waves"
+    write_arrival_waves(docs, src, F.col("doc_id") % 3, 3)
+    _NEARDUP_SRC[sf_dir] = src
+
+
+def _ensure_emb_waves(emb, sf_dir: str) -> None:
+    """The embeddings twin of ``_ensure_doc_waves`` (wave = vec_id % 3)."""
+    if sf_dir in _EMB_SRC:
+        return
+    from ..streaming.ingest import write_arrival_waves
+    from .cdc_queries import _work_dir
+
+    src = f"{_work_dir('emb_src', sf_dir)}/waves"
+    write_arrival_waves(emb, src, F.col("vec_id") % 3, 3)
+    _EMB_SRC[sf_dir] = src
 
 
 @register("h15_stream_neardup_ingest", oracle=NEARDUP_WAVES_ORACLE)
@@ -1352,17 +1381,7 @@ def h15_stream_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "source", "n_chars"
     )
-    if sf_dir not in _NEARDUP_SRC:
-        from ..streaming.ingest import write_arrival_wave
-
-        src = f"{_work_dir('neardup_src', sf_dir)}/waves"
-        # write_arrival_wave pins strictly increasing mtimes so the
-        # FileStreamSource's modification-time ordering — and hence
-        # the first-arrived-survives result — is deterministic even
-        # when sequential appends land same-millisecond (ADVICE r9).
-        for w in range(3):
-            write_arrival_wave(docs.filter(F.col("doc_id") % 3 == w), src, w)
-        _NEARDUP_SRC[sf_dir] = src
+    _ensure_doc_waves(docs, sf_dir)
     surv = run_neardup_ingest_stream(
         spark,
         _NEARDUP_SRC[sf_dir],
@@ -1401,18 +1420,14 @@ def h16_stream_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cleaned TEXT itself.  Restart/redelivery parity pinned in
     tests/test_streaming_ingest.py.  See
     streaming/ingest.py:run_substring_dedup_stream."""
-    from ..streaming.ingest import run_substring_dedup_stream, write_arrival_wave
+    from ..streaming.ingest import run_substring_dedup_stream
     from .cdc_queries import _work_dir
 
     work = _work_dir("substr_ingest", sf_dir)
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "source", "n_chars"
     )
-    if sf_dir not in _NEARDUP_SRC:
-        src = f"{_work_dir('neardup_src', sf_dir)}/waves"
-        for w in range(3):
-            write_arrival_wave(docs.filter(F.col("doc_id") % 3 == w), src, w)
-        _NEARDUP_SRC[sf_dir] = src
+    _ensure_doc_waves(docs, sf_dir)
     cleaned = run_substring_dedup_stream(
         spark,
         _NEARDUP_SRC[sf_dir],
@@ -1472,18 +1487,14 @@ def h17_stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     relation row-for-row and the oracle is exactly j8's SQL extended
     with the pass/quarantine flag over ALL documents.  See
     streaming/ingest.py:run_decontaminate_stream."""
-    from ..streaming.ingest import run_decontaminate_stream, write_arrival_wave
+    from ..streaming.ingest import run_decontaminate_stream
     from .cdc_queries import _work_dir
 
     work = _work_dir("decon_ingest", sf_dir)
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "source", "n_chars"
     )
-    if sf_dir not in _NEARDUP_SRC:
-        src = f"{_work_dir('neardup_src', sf_dir)}/waves"
-        for w in range(3):
-            write_arrival_wave(docs.filter(F.col("doc_id") % 3 == w), src, w)
-        _NEARDUP_SRC[sf_dir] = src
+    _ensure_doc_waves(docs, sf_dir)
     bench = docs.filter(F.col("doc_id") % 101 == 0).select("text")
     return run_decontaminate_stream(
         spark,
@@ -1497,9 +1508,6 @@ def h17_stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # h18's wave-source memo: pure function of sf_dir (embeddings in 3
 # mtime-pinned waves), written once per process like _NEARDUP_SRC.
-_EMB_SRC: dict[str, str] = {}
-
-
 @register(
     "h18_stream_topk_maintenance",
     oracle="""
@@ -1527,16 +1535,12 @@ def h18_stream_topk_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus, so the oracle is exactly j3's exact-rank SQL.  Replay and
     redelivery collapse content-addressed in the read-back.  See
     streaming/ingest.py:run_topk_maintenance_stream."""
-    from ..streaming.ingest import run_topk_maintenance_stream, write_arrival_wave
+    from ..streaming.ingest import run_topk_maintenance_stream
     from .cdc_queries import _work_dir
 
     work = _work_dir("topk_ingest", sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
-    if sf_dir not in _EMB_SRC:
-        src = f"{_work_dir('emb_src', sf_dir)}/waves"
-        for w in range(3):
-            write_arrival_wave(emb.filter(F.col("vec_id") % 3 == w), src, w)
-        _EMB_SRC[sf_dir] = src
+    _ensure_emb_waves(emb, sf_dir)
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -1566,18 +1570,14 @@ def h19_stream_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (j5i) parity and redelivery absorption are pinned in
     tests/test_streaming_ingest.py.  See
     streaming/ingest.py:run_media_dedup_stream."""
-    from ..streaming.ingest import run_media_dedup_stream, write_arrival_wave
+    from ..streaming.ingest import run_media_dedup_stream
     from .cdc_queries import _work_dir
 
     work = _work_dir("media_ingest", sf_dir)
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "source", "n_chars"
     )
-    if sf_dir not in _NEARDUP_SRC:
-        src = f"{_work_dir('neardup_src', sf_dir)}/waves"
-        for w in range(3):
-            write_arrival_wave(docs.filter(F.col("doc_id") % 3 == w), src, w)
-        _NEARDUP_SRC[sf_dir] = src
+    _ensure_doc_waves(docs, sf_dir)
     surv = run_media_dedup_stream(
         spark,
         _NEARDUP_SRC[sf_dir],
@@ -1593,4 +1593,141 @@ def h19_stream_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "wave",
             F.coalesce("survived", F.lit(False)).alias("survived"),
         )
+    )
+
+
+@register("h20_stream_ivf_maintenance", oracle=None)
+def h20_stream_ivf_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF index MAINTENANCE (§2.J3 × H — VERDICT r10 #4,
+    the streaming complement of the at-rest j3e/j3h layout: h18
+    maintains query RESULTS, this maintains the INDEX): the embeddings
+    fixture arrives as the 3 mtime-pinned waves; each micro-batch is
+    assigned to the FROZEN j3-family centroid fixture
+    (``centroid_ranks_expr`` — the ingest-computable literal form) and
+    appended into the ``write_ivf_index`` cluster-partitioned layout,
+    touching only the lists the batch ranks into.  (tag, batch)-keyed
+    rows make replay/redelivery collapse in the read-back and in the
+    query path's post-join distinct.  Returns the per-cluster growth
+    table with the ``growth_skew_permille`` drift observable — the
+    number that schedules a re-train.  Rows-only by nature (k-means
+    float centroids, the documented IVF-family contract); index
+    QUALITY stays oracle-checked through the j3q-composition test
+    (maintained-index recall ≥ 0.8 vs the exact ground truth) and
+    stream == batch-layout parity in tests/test_streaming_ingest.py.
+    See streaming/ingest.py:run_ivf_maintenance_stream."""
+    from ..streaming.ingest import run_ivf_maintenance_stream
+    from .cdc_queries import _work_dir
+    from .similarity_queries import _fixture_centroids
+
+    work = _work_dir("ivf_maint", sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    _ensure_emb_waves(emb, sf_dir)
+    centroids = _fixture_centroids(emb, sf_dir, "ivf", 16)
+    return run_ivf_maintenance_stream(
+        spark,
+        _EMB_SRC[sf_dir],
+        centroids,
+        f"{work}/index",
+        f"{work}/ckpt",
+        max_files_per_trigger=1,
+    )
+
+
+_SEMDECON_SRC: dict[str, str] = {}
+
+# The j8d relation (integer micro-unit quantization, cross-multiplied
+# cosine gate, planted scaled copies of a benchmark slice) extended
+# with the pass/quarantine flag over ALL corpus rows — the h17 oracle
+# pattern applied to the embedding-space gate.  Multiply-referenced
+# CTEs are MATERIALIZED (the round-11 NEARDUP_WAVES_ORACLE lesson:
+# DuckDB inlines CTEs per reference).
+SEMDECON_ORACLE = """
+    WITH bench AS MATERIALIZED (
+      SELECT vec_id AS bid, embedding FROM embeddings WHERE vec_id % 40 = 0
+    ), corpus AS MATERIALIZED (
+      SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id % 40 <> 0
+      UNION ALL
+      SELECT vec_id + 1000000,
+             list_transform(embedding, x -> x * CAST(2.0 AS FLOAT))
+      FROM embeddings WHERE vec_id % 120 = 0
+    ), qc AS MATERIALIZED (
+      SELECT cid, CAST(generate_subscripts(embedding, 1) AS INT) AS j,
+             CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                  AS BIGINT) AS qv
+      FROM corpus
+    ), qb AS MATERIALIZED (
+      SELECT bid, CAST(generate_subscripts(embedding, 1) AS INT) AS j,
+             CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                  AS BIGINT) AS qv
+      FROM bench
+    ), nc AS (
+      SELECT cid, SUM(qv * qv) AS n2 FROM qc GROUP BY cid
+    ), nb AS (
+      SELECT bid, SUM(qv * qv) AS n2 FROM qb GROUP BY bid
+    ), dots AS (
+      SELECT qc.cid, qb.bid, SUM(qc.qv * qb.qv) AS dot
+      FROM qc JOIN qb ON qc.j = qb.j
+      GROUP BY qc.cid, qb.bid
+    ), hits AS (
+      SELECT d.cid, d.bid
+      FROM dots d JOIN nc ON nc.cid = d.cid JOIN nb ON nb.bid = d.bid
+      WHERE d.dot > 0
+        AND CAST(d.dot AS HUGEINT) * d.dot * 1000000
+            >= CAST(810000 AS HUGEINT) * nc.n2 * nb.n2
+    ), agg AS (
+      SELECT cid, COUNT(*) AS n, MIN(bid) AS fb FROM hits GROUP BY cid
+    )
+    SELECT c.cid AS vec_id,
+           (a.cid IS NOT NULL) AS quarantined,
+           CAST(COALESCE(a.n, 0) AS BIGINT) AS n_bench_hits,
+           CAST(a.fb AS BIGINT) AS first_bench_id
+    FROM corpus c LEFT JOIN agg a ON a.cid = c.cid
+    """
+
+
+@register("h21_stream_semantic_decontaminate", oracle=SEMDECON_ORACLE)
+def h21_stream_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SEMANTIC decontamination gate (§2.J8 × H — VERDICT
+    r10 #5: the h17 gate-at-ingest pattern applied to the j8d
+    embedding-space relation): the planted j8d corpus (benchmark =
+    every 40th embedding, corpus = the rest + scale-2 copies of every
+    120th — cosine exactly 1 with their benchmark twin) arrives as 3
+    mtime-pinned waves (cid % 3); every micro-batch is gated against
+    the broadcast benchmark with the integer cross-multiplied cosine
+    test (micro-unit quantization — bit-equal in both engines, no
+    float comparison), quarantined rows carrying their
+    (n_bench_hits, first_bench_id) audit trail.  Stateless per vector,
+    so stream == batch j8d == SQL oracle row-for-row, and
+    replay/redelivery collapse in the read-back.  See
+    streaming/ingest.py:run_semantic_decontaminate_stream."""
+    from ..streaming.ingest import run_semantic_decontaminate_stream, write_arrival_waves
+    from .cdc_queries import _work_dir
+
+    work = _work_dir("semdecon_ingest", sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    if sf_dir not in _SEMDECON_SRC:
+        corpus = (
+            emb.filter(F.col("vec_id") % 40 != 0)
+            .select("vec_id", "embedding", "label")
+            .unionByName(
+                emb.filter(F.col("vec_id") % 120 == 0).select(
+                    (F.col("vec_id") + 1_000_000).alias("vec_id"),
+                    F.transform(
+                        "embedding", lambda x: x * F.lit(2.0).cast("float")
+                    ).alias("embedding"),
+                    "label",
+                )
+            )
+        )
+        src = f"{_work_dir('semdecon_src', sf_dir)}/waves"
+        write_arrival_waves(corpus, src, F.col("vec_id") % 3, 3)
+        _SEMDECON_SRC[sf_dir] = src
+    bench = emb.filter(F.col("vec_id") % 40 == 0).select("vec_id", "embedding")
+    return run_semantic_decontaminate_stream(
+        spark,
+        _SEMDECON_SRC[sf_dir],
+        bench,
+        f"{work}/log",
+        f"{work}/ckpt",
+        max_files_per_trigger=1,
     )

@@ -1383,45 +1383,45 @@ NEARDUP_WAVES_ORACLE = r"""
     WITH base AS (
       SELECT doc_id, lower(trim(regexp_replace(text,'\s+',' ','g'))) AS t
       FROM documents
-    ), sh AS (
+    ), sh AS MATERIALIZED (
       SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 5) AS s
       FROM (SELECT doc_id, t,
                    unnest(range(1, greatest(length(t)-4,1)+1)) AS i
             FROM base)
-    ), sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
-    co AS (
+    ), sz AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    co AS MATERIALIZED (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
       GROUP BY 1, 2
-    ), jp AS (
+    ), jp AS MATERIALIZED (
       SELECT id_a, id_b FROM co
       JOIN sz na ON na.doc_id = id_a JOIN sz nb ON nb.doc_id = id_b
       WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= 0.5
-    ), d AS (SELECT doc_id, doc_id % 3 AS wave FROM documents),
-    sh0 AS (
+    ), d AS MATERIALIZED (SELECT doc_id, doc_id % 3 AS wave FROM documents),
+    sh0 AS MATERIALIZED (
       SELECT DISTINCT jp.id_b AS doc_id FROM jp
       JOIN d a ON a.doc_id = jp.id_a JOIN d b ON b.doc_id = jp.id_b
       WHERE a.wave = 0 AND b.wave = 0 AND jp.id_a < jp.id_b
-    ), s0 AS (
+    ), s0 AS MATERIALIZED (
       SELECT doc_id FROM d WHERE wave = 0
         AND doc_id NOT IN (SELECT doc_id FROM sh0)
-    ), dr1 AS (
+    ), dr1 AS MATERIALIZED (
       SELECT DISTINCT jp.id_b AS doc_id FROM jp
       JOIN d b ON b.doc_id = jp.id_b AND b.wave = 1
       JOIN d a ON a.doc_id = jp.id_a
       WHERE jp.id_a IN (SELECT doc_id FROM s0)
          OR (a.wave = 1 AND jp.id_a < jp.id_b)
-    ), s1 AS (
+    ), s1 AS MATERIALIZED (
       SELECT doc_id FROM d WHERE wave = 1
         AND doc_id NOT IN (SELECT doc_id FROM dr1)
-    ), dr2 AS (
+    ), dr2 AS MATERIALIZED (
       SELECT DISTINCT jp.id_b AS doc_id FROM jp
       JOIN d b ON b.doc_id = jp.id_b AND b.wave = 2
       JOIN d a ON a.doc_id = jp.id_a
       WHERE jp.id_a IN (SELECT doc_id FROM s0)
          OR jp.id_a IN (SELECT doc_id FROM s1)
          OR (a.wave = 2 AND jp.id_a < jp.id_b)
-    ), s2 AS (
+    ), s2 AS MATERIALIZED (
       SELECT doc_id FROM d WHERE wave = 2
         AND doc_id NOT IN (SELECT doc_id FROM dr2)
     )

@@ -131,6 +131,39 @@ def write_arrival_wave(df: DataFrame, src_dir: str, seq: int) -> None:
             os.utime(f, (base + seq, base + seq))
 
 
+def write_arrival_waves(
+    df: DataFrame, src_dir: str, wave_expr, n_waves: int
+) -> None:
+    """Write ``n_waves`` arrival waves (wave = ``wave_expr`` per row)
+    into a file-stream source dir in ONE Spark job — the
+    ``write_arrival_wave`` fixture contract (one file per wave,
+    strictly increasing pinned mtimes) without one write job per wave:
+    partition-by-wave into a scratch dir (``repartition`` on the wave
+    key → exactly one file per wave), then driver-side rename + utime
+    into place.  Fixture-only, local filesystem by design."""
+    import glob
+    import os
+    import shutil
+
+    tmp = f"{src_dir.rstrip('/')}__tmp"
+    (
+        df.withColumn("__wave", wave_expr.cast("int"))
+        .repartition(n_waves, "__wave")
+        .write.mode("overwrite")
+        .partitionBy("__wave")
+        .parquet(tmp)
+    )
+    os.makedirs(src_dir, exist_ok=True)
+    base = 1_000_000_000  # fixed epoch: deterministic across runs
+    for w in range(n_waves):
+        parts = glob.glob(f"{tmp}/__wave={w}/part-*.parquet")
+        assert len(parts) == 1, f"wave {w}: expected 1 file, got {len(parts)}"
+        dst = f"{src_dir}/part-wave-{w}.parquet"
+        shutil.move(parts[0], dst)
+        os.utime(dst, (base + w, base + w))
+    shutil.rmtree(tmp)
+
+
 def run_corpus_ingest_stream(
     spark: SparkSession,
     src_dir: str,
@@ -358,6 +391,7 @@ def run_neardup_ingest_stream(
     max_bucket_size: int | None = 1000,
     batch_shuffle_partitions: int | None = 8,
     max_files_per_trigger: int | None = None,
+    prune_min_files: int = 64,
 ) -> DataFrame:
     """Incremental NEAR-duplicate corpus ingestion: dedup each arriving
     micro-batch against the AT-REST MinHash/LSH signature index, then
@@ -463,6 +497,20 @@ def run_neardup_ingest_stream(
         except AnalysisException:
             return None
 
+    def _touched_buckets(led: DataFrame, probe) -> list | None:
+        """Bucket list for partition-pruning the ledger probe, or None
+        to scan the whole ledger.  The touched-bucket collect is one
+        driver job per batch; on a YOUNG ledger (few files — the
+        driver-side ``inputFiles`` listing, zero Spark jobs) a full
+        scan is cheaper than the job that would prune it, so the
+        collect is skipped until the ledger outgrows
+        ``prune_min_files``.  At 100 TB the ledger is always past the
+        threshold and every probe stays bucket-pruned — the contract
+        tests/test_streaming_ingest.py pins on a grown ledger."""
+        if len(led.inputFiles()) <= prune_min_files:
+            return None
+        return [r[0] for r in probe.distinct().collect()]
+
     def _verified(cand: DataFrame, left: DataFrame, right: DataFrame) -> DataFrame:
         """Exact-Jaccard gate over candidate (id_a, id_b) pairs, hs
         sets supplied by the two sides (the minhash_lsh_pairs verify
@@ -498,16 +546,26 @@ def run_neardup_ingest_stream(
             # candidate .distinct(), duplicate fingerprint rows only
             # duplicate verify rows, and the left_anti consumer of the
             # drop-id set absorbs both — cheaper than per-probe shuffles.
-            touched = [r[0] for r in nb.select("bucket").distinct().collect()]
+            # Strictly-earlier batches of own lineage only (>=, not
+            # ==): a wiped-checkpoint replay reuses batch id 0 under
+            # the same run_tag and must see exactly its original
+            # pre-batch state (ADVICE r10 — provably outcome-identical
+            # here since later survivors never verify against earlier
+            # ones, but byte-identical visibility is the stronger
+            # invariant and costs nothing).
+            not_later = ~(
+                (F.col("__run_tag") == run_tag)
+                & (F.col("__batch_id") >= batch_id)
+            )
+            touched = _touched_buckets(idx, nb.select("bucket"))
+            ipred = (
+                not_later
+                if touched is None
+                else F.col("bucket").isin(touched) & not_later
+            )
             cand = (
                 nb.join(
-                    idx.filter(
-                        F.col("bucket").isin(touched)
-                        & ~(
-                            (F.col("__batch_id") == batch_id)
-                            & (F.col("__run_tag") == run_tag)
-                        )
-                    ).select(
+                    idx.filter(ipred).select(
                         F.col("doc_id").alias("id_b"), "band_id", "band_hash"
                     ),
                     ["band_id", "band_hash"],
@@ -515,23 +573,6 @@ def run_neardup_ingest_stream(
                 .select(F.col("id").alias("id_a"), "id_b")
                 .distinct()
             )
-            # Fingerprint fetch pruned to the candidates' doc_id-hash
-            # partitions: at 100 TB the docs ledger is corpus-sized and
-            # a per-batch full scan of (doc_id, hs) would read
-            # terabytes; the candidate set is batch-sized, so its
-            # bucket list is a <= index_buckets driver collect.
-            cand = cand.persist()
-            to_unpersist.append(cand)
-            dtouched = [
-                r[0]
-                for r in cand.select(
-                    F.pmod(F.xxhash64("id_b"), F.lit(index_buckets))
-                    .cast("int")
-                    .alias("b")
-                )
-                .distinct()
-                .collect()
-            ]
             # The docs ledger is written before the index ledger, so an
             # existing index implies an existing docs ledger — but that
             # invariant lives outside this function (external cleanup,
@@ -539,13 +580,33 @@ def run_neardup_ingest_stream(
             # does instead of AttributeError-ing inside foreachBatch.
             docs_led = _read_ledger(sess, docs_dir, docs_ledger_schema)
             if docs_led is not None:
-                led = docs_led.filter(
-                    F.col("dbucket").isin(dtouched)
-                    & ~(
-                        (F.col("__batch_id") == batch_id)
-                        & (F.col("__run_tag") == run_tag)
-                    )
-                ).select(
+                # Fingerprint fetch pruned to the candidates'
+                # doc_id-hash partitions: at 100 TB the docs ledger is
+                # corpus-sized and a per-batch full scan of (doc_id,
+                # hs) would read terabytes; the candidate set is
+                # batch-sized, so its bucket list is a <=
+                # index_buckets driver collect.  On a young ledger the
+                # collect (and the persist that amortizes cand across
+                # it) is skipped entirely.
+                if len(docs_led.inputFiles()) <= prune_min_files:
+                    dpred = not_later
+                else:
+                    # persist BEFORE the collect so the candidate DAG
+                    # runs once for (bucket list + verify join)
+                    cand = cand.persist()
+                    to_unpersist.append(cand)
+                    dtouched = [
+                        r[0]
+                        for r in cand.select(
+                            F.pmod(F.xxhash64("id_b"), F.lit(index_buckets))
+                            .cast("int")
+                            .alias("b")
+                        )
+                        .distinct()
+                        .collect()
+                    ]
+                    dpred = F.col("dbucket").isin(dtouched) & not_later
+                led = docs_led.filter(dpred).select(
                     F.col("doc_id").alias("id_b"), F.col("hs").alias("hs_b")
                 )
                 dropped = _verified(
@@ -650,8 +711,34 @@ def run_neardup_ingest_stream(
     )
 
 
+def _lineage_guard(df: DataFrame, path: str, allow_multi_lineage: bool) -> None:
+    """Mechanically enforce the compactors' documented single-lineage
+    constraint (ADVICE r10): keeping the MIN ``(__batch_id, __run_tag)``
+    row lets a NEWER lineage's batch-0 redelivery row beat the original
+    lineage's higher batch ids, which breaks the original lineage's
+    crash-replay shield.  Compacting a multi-lineage ledger is only
+    safe once every lineage has fully drained — the caller asserts
+    that with ``allow_multi_lineage=True``."""
+    if allow_multi_lineage:
+        return
+    tags = [
+        r[0] for r in df.select("__run_tag").distinct().limit(2).collect()
+    ]
+    if len(tags) > 1:
+        raise ValueError(
+            f"ledger {path!r} holds rows from multiple checkpoint lineages"
+            f" ({tags[0]!r}, {tags[1]!r}, …); compacting would let a newer"
+            " lineage's low batch ids shadow the original lineage's state."
+            " Pass allow_multi_lineage=True only if every lineage has"
+            " fully drained."
+        )
+
+
 def compact_neardup_ledgers(
-    spark: SparkSession, log_dir: str, files_per_bucket: int = 1
+    spark: SparkSession,
+    log_dir: str,
+    files_per_bucket: int = 1,
+    allow_multi_lineage: bool = False,
 ) -> dict:
     """Table maintenance for the incremental near-dup ledgers
     (``run_neardup_ingest_stream``): every micro-batch appends one
@@ -684,8 +771,10 @@ def compact_neardup_ledgers(
     a cross-lineage redelivery row kept over the original would stop
     shielding the original lineage's crash-replay (the replayed batch
     would see the doc's own row and self-drop it).  Run compaction
-    only between ingest runs of a single lineage; the deterministic
-    ordering above makes any violation at least reproducible.
+    only between ingest runs of a single lineage; the constraint is
+    mechanically checked (``_lineage_guard``) — a multi-lineage ledger
+    raises unless the caller asserts every lineage has drained via
+    ``allow_multi_lineage=True``.
 
     Returns {"files_before": n, "files_after": m} per ledger."""
     docs_dir = f"{log_dir}/docs"
@@ -694,6 +783,7 @@ def compact_neardup_ledgers(
 
     docs = _read_log(spark, docs_dir)
     if docs is not None:
+        _lineage_guard(docs, docs_dir, allow_multi_lineage)
         before = len(docs.inputFiles())
         w = Window.partitionBy("doc_id").orderBy("__batch_id", "__run_tag")
         snap = (
@@ -720,6 +810,7 @@ def compact_neardup_ledgers(
 
     idx = _read_log(spark, index_dir)
     if idx is not None:
+        _lineage_guard(idx, index_dir, allow_multi_lineage)
         before = len(idx.inputFiles())
         w = Window.partitionBy("doc_id", "band_id").orderBy(
             "__batch_id", "__run_tag"
@@ -757,6 +848,7 @@ def run_substring_dedup_stream(
     ledger_buckets: int = 8,
     batch_shuffle_partitions: int | None = 8,
     max_files_per_trigger: int | None = None,
+    prune_min_files: int = 64,
 ) -> DataFrame:
     """Incremental KEEP-FIRST substring dedup under streaming delivery
     — the ExactSubstr complement of ``run_neardup_ingest_stream``
@@ -787,9 +879,11 @@ def run_substring_dedup_stream(
       ledger_buckets)``).  Every row carries ``(__run_tag,
       __batch_id)`` — the checkpoint-lineage key, because batch ids
       restart at 0 under a fresh checkpoint.
-    - Replay of a crashed batch: both probes EXCLUDE own-(tag, batch)
-      rows, so the recomputation is byte-identical and duplicate
-      appends collapse in the read-back.
+    - Replay of a batch: both probes EXCLUDE same-lineage rows with
+      ``__batch_id >= batch_id`` — crash replay AND wiped-checkpoint
+      full replay (batch ids restart at 0 under the same tag) see
+      exactly the lineage's pre-batch state, so the recomputation is
+      byte-identical and duplicate appends collapse in the read-back.
     - Redelivery under a NEW checkpoint: absorbed by an exact doc_id
       probe of the docs ledger (dbucket-pruned) — an already-ingested
       document is skipped entirely, never re-cut (its text at rest is
@@ -846,9 +940,18 @@ def run_substring_dedup_stream(
             return None
 
     def _not_own_batch(batch_id: int) -> F.Column:
+        # Same-lineage rows are visible only for STRICTLY EARLIER
+        # batches: a wiped-checkpoint full replay restarts batch ids at
+        # 0 under the SAME run_tag, so excluding only the exact
+        # (tag, batch) pair would let a replayed batch 0 see batches
+        # 1..n of its own earlier pass and wrongly cut first-occurrence
+        # passages (ADVICE r10, high).  With ``>=`` the replayed batch
+        # sees exactly the pre-batch state of its own lineage — plus
+        # every other lineage's rows, which keeps the new-checkpoint
+        # redelivery absorption intact.
         return ~(
-            (F.col("__batch_id") == batch_id)
-            & (F.col("__run_tag") == run_tag)
+            (F.col("__run_tag") == run_tag)
+            & (F.col("__batch_id") >= batch_id)
         )
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -858,18 +961,23 @@ def run_substring_dedup_stream(
         to_unpersist: list[DataFrame] = []
 
         # Redelivery absorption: exact doc_id probe, dbucket-pruned.
+        # On a young ledger (driver-side file count, zero Spark jobs)
+        # the touched-bucket collect costs more than the full scan it
+        # would prune — skip it until the ledger outgrows
+        # ``prune_min_files``; at 100 TB the probe is always pruned.
         new_docs = batch_df
         docs_led = _read_ledger(sess, docs_dir, docs_ledger_schema)
         if docs_led is not None:
-            dtouched = [
-                r[0]
-                for r in batch_df.select(dbucket_expr.alias("b"))
-                .distinct()
-                .collect()
-            ]
-            seen = docs_led.filter(
-                F.col("dbucket").isin(dtouched) & _not_own_batch(batch_id)
-            ).select("doc_id")
+            dpred = _not_own_batch(batch_id)
+            if len(docs_led.inputFiles()) > prune_min_files:
+                dtouched = [
+                    r[0]
+                    for r in batch_df.select(dbucket_expr.alias("b"))
+                    .distinct()
+                    .collect()
+                ]
+                dpred = F.col("dbucket").isin(dtouched) & dpred
+            seen = docs_led.filter(dpred).select("doc_id")
             new_docs = batch_df.join(seen, "doc_id", "left_anti")
 
         toks = new_docs.select(
@@ -905,12 +1013,13 @@ def run_substring_dedup_stream(
         )
         gled = _read_ledger(sess, grams_dir, gram_ledger_schema)
         if gled is not None:
-            gtouched = [
-                r[0] for r in grams.select("gbucket").distinct().collect()
-            ]
-            at_rest = gled.filter(
-                F.col("gbucket").isin(gtouched) & _not_own_batch(batch_id)
-            ).select("gh")
+            gpred = _not_own_batch(batch_id)
+            if len(gled.inputFiles()) > prune_min_files:
+                gtouched = [
+                    r[0] for r in grams.select("gbucket").distinct().collect()
+                ]
+                gpred = F.col("gbucket").isin(gtouched) & gpred
+            at_rest = gled.filter(gpred).select("gh")
             hits = hits.unionByName(
                 grams.join(at_rest, "gh", "left_semi").select("doc_id", "pos")
             )
@@ -999,14 +1108,29 @@ def run_substring_dedup_stream(
                 ]
             ),
         )
+    # Deterministic merge-on-read: the >= exclusion above makes replay
+    # rows byte-identical, but pick the earliest (__batch_id,
+    # __run_tag) row with a least-cut + content-digest tiebreak anyway
+    # (ADVICE r10 defense-in-depth) instead of an arbitrary
+    # dropDuplicates survivor.
+    pick = Window.partitionBy("doc_id").orderBy(
+        "__batch_id",
+        "__run_tag",
+        F.col("n_removed").asc(),
+        F.xxhash64("cleaned_text"),
+    )
     return (
-        log.select("doc_id", "n_tokens", "n_removed", "cleaned_text")
-        .dropDuplicates(["doc_id"])
+        log.withColumn("__rn", F.row_number().over(pick))
+        .filter(F.col("__rn") == 1)
+        .select("doc_id", "n_tokens", "n_removed", "cleaned_text")
     )
 
 
 def compact_substring_ledgers(
-    spark: SparkSession, log_dir: str, files_per_bucket: int = 1
+    spark: SparkSession,
+    log_dir: str,
+    files_per_bucket: int = 1,
+    allow_multi_lineage: bool = False,
 ) -> dict:
     """Table maintenance for the incremental substring-dedup ledgers
     (``run_substring_dedup_stream``) — the ``compact_neardup_ledgers``
@@ -1021,15 +1145,29 @@ def compact_substring_ledgers(
     docs_dir = f"{log_dir}/docs"
     grams_dir = f"{log_dir}/grams"
     out: dict = {}
-    for path, key_cols, bucket_col, sort_col in (
-        (docs_dir, ["doc_id"], "dbucket", "doc_id"),
-        (grams_dir, ["gh"], "gbucket", "gh"),
+    for path, key_cols, bucket_col, sort_col, tiebreak in (
+        # Docs rows carry a payload, so break exact (batch, tag) ties
+        # deterministically — least-cut row first, then content digest
+        # (ADVICE r10: never let an arbitrary first-row pick persist a
+        # conflicting replay row).  Gram rows are pure keys; ties are
+        # byte-identical.
+        (
+            docs_dir,
+            ["doc_id"],
+            "dbucket",
+            "doc_id",
+            [F.col("n_removed").asc(), F.xxhash64("cleaned_text")],
+        ),
+        (grams_dir, ["gh"], "gbucket", "gh", []),
     ):
         led = _read_log(spark, path)
         if led is None:
             continue
+        _lineage_guard(led, path, allow_multi_lineage)
         before = len(led.inputFiles())
-        w = Window.partitionBy(*key_cols).orderBy("__batch_id", "__run_tag")
+        w = Window.partitionBy(*key_cols).orderBy(
+            "__batch_id", "__run_tag", *tiebreak
+        )
         snap = (
             led.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
@@ -1267,6 +1405,52 @@ def run_topk_maintenance_stream(
     )
 
 
+def compact_topk_ledger(spark: SparkSession, log_dir: str, k: int) -> dict:
+    """Fold the ``run_topk_maintenance_stream`` candidates ledger to
+    the global per-query top-``k`` — EXACT compaction, by the same
+    containment theorem that makes the read-back fold exact:
+
+        Any vector in the global top-``k`` of query q over ALL drained
+        batches is in its own batch's top-``k`` for q, hence in the
+        ledger; and a ledger row OUTSIDE the current global top-``k``
+        can never re-enter it, because future batches only ADD
+        candidates (scores of existing rows never change).  So
+        replacing the ledger by the current global top-``k`` per query
+        preserves every future fold's result.
+
+    The ledger grows |queries| × k per batch regardless of batch size;
+    compaction resets it to |queries| × k total, keeping read-back
+    cost flat over the life of the stream.  Rows are content-addressed
+    (no lineage columns — replay appends byte-identical rows that
+    collapse in the read-back's dedup), so compaction needs no
+    lineage guard; run it between ingest runs, since the flat-parquet
+    overwrite is not concurrency-safe against an in-flight append.
+    Returns {"files_before", "files_after", "rows_before", "rows_after"}."""
+    log = _read_log(spark, log_dir)
+    if log is None:
+        return {}
+    files_before = len(log.inputFiles())
+    rows_before = log.count()
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), "neighbor_id"
+    )
+    snap = (
+        log.dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+        .localCheckpoint(eager=True)
+    )
+    snap.coalesce(1).write.mode("overwrite").parquet(log_dir)
+    after = spark.read.parquet(log_dir)
+    return {
+        "files_before": files_before,
+        "files_after": len(after.inputFiles()),
+        "rows_before": rows_before,
+        "rows_after": after.count(),
+    }
+
+
 def run_media_dedup_stream(
     spark: SparkSession,
     src_dir: str,
@@ -1278,6 +1462,7 @@ def run_media_dedup_stream(
     max_bucket_size: int = 10_000,
     max_files_per_trigger: int | None = None,
     batch_shuffle_partitions: int | None = 8,
+    prune_min_files: int = 64,
 ) -> DataFrame:
     """Incremental MULTIMODAL near-dup ingestion (§2.J5 × H — the
     image-dedup analog of ``run_neardup_ingest_stream``): each arriving
@@ -1302,9 +1487,14 @@ def run_media_dedup_stream(
     (tag, batch)-keyed own-batch exclusion exactly as h15.  Batch
     twin: ``operators.multimodal.incremental_media_dedup`` (banded
     pair table + the shared arrival-wave fold).  Pigeonhole guarantee
-    requires ``max_hamming < bands``; batch-local pair generation caps
-    degenerate buckets at ``max_bucket_size`` (observable through the
-    batch twin's companion ``oversized_dhash_buckets``)."""
+    requires ``max_hamming < bands``; BOTH the batch-local pair
+    generation (batch-side counts) and the at-rest probe (index-side
+    counts over the pruned slice) cap degenerate buckets at
+    ``max_bucket_size`` — observable through the batch twin's
+    companion ``oversized_dhash_buckets``; on an over-cap bucket the
+    stream and the twin may diverge since each judges popularity by
+    its own count (documented trade: skip the useless discriminator,
+    never go quadratic in it)."""
     assert max_hamming < bands, "pigeonhole guarantee requires max_hamming < bands"
     import hashlib as _hashlib
 
@@ -1398,18 +1588,41 @@ def run_media_dedup_stream(
             # dhash carried by the index row — verify in the join.
             idx = _read_ledger(sess, index_dir, index_schema)
             if idx is not None:
-                touched = [
-                    r[0] for r in slices.select("bucket").distinct().collect()
-                ]
-                at_rest = idx.filter(
-                    F.col("bucket").isin(touched)
-                    & ~(
-                        (F.col("__batch_id") == batch_id)
-                        & (F.col("__run_tag") == run_tag)
-                    )
-                ).select("band_no", "band_bits", F.col("dhash").alias("h_b"))
+                # Strictly-earlier own-lineage batches only (>=) —
+                # wiped-checkpoint replay visibility, as in h15/h16.
+                ipred = ~(
+                    (F.col("__run_tag") == run_tag)
+                    & (F.col("__batch_id") >= batch_id)
+                )
+                if len(idx.inputFiles()) > prune_min_files:
+                    touched = [
+                        r[0]
+                        for r in slices.select("bucket").distinct().collect()
+                    ]
+                    ipred = F.col("bucket").isin(touched) & ipred
+                at_rest = idx.filter(ipred).select(
+                    "band_no", "band_bits", F.col("dhash").alias("h_b")
+                )
+                # Cap the PROBE side too (ADVICE r10 low): a degenerate
+                # band bucket (e.g. the all-zero dhash band) would make
+                # this join quadratic in that bucket as the index grows.
+                # The cap keys on INDEX-side counts over the pruned
+                # slice — the same "bucket too popular to be a useful
+                # discriminator" judgment the batch twin makes on
+                # corpus-global counts.  On over-cap buckets stream and
+                # twin can diverge (each skips by its own count); both
+                # surface the skip through oversized_dhash_buckets-style
+                # observability rather than degrading quadratically.
+                rest_sizes = at_rest.groupBy("band_no", "band_bits").agg(
+                    F.count(F.lit(1)).alias("__n")
+                )
+                capped = at_rest.join(
+                    F.broadcast(rest_sizes.filter(F.col("__n") > max_bucket_size)),
+                    ["band_no", "band_bits"],
+                    "left_anti",
+                )
                 matched = (
-                    slices.join(at_rest, ["band_no", "band_bits"])
+                    slices.join(capped, ["band_no", "band_bits"])
                     .filter(
                         F.bit_count(F.expr("dhash ^ h_b")) <= max_hamming
                     )
@@ -1481,3 +1694,342 @@ def run_media_dedup_stream(
             ),
         )
     return log.select("doc_id", "dhash").dropDuplicates(["doc_id"])
+
+
+def compact_media_ledgers(
+    spark: SparkSession,
+    log_dir: str,
+    files_per_bucket: int = 1,
+    allow_multi_lineage: bool = False,
+) -> dict:
+    """Table maintenance for the incremental media-dedup ledgers
+    (``run_media_dedup_stream``) — the ``compact_neardup_ledgers``
+    mechanics applied to the dHash docs/index pair: collapse to one
+    row per doc_id (docs) / per (doc_id, band_no) (index), keeping the
+    MIN ``(__batch_id, __run_tag)`` row (own-batch exclusion contract;
+    payloads are deterministic functions of the media bytes, so ties
+    are byte-identical), and rewrite with dynamic per-bucket partition
+    overwrite — per-partition atomic, rolling, sorted within
+    partitions (``band_bits`` for the index, so the probe join gets
+    footer min/max skipping; ``doc_id`` for the docs ledger).  The
+    single-lineage constraint is mechanically checked
+    (``_lineage_guard``).  Returns per-ledger file counts."""
+    docs_dir = f"{log_dir}/docs"
+    index_dir = f"{log_dir}/index"
+    out: dict = {}
+    for path, key_cols, bucket_col, sort_col in (
+        (docs_dir, ["doc_id"], "dbucket", "doc_id"),
+        (index_dir, ["doc_id", "band_no"], "bucket", "band_bits"),
+    ):
+        led = _read_log(spark, path)
+        if led is None:
+            continue
+        _lineage_guard(led, path, allow_multi_lineage)
+        before = len(led.inputFiles())
+        w = Window.partitionBy(*key_cols).orderBy("__batch_id", "__run_tag")
+        snap = (
+            led.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+            .localCheckpoint(eager=True)
+        )
+        (
+            snap.repartition(
+                F.col(bucket_col),
+                F.pmod(F.xxhash64(sort_col), F.lit(files_per_bucket)),
+            )
+            .sortWithinPartitions(sort_col)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(bucket_col)
+            .parquet(path)
+        )
+        out[path.rsplit("/", 1)[-1]] = {
+            "files_before": before,
+            "files_after": len(spark.read.parquet(path).inputFiles()),
+        }
+    return out
+
+
+def run_ivf_maintenance_stream(
+    spark: SparkSession,
+    src_dir: str,
+    centroids: list,
+    index_dir: str,
+    checkpoint_dir: str,
+    assign: int = 2,
+    max_files_per_trigger: int | None = None,
+    batch_shuffle_partitions: int | None = 8,
+) -> DataFrame:
+    """Incremental IVF index MAINTENANCE (§2.J3 × H — VERDICT r10 #4,
+    the streaming complement of the at-rest IVF family: h18 maintains
+    query RESULTS, this maintains the INDEX): arriving embedding
+    vectors are assigned to the FROZEN centroids and appended into the
+    ``operators.similarity.write_ivf_index`` layout — the same
+    cluster-partitioned parquet the query path
+    (``ivf_index_topk``) partition-prunes — so the index a batch build
+    would produce is maintained continuously and stays queryable
+    between batches.
+
+    Design decisions, mirroring production IVF services:
+
+    - **Centroids are FROZEN.**  Assignment must be a pure function of
+      the vector or the index silently fragments (the same vector in
+      two lists); re-training is a separate offline event that
+      rebuilds the layout.  The ingest-side expression is
+      ``centroid_ranks_expr`` — the literal form, ingest-computable
+      and partition-prunable, the documented IVF choice
+      (operators/similarity.py:319).
+    - **Partition-pruned appends**: ``partitionBy("cluster")`` append
+      touches only the ≤ batch×assign cluster directories the batch's
+      vectors rank into; unrelated lists are never rewritten.
+      Boundary replication (``assign`` nearest lists per vector)
+      happens at ingest exactly as in ``write_ivf_index``, so the
+      probe side needs no widening and batch == stream layouts are
+      row-identical (parity-tested).
+    - **(tag, batch)-keyed idempotence** — the h12 ledger pattern:
+      every appended row carries ``(__run_tag, __batch_id)``; a
+      replayed batch appends byte-identical rows (assignment is
+      deterministic given frozen centroids) and the read-back (and
+      ``ivf_index_topk``'s post-join ``distinct``) collapse
+      duplicates, so crash replay and redelivery never double-count.
+    - **Drift observable**: the read-back returns per-cluster growth
+      stats with a ``growth_skew_permille`` column (cluster size ×
+      1000 / mean list size) — the number an operator watches to
+      decide when the frozen centroids have drifted from the data
+      distribution and a re-train + rebuild is due.  Index QUALITY
+      stays oracle-checked through the j3q harness composition: the
+      maintained index is queried with ``ivf_index_topk`` against the
+      exact ground truth in tests (recall ≥ threshold), the same
+      accept/reject table a rollout reads.
+
+    100 TB shape: per-batch cost is one assignment map over the BATCH
+    (centroid literals, whole-stage codegen, zero shuffle beyond the
+    cluster repartition) + appends into touched lists only; read-back
+    stats aggregate (cluster, vec_id) pairs — never the vectors.
+    Returns ``(cluster, n_vectors, n_batches, growth_skew_permille)``."""
+    from ..operators.similarity import centroid_ranks_expr
+
+    from .windows import _scoped_confs
+
+    import hashlib as _hashlib
+
+    run_tag = _hashlib.md5(checkpoint_dir.encode()).hexdigest()[:12]
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        (
+            batch_df.withColumn(
+                "cluster",
+                F.explode(
+                    F.slice(
+                        centroid_ranks_expr("embedding", centroids), 1, assign
+                    )
+                ),
+            )
+            .withColumn("__batch_id", F.lit(batch_id))
+            .withColumn("__run_tag", F.lit(run_tag))
+            .repartition("cluster")
+            .write.mode("append")
+            .partitionBy("cluster")
+            .parquet(index_dir)
+        )
+
+    reader = spark.readStream.schema(EMBEDDING_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(src_dir)
+    scoped: dict[str, str] = {}
+    if batch_shuffle_partitions is not None:
+        scoped = {
+            "spark.sql.shuffle.partitions": str(batch_shuffle_partitions),
+            "spark.sql.adaptive.enabled": "false",
+        }
+    with _scoped_confs(spark, scoped):
+        (
+            stream.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+    out_schema = T.StructType(
+        [
+            T.StructField("cluster", T.LongType()),
+            T.StructField("n_vectors", T.LongType()),
+            T.StructField("n_batches", T.LongType()),
+            T.StructField("growth_skew_permille", T.LongType()),
+        ]
+    )
+    idx = _read_log(spark, index_dir)
+    if idx is None:
+        return spark.createDataFrame([], out_schema)
+    per = (
+        idx.select("cluster", "vec_id", "__batch_id", "__run_tag")
+        .dropDuplicates(["cluster", "vec_id"])
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.countDistinct("__batch_id", "__run_tag").alias("n_batches"),
+        )
+    )
+    mean_w = Window.partitionBy()
+    return per.select(
+        F.col("cluster").cast("long"),
+        F.col("n_vectors").cast("long"),
+        F.col("n_batches").cast("long"),
+        (
+            F.col("n_vectors") * 1000
+            / F.avg("n_vectors").over(mean_w)
+        )
+        .cast("long")
+        .alias("growth_skew_permille"),
+    )
+
+
+def run_semantic_decontaminate_stream(
+    spark: SparkSession,
+    src_dir: str,
+    benchmark: DataFrame,
+    log_dir: str,
+    checkpoint_dir: str,
+    cos_threshold_permille: int = 900,
+    max_files_per_trigger: int | None = None,
+    batch_shuffle_partitions: int | None = 8,
+) -> DataFrame:
+    """Streaming SEMANTIC decontamination gate (§2.J8 × H — VERDICT
+    r10 #5: the ``run_decontaminate_stream`` mechanics applied to the
+    embedding-space j8d relation): every arriving embedding vector is
+    checked against the (small, broadcast) benchmark embedding set
+    BEFORE it can enter the corpus — paraphrased eval leakage that
+    defeats the n-gram gate is caught at INGEST, quarantined rows land
+    in ``quarantine/`` with their benchmark-hit audit trail
+    (n_bench_hits, first_bench_id), clean rows in ``clean/``.
+
+    Exactness (the j8d contract): components quantize to integer
+    micro-units, dot products and norms are BIGINT, and the cosine >=
+    t gate is the cross-multiplied integer test
+    ``dot² · 10⁶ >= t² · ‖a‖² · ‖b‖²`` in DECIMAL(38,0) — no float
+    comparison anywhere, so stream == batch == SQL oracle row-for-row.
+
+    The check is STATELESS per vector given the at-rest benchmark
+    (persisted across batches with its quantized components + norms
+    precomputed): one broadcast nested-loop over the batch per
+    micro-batch, zero shuffle on the corpus side, zero streaming
+    state — replay and redelivery append byte-identical rows that
+    collapse in the read-back (the h17 idempotence argument, no
+    ledger probes needed).
+
+    100 TB shape: per-batch cost is batch × |benchmark| integer dot
+    products under whole-stage codegen (the j8d broadcast plan); eval
+    suites are thousands of vectors, so the benchmark side stays
+    broadcast-sized by construction.
+
+    Returns ``(vec_id, quarantined, n_bench_hits, first_bench_id)``
+    for every ingested vector (first_bench_id NULL for clean rows)."""
+    clean_dir = f"{log_dir}/clean"
+    quar_dir = f"{log_dir}/quarantine"
+
+    q = lambda c: F.transform(  # noqa: E731
+        c, lambda x: F.round(x.cast("double") * 1_000_000).cast("long")
+    )
+    isum = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    t2 = cos_threshold_permille * cos_threshold_permille
+
+    bench = (
+        benchmark.select(F.col("vec_id").alias("bid"), q(F.col("embedding")).alias("qb"))
+        .withColumn("nb2", isum(F.zip_with("qb", "qb", lambda a, b: a * b)))
+        .persist()
+    )
+    bench.count()
+
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("quarantined", T.BooleanType()),
+            T.StructField("n_bench_hits", T.LongType()),
+            T.StructField("first_bench_id", T.LongType()),
+        ]
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        corpus = batch_df.select(
+            F.col("vec_id"), q(F.col("embedding")).alias("qc")
+        ).withColumn("nc2", isum(F.zip_with("qc", "qc", lambda a, b: a * b)))
+        hits = (
+            corpus.crossJoin(F.broadcast(bench))
+            .withColumn("dot", isum(F.zip_with("qc", "qb", lambda a, b: a * b)))
+            .filter(
+                (F.col("dot") > 0)
+                & (
+                    dec(F.col("dot")) * dec(F.col("dot")) * F.lit(1_000_000)
+                    >= F.lit(t2) * dec(F.col("nc2")) * dec(F.col("nb2"))
+                )
+            )
+            .groupBy("vec_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_bench_hits"),
+                F.min("bid").cast("long").alias("first_bench_id"),
+            )
+        )
+        marked = (
+            batch_df.select("vec_id")
+            .join(hits, "vec_id", "left")
+            .select(
+                "vec_id",
+                F.col("n_bench_hits").isNotNull().alias("quarantined"),
+                F.coalesce("n_bench_hits", F.lit(0))
+                .cast("long")
+                .alias("n_bench_hits"),
+                F.col("first_bench_id"),
+            )
+            .persist()
+        )
+        try:
+            marked.filter("quarantined").write.mode("append").parquet(quar_dir)
+            marked.filter(~F.col("quarantined")).write.mode("append").parquet(
+                clean_dir
+            )
+        finally:
+            marked.unpersist()
+
+    from .windows import _scoped_confs
+
+    reader = spark.readStream.schema(EMBEDDING_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(src_dir)
+    scoped: dict[str, str] = {}
+    if batch_shuffle_partitions is not None:
+        scoped = {
+            "spark.sql.shuffle.partitions": str(batch_shuffle_partitions),
+            "spark.sql.adaptive.enabled": "false",
+        }
+    with _scoped_confs(spark, scoped):
+        (
+            stream.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+    bench.unpersist()
+    parts = [
+        df
+        for df in (
+            _read_log(spark, quar_dir), _read_log(spark, clean_dir)
+        )
+        if df is not None
+    ]
+    if not parts:
+        return spark.createDataFrame([], out_schema)
+    out = parts[0]
+    for df in parts[1:]:
+        out = out.unionByName(df)
+    return out.dropDuplicates(["vec_id"])

@@ -73,6 +73,10 @@ def replicate(docs, scale: int):
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    if "compaction" in sys.argv[2:]:
+        spark = get_session(app="scale-probe")
+        probe_ledger_compaction(spark, sf_dir)
+        return 0
     scales = [int(s) for s in sys.argv[2:]] or [1, 10]
     spark = get_session(app="scale-probe")
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -651,3 +655,111 @@ def probe_index_growth(spark, docs, scales) -> None:
 
 if __name__ == "__main__":
     raise SystemExit(main())
+
+
+def probe_ledger_compaction(spark, sf_dir: str, n_batches: int = 24) -> None:
+    """VERDICT r10 #2's probe row: read-back cost of the h18
+    candidates ledger and the h19 media ledgers, before and after
+    compaction, after ``n_batches`` micro-batches have appended.
+
+    h18's ledger grows |queries|×k rows per batch regardless of batch
+    size; ``compact_topk_ledger`` resets it to |queries|×k TOTAL (the
+    containment theorem makes that exact), so read-back work is flat
+    over the stream's life instead of linear in drained batches.  The
+    media compactor folds replay/append duplicates and the per-batch
+    file sprawl the same way ``compact_neardup_ledgers`` does.
+
+    Invoke: ``python scripts/scale_probe.py <sf_dir> compaction``."""
+    import shutil
+    import tempfile
+
+    from realtime_cdc_pipeline_docker_spark.streaming.ingest import (
+        compact_media_ledgers,
+        compact_topk_ledger,
+        run_media_dedup_stream,
+        run_topk_maintenance_stream,
+        write_arrival_wave,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    work = tempfile.mkdtemp(prefix="topk_compaction_")
+    try:
+        src, log = f"{work}/src", f"{work}/log"
+        for b in range(n_batches):
+            write_arrival_wave(
+                emb.filter(F.col("vec_id") % n_batches == b), src, b
+            )
+        run_topk_maintenance_stream(
+            spark, src, queries, log, f"{work}/ckpt",
+            k=5, max_files_per_trigger=1,
+        )
+        led = spark.read.parquet(log)
+        rows_before, files_before = led.count(), len(led.inputFiles())
+        t0 = time.time()
+        spark.read.parquet(log).dropDuplicates(
+            ["query_id", "neighbor_id"]
+        ).count()
+        fold_before = round(time.time() - t0, 2)
+        stats = compact_topk_ledger(spark, log, k=5)
+        t0 = time.time()
+        spark.read.parquet(log).dropDuplicates(
+            ["query_id", "neighbor_id"]
+        ).count()
+        fold_after = round(time.time() - t0, 2)
+        print(
+            json.dumps(
+                {
+                    "probe": "topk_ledger_compaction",
+                    "n_batches": n_batches,
+                    "rows_before": rows_before,
+                    "rows_after": stats["rows_after"],
+                    "files_before": files_before,
+                    "files_after": stats["files_after"],
+                    "fold_sec_before": fold_before,
+                    "fold_sec_after": fold_after,
+                }
+            ),
+            flush=True,
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).withColumn("lang", F.lit("en")).withColumn(
+        "source", F.lit("probe")
+    ).withColumn("n_chars", F.length("text").cast("long"))
+    work = tempfile.mkdtemp(prefix="media_compaction_")
+    try:
+        src, log = f"{work}/src", f"{work}/log"
+        for b in range(n_batches):
+            write_arrival_wave(
+                docs.filter(F.col("doc_id") % n_batches == b), src, b
+            )
+        run_media_dedup_stream(
+            spark, src, log, f"{work}/ckpt", max_files_per_trigger=1
+        )
+        led = spark.read.parquet(f"{log}/index")
+        rows_before, files_before = led.count(), len(led.inputFiles())
+        stats = compact_media_ledgers(spark, log)
+        led = spark.read.parquet(f"{log}/index")
+        print(
+            json.dumps(
+                {
+                    "probe": "media_ledger_compaction",
+                    "n_batches": n_batches,
+                    "index_rows_before": rows_before,
+                    "index_rows_after": led.count(),
+                    "index_files_before": files_before,
+                    "index_files_after": stats["index"]["files_after"],
+                    "docs_files_before": stats["docs"]["files_before"],
+                    "docs_files_after": stats["docs"]["files_after"],
+                }
+            ),
+            flush=True,
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

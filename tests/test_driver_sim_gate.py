@@ -67,6 +67,18 @@ def test_driver_window_is_all_oracle_bearing():
         # within its staleness tier for a liveness row, per the same
         # rotation rule as the round-9 rows-only backfill.
         "c07b_approx_count_distinct",
+        # round-11 front-load (VERDICT r10 #1 names these two
+        # explicitly: "they must lead the r11 rotation"): rows-only by
+        # documented nature — dHash behind the Python decode boundary,
+        # the j5f contract — but they need their first OFFICIAL driver
+        # rows, which outranks the slot-economy rule this round.
+        "h19_stream_media_dedup",
+        "j5i_incremental_media_dedup",
+        # round-11 registration in the window (the round-10
+        # missed-window lesson): rows-only by the IVF-family contract
+        # (k-means float centroids); index QUALITY is oracle-checked
+        # via the j3q-composition test instead.
+        "h20_stream_ivf_maintenance",
     }
     rows_only = [n for n in window[:50] if n not in oracles]
     stray = [n for n in rows_only if n not in allowed_rows_only]
@@ -163,3 +175,47 @@ def test_bench_headline_generated():
                 f"the committed BENCH_FULL.json says {bench['value']} s — "
                 "regenerate with scripts/update_counts.py and update the doc"
             )
+
+
+def test_bench_control_inflation_gate():
+    """The host-degradation control (VERDICT r10 #6) is machine-checked:
+    every CONTROL_SET row must exist in the registry and in the
+    committed artifact, and control_inflation must flag exactly the
+    > 1.3x-median case (median, not mean — one outlier control must
+    not flag the host)."""
+    import bench
+    from realtime_cdc_pipeline_docker_spark import plans
+
+    for n in bench.CONTROL_SET:
+        assert n in plans.REGISTRY, f"control {n} not registered"
+
+    committed = {n: 1.0 for n in bench.CONTROL_SET}
+    clean = bench.control_inflation(
+        {n: 1.05 for n in bench.CONTROL_SET}, committed
+    )
+    assert clean["host_degraded"] is False
+    assert clean["control_inflation"] == 1.05
+    assert set(clean["control_ratios"]) == set(bench.CONTROL_SET)
+
+    degraded = bench.control_inflation(
+        {n: 1.8 for n in bench.CONTROL_SET}, committed
+    )
+    assert degraded["host_degraded"] is True
+
+    # one outlier among stable controls must NOT flag (median rule)
+    one_off = {n: 1.0 for n in bench.CONTROL_SET}
+    one_off[bench.CONTROL_SET[0]] = 5.0
+    assert bench.control_inflation(one_off, committed)["host_degraded"] is False
+
+    # no baseline -> explicit None, never a crash
+    empty = bench.control_inflation({n: 1.0 for n in bench.CONTROL_SET}, {})
+    assert empty["host_degraded"] is None
+
+    # and the real committed artifact covers the full control set
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(bench.__file__), "BENCH_COMMITTED.json")
+    arts = json.load(open(path))["queries"]
+    for n in bench.CONTROL_SET:
+        assert arts.get(n), f"control {n} missing from BENCH_COMMITTED.json"

@@ -542,7 +542,9 @@ def test_neardup_ledger_compaction_preserves_state(spark, tmp_path):
         spark, src, log, str(tmp_path / "ckpt2"), max_files_per_trigger=1
     )
 
-    stats = compact_neardup_ledgers(spark, log)
+    # Both lineages (ckpt1, ckpt2) have fully drained — assert that to
+    # the mechanically-checked single-lineage constraint.
+    stats = compact_neardup_ledgers(spark, log, allow_multi_lineage=True)
     assert stats["docs"]["files_after"] < stats["docs"]["files_before"]
     assert stats["index"]["files_after"] < stats["index"]["files_before"]
     docs_led = spark.read.parquet(f"{log}/docs")
@@ -735,7 +737,7 @@ def test_substring_ledger_compaction_preserves_state(spark, tmp_path):
         spark, src, log, str(tmp_path / "ckpt2"), max_files_per_trigger=1
     )
 
-    stats = compact_substring_ledgers(spark, log)
+    stats = compact_substring_ledgers(spark, log, allow_multi_lineage=True)
     assert stats["docs"]["files_after"] < stats["docs"]["files_before"]
     assert stats["grams"]["files_after"] < stats["grams"]["files_before"]
     docs_led = spark.read.parquet(f"{log}/docs")
@@ -953,6 +955,46 @@ def test_substring_stream_wiped_checkpoint_replay_is_stable(spark, tmp_path):
     assert len(rows) == len(first)
     for r in rows:
         assert (r["n_removed"], r["cleaned_text"]) == first[r["doc_id"]]
+    # Byte-identical recomputation, asserted on the LEDGER itself (not
+    # just the tie-broken read-back): replay appends must agree with
+    # the original rows under the identical (doc, tag, batch) key —
+    # the ADVICE r10 conflicting-rows reproduction must be impossible.
+    led = spark.read.parquet(f"{log}/docs")
+    keys = led.select("doc_id", "__run_tag", "__batch_id").distinct().count()
+    full = led.distinct().count()
+    assert full == keys, "replay wrote conflicting rows under one key"
+
+
+def test_compaction_refuses_multi_lineage_ledger(spark, tmp_path):
+    """The single-lineage compaction constraint is mechanically
+    checked: a ledger holding two checkpoint lineages raises unless
+    the caller asserts both have drained (ADVICE r10)."""
+    import pytest
+
+    from realtime_cdc_pipeline_docker_spark.streaming.ingest import (
+        compact_substring_ledgers,
+        run_substring_dedup_stream,
+    )
+
+    waves = _substr_fixture(spark)
+    src = str(tmp_path / "src")
+    log = str(tmp_path / "log")
+    _write_waves(waves, src)
+    run_substring_dedup_stream(spark, src, log, str(tmp_path / "ckpt1"))
+    # single lineage: compaction is allowed without the override
+    compact_substring_ledgers(spark, log)
+    # a second lineage delivers NEW material -> two tags in the ledger
+    extra = spark.createDataFrame(
+        [(200, " ".join(f"x{i}" for i in range(12)), "en", "t", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    _write_waves([extra], src, start=len(waves))
+    run_substring_dedup_stream(spark, src, log, str(tmp_path / "ckpt2"))
+    led = spark.read.parquet(f"{log}/grams")
+    assert led.select("__run_tag").distinct().count() > 1
+    with pytest.raises(ValueError, match="multiple checkpoint lineages"):
+        compact_substring_ledgers(spark, log)
+    compact_substring_ledgers(spark, log, allow_multi_lineage=True)
 
 
 def test_media_dedup_stream_wiped_checkpoint_replay_is_stable(
@@ -985,3 +1027,263 @@ def test_media_dedup_stream_wiped_checkpoint_replay_is_stable(
     ).collect()
     assert {r["doc_id"] for r in rows} == first
     assert len(rows) == len(first)
+
+
+def test_topk_ledger_compaction_is_exact(spark, sf_dir, tmp_path):
+    """Compacting the candidates ledger to the global per-query top-k
+    must leave the fold unchanged, reset ledger size to |queries| * k
+    (read-back cost flat over the stream's life), and preserve every
+    FUTURE fold: vectors delivered post-compaction still rank exactly
+    as the batch brute-force over the whole corpus."""
+    from realtime_cdc_pipeline_docker_spark.operators.similarity import (
+        brute_force_topk,
+    )
+    from realtime_cdc_pipeline_docker_spark.streaming.ingest import (
+        compact_topk_ledger,
+        run_topk_maintenance_stream,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    early = emb.filter(F.col("vec_id") % 4 != 0)
+    late = emb.filter(F.col("vec_id") % 4 == 0)
+    waves = [early.filter(F.col("vec_id") % 3 == w) for w in range(3)]
+    src = str(tmp_path / "src")
+    log = str(tmp_path / "log")
+    _write_waves(waves, src)
+    out = run_topk_maintenance_stream(
+        spark, src, queries, log, str(tmp_path / "ckpt1"),
+        k=5, max_files_per_trigger=1,
+    )
+    before_fold = {
+        (r["query_id"], r["neighbor_id"], r["rnk"]) for r in out.collect()
+    }
+
+    stats = compact_topk_ledger(spark, log, k=5)
+    assert stats["files_after"] < stats["files_before"]
+    assert stats["rows_after"] == queries.count() * 5  # flat: |queries|*k
+    assert stats["rows_after"] < stats["rows_before"]
+    from pyspark.sql import Window
+
+    compacted = spark.read.parquet(log)
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
+    fold = {
+        (r["query_id"], r["neighbor_id"], r["rnk"])
+        for r in compacted.dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 5)
+        .collect()
+    }
+    assert fold == before_fold
+
+    # future folds preserved: deliver the held-out quarter, compare to
+    # batch brute-force over the FULL corpus
+    _write_waves([late], src, start=len(waves))
+    again = run_topk_maintenance_stream(
+        spark, src, queries, log, str(tmp_path / "ckpt2"),
+        k=5, max_files_per_trigger=1,
+    )
+    want = {
+        (r["query_id"], r["neighbor_id"], r["rnk"])
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+    assert {
+        (r["query_id"], r["neighbor_id"], r["rnk"]) for r in again.collect()
+    } == want
+
+
+def test_media_ledger_compaction_preserves_state(spark, sf_dir, tmp_path):
+    """Compaction must shrink both media ledgers' file counts, leave
+    the survivor read-back unchanged, and keep the at-rest index
+    probe-able: a post-compaction near-twin of an indexed survivor
+    must still drop."""
+    from realtime_cdc_pipeline_docker_spark.streaming.ingest import (
+        compact_media_ledgers,
+        run_media_dedup_stream,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    waves = [docs.filter(F.col("doc_id") % 3 == w) for w in range(3)]
+    src = str(tmp_path / "src")
+    log = str(tmp_path / "log")
+    _write_waves(waves, src)
+    first = {
+        r["doc_id"]
+        for r in run_media_dedup_stream(
+            spark, src, log, str(tmp_path / "ckpt1"), max_files_per_trigger=1
+        ).collect()
+    }
+
+    stats = compact_media_ledgers(spark, log)
+    assert stats["docs"]["files_after"] < stats["docs"]["files_before"]
+    assert stats["index"]["files_after"] < stats["index"]["files_before"]
+    docs_led = spark.read.parquet(f"{log}/docs")
+    assert docs_led.count() == len(first)
+    assert {r["doc_id"] for r in docs_led.collect()} == first
+
+    # compacted index still drives the probe: a near-twin (first char
+    # swapped -> hamming <= 3 dhash) of a surviving doc must drop
+    base = docs.join(
+        spark.createDataFrame([(i,) for i in sorted(first)[:1]], "doc_id long"),
+        "doc_id",
+    ).collect()[0]
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    extra = spark.createDataFrame(
+        [
+            (900_000, "Z" + base["text"][1:], "en", "t", 1),
+        ],
+        schema,
+    )
+    _write_waves([extra], src, start=len(waves))
+    out = run_media_dedup_stream(
+        spark, src, log, str(tmp_path / "ckpt2"), max_files_per_trigger=1
+    )
+    assert {r["doc_id"] for r in out.collect()} == first
+
+
+def test_ivf_maintenance_stream_parity_redelivery_and_recall(
+    spark, sf_dir, tmp_path
+):
+    """The maintained IVF layout must be row-identical to the batch
+    ``write_ivf_index`` build with the same frozen centroids (stream ==
+    batch parity), absorb full redelivery under a new checkpoint
+    (content-addressed rows collapse), and keep index QUALITY
+    oracle-checked via the j3q composition: querying the MAINTAINED
+    index achieves recall >= 0.8 vs exact brute force."""
+    from realtime_cdc_pipeline_docker_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_index_topk,
+        train_ivf_centroids,
+        write_ivf_index,
+    )
+    from realtime_cdc_pipeline_docker_spark.streaming.ingest import (
+        run_ivf_maintenance_stream,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    centroids = train_ivf_centroids(emb, n_centroids=16)
+    waves = [emb.filter(F.col("vec_id") % 3 == w) for w in range(3)]
+    src = str(tmp_path / "src")
+    idx_dir = str(tmp_path / "index")
+    _write_waves(waves, src)
+    stats = run_ivf_maintenance_stream(
+        spark, src, centroids, idx_dir, str(tmp_path / "ckpt1"),
+        max_files_per_trigger=1,
+    ).collect()
+    assert stats, "per-cluster stats expected"
+    n_total = sum(r["n_vectors"] for r in stats)
+
+    # stream == batch layout parity (same centroids, same assign)
+    batch_dir = str(tmp_path / "batch_index")
+    write_ivf_index(emb, batch_dir, centroids, assign=2)
+    got = {
+        (r["vec_id"], r["cluster"])
+        for r in spark.read.parquet(idx_dir).select("vec_id", "cluster").collect()
+    }
+    want = {
+        (r["vec_id"], r["cluster"])
+        for r in spark.read.parquet(batch_dir).select("vec_id", "cluster").collect()
+    }
+    assert got == want
+    assert n_total == len(want)
+
+    # drift observable: skew is per-cluster size relative to the mean
+    mean = n_total / len(stats)
+    for r in stats:
+        assert r["growth_skew_permille"] == int(r["n_vectors"] * 1000 / mean)
+
+    # redelivery under a new checkpoint: rows collapse content-addressed
+    _write_waves(waves, src, start=len(waves))
+    stats2 = run_ivf_maintenance_stream(
+        spark, src, centroids, idx_dir, str(tmp_path / "ckpt2"),
+        max_files_per_trigger=1,
+    ).collect()
+    assert {(r["cluster"], r["n_vectors"]) for r in stats2} == {
+        (r["cluster"], r["n_vectors"]) for r in stats
+    }
+
+    # j3q composition: recall of the MAINTAINED index vs exact truth
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_index_topk(
+            spark, idx_dir, queries, centroids, k=5, nprobe=6
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"maintained-index recall {recall:.2f} < 0.8"
+
+
+def test_semantic_decontaminate_stream_equals_batch_and_absorbs_redelivery(
+    spark, sf_dir, tmp_path
+):
+    """The streaming gate must reproduce the batch j8d relation
+    row-for-row (stateless per vector, integer cross-multiplied gate),
+    flag the planted scaled copies (cosine exactly 1 with their
+    benchmark twin), and collapse a full redelivery under a new
+    checkpoint in the read-back."""
+    from realtime_cdc_pipeline_docker_spark.streaming.ingest import (
+        run_semantic_decontaminate_stream,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    bench = emb.filter(F.col("vec_id") % 40 == 0).select("vec_id", "embedding")
+    corpus = (
+        emb.filter(F.col("vec_id") % 40 != 0)
+        .select("vec_id", "embedding", "label")
+        .unionByName(
+            emb.filter(F.col("vec_id") % 120 == 0).select(
+                (F.col("vec_id") + 1_000_000).alias("vec_id"),
+                F.transform(
+                    "embedding", lambda x: x * F.lit(2.0).cast("float")
+                ).alias("embedding"),
+                "label",
+            )
+        )
+    )
+    waves = [corpus.filter(F.col("vec_id") % 3 == w) for w in range(3)]
+    src = str(tmp_path / "src")
+    log = str(tmp_path / "log")
+    _write_waves(waves, src)
+    out = {
+        r["vec_id"]: r
+        for r in run_semantic_decontaminate_stream(
+            spark, src, bench, log, str(tmp_path / "ckpt1"),
+            max_files_per_trigger=1,
+        ).collect()
+    }
+    assert len(out) == corpus.count()
+    # every planted scale-2 copy is quarantined with its twin as a hit
+    planted = [r["vec_id"] for r in emb.filter(F.col("vec_id") % 120 == 0).collect()]
+    assert planted
+    for v in planted:
+        r = out[v + 1_000_000]
+        assert r["quarantined"] and r["n_bench_hits"] >= 1
+        assert r["first_bench_id"] is not None
+    # clean rows carry the audit-null contract
+    n_quar = sum(1 for r in out.values() if r["quarantined"])
+    assert 0 < n_quar < len(out)
+    for r in out.values():
+        if not r["quarantined"]:
+            assert r["n_bench_hits"] == 0 and r["first_bench_id"] is None
+
+    # redelivery under a new checkpoint: absorbed in the read-back
+    _write_waves(waves, src, start=len(waves))
+    rows = run_semantic_decontaminate_stream(
+        spark, src, bench, log, str(tmp_path / "ckpt2"),
+        max_files_per_trigger=1,
+    ).collect()
+    assert len(rows) == len(out)
+    for r in rows:
+        f = out[r["vec_id"]]
+        assert (r["quarantined"], r["n_bench_hits"], r["first_bench_id"]) == (
+            f["quarantined"], f["n_bench_hits"], f["first_bench_id"]
+        )
