@@ -2033,3 +2033,45 @@ def run_semantic_decontaminate_stream(
     for df in parts[1:]:
         out = out.unionByName(df)
     return out.dropDuplicates(["vec_id"])
+
+
+def compact_gate_ledgers(
+    spark: SparkSession, log_dir: str, key_col: str
+) -> dict:
+    """Table maintenance for the stateless GATE ledgers
+    (``run_decontaminate_stream``'s and
+    ``run_semantic_decontaminate_stream``'s ``clean/`` +
+    ``quarantine/`` pairs): every micro-batch appends one file per
+    side, and replayed/redelivered batches append byte-identical
+    duplicate rows by design (the gates are deterministic per row, so
+    merge-on-read collapses them) — a long-running gate accumulates
+    O(batches) small files and duplicate rows that every audit read
+    re-scans.
+
+    Rows are content-addressed (no lineage columns — the gate output
+    is a pure function of the row and the at-rest benchmark), so
+    compaction is a plain ``dropDuplicates([key_col])`` + rewrite per
+    side: no lineage guard, no ordering subtleties.  Flat-directory
+    overwrite is not concurrency-safe against an in-flight append —
+    run between ingest runs, like ``compact_topk_ledger``.  A
+    benchmark RELEASE (new eval suite) changes the gate function
+    itself: rebuild the ledgers from the corpus instead of compacting.
+    Returns per-side {files,rows} before/after."""
+    out: dict = {}
+    for side in ("clean", "quarantine"):
+        path = f"{log_dir}/{side}"
+        led = _read_log(spark, path)
+        if led is None:
+            continue
+        files_before = len(led.inputFiles())
+        rows_before = led.count()
+        snap = led.dropDuplicates([key_col]).localCheckpoint(eager=True)
+        snap.coalesce(1).write.mode("overwrite").parquet(path)
+        after = spark.read.parquet(path)
+        out[side] = {
+            "files_before": files_before,
+            "files_after": len(after.inputFiles()),
+            "rows_before": rows_before,
+            "rows_after": after.count(),
+        }
+    return out

@@ -653,8 +653,6 @@ def probe_index_growth(spark, docs, scales) -> None:
     probe_batch.unpersist()
 
 
-if __name__ == "__main__":
-    raise SystemExit(main())
 
 
 def probe_ledger_compaction(spark, sf_dir: str, n_batches: int = 24) -> None:
@@ -763,3 +761,7 @@ def probe_ledger_compaction(spark, sf_dir: str, n_batches: int = 24) -> None:
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

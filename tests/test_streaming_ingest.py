@@ -1287,3 +1287,100 @@ def test_semantic_decontaminate_stream_equals_batch_and_absorbs_redelivery(
         assert (r["quarantined"], r["n_bench_hits"], r["first_bench_id"]) == (
             f["quarantined"], f["n_bench_hits"], f["first_bench_id"]
         )
+
+
+def test_gate_ledger_compaction_collapses_redelivery_duplicates(
+    spark, sf_dir, tmp_path
+):
+    """After a full redelivery the gate ledgers hold duplicate
+    content-addressed rows and twice the files; compaction must fold
+    both to one row per doc with the relation unchanged."""
+    from realtime_cdc_pipeline_docker_spark.streaming.ingest import (
+        compact_gate_ledgers,
+        run_decontaminate_stream,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 101 == 0).select("text")
+    waves = [docs.filter(F.col("doc_id") % 3 == w) for w in range(3)]
+    src = str(tmp_path / "src")
+    log = str(tmp_path / "log")
+    _write_waves(waves, src)
+    first = {
+        (r["doc_id"], r["quarantined"], r["n_contaminated_grams"])
+        for r in run_decontaminate_stream(
+            spark, src, bench, log, str(tmp_path / "ckpt1"),
+            max_files_per_trigger=1,
+        ).collect()
+    }
+    _write_waves(waves, src, start=len(waves))
+    run_decontaminate_stream(
+        spark, src, bench, log, str(tmp_path / "ckpt2"),
+        max_files_per_trigger=1,
+    )
+    assert spark.read.parquet(f"{log}/clean").count() > len(
+        [r for r in first if not r[1]]
+    ), "redelivery should have appended duplicate rows"
+
+    stats = compact_gate_ledgers(spark, log, key_col="doc_id")
+    for side in ("clean", "quarantine"):
+        assert stats[side]["files_after"] < stats[side]["files_before"]
+        assert stats[side]["rows_after"] < stats[side]["rows_before"]
+    folded = {
+        (r["doc_id"], r["quarantined"], r["n_contaminated_grams"])
+        for p in ("clean", "quarantine")
+        for r in spark.read.parquet(f"{log}/{p}").collect()
+    }
+    assert folded == first
+
+
+def test_substring_stream_wiped_replay_with_foreign_lineage(spark, tmp_path):
+    """The ADVICE r10 fix under the WORST interleave: ledger holds a
+    FOREIGN lineage's rows AND the own lineage is wiped-checkpoint
+    replayed.  The replayed batches must still see the foreign
+    lineage's state (redelivery absorption) while excluding their own
+    lineage's later batches — read-back byte-identical to the
+    pre-replay state."""
+    import shutil
+
+    from realtime_cdc_pipeline_docker_spark.streaming.ingest import (
+        run_substring_dedup_stream,
+    )
+
+    waves = _substr_fixture(spark)
+    src = str(tmp_path / "src")
+    log = str(tmp_path / "log")
+    # lineage A ingests the full fixture
+    _write_waves(waves, src)
+    first = {
+        r["doc_id"]: (r["n_removed"], r["cleaned_text"])
+        for r in run_substring_dedup_stream(
+            spark, src, log, str(tmp_path / "ckptA"), max_files_per_trigger=1
+        ).collect()
+    }
+    # lineage B delivers NEW material -> foreign rows in the ledger
+    extra = spark.createDataFrame(
+        [(300, " ".join(f"y{i}" for i in range(12)), "en", "t", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    _write_waves([extra], src, start=len(waves))
+    ckpt_b = str(tmp_path / "ckptB")
+    second = {
+        r["doc_id"]: (r["n_removed"], r["cleaned_text"])
+        for r in run_substring_dedup_stream(
+            spark, src, log, ckpt_b, max_files_per_trigger=1
+        ).collect()
+    }
+    assert set(second) == set(first) | {300}
+    # wipe lineage B's checkpoint: it replays EVERYTHING (all 4 files)
+    # under its own tag with batch ids restarting at 0 — lineage A's
+    # rows stay visible (absorption), B's own later batches do not.
+    shutil.rmtree(ckpt_b)
+    rows = run_substring_dedup_stream(
+        spark, src, log, ckpt_b, max_files_per_trigger=1
+    ).collect()
+    assert len(rows) == len(second)
+    for r in rows:
+        assert (r["n_removed"], r["cleaned_text"]) == second[r["doc_id"]], (
+            f"doc {r['doc_id']} diverged after cross-lineage wiped replay"
+        )
