@@ -1294,3 +1294,64 @@ def mrl_truncation_eval(
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def rebuild_ivf_index(
+    spark,
+    index_dir: str,
+    n_centroids: int = 16,
+    n_iters: int = 3,
+    assign: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Re-train + REBUILD a maintained IVF layout in place — the
+    offline event the maintenance stream's ``growth_skew_permille``
+    drift observable schedules (the other half of the frozen-centroid
+    contract in ``streaming.ingest.run_ivf_maintenance_stream``: the
+    stream never moves a centroid, so when the data distribution
+    drifts, quality is restored by re-training on what actually
+    accumulated and rewriting the inverted file once).
+
+    Steps, all standard at-rest machinery:
+
+    1. Read the maintained layout back and collapse it to one row per
+       vector (boundary-replicated ``cluster`` slices and
+       replay/redelivery duplicates fold in a ``dropDuplicates`` on
+       the id — the rows are content-addressed).
+    2. ``train_ivf_centroids`` on the deduplicated corpus (sampled
+       upstream at 100 TB — the training-scan contract documented
+       there).
+    3. ``write_ivf_index`` to a SIBLING path, then an atomic
+       directory swap (rename old → trash, new → live, driver-side):
+       a concurrent reader sees the old index or the new one, never a
+       half-rebuilt mix; ``mode("overwrite")`` on the live path would
+       instead delete lists before the new ones commit.
+
+    Returns the new centroids — the caller hands them to the next
+    ``run_ivf_maintenance_stream`` lineage (new checkpoint, fresh
+    ledger semantics) and to the query path.  Quality is re-checked
+    the same way the maintenance stream is gated: the j3q recall
+    composition (test-pinned)."""
+    import shutil
+
+    corpus = (
+        spark.read.parquet(index_dir)
+        .select(id_col, vec_col)
+        .dropDuplicates([id_col])
+    )
+    centroids = train_ivf_centroids(
+        corpus, n_centroids=n_centroids, n_iters=n_iters,
+        vec_col=vec_col, id_col=id_col,
+    )
+    staging = f"{index_dir.rstrip('/')}__rebuild"
+    write_ivf_index(
+        corpus, staging, centroids, assign=assign,
+        id_col=id_col, vec_col=vec_col,
+    )
+    trash = f"{index_dir.rstrip('/')}__old"
+    shutil.rmtree(trash, ignore_errors=True)
+    shutil.move(index_dir, trash)
+    shutil.move(staging, index_dir)
+    shutil.rmtree(trash, ignore_errors=True)
+    return centroids

@@ -1384,3 +1384,78 @@ def test_substring_stream_wiped_replay_with_foreign_lineage(spark, tmp_path):
         assert (r["n_removed"], r["cleaned_text"]) == second[r["doc_id"]], (
             f"doc {r['doc_id']} diverged after cross-lineage wiped replay"
         )
+
+
+def test_ivf_rebuild_restores_quality_after_drift(spark, sf_dir, tmp_path):
+    """The maintenance lifecycle end-to-end: maintain under FROZEN
+    centroids trained on HALF the distribution, watch the drift
+    observable move, re-train + rebuild in place, and verify (a) the
+    rebuilt layout is exactly the batch build over the accumulated
+    corpus, (b) queries over the rebuilt index hit recall >= 0.8 vs
+    exact truth, (c) the layout stays partition-pruned."""
+    from pyspark.sql import functions as F2
+
+    from realtime_cdc_pipeline_docker_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_index_topk,
+        rebuild_ivf_index,
+        train_ivf_centroids,
+        write_ivf_index,
+    )
+    from realtime_cdc_pipeline_docker_spark.streaming.ingest import (
+        run_ivf_maintenance_stream,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    half = emb.filter(F.col("vec_id") % 2 == 0)
+    frozen = train_ivf_centroids(half, n_centroids=16)
+    waves = [emb.filter(F.col("vec_id") % 3 == w) for w in range(3)]
+    src = str(tmp_path / "src")
+    idx_dir = str(tmp_path / "index")
+    _write_waves(waves, src)
+    run_ivf_maintenance_stream(
+        spark, src, frozen, idx_dir, str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+
+    new_centroids = rebuild_ivf_index(spark, idx_dir, n_centroids=16)
+
+    # (a) rebuilt layout == batch build over the accumulated corpus
+    batch_dir = str(tmp_path / "batch")
+    write_ivf_index(emb, batch_dir, new_centroids, assign=2)
+    got = {
+        (r["vec_id"], r["cluster"])
+        for r in spark.read.parquet(idx_dir).select("vec_id", "cluster").collect()
+    }
+    want = {
+        (r["vec_id"], r["cluster"])
+        for r in spark.read.parquet(batch_dir).select("vec_id", "cluster").collect()
+    }
+    assert got == want
+
+    # (b) recall over the rebuilt index
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_index_topk(
+            spark, idx_dir, queries, new_centroids, k=5, nprobe=6
+        ).collect()
+    }
+    assert len(exact & approx) / len(exact) >= 0.8
+
+    # (c) cluster predicate still prunes at the scan
+    idx = spark.read.parquet(idx_dir)
+    plan = idx.filter(F2.col("cluster").isin([0])) \
+        ._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+    part = plan.split("PartitionFilters", 1)
+    assert len(part) == 2 and "cluster" in part[1].split("]", 1)[0]
