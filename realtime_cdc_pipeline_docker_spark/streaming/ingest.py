@@ -131,6 +131,40 @@ def write_arrival_wave(df: DataFrame, src_dir: str, seq: int) -> None:
             os.utime(f, (base + seq, base + seq))
 
 
+def _ledger_is_small(
+    led: DataFrame, max_files: int, max_bytes: int = 64 << 20
+) -> bool:
+    """Decide whether a per-batch ledger probe should SKIP the
+    touched-bucket partition-prune collect (one driver job) and scan
+    the whole ledger instead — the right call only while the ledger is
+    genuinely tiny.
+
+    Two driver-side signals, zero Spark jobs, and BOTH must say small:
+
+    - file count (``inputFiles`` listing): a young un-compacted ledger
+      has a few files; past ``max_files`` the prune always wins (and
+      summing sizes over thousands of files would itself cost).
+    - total bytes (Hadoop FileStatus over the <= ``max_files``
+      listed files): a COMPACTED ledger can hold arbitrarily many rows
+      in ``files_per_bucket`` files, so file count alone would
+      full-scan a huge ledger forever — size is the signal that
+      actually tracks the data (found while re-running the
+      index_growth probe against the round-11 prune-skip)."""
+    files = led.inputFiles()
+    if len(files) > max_files:
+        return False
+    sc = led.sparkSession.sparkContext
+    jvm = sc._jvm
+    conf = sc._jsc.hadoopConfiguration()
+    total = 0
+    for f in files:
+        p = jvm.org.apache.hadoop.fs.Path(f)
+        total += p.getFileSystem(conf).getFileStatus(p).getLen()
+        if total > max_bytes:
+            return False
+    return True
+
+
 def write_arrival_waves(
     df: DataFrame, src_dir: str, wave_expr, n_waves: int
 ) -> None:
@@ -504,10 +538,12 @@ def run_neardup_ingest_stream(
         driver-side ``inputFiles`` listing, zero Spark jobs) a full
         scan is cheaper than the job that would prune it, so the
         collect is skipped until the ledger outgrows
-        ``prune_min_files``.  At 100 TB the ledger is always past the
-        threshold and every probe stays bucket-pruned — the contract
+        ``prune_min_files`` in files or 64 MB in bytes
+        (``_ledger_is_small`` — both signals driver-side, zero Spark
+        jobs).  At 100 TB the ledger is always past the threshold and
+        every probe stays bucket-pruned — the contract
         tests/test_streaming_ingest.py pins on a grown ledger."""
-        if len(led.inputFiles()) <= prune_min_files:
+        if _ledger_is_small(led, prune_min_files):
             return None
         return [r[0] for r in probe.distinct().collect()]
 
@@ -588,7 +624,7 @@ def run_neardup_ingest_stream(
                 # index_buckets driver collect.  On a young ledger the
                 # collect (and the persist that amortizes cand across
                 # it) is skipped entirely.
-                if len(docs_led.inputFiles()) <= prune_min_files:
+                if _ledger_is_small(docs_led, prune_min_files):
                     dpred = not_later
                 else:
                     # persist BEFORE the collect so the candidate DAG
@@ -969,7 +1005,7 @@ def run_substring_dedup_stream(
         docs_led = _read_ledger(sess, docs_dir, docs_ledger_schema)
         if docs_led is not None:
             dpred = _not_own_batch(batch_id)
-            if len(docs_led.inputFiles()) > prune_min_files:
+            if not _ledger_is_small(docs_led, prune_min_files):
                 dtouched = [
                     r[0]
                     for r in batch_df.select(dbucket_expr.alias("b"))
@@ -1014,7 +1050,7 @@ def run_substring_dedup_stream(
         gled = _read_ledger(sess, grams_dir, gram_ledger_schema)
         if gled is not None:
             gpred = _not_own_batch(batch_id)
-            if len(gled.inputFiles()) > prune_min_files:
+            if not _ledger_is_small(gled, prune_min_files):
                 gtouched = [
                     r[0] for r in grams.select("gbucket").distinct().collect()
                 ]
@@ -1594,7 +1630,7 @@ def run_media_dedup_stream(
                     (F.col("__run_tag") == run_tag)
                     & (F.col("__batch_id") >= batch_id)
                 )
-                if len(idx.inputFiles()) > prune_min_files:
+                if not _ledger_is_small(idx, prune_min_files):
                     touched = [
                         r[0]
                         for r in slices.select("bucket").distinct().collect()

@@ -1459,3 +1459,63 @@ def test_ivf_rebuild_restores_quality_after_drift(spark, sf_dir, tmp_path):
         )
     part = plan.split("PartitionFilters", 1)
     assert len(part) == 2 and "cluster" in part[1].split("]", 1)[0]
+
+
+def test_ledger_is_small_uses_bytes_not_just_files(spark, tmp_path):
+    """A COMPACTED ledger holds arbitrarily many rows in a handful of
+    files — the prune-skip must key on total BYTES too, or it would
+    full-scan a huge compacted ledger forever."""
+    from realtime_cdc_pipeline_docker_spark.streaming.ingest import (
+        _ledger_is_small,
+    )
+
+    path = str(tmp_path / "led")
+    spark.range(1000).selectExpr("id", "id * 2 AS v").coalesce(1).write.parquet(path)
+    led = spark.read.parquet(path)
+    # one small file: small under the default byte cap
+    assert _ledger_is_small(led, max_files=64) is True
+    # same single file, but a byte cap below its size: NOT small —
+    # the compacted-huge-ledger case in miniature
+    assert _ledger_is_small(led, max_files=64, max_bytes=64) is False
+    # file-count signal alone still trips
+    assert _ledger_is_small(led, max_files=0) is False
+
+
+def test_stream_probe_pruned_path_matches_skip_path(spark, tmp_path):
+    """Result-identity of the two probe modes: forcing the
+    touched-bucket prune (prune_min_files=0, the 100 TB path) must
+    produce byte-identical read-backs to the young-ledger full-scan
+    skip (the default at fixture scale) for both the near-dup and the
+    substring streams."""
+    from realtime_cdc_pipeline_docker_spark.streaming.ingest import (
+        run_neardup_ingest_stream,
+        run_substring_dedup_stream,
+    )
+
+    waves = _substr_fixture(spark)
+    for runner, cols in (
+        (run_neardup_ingest_stream, lambda r: (r["doc_id"],)),
+        (
+            run_substring_dedup_stream,
+            lambda r: (r["doc_id"], r["n_removed"], r["cleaned_text"]),
+        ),
+    ):
+        name = runner.__name__
+        src = str(tmp_path / f"src_{name}")
+        _write_waves(waves, src)
+        skip = {
+            cols(r)
+            for r in runner(
+                spark, src, str(tmp_path / f"log_skip_{name}"),
+                str(tmp_path / f"ckpt_skip_{name}"), max_files_per_trigger=1,
+            ).collect()
+        }
+        pruned = {
+            cols(r)
+            for r in runner(
+                spark, src, str(tmp_path / f"log_prune_{name}"),
+                str(tmp_path / f"ckpt_prune_{name}"),
+                max_files_per_trigger=1, prune_min_files=0,
+            ).collect()
+        }
+        assert pruned == skip, f"{name}: probe modes diverge"
