@@ -1153,31 +1153,48 @@ def _adc_query(
     dim = len(codebook[0])
     dsub = dim // m
 
-    # ---- query-side LUT: slot-exploded, collected back to an array ----
-    flat_cb = F.array(
-        *[F.lit(float(x)) for c in range(pq_k) for x in codebook[c]]
+    # ---- query-side LUT via a BROADCAST COMPONENT TABLE ----
+    # (the assign_clusters_table form, round 11): the previous literal
+    # form inlined pq_k × dim codebook floats into ONE generated
+    # method, referenced dsub times — the j3j 64 KB-class codegen
+    # surface, whose janino+C2 compile dominated the j3k/j3o
+    # first-execution cost (measured 9.65 s first vs 2.05 s second in
+    # one session) and which stops compiling at production sizes
+    # (dim 1024 × pq_k 256 = 262k literals).  The table form is O(1)
+    # in generated-code size: posexplode the (unit) query vector,
+    # broadcast-join the (i, c, x) codebook components, one
+    # map-side-combinable (query, mi, c) squared-distance aggregate,
+    # then the same slot-sorted collect.  (Per-subspace sums now
+    # accumulate in aggregate order rather than the literal form's
+    # fixed left-to-right chain — an ULP-level reordering; ADC ranks
+    # are approximate by contract and the shortlist rerank is exact.)
+    spark = queries.sparkSession
+    comp = spark.createDataFrame(
+        [
+            (i, c, float(x))
+            for c, row in enumerate(codebook)
+            for i, x in enumerate(row)
+        ],
+        "i int, c int, x double",
     )
     q0 = queries.select(query_id_col, vec_normalize(vec_col).alias("__qv"))
-    slots = q0.select(
-        query_id_col,
-        "__qv",
-        F.explode(F.sequence(F.lit(0), F.lit(m * pq_k - 1))).alias("slot"),
-    ).select(
-        query_id_col,
-        "slot",
-        (F.col("slot") / pq_k).cast("int").alias("mi"),
-        F.pmod(F.col("slot"), F.lit(pq_k)).cast("int").alias("c"),
-        "__qv",
+    qcomp = q0.select(query_id_col, F.posexplode("__qv").alias("i", "qx"))
+    d2 = (
+        qcomp.join(F.broadcast(comp), "i")
+        .withColumn("__d", F.col("qx").cast("double") - F.col("x"))
+        .groupBy(
+            query_id_col,
+            (F.col("i") / dsub).cast("int").alias("mi"),
+            "c",
+        )
+        .agg(F.sum(F.col("__d") * F.col("__d")).alias("d2"))
     )
-    terms = None
-    for i in range(dsub):
-        qi = (F.col("mi") * dsub + (i + 1)).cast("int")
-        ci = (F.col("c") * dim + F.col("mi") * dsub + (i + 1)).cast("int")
-        d = F.element_at(F.col("__qv"), qi).cast("double") - F.element_at(flat_cb, ci)
-        t = d * d
-        terms = t if terms is None else terms + t
     luts = (
-        slots.select(query_id_col, "slot", terms.alias("d2"))
+        d2.select(
+            query_id_col,
+            (F.col("mi") * pq_k + F.col("c")).alias("slot"),
+            "d2",
+        )
         .groupBy(query_id_col)
         .agg(
             F.transform(
