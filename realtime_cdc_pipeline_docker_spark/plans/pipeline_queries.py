@@ -1747,3 +1747,40 @@ def h21_stream_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataF
         f"{work}/ckpt",
         max_files_per_trigger=1,
     )
+
+
+@register("h22_stream_ivfpq_maintenance", oracle=None)
+def h22_stream_ivfpq_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF-PQ index maintenance (§2.J3 × H — h20's
+    contract applied to the layout the 100 TB query path actually
+    reads, the ``write_ivfpq_index``/j3o cluster-partitioned parquet
+    carrying m-byte PQ code arrays): the embeddings fixture arrives as
+    the 3 mtime-pinned waves; each micro-batch is cluster-assigned
+    against the FROZEN j3-family centroids AND PQ-coded against the
+    FROZEN session codebook, appending only into the touched cluster
+    directories.  (tag, batch)-keyed idempotence; per-cluster growth +
+    ``growth_skew_permille`` drift observable.  Rows-only by the
+    IVF-family contract; layout parity with the batch
+    ``write_ivfpq_index`` build, redelivery absorption, and
+    maintained-index ADC recall ≥ 0.8 vs exact truth are pinned in
+    tests/test_streaming_ingest.py.  See
+    streaming/ingest.py:run_ivfpq_maintenance_stream."""
+    from ..streaming.ingest import run_ivfpq_maintenance_stream
+    from .cdc_queries import _work_dir
+    from .similarity_queries import _fixture_centroids, _fixture_codebook
+
+    work = _work_dir("ivfpq_maint", sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    _ensure_emb_waves(emb, sf_dir)
+    centroids = _fixture_centroids(emb, sf_dir, "ivf", 16)
+    codebook = _fixture_codebook(spark, sf_dir)
+    return run_ivfpq_maintenance_stream(
+        spark,
+        _EMB_SRC[sf_dir],
+        centroids,
+        codebook,
+        f"{work}/index",
+        f"{work}/ckpt",
+        max_files_per_trigger=1,
+        batch_shuffle_partitions=4,
+    )

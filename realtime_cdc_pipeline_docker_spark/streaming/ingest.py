@@ -2111,3 +2111,111 @@ def compact_gate_ledgers(
             "rows_after": after.count(),
         }
     return out
+
+
+def run_ivfpq_maintenance_stream(
+    spark: SparkSession,
+    src_dir: str,
+    centroids: list,
+    codebook: list,
+    index_dir: str,
+    checkpoint_dir: str,
+    m: int = 8,
+    assign: int = 2,
+    max_files_per_trigger: int | None = None,
+    batch_shuffle_partitions: int | None = 8,
+) -> DataFrame:
+    """Incremental IVF-PQ index maintenance (§2.J3 × H — the
+    ``run_ivf_maintenance_stream`` contract applied to the layout the
+    100 TB query path actually reads, ``write_ivfpq_index``/j3o):
+    arriving vectors are cluster-assigned against the FROZEN centroids
+    AND PQ-coded against the FROZEN codebook (both must be pure
+    functions of the vector, or the index fragments — the frozen-model
+    contract; re-training either is the offline
+    ``rebuild_ivf_index``-class event), then appended
+    partition-pruned into the cluster-partitioned layout carrying the
+    m-byte ``codes`` arrays the ADC probe ranks on.
+
+    Per-batch cost: one `_ivfpq_indexed` pass over the BATCH — the
+    centroid literal expression plus the broadcast-codebook PQ assign,
+    one batch-sized code shuffle — and appends into only the touched
+    cluster directories.  (tag, batch)-keyed rows; replay/redelivery
+    appends are byte-identical and collapse in the read-back and in
+    ``ivfpq_index_topk``'s post-join distinct.  Returns the same
+    per-cluster growth/drift table as the IVF twin."""
+    import hashlib as _hashlib
+
+    from ..operators.similarity import _ivfpq_indexed
+    from .windows import _scoped_confs
+
+    run_tag = _hashlib.md5(checkpoint_dir.encode()).hexdigest()[:12]
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        (
+            _ivfpq_indexed(
+                batch_df.select("vec_id", "embedding"),
+                centroids,
+                codebook,
+                m,
+                assign,
+                "vec_id",
+                "embedding",
+            )
+            .withColumnRenamed("__cluster", "cluster")
+            .withColumn("__batch_id", F.lit(batch_id))
+            .withColumn("__run_tag", F.lit(run_tag))
+            .repartition("cluster")
+            .write.mode("append")
+            .partitionBy("cluster")
+            .parquet(index_dir)
+        )
+
+    reader = spark.readStream.schema(EMBEDDING_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(src_dir)
+    scoped: dict[str, str] = {}
+    if batch_shuffle_partitions is not None:
+        scoped = {
+            "spark.sql.shuffle.partitions": str(batch_shuffle_partitions),
+            "spark.sql.adaptive.enabled": "false",
+        }
+    with _scoped_confs(spark, scoped):
+        (
+            stream.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+    out_schema = T.StructType(
+        [
+            T.StructField("cluster", T.LongType()),
+            T.StructField("n_vectors", T.LongType()),
+            T.StructField("n_batches", T.LongType()),
+            T.StructField("growth_skew_permille", T.LongType()),
+        ]
+    )
+    idx = _read_log(spark, index_dir)
+    if idx is None:
+        return spark.createDataFrame([], out_schema)
+    per = (
+        idx.select("cluster", "vec_id", "__batch_id", "__run_tag")
+        .dropDuplicates(["cluster", "vec_id"])
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.countDistinct("__batch_id", "__run_tag").alias("n_batches"),
+        )
+    )
+    mean_w = Window.partitionBy()
+    return per.select(
+        F.col("cluster").cast("long"),
+        F.col("n_vectors").cast("long"),
+        F.col("n_batches").cast("long"),
+        (F.col("n_vectors") * 1000 / F.avg("n_vectors").over(mean_w))
+        .cast("long")
+        .alias("growth_skew_permille"),
+    )

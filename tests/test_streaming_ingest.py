@@ -1519,3 +1519,73 @@ def test_stream_probe_pruned_path_matches_skip_path(spark, tmp_path):
             ).collect()
         }
         assert pruned == skip, f"{name}: probe modes diverge"
+
+
+def test_ivfpq_maintenance_stream_parity_redelivery_and_recall(
+    spark, sf_dir, tmp_path
+):
+    """The maintained IVF-PQ layout must be row-identical (ids,
+    clusters, AND code arrays) to the batch write_ivfpq_index build
+    with the same frozen centroids + codebook, absorb redelivery
+    under a new checkpoint, and answer ADC queries at recall >= 0.8
+    vs exact truth."""
+    from realtime_cdc_pipeline_docker_spark.functions import vec_normalize
+    from realtime_cdc_pipeline_docker_spark.operators.similarity import (
+        brute_force_topk,
+        ivfpq_index_topk,
+        seed_codebook,
+        train_ivf_centroids,
+        write_ivfpq_index,
+    )
+    from realtime_cdc_pipeline_docker_spark.streaming.ingest import (
+        run_ivfpq_maintenance_stream,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    centroids = train_ivf_centroids(emb, n_centroids=16)
+    normed = emb.select("vec_id", vec_normalize("embedding").alias("embedding"))
+    codebook = seed_codebook(normed, k=16)
+    waves = [emb.filter(F.col("vec_id") % 3 == w) for w in range(3)]
+    src = str(tmp_path / "src")
+    idx_dir = str(tmp_path / "index")
+    _write_waves(waves, src)
+    stats = run_ivfpq_maintenance_stream(
+        spark, src, centroids, codebook, idx_dir, str(tmp_path / "ckpt1"),
+        max_files_per_trigger=1,
+    ).collect()
+    assert stats
+
+    batch_dir = str(tmp_path / "batch")
+    write_ivfpq_index(emb, batch_dir, centroids, codebook, assign=2)
+    key = lambda r: (r["vec_id"], r["cluster"], tuple(r["codes"]))  # noqa: E731
+    got = {key(r) for r in spark.read.parquet(idx_dir)
+           .select("vec_id", "cluster", "codes").collect()}
+    want = {key(r) for r in spark.read.parquet(batch_dir)
+            .select("vec_id", "cluster", "codes").collect()}
+    assert got == want
+
+    # redelivery under a new checkpoint: content-addressed collapse
+    _write_waves(waves, src, start=len(waves))
+    stats2 = run_ivfpq_maintenance_stream(
+        spark, src, centroids, codebook, idx_dir, str(tmp_path / "ckpt2"),
+        max_files_per_trigger=1,
+    ).collect()
+    assert {(r["cluster"], r["n_vectors"]) for r in stats2} == {
+        (r["cluster"], r["n_vectors"]) for r in stats
+    }
+
+    # ADC recall over the MAINTAINED layout
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivfpq_index_topk(
+            spark, idx_dir, queries, centroids, codebook, k=5, nprobe=6
+        ).collect()
+    }
+    assert len(exact & approx) / len(exact) >= 0.8
