@@ -1327,6 +1327,24 @@ _STREAM_SRC: dict[tuple[str, str], str] = {}
 _EMB_SRC: dict[str, str] = {}
 
 
+def _batch_width(sf_dir: str) -> int:
+    """Micro-batch shuffle width for the stream-query fixtures, scaled
+    to the wave size: 4 at sf<=0.01 (~170-row batches — measured 6.8 →
+    6.1 s for the h15 drain, where task-scheduling overhead dominates),
+    the operator default 8 above that (the round-11 bench at sf0.1
+    measured width 4 as a ~1.3x REGRESSION on h15/h20: ~1.7k-row
+    batches want the width).  Production sizes this to batch rows /
+    target rows-per-task — this helper is the fixture-scale stand-in."""
+    import os
+
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        sf = float(base.removeprefix("sf"))
+    except ValueError:
+        return 8
+    return 4 if sf <= 0.01 else 8
+
+
 def _ensure_doc_waves(docs, sf_dir: str) -> None:
     """Write the shared 3-wave documents source (wave = doc_id % 3,
     one file per wave, strictly increasing pinned mtimes so the
@@ -1388,10 +1406,7 @@ def h15_stream_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{work}/log",
         f"{work}/ckpt",
         max_files_per_trigger=1,
-        # sim-scale shuffle width: ~170-row micro-batches; production
-        # sizes this to batch rows / target rows-per-task (measured
-        # 6.8 -> 6.1 s for the 3-wave drain at sf0.01 vs the default 8)
-        batch_shuffle_partitions=4,
+        batch_shuffle_partitions=_batch_width(sf_dir),
     )
     return (
         docs.select("doc_id", (F.col("doc_id") % 3).cast("long").alias("wave"))
@@ -1439,10 +1454,7 @@ def h16_stream_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{work}/ckpt",
         k=8,
         max_files_per_trigger=1,
-        # sim-scale shuffle width: ~170-row micro-batches; production
-        # sizes this to batch rows / target rows-per-task (measured
-        # 6.8 -> 6.1 s for the 3-wave drain at sf0.01 vs the default 8)
-        batch_shuffle_partitions=4,
+        batch_shuffle_partitions=_batch_width(sf_dir),
     )
     return (
         docs.select("doc_id", (F.col("doc_id") % 3).cast("long").alias("wave"))
@@ -1592,10 +1604,7 @@ def h19_stream_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{work}/log",
         f"{work}/ckpt",
         max_files_per_trigger=1,
-        # sim-scale shuffle width: ~170-row micro-batches; production
-        # sizes this to batch rows / target rows-per-task (measured
-        # 6.8 -> 6.1 s for the 3-wave drain at sf0.01 vs the default 8)
-        batch_shuffle_partitions=4,
+        batch_shuffle_partitions=_batch_width(sf_dir),
     )
     return (
         docs.select("doc_id", (F.col("doc_id") % 3).cast("long").alias("wave"))
@@ -1642,10 +1651,7 @@ def h20_stream_ivf_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{work}/index",
         f"{work}/ckpt",
         max_files_per_trigger=1,
-        # sim-scale shuffle width: ~170-row micro-batches; production
-        # sizes this to batch rows / target rows-per-task (measured
-        # 6.8 -> 6.1 s for the 3-wave drain at sf0.01 vs the default 8)
-        batch_shuffle_partitions=4,
+        batch_shuffle_partitions=_batch_width(sf_dir),
     )
 
 
@@ -1782,5 +1788,5 @@ def h22_stream_ivfpq_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{work}/index",
         f"{work}/ckpt",
         max_files_per_trigger=1,
-        batch_shuffle_partitions=4,
+        batch_shuffle_partitions=_batch_width(sf_dir),
     )
