@@ -42,6 +42,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -288,7 +289,10 @@ def control_inflation(
             "control_inflation": None,
             "host_degraded": None,
         }
-    med = sorted(ratios.values())[len(ratios) // 2]
+    # statistics.median averages the two middle ratios on the
+    # even-sized CONTROL_SET — the documented median rule (ADVICE r11:
+    # the upper-middle pick was slightly trigger-happy).
+    med = round(statistics.median(ratios.values()), 3)
     return {
         "control_ratios": ratios,
         "control_inflation": med,

@@ -1526,6 +1526,152 @@ def h17_stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The composed curation-pipeline relation (h23): h17's 5-gram
+# contamination flag + h8's quality predicate, then the
+# NEARDUP_WAVES fold (exact-Jaccard >= 0.5 pairs UNION digest-equal
+# pairs) restricted to the gate-PASSING docs — stage N's ledger only
+# ever sees rows that passed stages 1..N-1, which is exactly what
+# this re-derives.  Multi-referenced CTEs are MATERIALIZED (DuckDB
+# re-evaluates them per reference otherwise).
+CURATION_PIPELINE_ORACLE = r"""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+      FROM documents
+    ), bench_toks AS MATERIALIZED (
+      SELECT t FROM toks WHERE doc_id % 101 = 0
+    ), sizes AS (
+      SELECT 5 AS m
+      UNION
+      SELECT len(t) AS m FROM bench_toks WHERE len(t) > 0 AND len(t) < 5
+    ), grams AS (
+      SELECT doc_id, array_to_string(list_slice(t, i, i + m - 1), ' ') AS gram
+      FROM (SELECT doc_id, t, m, unnest(generate_series(1, len(t) - m + 1)) AS i
+            FROM toks, sizes WHERE len(t) >= m)
+    ), bgrams AS (
+      SELECT DISTINCT array_to_string(list_slice(t, i, i + 4), ' ') AS gram
+      FROM (SELECT t, unnest(generate_series(1, len(t) - 4)) AS i FROM bench_toks)
+      UNION
+      SELECT DISTINCT array_to_string(t, ' ') AS gram
+      FROM bench_toks WHERE len(t) > 0 AND len(t) < 5
+    ), quar AS MATERIALIZED (
+      SELECT DISTINCT g.doc_id FROM grams g JOIN bgrams USING (gram)
+    ), wc AS (
+      SELECT doc_id, tok, COUNT(*) AS c
+      FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+      GROUP BY 1, 2
+    ), ws AS (
+      SELECT doc_id, MAX(c) AS mx, CAST(SUM(c) AS BIGINT) AS n
+      FROM wc GROUP BY 1
+    ), qual AS MATERIALIZED (
+      SELECT d.doc_id FROM documents d JOIN ws ON d.doc_id = ws.doc_id
+      WHERE ws.n >= 20
+        AND least(len(string_split_regex(trim(d.text), '\s+')) / 100.0, 1.0) * 0.5
+            + length(regexp_replace(d.text, '[^A-Za-z]', '', 'g'))
+              / length(d.text) * 0.5 >= 0.55
+        AND ws.mx / ws.n <= 0.12
+    ), q AS MATERIALIZED (
+      SELECT d.doc_id, d.doc_id % 3 AS wave,
+             lower(trim(regexp_replace(d.text, '\s+', ' ', 'g'))) AS t,
+             md5(regexp_replace(lower(trim(d.text)), '\s+', ' ', 'g')) AS dig
+      FROM documents d
+      WHERE d.doc_id NOT IN (SELECT doc_id FROM quar)
+        AND d.doc_id IN (SELECT doc_id FROM qual)
+    ), sh AS MATERIALIZED (
+      SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 5) AS s
+      FROM (SELECT doc_id, t,
+                   unnest(range(1, greatest(length(t)-4,1)+1)) AS i
+            FROM q)
+    ), sz AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    co AS MATERIALIZED (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    ), jp AS MATERIALIZED (
+      SELECT id_a, id_b FROM co
+      JOIN sz na ON na.doc_id = id_a JOIN sz nb ON nb.doc_id = id_b
+      WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= 0.5
+      UNION
+      SELECT a.doc_id, b.doc_id FROM q a
+      JOIN q b ON a.dig = b.dig AND a.doc_id <> b.doc_id
+    ), d AS MATERIALIZED (SELECT doc_id, wave FROM q),
+    sh0 AS MATERIALIZED (
+      SELECT DISTINCT jp.id_b AS doc_id FROM jp
+      JOIN d a ON a.doc_id = jp.id_a JOIN d b ON b.doc_id = jp.id_b
+      WHERE a.wave = 0 AND b.wave = 0 AND jp.id_a < jp.id_b
+    ), s0 AS MATERIALIZED (
+      SELECT doc_id FROM d WHERE wave = 0
+        AND doc_id NOT IN (SELECT doc_id FROM sh0)
+    ), dr1 AS MATERIALIZED (
+      SELECT DISTINCT jp.id_b AS doc_id FROM jp
+      JOIN d b ON b.doc_id = jp.id_b AND b.wave = 1
+      JOIN d a ON a.doc_id = jp.id_a
+      WHERE jp.id_a IN (SELECT doc_id FROM s0)
+         OR (a.wave = 1 AND jp.id_a < jp.id_b)
+    ), s1 AS MATERIALIZED (
+      SELECT doc_id FROM d WHERE wave = 1
+        AND doc_id NOT IN (SELECT doc_id FROM dr1)
+    ), dr2 AS MATERIALIZED (
+      SELECT DISTINCT jp.id_b AS doc_id FROM jp
+      JOIN d b ON b.doc_id = jp.id_b AND b.wave = 2
+      JOIN d a ON a.doc_id = jp.id_a
+      WHERE jp.id_a IN (SELECT doc_id FROM s0)
+         OR jp.id_a IN (SELECT doc_id FROM s1)
+         OR (a.wave = 2 AND jp.id_a < jp.id_b)
+    ), s2 AS MATERIALIZED (
+      SELECT doc_id FROM d WHERE wave = 2
+        AND doc_id NOT IN (SELECT doc_id FROM dr2)
+    )
+    SELECT b.doc_id, CAST(b.doc_id % 3 AS BIGINT) AS wave,
+           b.doc_id IN (SELECT doc_id FROM quar) AS quarantined,
+           b.doc_id IN (SELECT doc_id FROM qual) AS passed_quality,
+           b.doc_id IN (SELECT doc_id FROM s0
+             UNION ALL SELECT doc_id FROM s1
+             UNION ALL SELECT doc_id FROM s2) AS survived
+    FROM documents b
+"""
+
+
+@register("h23_stream_curation_pipeline", oracle=CURATION_PIPELINE_ORACLE)
+def h23_stream_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed streaming INGEST PIPELINE (§2.H integration row —
+    VERDICT r11 #7): ONE stream drains the 3 mtime-pinned document
+    waves through the production gate order — decontaminate (h17's
+    5-gram benchmark check) → quality gates (h8's curation set) →
+    exact dedup (normalized-digest keep-first, j1 under arrival
+    order) → near-dup probe (h15's at-rest MinHash/LSH index) — into
+    a single curated ledger, proving the gates compose without state
+    interference: each stage's ledger only ever sees rows that passed
+    the stages before it.  Oracle = the composed batch SQL (the h17
+    gram relation + h8's quality predicate + the NEARDUP_WAVES fold
+    restricted to gate-passing docs, digest pairs unioned in);
+    stream == batch == SQL row-for-row, redelivery/replay pinned in
+    tests/test_streaming_ingest.py.  See
+    streaming/ingest.py:run_curation_pipeline_stream."""
+    from ..streaming.ingest import run_curation_pipeline_stream
+    from .cdc_queries import _work_dir
+
+    work = _work_dir("curation_pipeline", sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    _ensure_doc_waves(docs, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 101 == 0).select("text")
+    out = run_curation_pipeline_stream(
+        spark,
+        _NEARDUP_SRC[sf_dir],
+        bench,
+        f"{work}/log",
+        f"{work}/ckpt",
+        max_files_per_trigger=1,
+        batch_shuffle_partitions=_batch_width(sf_dir),
+    )
+    return (
+        docs.select("doc_id", (F.col("doc_id") % 3).cast("long").alias("wave"))
+        .join(out, "doc_id")
+        .select("doc_id", "wave", "quarantined", "passed_quality", "survived")
+    )
+
+
 # h18's wave-source memo: pure function of sf_dir (embeddings in 3
 # mtime-pinned waves), written once per process like _NEARDUP_SRC.
 @register(

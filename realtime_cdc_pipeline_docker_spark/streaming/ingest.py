@@ -191,7 +191,21 @@ def write_arrival_waves(
     base = 1_000_000_000  # fixed epoch: deterministic across runs
     for w in range(n_waves):
         parts = glob.glob(f"{tmp}/__wave={w}/part-*.parquet")
-        assert len(parts) == 1, f"wave {w}: expected 1 file, got {len(parts)}"
+        if not parts:
+            # A legitimately empty wave (no rows matched this wave
+            # value) is skipped, preserving write_arrival_wave's
+            # tolerance; the wave SEQUENCE stays intact because file
+            # names/mtimes key on the wave number, not a dense index.
+            continue
+        if len(parts) != 1:
+            # explicit raise, not assert: survives ``python -O`` and
+            # names the fixture invariant (one file per wave) that the
+            # repartition-by-wave contract is supposed to guarantee
+            raise ValueError(
+                f"write_arrival_waves: wave {w} produced {len(parts)} "
+                f"part files; expected exactly 1 (repartition-by-wave "
+                f"contract broken)"
+            )
         dst = f"{src_dir}/part-wave-{w}.parquet"
         shutil.move(parts[0], dst)
         os.utime(dst, (base + w, base + w))
@@ -875,6 +889,397 @@ def compact_neardup_ledgers(
     return out
 
 
+def run_curation_pipeline_stream(
+    spark: SparkSession,
+    src_dir: str,
+    benchmark: DataFrame,
+    log_dir: str,
+    checkpoint_dir: str,
+    shingle_k: int = 5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    jaccard_threshold: float = 0.5,
+    index_buckets: int = 8,
+    max_bucket_size: int | None = 1000,
+    n_gram: int = 5,
+    min_overlaps: int = 1,
+    min_tokens: int = 20,
+    min_quality: float = 0.55,
+    max_top_word_frac: float = 0.12,
+    max_files_per_trigger: int | None = None,
+    batch_shuffle_partitions: int | None = 8,
+    prune_min_files: int = 64,
+) -> DataFrame:
+    """The composed INGEST PIPELINE (§2.H × J1/J8/J4/J2 — VERDICT r11
+    #7, the integration row the H-suite earns): ONE stream running the
+    production gate order over every arriving micro-batch —
+
+    1. **decontaminate** (h17 mechanics): word-``n_gram`` overlap vs
+       the broadcast benchmark set; contaminated rows are flagged and
+       never considered further (an eval gram must not transit the
+       training store);
+    2. **quality gates** (h8's ``curation_gate`` set, stateless):
+       token count, composite quality score, repetition;
+    3. **exact dedup** (j1 under arrival order): whitespace-normalized
+       md5 digest, first-arrived-survives — batch-local keep-first
+       (smaller doc_id shadows, regardless of its own fate) plus a
+       gbucket-pruned probe of the at-rest ``digests/`` ledger of
+       ACCEPTED documents;
+    4. **near-dup** (h15 mechanics): MinHash/LSH probe of the at-rest
+       band index + exact-Jaccard verification against accepted
+       survivors' fingerprints, and the batch-local smaller-id shadow
+       rule over the GATE-PASSING peers.
+
+    Survivors append themselves into ``curated/`` (doc + digest + hs,
+    dbucket-partitioned), their band rows into ``index/``
+    (bucket-partitioned) and their digest into ``digests/``
+    (gbucket-partitioned) — all (tag, batch)-keyed with the ``>=``
+    wiped-replay exclusion, the h15 idempotence contract verbatim.
+    Gate FLAGS are pure per-document functions, so the ``audit/``
+    ledger rows (doc_id, quarantined, passed_quality) carry no lineage
+    at all (content-addressed, the h17/h21 gate-ledger pattern);
+    ``survived`` is DERIVED from curated-ledger membership, so a
+    redelivered survivor — which re-verifies against its own indexed
+    copy at Jaccard 1.0 and drops — still reads back as survived.
+
+    Why one stream instead of four: the gates must compose without
+    state interference — stage N's ledger only ever sees rows that
+    passed stages 1..N-1, which is exactly what the SQL oracle
+    (the h17 gram relation + h8's quality predicate + the
+    NEARDUP_WAVES fold restricted to gate-passing docs, plus
+    digest-equality pairs) re-derives.  Stream == composed batch SQL
+    row-for-row; redelivery/replay pinned in
+    tests/test_streaming_ingest.py.
+
+    100 TB shape, per micro-batch: one broadcast gram join (batch ×
+    eval set, exchange-free corpus side), one stateless filter, one
+    signature pass over the GATE-PASSING slice only (the gates run
+    first precisely so the expensive probes see the smallest frame),
+    then the h15 bucket-pruned ledger probes — batch-sized shuffles
+    throughout, ledger scans partition-pruned to touched buckets.
+
+    Returns ``(doc_id, quarantined, passed_quality, survived)`` for
+    every ingested document."""
+    from ..operators.dedup import (
+        _band_candidates,
+        _banded,
+        decontaminate,
+        minhash_fingerprints,
+    )
+
+    curated_dir = f"{log_dir}/curated"
+    index_dir = f"{log_dir}/index"
+    digests_dir = f"{log_dir}/digests"
+    audit_dir = f"{log_dir}/audit"
+    rows_per_band = num_hashes // bands
+    bucket_expr = F.pmod(F.xxhash64("band_hash"), F.lit(index_buckets)).cast("int")
+    dbucket_expr = F.pmod(F.xxhash64("doc_id"), F.lit(index_buckets)).cast("int")
+    gbucket_expr = F.pmod(F.xxhash64("digest"), F.lit(index_buckets)).cast("int")
+    digest_expr = F.md5(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    )
+    import hashlib as _hashlib
+
+    run_tag = _hashlib.md5(checkpoint_dir.encode()).hexdigest()[:12]
+
+    curated_schema = T.StructType(
+        list(DOCUMENT_SCHEMA.fields)
+        + [
+            T.StructField("digest", T.StringType()),
+            T.StructField("hs", T.ArrayType(T.LongType())),
+            T.StructField("__batch_id", T.LongType()),
+            T.StructField("__run_tag", T.StringType()),
+            T.StructField("dbucket", T.IntegerType()),
+        ]
+    )
+    index_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("band_id", T.IntegerType()),
+            T.StructField("band_hash", T.LongType()),
+            T.StructField("__batch_id", T.LongType()),
+            T.StructField("__run_tag", T.StringType()),
+            T.StructField("bucket", T.IntegerType()),
+        ]
+    )
+    digests_schema = T.StructType(
+        [
+            T.StructField("digest", T.StringType()),
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("__batch_id", T.LongType()),
+            T.StructField("__run_tag", T.StringType()),
+            T.StructField("gbucket", T.IntegerType()),
+        ]
+    )
+    audit_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("quarantined", T.BooleanType()),
+            T.StructField("passed_quality", T.BooleanType()),
+        ]
+    )
+
+    bench = benchmark.persist()
+    bench.count()
+
+    def _read_ledger(sess: SparkSession, path: str, schema) -> DataFrame | None:
+        try:
+            df = sess.read.schema(schema).parquet(path)
+            df.schema
+            return df
+        except AnalysisException:
+            return None
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sess = batch_df.sparkSession
+        to_unpersist = []
+        not_later = ~(
+            (F.col("__run_tag") == run_tag) & (F.col("__batch_id") >= batch_id)
+        )
+
+        # 1+2: stateless gate FLAGS for every batch doc, one pass
+        flagged = decontaminate(
+            batch_df, bench, n=n_gram, min_overlaps=min_overlaps
+        ).select("doc_id")
+        from ..operators.text import quality_score
+
+        marked = (
+            batch_df.join(
+                flagged.withColumn("__quar", F.lit(True)), "doc_id", "left"
+            )
+            .withColumn("quarantined", F.coalesce("__quar", F.lit(False)))
+            .withColumn(
+                "passed_quality",
+                (token_count("text") >= min_tokens)
+                & (quality_score() >= min_quality)
+                & (rowwise_top_word_frac() <= max_top_word_frac),
+            )
+            .drop("__quar")
+            .persist()
+        )
+        to_unpersist.append(marked)
+        q = marked.filter(
+            ~F.col("quarantined") & F.col("passed_quality")
+        ).withColumn("digest", digest_expr)
+
+        try:
+            # 3: exact dedup — batch-local keep-first over the
+            # gate-passing slice …
+            wdig = Window.partitionBy("digest").orderBy("doc_id")
+            dropped = (
+                q.withColumn("__rn", F.row_number().over(wdig))
+                .filter(F.col("__rn") > 1)
+                .select("doc_id")
+            )
+            # … plus the gbucket-pruned at-rest digest probe
+            digl = _read_ledger(sess, digests_dir, digests_schema)
+            if digl is not None:
+                dpred = not_later
+                if not _ledger_is_small(digl, prune_min_files):
+                    touched = [
+                        r[0]
+                        for r in q.select(gbucket_expr.alias("g"))
+                        .distinct()
+                        .collect()
+                    ]
+                    dpred = F.col("gbucket").isin(touched) & dpred
+                dropped = dropped.unionByName(
+                    q.join(
+                        digl.filter(dpred).select("digest"),
+                        "digest",
+                        "left_semi",
+                    ).select("doc_id")
+                )
+
+            # 4: near-dup — fingerprints over the gate-passing slice
+            fp = minhash_fingerprints(
+                q, shingle_k=shingle_k, num_hashes=num_hashes
+            )
+            to_unpersist.append(fp)
+            nb = _banded(fp, bands, rows_per_band).withColumn(
+                "bucket", bucket_expr
+            )
+            # batch-local shadow (smaller id shadows regardless of fate)
+            pairs = _band_candidates(fp, bands, rows_per_band, max_bucket_size)
+            hs_a = fp.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a"))
+            hs_b = fp.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b"))
+
+            def _jacc(cand, left, right):
+                return (
+                    cand.join(left, "id_a")
+                    .join(right, "id_b")
+                    .withColumn(
+                        "inter", F.size(F.array_intersect("hs_a", "hs_b"))
+                    )
+                    .filter(
+                        F.col("inter").cast("double")
+                        / (F.size("hs_a") + F.size("hs_b") - F.col("inter"))
+                        >= jaccard_threshold
+                    )
+                )
+
+            dropped = dropped.unionByName(
+                _jacc(pairs, hs_a, hs_b).select(F.col("id_b").alias("doc_id"))
+            )
+            # at-rest probe of the accepted band index + hs fetch
+            idx = _read_ledger(sess, index_dir, index_schema)
+            if idx is not None:
+                ipred = not_later
+                if not _ledger_is_small(idx, prune_min_files):
+                    touched = [
+                        r[0]
+                        for r in nb.select("bucket").distinct().collect()
+                    ]
+                    ipred = F.col("bucket").isin(touched) & ipred
+                cand = (
+                    nb.join(
+                        idx.filter(ipred).select(
+                            F.col("doc_id").alias("id_b"),
+                            "band_id",
+                            "band_hash",
+                        ),
+                        ["band_id", "band_hash"],
+                    )
+                    .select(F.col("id").alias("id_a"), "id_b")
+                    .distinct()
+                )
+                cur = _read_ledger(sess, curated_dir, curated_schema)
+                if cur is not None:
+                    if _ledger_is_small(cur, prune_min_files):
+                        cpred = not_later
+                    else:
+                        cand = cand.persist()
+                        to_unpersist.append(cand)
+                        ctouched = [
+                            r[0]
+                            for r in cand.select(
+                                F.pmod(
+                                    F.xxhash64("id_b"), F.lit(index_buckets)
+                                )
+                                .cast("int")
+                                .alias("b")
+                            )
+                            .distinct()
+                            .collect()
+                        ]
+                        cpred = F.col("dbucket").isin(ctouched) & not_later
+                    dropped = dropped.unionByName(
+                        _jacc(
+                            cand,
+                            hs_a,
+                            cur.filter(cpred).select(
+                                F.col("doc_id").alias("id_b"),
+                                F.col("hs").alias("hs_b"),
+                            ),
+                        ).select(F.col("id_a").alias("doc_id"))
+                    )
+
+            survivors = (
+                q.join(dropped, "doc_id", "left_anti")
+                .join(
+                    fp.select(F.col("id").alias("doc_id"), "hs"),
+                    "doc_id",
+                    "left",
+                )
+                .withColumn("__batch_id", F.lit(batch_id))
+                .withColumn("__run_tag", F.lit(run_tag))
+                .withColumn("dbucket", dbucket_expr)
+                .drop("quarantined", "passed_quality")
+                .persist()
+            )
+            to_unpersist.append(survivors)
+            (
+                survivors.repartition("dbucket")
+                .write.mode("append")
+                .partitionBy("dbucket")
+                .parquet(curated_dir)
+            )
+            (
+                nb.join(survivors.select(F.col("doc_id").alias("id")), "id")
+                .select(
+                    F.col("id").alias("doc_id"),
+                    "band_id",
+                    "band_hash",
+                    "bucket",
+                    F.lit(batch_id).alias("__batch_id"),
+                    F.lit(run_tag).alias("__run_tag"),
+                )
+                .repartition("bucket")
+                .write.mode("append")
+                .partitionBy("bucket")
+                .parquet(index_dir)
+            )
+            (
+                survivors.select(
+                    "digest",
+                    "doc_id",
+                    "__batch_id",
+                    "__run_tag",
+                    gbucket_expr.alias("gbucket"),
+                )
+                .repartition("gbucket")
+                .write.mode("append")
+                .partitionBy("gbucket")
+                .parquet(digests_dir)
+            )
+            # content-addressed gate flags (no lineage: pure per-doc)
+            (
+                marked.select("doc_id", "quarantined", "passed_quality")
+                .coalesce(1)
+                .write.mode("append")
+                .parquet(audit_dir)
+            )
+        finally:
+            for df_ in to_unpersist:
+                df_.unpersist()
+
+    from .windows import _scoped_confs
+
+    reader = spark.readStream.schema(DOCUMENT_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(src_dir)
+    scoped: dict[str, str] = {}
+    if batch_shuffle_partitions is not None:
+        scoped = {
+            "spark.sql.shuffle.partitions": str(batch_shuffle_partitions),
+            "spark.sql.adaptive.enabled": "false",
+        }
+    with _scoped_confs(spark, scoped):
+        (
+            stream.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+    bench.unpersist()
+    audit = _read_ledger(spark, audit_dir, audit_schema)
+    out_schema = T.StructType(
+        list(audit_schema.fields) + [T.StructField("survived", T.BooleanType())]
+    )
+    if audit is None:
+        return spark.createDataFrame([], out_schema)
+    cur = _read_ledger(spark, curated_dir, curated_schema)
+    accepted = (
+        cur.select("doc_id").distinct()
+        if cur is not None
+        else spark.createDataFrame([], "doc_id long")
+    )
+    return (
+        audit.dropDuplicates(["doc_id"])
+        .join(accepted.withColumn("__s", F.lit(True)), "doc_id", "left")
+        .select(
+            "doc_id",
+            "quarantined",
+            "passed_quality",
+            F.coalesce("__s", F.lit(False)).alias("survived"),
+        )
+    )
+
+
 def run_substring_dedup_stream(
     spark: SparkSession,
     src_dir: str,
@@ -1527,10 +1932,14 @@ def run_media_dedup_stream(
     generation (batch-side counts) and the at-rest probe (index-side
     counts over the pruned slice) cap degenerate buckets at
     ``max_bucket_size`` — observable through the batch twin's
-    companion ``oversized_dhash_buckets``; on an over-cap bucket the
-    stream and the twin may diverge since each judges popularity by
-    its own count (documented trade: skip the useless discriminator,
-    never go quadratic in it)."""
+    companion ``oversized_dhash_buckets`` AND, stream-side, through
+    the ``log_dir/oversized`` companion ledger (one (side, band_no,
+    band_bits, n_members, batch, tag) row per skipped bucket per
+    batch — ADVICE r11: silent misses near the cap must be
+    auditable); on an over-cap bucket the stream and the twin may
+    diverge since each judges popularity by its own count (documented
+    trade: skip the useless discriminator, never go quadratic in
+    it)."""
     assert max_hamming < bands, "pigeonhole guarantee requires max_hamming < bands"
     import hashlib as _hashlib
 
@@ -1599,6 +2008,18 @@ def run_media_dedup_stream(
             sizes = slices.groupBy("band_no", "band_bits").agg(
                 F.count(F.lit(1)).alias("__n")
             )
+            # Over-cap buckets are SKIPPED (never go quadratic in a
+            # degenerate discriminator) but must stay auditable
+            # (ADVICE r11 low): collect them — bounded by construction,
+            # a bucket only lands here with > max_bucket_size members,
+            # so there are at most batch/max_bucket_size of them — and
+            # append to the ``oversized/`` companion ledger below.
+            over_rows = [
+                ("batch", r["band_no"], r["band_bits"], r["__n"])
+                for r in sizes.filter(
+                    F.col("__n") > max_bucket_size
+                ).collect()
+            ]
             keyed = slices.join(
                 F.broadcast(sizes.filter(F.col("__n") > max_bucket_size)),
                 ["band_no", "band_bits"],
@@ -1652,6 +2073,12 @@ def run_media_dedup_stream(
                 rest_sizes = at_rest.groupBy("band_no", "band_bits").agg(
                     F.count(F.lit(1)).alias("__n")
                 )
+                over_rows.extend(
+                    ("probe", r["band_no"], r["band_bits"], r["__n"])
+                    for r in rest_sizes.filter(
+                        F.col("__n") > max_bucket_size
+                    ).collect()
+                )
                 capped = at_rest.join(
                     F.broadcast(rest_sizes.filter(F.col("__n") > max_bucket_size)),
                     ["band_no", "band_bits"],
@@ -1694,6 +2121,19 @@ def run_media_dedup_stream(
                     .partitionBy("bucket")
                     .parquet(index_dir)
                 )
+                if over_rows:
+                    # companion observable for skipped over-cap buckets
+                    # (the stream-side twin of the batch operator's
+                    # oversized_dhash_buckets output): one tiny append
+                    # only on batches that actually skipped something
+                    sess.createDataFrame(
+                        [(s, int(bn), int(bb), int(n), batch_id, run_tag)
+                         for s, bn, bb, n in over_rows],
+                        "side string, band_no int, band_bits long, "
+                        "n_members long, __batch_id long, __run_tag string",
+                    ).coalesce(1).write.mode("append").parquet(
+                        f"{log_dir}/oversized"
+                    )
             finally:
                 survivors.unpersist()
         finally:
@@ -1843,13 +2283,20 @@ def run_ivf_maintenance_stream(
     (centroid literals, whole-stage codegen, zero shuffle beyond the
     cluster repartition) + appends into touched lists only; read-back
     stats aggregate (cluster, vec_id) pairs — never the vectors.
+    ``index_dir`` may be a plain layout or a versioned index root
+    (``operators.index_commit``): resolved ONCE at lineage start — a
+    rebuild that commits a new version is a new-lineage event (new
+    checkpoint, new stream), never a mid-lineage target switch.
+
     Returns ``(cluster, n_vectors, n_batches, growth_skew_permille)``."""
+    from ..operators.index_commit import resolve_index_path
     from ..operators.similarity import centroid_ranks_expr
 
     from .windows import _scoped_confs
 
     import hashlib as _hashlib
 
+    index_dir = resolve_index_path(spark, index_dir)
     run_tag = _hashlib.md5(checkpoint_dir.encode()).hexdigest()[:12]
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -2113,6 +2560,75 @@ def compact_gate_ledgers(
     return out
 
 
+def compact_index_layout(
+    spark: SparkSession,
+    index_dir: str,
+    files_per_cluster: int = 1,
+    allow_multi_lineage: bool = False,
+) -> dict:
+    """Table maintenance for the MAINTAINED ANN index layouts
+    (``run_ivf_maintenance_stream`` / ``run_ivfpq_maintenance_stream``
+    — VERDICT r11 #3: every other ledger has a compactor; the per-batch
+    partitioned appends here sprawl one file per touched cluster per
+    batch and replay/redelivery duplicates fold only at read time).
+
+    Compaction ≠ rebuild: a REBUILD is a drift event (re-train the
+    frozen models, rewrite everything, new lineage); this is routine
+    maintenance that keeps the FROZEN-model layout byte-equivalent —
+    one row per (cluster, vec_id), keeping the MIN
+    ``(__batch_id, __run_tag)`` row (payloads are pure functions of
+    the vector under frozen centroids/codebook, so ties are
+    byte-identical; the deterministic tiebreak is the
+    ``compact_media_ledgers`` contract), rewritten with dynamic
+    per-cluster partition overwrite, sorted by ``vec_id`` within each
+    list for footer min/max skipping.  Schema-agnostic across the IVF
+    and IVF-PQ layouts (extra columns like ``codes`` ride along).
+
+    Single-lineage is mechanically enforced (``_lineage_guard``);
+    flat-partition overwrite is per-partition atomic but not safe
+    against an in-flight append — run between ingest runs, like every
+    compactor here.  ``index_dir`` may be a versioned root (the
+    CURRENT version is compacted in place — old versions are immutable
+    history owned by ``prune_index_versions``).  Returns
+    {files,rows} before/after."""
+    from ..operators.index_commit import resolve_index_path
+
+    live = resolve_index_path(spark, index_dir)
+    led = _read_log(spark, live)
+    if led is None:
+        return {}
+    _lineage_guard(led, live, allow_multi_lineage)
+    files_before = len(led.inputFiles())
+    rows_before = led.count()
+    w = Window.partitionBy("cluster", "vec_id").orderBy(
+        "__batch_id", "__run_tag"
+    )
+    snap = (
+        led.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        .localCheckpoint(eager=True)
+    )
+    (
+        snap.repartition(
+            F.col("cluster"),
+            F.pmod(F.xxhash64("vec_id"), F.lit(files_per_cluster)),
+        )
+        .sortWithinPartitions("vec_id")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cluster")
+        .parquet(live)
+    )
+    after = spark.read.parquet(live)
+    return {
+        "files_before": files_before,
+        "files_after": len(after.inputFiles()),
+        "rows_before": rows_before,
+        "rows_after": after.count(),
+    }
+
+
 def run_ivfpq_maintenance_stream(
     spark: SparkSession,
     src_dir: str,
@@ -2141,13 +2657,17 @@ def run_ivfpq_maintenance_stream(
     one batch-sized code shuffle — and appends into only the touched
     cluster directories.  (tag, batch)-keyed rows; replay/redelivery
     appends are byte-identical and collapse in the read-back and in
-    ``ivfpq_index_topk``'s post-join distinct.  Returns the same
-    per-cluster growth/drift table as the IVF twin."""
+    ``ivfpq_index_topk``'s post-join distinct.  ``index_dir`` may be a
+    plain layout or a versioned index root (resolved once at lineage
+    start, as in the IVF twin).  Returns the same per-cluster
+    growth/drift table as the IVF twin."""
     import hashlib as _hashlib
 
+    from ..operators.index_commit import resolve_index_path
     from ..operators.similarity import _ivfpq_indexed
     from .windows import _scoped_confs
 
+    index_dir = resolve_index_path(spark, index_dir)
     run_tag = _hashlib.md5(checkpoint_dir.encode()).hexdigest()[:12]
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:

@@ -1,0 +1,136 @@
+"""The versioned-index commit protocol (operators/index_commit.py) —
+VERDICT r11 #4 / ADVICE r11 medium: commit must be ONE atomic
+small-file write, old versions must survive the commit (concurrent
+readers + quality-gate fallback), and deletion happens only in the
+explicit GC."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from realtime_cdc_pipeline_docker_spark.operators.index_commit import (
+    begin_index_version,
+    commit_index_version,
+    current_index_version,
+    init_index_root,
+    is_index_root,
+    prune_index_versions,
+    resolve_index_path,
+)
+
+
+def _write(spark, path, ids):
+    # append: writes into an init'd version dir without clobbering its
+    # _COMMITTED marker (the maintenance-stream write mode)
+    spark.createDataFrame([(i,) for i in ids], "vec_id long").write.mode(
+        "append"
+    ).parquet(path)
+
+
+def test_plain_dir_resolves_to_itself(spark, tmp_path):
+    p = str(tmp_path / "plain")
+    _write(spark, p, [1, 2])
+    assert not is_index_root(spark, p)
+    assert resolve_index_path(spark, p) == p
+
+
+def test_commit_is_marker_only_and_old_version_survives(spark, tmp_path):
+    root = str(tmp_path / "root")
+    v1 = init_index_root(spark, root)
+    assert v1.endswith("v_000001")
+    _write(spark, v1, [1])
+    assert resolve_index_path(spark, root) == v1
+
+    staged = begin_index_version(spark, root)
+    assert staged.endswith("v_000002")
+    _write(spark, staged, [1, 2])
+    # staging is invisible until commit
+    assert resolve_index_path(spark, root) == v1
+
+    # a "concurrent reader" resolved v1 before the commit …
+    reader = spark.read.parquet(resolve_index_path(spark, root))
+    live = commit_index_version(spark, staged)
+    assert resolve_index_path(spark, root) == live
+    # … and still completes on the old version's untouched files
+    assert reader.count() == 1
+    assert spark.read.parquet(resolve_index_path(spark, root)).count() == 2
+
+
+def test_commit_refuses_missing_or_nonversion_path(spark, tmp_path):
+    root = str(tmp_path / "root")
+    init_index_root(spark, root)
+    with pytest.raises(ValueError, match="does not exist"):
+        commit_index_version(spark, f"{root}/v_000099")
+    p = str(tmp_path / "other")
+    _write(spark, p, [1])
+    with pytest.raises(ValueError, match="not a v_"):
+        commit_index_version(spark, p)
+
+
+def test_init_refuses_existing_root(spark, tmp_path):
+    root = str(tmp_path / "root")
+    init_index_root(spark, root)
+    with pytest.raises(ValueError, match="already has versions"):
+        init_index_root(spark, root)
+
+
+def test_prune_keeps_current_and_inflight_staging(spark, tmp_path):
+    root = str(tmp_path / "root")
+    v1 = init_index_root(spark, root)
+    _write(spark, v1, [1])
+    v2 = begin_index_version(spark, root)
+    _write(spark, v2, [1, 2])
+    commit_index_version(spark, v2)
+    # an ABANDONED staging dir older than current (simulate: v2 is
+    # current, craft nothing older) — instead: v3 staged but never
+    # committed is NEWER than current -> an in-flight rebuild, kept
+    v3 = begin_index_version(spark, root)
+    _write(spark, v3, [1, 2, 3])
+
+    out = prune_index_versions(spark, root, keep=1)
+    assert v1 in out["removed"]
+    assert v2 in out["kept"] and v3 in out["kept"]
+    assert resolve_index_path(spark, root) == v2
+
+    # committing v3 makes v2 prunable and v3 current
+    commit_index_version(spark, v3)
+    out2 = prune_index_versions(spark, root, keep=1)
+    assert v2 in out2["removed"]
+    assert resolve_index_path(spark, root) == v3
+    assert spark.read.parquet(resolve_index_path(spark, root)).count() == 3
+
+
+def test_prune_clamps_keep_to_current(spark, tmp_path):
+    root = str(tmp_path / "root")
+    v1 = init_index_root(spark, root)
+    _write(spark, v1, [7])
+    out = prune_index_versions(spark, root, keep=0)
+    assert out["removed"] == [] and v1 in out["kept"]
+    assert spark.read.parquet(resolve_index_path(spark, root)).collect()[0][0] == 7
+
+
+def test_rebuild_on_versioned_root_commits_new_version(spark, sf_dir, tmp_path):
+    """rebuild_ivf_index on a versioned root: stages v2, commits via
+    the marker, keeps v1 intact, and the query path resolves v2."""
+    from realtime_cdc_pipeline_docker_spark.operators.similarity import (
+        rebuild_ivf_index,
+        train_ivf_centroids,
+        write_ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(200)
+    root = str(tmp_path / "root")
+    # canonical build flow: stage → write → commit (the writer's
+    # mode("overwrite") replaces the staging dir, so the marker goes
+    # on AFTER the write)
+    v1 = begin_index_version(spark, root)
+    c0 = train_ivf_centroids(emb.filter(F.col("vec_id") % 2 == 0), n_centroids=4)
+    write_ivf_index(emb, v1, c0, assign=2)
+    commit_index_version(spark, v1)
+    n_v1 = spark.read.parquet(v1).count()
+
+    rebuild_ivf_index(spark, root, n_centroids=4)
+    live = resolve_index_path(spark, root)
+    assert live.endswith("v_000002")
+    # v1 untouched by the commit
+    assert spark.read.parquet(v1).count() == n_v1
+    assert spark.read.parquet(live).select("vec_id").distinct().count() == 200

@@ -1589,3 +1589,278 @@ def test_ivfpq_maintenance_stream_parity_redelivery_and_recall(
         ).collect()
     }
     assert len(exact & approx) / len(exact) >= 0.8
+
+
+def test_media_stream_oversized_buckets_are_observable(spark, tmp_path):
+    """ADVICE r11 low: a skipped over-cap bucket must leave an audit
+    row.  Two byte-identical docs in one wave trip every band bucket
+    at max_bucket_size=1 (batch side); a later wave probing the same
+    bands trips the probe side.  Both sides land in log_dir/oversized
+    and, because the cap skipped the check, all rows survive."""
+    from realtime_cdc_pipeline_docker_spark.streaming.ingest import (
+        run_media_dedup_stream,
+    )
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    txt = "the quick brown fox jumps over the lazy dog " * 4
+    w0 = spark.createDataFrame([(1, txt, "en", "t", 1), (2, txt, "en", "t", 1)], schema)
+    w1 = spark.createDataFrame([(3, txt, "en", "t", 1)], schema)
+    src, log = str(tmp_path / "src"), str(tmp_path / "log")
+    _write_waves([w0, w1], src)
+    surv = {
+        r["doc_id"]
+        for r in run_media_dedup_stream(
+            spark, src, log, str(tmp_path / "ckpt"),
+            max_files_per_trigger=1, max_bucket_size=1,
+        ).collect()
+    }
+    # cap skipped the degenerate buckets -> nothing was deduped
+    assert surv == {1, 2, 3}
+    over = spark.read.parquet(f"{log}/oversized")
+    sides = {r["side"] for r in over.collect()}
+    assert sides == {"batch", "probe"}
+    # batch-side rows from batch 0 (the 2-member buckets), probe-side
+    # rows from batch 1 (index holds 2 copies per band)
+    assert over.filter("side = 'batch' AND n_members = 2").count() > 0
+    assert over.filter("side = 'probe' AND n_members = 2").count() > 0
+
+
+def test_write_arrival_waves_tolerates_empty_wave(spark, tmp_path):
+    """ADVICE r11 low: a wave value with no matching rows is skipped
+    (write_arrival_wave parity) instead of crashing the fixture
+    writer; the non-empty waves keep their pinned mtime order."""
+    import glob
+
+    from realtime_cdc_pipeline_docker_spark.streaming.ingest import (
+        write_arrival_waves,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 2)], "doc_id long, w int"
+    )
+    src = str(tmp_path / "src")
+    write_arrival_waves(df.drop("w"), src, F.when(F.col("doc_id") <= 2, 0).otherwise(2), 3)
+    files = sorted(glob.glob(f"{src}/part-wave-*.parquet"))
+    assert [f.rsplit("-", 1)[1] for f in files] == ["0.parquet", "2.parquet"]
+    back = spark.read.parquet(src)
+    assert back.count() == 3
+
+
+def test_ivfpq_rebuild_restores_adc_recall_after_drift(spark, sf_dir, tmp_path):
+    """VERDICT r11 #2 — the IVF-PQ lifecycle hole, closed: maintain
+    under FROZEN centroids AND codebook trained on HALF the
+    distribution (into a VERSIONED index root), then
+    rebuild_ivfpq_index re-trains BOTH models on the accumulated
+    corpus and commits a new version atomically.  Verify (a) the
+    rebuilt layout equals the batch write_ivfpq_index build (ids,
+    clusters, code arrays), (b) ADC recall >= 0.8 vs exact truth over
+    the rebuilt index, (c) the previous version survived the commit,
+    (d) the layout still partition-prunes."""
+    from pyspark.sql import functions as F2
+
+    from realtime_cdc_pipeline_docker_spark.functions import vec_normalize
+    from realtime_cdc_pipeline_docker_spark.operators.index_commit import (
+        init_index_root,
+        resolve_index_path,
+    )
+    from realtime_cdc_pipeline_docker_spark.operators.similarity import (
+        brute_force_topk,
+        ivfpq_index_topk,
+        rebuild_ivfpq_index,
+        seed_codebook,
+        train_ivf_centroids,
+        write_ivfpq_index,
+    )
+    from realtime_cdc_pipeline_docker_spark.streaming.ingest import (
+        run_ivfpq_maintenance_stream,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    half = emb.filter(F.col("vec_id") % 2 == 0)
+    frozen_c = train_ivf_centroids(half, n_centroids=16)
+    frozen_cb = seed_codebook(
+        half.select("vec_id", vec_normalize("embedding").alias("embedding")),
+        k=16,
+    )
+    waves = [emb.filter(F.col("vec_id") % 3 == w) for w in range(3)]
+    src = str(tmp_path / "src")
+    root = str(tmp_path / "index_root")
+    v1 = init_index_root(spark, root)
+    _write_waves(waves, src)
+    run_ivfpq_maintenance_stream(
+        spark, src, frozen_c, frozen_cb, root, str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    assert resolve_index_path(spark, root) == v1
+    n_v1 = spark.read.parquet(v1).count()
+
+    new_c, new_cb = rebuild_ivfpq_index(
+        spark, root, n_centroids=16, pq_k=16
+    )
+    live = resolve_index_path(spark, root)
+    assert live.endswith("v_000002")
+    # (c) previous version intact after the commit
+    assert spark.read.parquet(v1).count() == n_v1
+
+    # (a) rebuilt layout == batch build over the accumulated corpus
+    batch_dir = str(tmp_path / "batch")
+    write_ivfpq_index(emb, batch_dir, new_c, new_cb, assign=2)
+    key = lambda r: (r["vec_id"], r["cluster"], tuple(r["codes"]))  # noqa: E731
+    got = {key(r) for r in spark.read.parquet(live)
+           .select("vec_id", "cluster", "codes").collect()}
+    want = {key(r) for r in spark.read.parquet(batch_dir)
+            .select("vec_id", "cluster", "codes").collect()}
+    assert got == want
+
+    # (b) ADC recall over the rebuilt index, resolved through the root
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivfpq_index_topk(
+            spark, root, queries, new_c, new_cb, k=5, nprobe=6
+        ).collect()
+    }
+    assert len(exact & approx) / len(exact) >= 0.8
+
+    # (d) cluster predicate still prunes at the scan
+    plan = spark.read.parquet(live).filter(F2.col("cluster").isin([0])) \
+        ._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+    part = plan.split("PartitionFilters", 1)
+    assert len(part) == 2 and "cluster" in part[1].split("]", 1)[0]
+
+
+def test_maintained_index_compaction_preserves_state(spark, sf_dir, tmp_path):
+    """VERDICT r11 #3: the maintained IVF-PQ layout's compactor folds
+    wiped-checkpoint replay duplicates and per-batch small files
+    WITHOUT re-training (compaction != rebuild), and the ADC query
+    results are identical before and after."""
+    import shutil
+
+    from realtime_cdc_pipeline_docker_spark.functions import vec_normalize
+    from realtime_cdc_pipeline_docker_spark.operators.similarity import (
+        ivfpq_index_topk,
+        seed_codebook,
+        train_ivf_centroids,
+    )
+    from realtime_cdc_pipeline_docker_spark.streaming.ingest import (
+        compact_index_layout,
+        run_ivfpq_maintenance_stream,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    centroids = train_ivf_centroids(emb, n_centroids=16)
+    codebook = seed_codebook(
+        emb.select("vec_id", vec_normalize("embedding").alias("embedding")),
+        k=16,
+    )
+    waves = [emb.filter(F.col("vec_id") % 3 == w) for w in range(3)]
+    src = str(tmp_path / "src")
+    idx_dir = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+    _write_waves(waves, src)
+    run_ivfpq_maintenance_stream(
+        spark, src, centroids, codebook, idx_dir, ckpt,
+        max_files_per_trigger=1,
+    )
+    # wiped-checkpoint replay: same lineage tag, batches restart at 0,
+    # every appended row is a byte-identical duplicate
+    shutil.rmtree(ckpt)
+    run_ivfpq_maintenance_stream(
+        spark, src, centroids, codebook, idx_dir, ckpt,
+        max_files_per_trigger=1,
+    )
+
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    before = {
+        (r["query_id"], r["neighbor_id"], r["rnk"])
+        for r in ivfpq_index_topk(
+            spark, idx_dir, queries, centroids, codebook, k=5, nprobe=6
+        ).collect()
+    }
+
+    stats = compact_index_layout(spark, idx_dir)
+    assert stats["rows_after"] < stats["rows_before"]
+    assert stats["files_after"] < stats["files_before"]
+    # exactly one row per (cluster, vec_id) after folding
+    led = spark.read.parquet(idx_dir)
+    assert led.count() == led.select("cluster", "vec_id").distinct().count()
+
+    after = {
+        (r["query_id"], r["neighbor_id"], r["rnk"])
+        for r in ivfpq_index_topk(
+            spark, idx_dir, queries, centroids, codebook, k=5, nprobe=6
+        ).collect()
+    }
+    assert after == before
+
+
+def test_curation_pipeline_stream_composes_and_absorbs_redelivery(
+    spark, sf_dir, tmp_path
+):
+    """The composed gate stream (h23): decontaminate -> quality ->
+    exact dedup -> near-dup in ONE stream.  Gate flags imply
+    non-survival, redelivery under a new checkpoint is absorbed
+    (survivors re-verify against their own indexed copies), and a
+    wiped-checkpoint replay under the SAME lineage reproduces the
+    identical relation."""
+    import shutil
+
+    from realtime_cdc_pipeline_docker_spark.streaming.ingest import (
+        run_curation_pipeline_stream,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 101 == 0).select("text")
+    waves = [docs.filter(F.col("doc_id") % 3 == w) for w in range(3)]
+    src = str(tmp_path / "src")
+    log = str(tmp_path / "log")
+    ckpt = str(tmp_path / "ckpt")
+    _write_waves(waves, src)
+    out1 = {
+        r["doc_id"]: (r["quarantined"], r["passed_quality"], r["survived"])
+        for r in run_curation_pipeline_stream(
+            spark, src, bench, log, ckpt, max_files_per_trigger=1
+        ).collect()
+    }
+    assert len(out1) == docs.count()
+    # composition invariants: a gate failure is never a survivor, and
+    # the pipeline actually exercised every stage
+    assert all(not (q or not p) or not s for q, p, s in out1.values())
+    assert any(q for q, _, _ in out1.values())        # decontam fired
+    assert any(not p for _, p, _ in out1.values())    # quality fired
+    assert any(s for _, _, s in out1.values())        # survivors exist
+    n_surv = sum(1 for _, _, s in out1.values() if s)
+    assert 0 < n_surv < len(out1)
+
+    # wiped-checkpoint replay, same lineage: byte-identical relation
+    shutil.rmtree(ckpt)
+    out_replay = {
+        r["doc_id"]: (r["quarantined"], r["passed_quality"], r["survived"])
+        for r in run_curation_pipeline_stream(
+            spark, src, bench, log, ckpt, max_files_per_trigger=1
+        ).collect()
+    }
+    assert out_replay == out1
+
+    # redelivery under a NEW checkpoint lineage: absorbed
+    _write_waves(waves, src, start=len(waves))
+    out2 = {
+        r["doc_id"]: (r["quarantined"], r["passed_quality"], r["survived"])
+        for r in run_curation_pipeline_stream(
+            spark, src, bench, log, str(tmp_path / "ckpt2"),
+            max_files_per_trigger=1,
+        ).collect()
+    }
+    assert out2 == out1
