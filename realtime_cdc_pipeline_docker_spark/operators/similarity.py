@@ -882,6 +882,33 @@ def mmr_rerank(
     return candidates.groupBy(query_col).applyInPandas(pick, out_schema)
 
 
+def pq_best_expr(codebook: list[list[float]], m: int) -> F.Column:
+    """The PQ argmin as a standalone Column (references ``__v`` and
+    ``subspace``) — factored out of ``pq_assign`` so a MICRO-BATCH
+    caller can build the k·dim literal tree ONCE per stream lineage
+    and reuse it across batches: constructing these Column objects is
+    thousands of py4j round-trips, measured 5–8.5 s per build at
+    pq_k=16 × dim=64 — which dominated h22's per-batch wall when
+    rebuilt inside ``foreachBatch`` (exec of the same pass: 0.6–1.9 s).
+    Column expressions are immutable unbound trees; rebinding the same
+    tree to each batch DataFrame is free."""
+    k = len(codebook)
+    dim = len(codebook[0])
+    dsub = dim // m
+    assert dim % m == 0, f"dim {dim} not divisible into {m} subspaces"
+    cands = []
+    for c in range(k):
+        cb = F.array(*[F.lit(float(x)) for x in codebook[c]])
+        terms = None
+        for i in range(dsub):
+            idx = (F.col("subspace") * dsub + (i + 1)).cast("int")
+            d = F.element_at(F.col("__v"), idx).cast("double") - F.element_at(cb, idx)
+            t = d * d
+            terms = t if terms is None else terms + t
+        cands.append(F.struct(terms.alias("d2"), F.lit(c).cast("long").alias("code")))
+    return F.array_min(F.array(*cands))
+
+
 def pq_assign(
     df: DataFrame,
     codebook: list[list[float]],
@@ -889,6 +916,7 @@ def pq_assign(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     scale: int = 1_000_000,
+    best: F.Column | None = None,
 ) -> DataFrame:
     """Product-quantization assignment (Jégou et al., PAMI'11): split
     each vector into ``m`` subvectors and snap each to its nearest
@@ -913,27 +941,15 @@ def pq_assign(
     (subspace, code) for inverted-list builds.  Distances are exact
     double arithmetic in a fixed left-to-right term order, so
     ``dist2_fp = floor(scale·d2 + 0.5)`` is bit-reproducible on any
-    engine."""
-    k = len(codebook)
-    dim = len(codebook[0])
-    dsub = dim // m
-    assert dim % m == 0, f"dim {dim} not divisible into {m} subspaces"
+    engine.  ``best`` takes a prebuilt ``pq_best_expr`` column —
+    micro-batch callers build it once per lineage."""
     rows = df.select(
         F.col(id_col),
         F.col(vec_col).alias("__v"),
         F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("subspace"),
     )
-    cands = []
-    for c in range(k):
-        cb = F.array(*[F.lit(float(x)) for x in codebook[c]])
-        terms = None
-        for i in range(dsub):
-            idx = (F.col("subspace") * dsub + (i + 1)).cast("int")
-            d = F.element_at(F.col("__v"), idx).cast("double") - F.element_at(cb, idx)
-            t = d * d
-            terms = t if terms is None else terms + t
-        cands.append(F.struct(terms.alias("d2"), F.lit(c).cast("long").alias("code")))
-    best = F.array_min(F.array(*cands))
+    if best is None:
+        best = pq_best_expr(codebook, m)
     return rows.select(
         id_col,
         F.col("subspace").cast("long").alias("subspace"),
@@ -958,13 +974,14 @@ def pq_codes(
     m: int = 8,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    best: F.Column | None = None,
 ) -> DataFrame:
     """Per-vector PQ code ARRAY (length ``m``, code of each subspace in
     order) — ``pq_assign`` pivoted to the at-rest layout an IVF-PQ
     index stores next to the cluster id.  One shuffle at INDEX BUILD
     time (offline); query-time consumers read the array."""
     return (
-        pq_assign(df, codebook, m=m, vec_col=vec_col, id_col=id_col)
+        pq_assign(df, codebook, m=m, vec_col=vec_col, id_col=id_col, best=best)
         .groupBy(id_col)
         .agg(
             F.transform(
@@ -1037,6 +1054,24 @@ def ivfpq_adc_topk(
     )
 
 
+def prepare_ivfpq_exprs(
+    centroids: list[list[float]],
+    codebook: list[list[float]],
+    m: int,
+    assign: int,
+) -> dict:
+    """Prebuild the two literal-heavy Column trees an ``_ivfpq_indexed``
+    pass needs — the per-batch py4j construction cost was the dominant
+    term of the h22 maintenance stream's wall (see ``pq_best_expr``):
+    build once per stream lineage, rebind per micro-batch."""
+    return {
+        "cluster_ranks": F.slice(
+            centroid_ranks_expr("__nv", centroids), 1, assign
+        ),
+        "pq_best": pq_best_expr(codebook, m),
+    }
+
+
 def _ivfpq_indexed(
     corpus: DataFrame,
     centroids: list[list[float]],
@@ -1045,23 +1080,28 @@ def _ivfpq_indexed(
     assign: int,
     id_col: str,
     vec_col: str,
+    exprs: dict | None = None,
 ) -> DataFrame:
     """The IVF-PQ index relation ``(id, vec, __cluster*, codes[m])`` —
     spherical cluster assignment with boundary replication + PQ codes
-    over UNIT vectors (unit-sphere L2 is monotone in cosine)."""
+    over UNIT vectors (unit-sphere L2 is monotone in cosine).
+    ``exprs`` takes a ``prepare_ivfpq_exprs`` dict for micro-batch
+    callers."""
     from ..functions import vec_normalize
 
+    if exprs is None:
+        exprs = prepare_ivfpq_exprs(centroids, codebook, m, assign)
     normed = corpus.select(
         F.col(id_col), F.col(vec_col), vec_normalize(vec_col).alias("__nv")
     )
     codes = pq_codes(
-        normed.select(id_col, F.col("__nv").alias(vec_col)), codebook, m=m
+        normed.select(id_col, F.col("__nv").alias(vec_col)),
+        codebook,
+        m=m,
+        best=exprs["pq_best"],
     )
     return (
-        normed.withColumn(
-            "__cluster",
-            F.explode(F.slice(centroid_ranks_expr("__nv", centroids), 1, assign)),
-        )
+        normed.withColumn("__cluster", F.explode(exprs["cluster_ranks"]))
         .join(codes, id_col)
         .select(id_col, vec_col, "__cluster", "codes")
     )

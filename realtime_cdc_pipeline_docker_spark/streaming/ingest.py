@@ -2298,19 +2298,19 @@ def run_ivf_maintenance_stream(
 
     index_dir = resolve_index_path(spark, index_dir)
     run_tag = _hashlib.md5(checkpoint_dir.encode()).hexdigest()[:12]
+    # Build the n_centroids×dim literal tree ONCE per lineage: Column
+    # construction is py4j round-trips, and rebuilding it inside
+    # foreachBatch charged every micro-batch for it (the h22
+    # decomposition, PERF.md round-12; same economics here).
+    cluster_col = F.explode(
+        F.slice(centroid_ranks_expr("embedding", centroids), 1, assign)
+    )
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         (
-            batch_df.withColumn(
-                "cluster",
-                F.explode(
-                    F.slice(
-                        centroid_ranks_expr("embedding", centroids), 1, assign
-                    )
-                ),
-            )
+            batch_df.withColumn("cluster", cluster_col)
             .withColumn("__batch_id", F.lit(batch_id))
             .withColumn("__run_tag", F.lit(run_tag))
             .repartition("cluster")
@@ -2664,11 +2664,17 @@ def run_ivfpq_maintenance_stream(
     import hashlib as _hashlib
 
     from ..operators.index_commit import resolve_index_path
-    from ..operators.similarity import _ivfpq_indexed
+    from ..operators.similarity import _ivfpq_indexed, prepare_ivfpq_exprs
     from .windows import _scoped_confs
 
     index_dir = resolve_index_path(spark, index_dir)
     run_tag = _hashlib.md5(checkpoint_dir.encode()).hexdigest()[:12]
+    # Both literal trees (centroids + codebook) built ONCE per lineage
+    # and rebound per batch — rebuilding them inside foreachBatch was
+    # the dominant term of this stream's wall (measured 5–8.5 s of
+    # py4j Column construction vs 0.6–1.9 s execution per batch at
+    # fixture scale; PERF.md round-12 decomposition).
+    prepared = prepare_ivfpq_exprs(centroids, codebook, m, assign)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -2682,6 +2688,7 @@ def run_ivfpq_maintenance_stream(
                 assign,
                 "vec_id",
                 "embedding",
+                exprs=prepared,
             )
             .withColumnRenamed("__cluster", "cluster")
             .withColumn("__batch_id", F.lit(batch_id))

@@ -762,6 +762,65 @@ def probe_ledger_compaction(spark, sf_dir: str, n_batches: int = 24) -> None:
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
+    # VERDICT r11 #3's probe row: the maintained IVF-PQ layout after
+    # n_batches appends PLUS a full wiped-checkpoint replay (every row
+    # duplicated) — compact_index_layout must fold the duplicates and
+    # the per-batch file sprawl while the ADC read-back stays flat.
+    from realtime_cdc_pipeline_docker_spark.operators.similarity import (
+        seed_codebook,
+        train_ivf_centroids,
+    )
+    from realtime_cdc_pipeline_docker_spark.functions import vec_normalize
+    from realtime_cdc_pipeline_docker_spark.streaming.ingest import (
+        compact_index_layout,
+        run_ivfpq_maintenance_stream,
+    )
+
+    centroids = train_ivf_centroids(emb, n_centroids=16)
+    codebook = seed_codebook(
+        emb.select("vec_id", vec_normalize("embedding").alias("embedding")),
+        k=16,
+    )
+    work = tempfile.mkdtemp(prefix="ivfpq_compaction_")
+    try:
+        src, idx = f"{work}/src", f"{work}/index"
+        for b in range(n_batches):
+            write_arrival_wave(
+                emb.filter(F.col("vec_id") % n_batches == b), src, b
+            )
+        for ckpt in (f"{work}/ckpt", f"{work}/ckpt"):  # 2nd run = wiped replay
+            shutil.rmtree(ckpt, ignore_errors=True)
+            run_ivfpq_maintenance_stream(
+                spark, src, centroids, codebook, idx, ckpt,
+                max_files_per_trigger=1,
+            )
+        led = spark.read.parquet(idx)
+        rows_before, files_before = led.count(), len(led.inputFiles())
+        t0 = time.time()
+        spark.read.parquet(idx).dropDuplicates(["cluster", "vec_id"]).count()
+        fold_before = round(time.time() - t0, 2)
+        stats = compact_index_layout(spark, idx)
+        t0 = time.time()
+        spark.read.parquet(idx).dropDuplicates(["cluster", "vec_id"]).count()
+        fold_after = round(time.time() - t0, 2)
+        print(
+            json.dumps(
+                {
+                    "probe": "ivfpq_index_compaction",
+                    "n_batches": n_batches,
+                    "rows_before": rows_before,
+                    "rows_after": stats["rows_after"],
+                    "files_before": files_before,
+                    "files_after": stats["files_after"],
+                    "fold_sec_before": fold_before,
+                    "fold_sec_after": fold_after,
+                }
+            ),
+            flush=True,
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
 
 if __name__ == "__main__":
     raise SystemExit(main())
