@@ -1280,6 +1280,84 @@ def run_curation_pipeline_stream(
     )
 
 
+def compact_curation_ledgers(
+    spark: SparkSession,
+    log_dir: str,
+    files_per_bucket: int = 1,
+    allow_multi_lineage: bool = False,
+) -> dict:
+    """Table maintenance for the composed curation pipeline's four
+    ledgers (``run_curation_pipeline_stream``) — the standing invariant
+    that EVERY unbounded ledger has a compactor:
+
+    - ``curated/`` (dbucket-partitioned, key doc_id), ``index/``
+      (bucket-partitioned, key (doc_id, band_id)) and ``digests/``
+      (gbucket-partitioned, key (digest, doc_id)): the
+      ``compact_media_ledgers`` mechanics — MIN (__batch_id,
+      __run_tag) keeper per key, dynamic per-bucket partition
+      overwrite, sorted within partitions for footer skipping,
+      single-lineage mechanically enforced.
+    - ``audit/``: content-addressed gate flags (no lineage columns by
+      design) — plain dropDuplicates(doc_id) + rewrite, the
+      ``compact_gate_ledgers`` shape.
+
+    Run between ingest runs (flat overwrite is not append-concurrent),
+    like every compactor here.  Returns per-ledger file/row counts."""
+    out: dict = {}
+    for sub, key_cols, bucket_col, sort_col in (
+        ("curated", ["doc_id"], "dbucket", "doc_id"),
+        ("index", ["doc_id", "band_id"], "bucket", "band_hash"),
+        ("digests", ["digest", "doc_id"], "gbucket", "digest"),
+    ):
+        path = f"{log_dir}/{sub}"
+        led = _read_log(spark, path)
+        if led is None:
+            continue
+        _lineage_guard(led, path, allow_multi_lineage)
+        files_before = len(led.inputFiles())
+        rows_before = led.count()
+        w = Window.partitionBy(*key_cols).orderBy("__batch_id", "__run_tag")
+        snap = (
+            led.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+            .localCheckpoint(eager=True)
+        )
+        (
+            snap.repartition(
+                F.col(bucket_col),
+                F.pmod(F.xxhash64(sort_col), F.lit(files_per_bucket)),
+            )
+            .sortWithinPartitions(sort_col)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(bucket_col)
+            .parquet(path)
+        )
+        after = spark.read.parquet(path)
+        out[sub] = {
+            "files_before": files_before,
+            "files_after": len(after.inputFiles()),
+            "rows_before": rows_before,
+            "rows_after": after.count(),
+        }
+    audit_path = f"{log_dir}/audit"
+    led = _read_log(spark, audit_path)
+    if led is not None:
+        files_before = len(led.inputFiles())
+        rows_before = led.count()
+        snap = led.dropDuplicates(["doc_id"]).localCheckpoint(eager=True)
+        snap.coalesce(1).write.mode("overwrite").parquet(audit_path)
+        after = spark.read.parquet(audit_path)
+        out["audit"] = {
+            "files_before": files_before,
+            "files_after": len(after.inputFiles()),
+            "rows_before": rows_before,
+            "rows_after": after.count(),
+        }
+    return out
+
+
 def run_substring_dedup_stream(
     spark: SparkSession,
     src_dir: str,

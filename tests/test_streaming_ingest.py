@@ -1864,3 +1864,57 @@ def test_curation_pipeline_stream_composes_and_absorbs_redelivery(
         ).collect()
     }
     assert out2 == out1
+
+
+def test_curation_ledger_compaction_preserves_state(spark, sf_dir, tmp_path):
+    """compact_curation_ledgers shrinks all four h23 ledgers' file
+    counts, folds wiped-replay duplicates, and the pipeline relation
+    (and a later incremental drain against the compacted ledgers) is
+    unchanged."""
+    import shutil
+
+    from realtime_cdc_pipeline_docker_spark.streaming.ingest import (
+        compact_curation_ledgers,
+        run_curation_pipeline_stream,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 101 == 0).select("text")
+    waves = [docs.filter(F.col("doc_id") % 3 == w) for w in range(3)]
+    src, log, ckpt = (
+        str(tmp_path / "src"), str(tmp_path / "log"), str(tmp_path / "ckpt")
+    )
+    _write_waves(waves, src)
+    first = {
+        r["doc_id"]: (r["quarantined"], r["passed_quality"], r["survived"])
+        for r in run_curation_pipeline_stream(
+            spark, src, bench, log, ckpt, max_files_per_trigger=1
+        ).collect()
+    }
+    # wiped-checkpoint replay doubles every ledger row (same lineage)
+    shutil.rmtree(ckpt)
+    run_curation_pipeline_stream(
+        spark, src, bench, log, ckpt, max_files_per_trigger=1
+    )
+
+    stats = compact_curation_ledgers(spark, log)
+    assert set(stats) == {"curated", "index", "digests", "audit"}
+    for sub, s in stats.items():
+        assert s["files_after"] < s["files_before"], sub
+        assert s["rows_after"] < s["rows_before"], sub
+    # curated folds to exactly one row per survivor
+    n_surv = sum(1 for _, _, s in first.values() if s)
+    assert stats["curated"]["rows_after"] == n_surv
+    assert stats["digests"]["rows_after"] == n_surv
+
+    # the read-back relation is unchanged, and a NEW wave of exact
+    # copies still dedups against the compacted ledgers
+    _write_waves(waves, src, start=3)
+    out2 = {
+        r["doc_id"]: (r["quarantined"], r["passed_quality"], r["survived"])
+        for r in run_curation_pipeline_stream(
+            spark, src, bench, log, str(tmp_path / "ckpt2"),
+            max_files_per_trigger=1,
+        ).collect()
+    }
+    assert out2 == first
