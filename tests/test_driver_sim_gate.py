@@ -60,25 +60,19 @@ def test_driver_window_is_all_oracle_bearing():
     window = names[: len(DRIVER_PRIORITY)]
     assert window == list(DRIVER_PRIORITY)
     allowed_rows_only = {
-        # round-10 backfill (VERDICT r9 #1): the stalest core tier
-        # (2 driver rows, latest r2) includes one rows-only-by-nature
-        # query — the HLL sketch, whose estimate DuckDB cannot
-        # reproduce exactly.  It takes its slot in registration order
-        # within its staleness tier for a liveness row, per the same
-        # rotation rule as the round-9 rows-only backfill.
-        "c07b_approx_count_distinct",
-        # round-11 front-load (VERDICT r10 #1 names these two
-        # explicitly: "they must lead the r11 rotation"): rows-only by
-        # documented nature — dHash behind the Python decode boundary,
-        # the j5f contract — but they need their first OFFICIAL driver
-        # rows, which outranks the slot-economy rule this round.
-        "h19_stream_media_dedup",
-        "j5i_incremental_media_dedup",
-        # round-11 registration in the window (the round-10
-        # missed-window lesson): rows-only by the IVF-family contract
-        # (k-means float centroids); index QUALITY is oracle-checked
-        # via the j3q-composition test instead.
-        "h20_stream_ivf_maintenance",
+        # round-12 front-load (VERDICT r11 #1 names it explicitly):
+        # the ONE query with no official driver row anywhere in
+        # CORRECTNESS_r01..r11; rows-only by the IVF-family contract
+        # (k-means float centroids + frozen PQ codebook), quality
+        # oracle-checked via the maintained-layout ADC recall tests.
+        "h22_stream_ivfpq_maintenance",
+        # round-12 stalest backfill (latest official row r7, 2 rows):
+        # rows-only by documented nature — j4e's winnowing fingerprints
+        # hash with xxhash64 (no DuckDB twin), j3c's IVF uses k-means
+        # float centroids (quality via j3q) — both take their slots in
+        # staleness order for liveness rows, the c07b precedent.
+        "j4e_winnow_fingerprints",
+        "j3c_ivf_ann_topk",
     }
     rows_only = [n for n in window[:50] if n not in oracles]
     stray = [n for n in rows_only if n not in allowed_rows_only]
