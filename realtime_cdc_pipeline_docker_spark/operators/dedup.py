@@ -652,6 +652,58 @@ def ngram_jaccard_pairs(
     )
 
 
+def prepare_benchmark_grams(
+    benchmark: DataFrame, text_col: str = "text", n: int = 5
+) -> tuple[DataFrame, list[int]]:
+    """Precompute what ``decontaminate`` needs from the EVAL side —
+    the distinct gram-hash set (persisted) and the short-doc window
+    sizes (a driver collect of < n integers) — so a streaming gate
+    builds them ONCE per lineage instead of re-running the benchmark
+    subtree and its driver job every micro-batch (the gate is called
+    per batch in run_decontaminate_stream / run_curation_pipeline_
+    stream; a production deployment snapshots this per suite RELEASE).
+    Caller owns the persist: unpersist the returned frame when the
+    lineage ends."""
+    bench_toks = benchmark.select(
+        ws_tokens(normalize_text(text_col)).alias("toks")
+    )
+    short = bench_toks.filter((F.size("toks") > 0) & (F.size("toks") < n))
+    grams = (
+        _gram_windows(benchmark, F.lit(0), n, text_col)
+        .select("gram")
+        .unionByName(
+            short.select(F.xxhash64(F.concat_ws(" ", "toks")).alias("gram"))
+        )
+        .distinct()
+        .persist()
+    )
+    grams.count()
+    short_sizes = sorted(
+        r[0]
+        for r in short.select(F.size("toks").alias("m")).distinct().collect()
+    )
+    return grams, short_sizes
+
+
+def _gram_windows(df: DataFrame, id_expr, size, text_col: str) -> DataFrame:
+    """All ``size``-token sliding-window gram hashes per row (shared by
+    ``decontaminate`` and ``prepare_benchmark_grams``)."""
+    toks = df.select(
+        id_expr.alias("id"),
+        ws_tokens(normalize_text(text_col)).alias("toks"),
+    ).filter(F.size("toks") >= size)
+    return toks.select(
+        "id",
+        F.explode(F.sequence(F.lit(1), F.size("toks") - (size - 1))).alias("i"),
+        "toks",
+    ).select(
+        "id",
+        F.xxhash64(
+            F.concat_ws(" ", F.slice(F.col("toks"), F.col("i"), size))
+        ).alias("gram"),
+    )
+
+
 def decontaminate(
     corpus: DataFrame,
     benchmark: DataFrame,
@@ -659,6 +711,7 @@ def decontaminate(
     id_col: str = "doc_id",
     n: int = 5,
     min_overlaps: int = 1,
+    prepared: tuple[DataFrame, list[int]] | None = None,
 ) -> DataFrame:
     """Benchmark decontamination: flag corpus docs that share ≥
     ``min_overlaps`` distinct word ``n``-grams with ANY benchmark/eval
@@ -690,46 +743,39 @@ def decontaminate(
     ``count_distinct``, where cardinality is contaminated-grams-only —
     tests/test_dedup.py asserts the corpus subtree is exchange-free).
     The benchmark side needs no id column at all.  Gram keys are 8-byte
-    xxhash64 values, never gram text.
+    xxhash64 values, never gram text.  ``prepared`` takes a
+    ``prepare_benchmark_grams`` result so micro-batch callers pay the
+    eval-side build (and its driver job) once per lineage.
     """
-    def windows(df: DataFrame, id_expr, size) -> DataFrame:
-        """All ``size``-token sliding-window gram hashes per row."""
-        toks = df.select(
-            id_expr.alias("id"),
-            ws_tokens(normalize_text(text_col)).alias("toks"),
-        ).filter(F.size("toks") >= size)
-        return toks.select(
-            "id",
-            F.explode(F.sequence(F.lit(1), F.size("toks") - (size - 1))).alias("i"),
-            "toks",
-        ).select(
-            "id",
-            F.xxhash64(
-                F.concat_ws(" ", F.slice(F.col("toks"), F.col("i"), size))
-            ).alias("gram"),
+    if prepared is not None:
+        bench_grams, short_sizes = prepared
+    else:
+        # Benchmark grams: n-token windows, plus whole-text grams for
+        # sub-n-token docs.  Tiny by nature → distinct is cheap; the
+        # short-size discovery is a driver-side collect of at most
+        # n-1 integers from the (small, broadcastable) eval side.
+        bench_toks = benchmark.select(
+            ws_tokens(normalize_text(text_col)).alias("toks")
+        )
+        short = bench_toks.filter((F.size("toks") > 0) & (F.size("toks") < n))
+        bench_grams = (
+            _gram_windows(benchmark, F.lit(0), n, text_col)
+            .select("gram")
+            .unionByName(
+                short.select(F.xxhash64(F.concat_ws(" ", "toks")).alias("gram"))
+            )
+            .distinct()
+        )
+        short_sizes = sorted(
+            r[0]
+            for r in short.select(F.size("toks").alias("m")).distinct().collect()
         )
 
-    # Benchmark grams: n-token windows, plus whole-text grams for
-    # sub-n-token docs.  Tiny by nature → distinct + broadcast is cheap.
-    bench_toks = benchmark.select(ws_tokens(normalize_text(text_col)).alias("toks"))
-    short = bench_toks.filter((F.size("toks") > 0) & (F.size("toks") < n))
-    bench_grams = (
-        windows(benchmark, F.lit(0), n)
-        .select("gram")
-        .unionByName(short.select(F.xxhash64(F.concat_ws(" ", "toks")).alias("gram")))
-        .distinct()
-    )
-
-    # Which short window sizes must the corpus emit?  Driven by the
-    # benchmark's actual short-doc lengths — a driver-side collect of at
-    # most n-1 integers from the (small, broadcastable) eval side.
-    short_sizes = sorted(
-        r[0] for r in short.select(F.size("toks").alias("m")).distinct().collect()
-    )
-
-    corpus_grams = windows(corpus, F.col(id_col), n)
+    corpus_grams = _gram_windows(corpus, F.col(id_col), n, text_col)
     for m in short_sizes:
-        corpus_grams = corpus_grams.unionByName(windows(corpus, F.col(id_col), m))
+        corpus_grams = corpus_grams.unionByName(
+            _gram_windows(corpus, F.col(id_col), m, text_col)
+        )
 
     return (
         corpus_grams.join(F.broadcast(bench_grams), "gram")

@@ -965,6 +965,7 @@ def run_curation_pipeline_stream(
         _banded,
         decontaminate,
         minhash_fingerprints,
+        prepare_benchmark_grams,
     )
 
     curated_dir = f"{log_dir}/curated"
@@ -1021,6 +1022,10 @@ def run_curation_pipeline_stream(
 
     bench = benchmark.persist()
     bench.count()
+    # Eval-side gram set + short sizes built ONCE per lineage (the
+    # prepare_benchmark_grams contract): per-batch rebuilds re-ran the
+    # benchmark subtree AND a driver job every micro-batch.
+    prepared_bench = prepare_benchmark_grams(bench, n=n_gram)
 
     def _read_ledger(sess: SparkSession, path: str, schema) -> DataFrame | None:
         try:
@@ -1041,7 +1046,8 @@ def run_curation_pipeline_stream(
 
         # 1+2: stateless gate FLAGS for every batch doc, one pass
         flagged = decontaminate(
-            batch_df, bench, n=n_gram, min_overlaps=min_overlaps
+            batch_df, bench, n=n_gram, min_overlaps=min_overlaps,
+            prepared=prepared_bench,
         ).select("doc_id")
         from ..operators.text import quality_score
 
@@ -1256,6 +1262,7 @@ def run_curation_pipeline_stream(
             .awaitTermination()
         )
     bench.unpersist()
+    prepared_bench[0].unpersist()
     audit = _read_ledger(spark, audit_dir, audit_schema)
     out_schema = T.StructType(
         list(audit_schema.fields) + [T.StructField("survived", T.BooleanType())]
@@ -1749,12 +1756,13 @@ def run_decontaminate_stream(
 
     Returns the read-back: ``(doc_id, quarantined, n_contaminated_grams)``
     for every ingested document."""
-    from ..operators.dedup import decontaminate
+    from ..operators.dedup import decontaminate, prepare_benchmark_grams
 
     clean_dir = f"{log_dir}/clean"
     quar_dir = f"{log_dir}/quarantine"
     bench = benchmark.persist()
     bench.count()
+    prepared_bench = prepare_benchmark_grams(bench, n=n)
 
     out_schema = T.StructType(
         [
@@ -1768,7 +1776,8 @@ def run_decontaminate_stream(
         if batch_df.isEmpty():
             return
         flagged = decontaminate(
-            batch_df, bench, n=n, min_overlaps=min_overlaps
+            batch_df, bench, n=n, min_overlaps=min_overlaps,
+            prepared=prepared_bench,
         )
         marked = (
             batch_df.select("doc_id")
@@ -1815,6 +1824,7 @@ def run_decontaminate_stream(
         if df is not None
     ]
     bench.unpersist()
+    prepared_bench[0].unpersist()
     if not parts:
         return spark.createDataFrame([], out_schema)
     out = parts[0]
