@@ -1639,6 +1639,105 @@ def incremental_neardup_dedup(
     return incremental_wave_fold(docs, pairs, n_waves)
 
 
+def incremental_curation_pipeline(
+    df: DataFrame,
+    benchmark: DataFrame,
+    n_waves: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_gram: int = 5,
+    min_tokens: int = 20,
+    min_quality: float = 0.55,
+    max_top_word_frac: float = 0.12,
+    shingle_k: int = 5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    jaccard_threshold: float = 0.5,
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """BATCH twin of ``streaming.ingest.run_curation_pipeline_stream``
+    (the j2m ↔ h15 twin-pair discipline applied to the composed
+    pipeline): the production gate order — decontaminate → quality →
+    exact digest dedup → near-dup — over ``n_waves`` arrival waves
+    (``wave = doc_id % n_waves``).
+
+    Mechanism differs from the stream on purpose (independent-path
+    agreement for the parity test): gate FLAGS are computed corpus-wide
+    (they are pure per-document functions), then ONE pair table —
+    verified exact-Jaccard pairs (``minhash_lsh_pairs``) UNIONED with
+    normalized-digest-equality pairs, both restricted to the
+    gate-PASSING docs — feeds the shared ``incremental_wave_fold``.
+    The stream instead probes its at-rest ledgers per micro-batch.
+    Returns ``(doc_id, wave, quarantined, passed_quality, survived)``
+    for every document — the same relation as the h23 SQL oracle."""
+    from ..functions import token_count
+    from ..operators.text import quality_score
+    from ..streaming.ingest import rowwise_top_word_frac
+
+    quar = decontaminate(
+        df, benchmark, text_col=text_col, id_col=id_col, n=n_gram
+    ).select(id_col)
+    flagged = (
+        df.join(
+            quar.withColumn("__q", F.lit(True)), id_col, "left"
+        )
+        .withColumn("quarantined", F.coalesce("__q", F.lit(False)))
+        .withColumn(
+            "passed_quality",
+            (token_count(text_col) >= min_tokens)
+            & (quality_score() >= min_quality)
+            & (rowwise_top_word_frac(text_col) <= max_top_word_frac),
+        )
+        .drop("__q")
+        .persist()
+    )
+    track_persisted(flagged)
+    q = flagged.filter(~F.col("quarantined") & F.col("passed_quality"))
+    jp = minhash_lsh_pairs(
+        q, text_col, id_col, shingle_k, num_hashes, bands,
+        jaccard_threshold, max_bucket_size,
+    ).select("id_a", "id_b")
+    dig = q.select(
+        F.col(id_col),
+        F.md5(
+            F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+        ).alias("__dig"),
+    )
+    digest_pairs = (
+        dig.alias("a")
+        .join(dig.alias("b"), "__dig")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+    )
+    fold = incremental_wave_fold(
+        q.select(
+            F.col(id_col).alias("doc_id"),
+            (F.col(id_col) % n_waves).cast("long").alias("wave"),
+        ),
+        jp.unionByName(digest_pairs),
+        n_waves,
+    )
+    return (
+        flagged.select(
+            F.col(id_col).alias("doc_id"),
+            (F.col(id_col) % n_waves).cast("long").alias("wave"),
+            "quarantined",
+            "passed_quality",
+        )
+        .join(fold.select("doc_id", "survived"), "doc_id", "left")
+        .select(
+            "doc_id",
+            "wave",
+            "quarantined",
+            "passed_quality",
+            F.coalesce("survived", F.lit(False)).alias("survived"),
+        )
+    )
+
+
 def incremental_wave_fold(
     docs: DataFrame, pairs: DataFrame, n_waves: int
 ) -> DataFrame:

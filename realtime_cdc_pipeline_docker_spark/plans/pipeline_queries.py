@@ -1672,6 +1672,25 @@ def h23_stream_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("j7c_curation_pipeline_twin", oracle=CURATION_PIPELINE_ORACLE)
+def j7c_curation_pipeline_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed curation pipeline, BATCH twin (§2.J7 × J1/J8/J4/J2 —
+    the j2m↔h15 twin-pair discipline applied to h23): gate flags
+    corpus-wide, then ONE verified-Jaccard ∪ digest-equality pair
+    table over the gate-passing docs feeds the shared arrival-wave
+    fold.  Same oracle as h23; independent mechanism (global pair
+    algebra vs per-batch ledger probes), so stream == twin == SQL is
+    a three-way agreement.  See
+    operators/dedup.py:incremental_curation_pipeline."""
+    from ..operators.dedup import incremental_curation_pipeline
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    bench = docs.filter(F.col("doc_id") % 101 == 0).select("text")
+    return incremental_curation_pipeline(docs, bench)
+
+
 # h18's wave-source memo: pure function of sf_dir (embeddings in 3
 # mtime-pinned waves), written once per process like _NEARDUP_SRC.
 @register(

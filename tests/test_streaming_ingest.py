@@ -1918,3 +1918,33 @@ def test_curation_ledger_compaction_preserves_state(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert out2 == first
+
+
+def test_curation_pipeline_stream_equals_batch_twin(spark, sf_dir, tmp_path):
+    """Three-way agreement, stream == batch twin (== SQL via both
+    registered oracles): the per-batch ledger-probe mechanics and the
+    global pair-algebra twin reach the identical composed relation."""
+    from realtime_cdc_pipeline_docker_spark.operators.dedup import (
+        incremental_curation_pipeline,
+    )
+    from realtime_cdc_pipeline_docker_spark.streaming.ingest import (
+        run_curation_pipeline_stream,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 101 == 0).select("text")
+    waves = [docs.filter(F.col("doc_id") % 3 == w) for w in range(3)]
+    src = str(tmp_path / "src")
+    _write_waves(waves, src)
+    stream = {
+        r["doc_id"]: (r["quarantined"], r["passed_quality"], r["survived"])
+        for r in run_curation_pipeline_stream(
+            spark, src, bench, str(tmp_path / "log"), str(tmp_path / "ckpt"),
+            max_files_per_trigger=1,
+        ).collect()
+    }
+    twin = {
+        r["doc_id"]: (r["quarantined"], r["passed_quality"], r["survived"])
+        for r in incremental_curation_pipeline(docs, bench).collect()
+    }
+    assert stream == twin
