@@ -87,6 +87,10 @@ def shingle_hashes(
     )
 
 
+_MINHASH_AGGS: dict[int, list] = {}
+_BAND_ARRAYS: dict[tuple[int, int], object] = {}
+
+
 def minhash_fingerprints(
     df: DataFrame,
     text_col: str = "text",
@@ -116,10 +120,12 @@ def minhash_fingerprints(
 
 def _banded(fp: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
     """Project the signature table to one (id, band_id, band_hash) row
-    per band — pure projection, no shuffle."""
-    return fp.select(
-        "id",
-        F.explode(
+    per band — pure projection, no shuffle.  The band struct array is
+    memoized per (bands, rows_per_band), like the minhash aggs."""
+    key = (bands, rows_per_band)
+    band_arr = _BAND_ARRAYS.get(key)
+    if band_arr is None:
+        band_arr = F.explode(
             F.array(
                 *[
                     F.struct(
@@ -139,8 +145,11 @@ def _banded(fp: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
                     for b in range(bands)
                 ]
             )
-        ).alias("band"),
-    ).select("id", "band.band_id", "band.band_hash")
+        ).alias("band")
+        _BAND_ARRAYS[key] = band_arr
+    return fp.select("id", band_arr).select(
+        "id", "band.band_id", "band.band_hash"
+    )
 
 
 def _bucket_sizes(banded: DataFrame) -> DataFrame:
