@@ -1672,8 +1672,8 @@ def h23_stream_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("j7c_curation_pipeline_twin", oracle=CURATION_PIPELINE_ORACLE)
-def j7c_curation_pipeline_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+@register("j7d_curation_pipeline_twin", oracle=CURATION_PIPELINE_ORACLE)
+def j7d_curation_pipeline_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed curation pipeline, BATCH twin (§2.J7 × J1/J8/J4/J2 —
     the j2m↔h15 twin-pair discipline applied to h23): gate flags
     corpus-wide, then ONE verified-Jaccard ∪ digest-equality pair
@@ -1801,6 +1801,7 @@ def h20_stream_ivf_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     (maintained-index recall ≥ 0.8 vs the exact ground truth) and
     stream == batch-layout parity in tests/test_streaming_ingest.py.
     See streaming/ingest.py:run_ivf_maintenance_stream."""
+    from ..operators.index_commit import init_index_root, is_index_root
     from ..streaming.ingest import run_ivf_maintenance_stream
     from .cdc_queries import _work_dir
     from .similarity_queries import _fixture_centroids
@@ -1809,11 +1810,18 @@ def h20_stream_ivf_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     _ensure_emb_waves(emb, sf_dir)
     centroids = _fixture_centroids(emb, sf_dir, "ivf", 16)
+    # Maintain into a VERSIONED index root (operators/index_commit.py)
+    # so the commit protocol's resolve path runs under the official
+    # driver gate, not just in tests; init once per process (the
+    # work dir is reset on first entry, reused after).
+    root = f"{work}/index_root"
+    if not is_index_root(spark, root):
+        init_index_root(spark, root)
     return run_ivf_maintenance_stream(
         spark,
         _EMB_SRC[sf_dir],
         centroids,
-        f"{work}/index",
+        root,
         f"{work}/ckpt",
         max_files_per_trigger=1,
         batch_shuffle_partitions=_batch_width(sf_dir),
