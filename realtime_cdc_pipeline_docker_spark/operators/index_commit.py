@@ -120,15 +120,51 @@ def init_index_root(spark: SparkSession, root: str) -> str:
     return v1
 
 
+STAGING_MARKER = "_STAGING"
+
+
 def begin_index_version(spark: SparkSession, root: str) -> str:
-    """Path of the NEXT version directory (max existing + 1, counting
-    staging dirs so two concurrent rebuilds never collide on a path
-    they both saw free).  Nothing is created — the index writer's own
-    ``write.parquet(staged)`` does that — and the version stays
-    invisible to readers until ``commit_index_version``."""
+    """CLAIM the next version directory.  Listing max+1 alone is a
+    race — two concurrent rebuilds would both see the same number
+    free and clobber each other's staging writes — so the claim is
+    arbitrated by an EXCLUSIVE ``_STAGING`` marker create
+    (``FileSystem.create(overwrite=false)``, atomic on HDFS/POSIX and
+    a conditional PUT on object stores): the loser gets
+    FileAlreadyExists and retries with the next number.  The claimed
+    dir counts in ``_list_versions`` (so later begins skip past it)
+    but stays invisible to readers until ``commit_index_version``;
+    the index writer's ``mode("overwrite")`` replaces the marker along
+    with the dir, which is fine — the marker's only job is winning
+    the race at claim time.
+
+    Scope of the guarantee: reader-vs-rebuild concurrency is fully
+    safe (the commit-marker design), and concurrent CLAIMS never share
+    a number.  Two rebuilds of the SAME root writing concurrently is
+    still an operational anti-pattern (an overwrite writer briefly
+    deletes its claimed dir, reopening the number to a pathological
+    third claimer) — run one rebuild at a time per root, the same
+    contract every compactor here documents."""
     versions = _list_versions(spark, root)
     nxt = (versions[-1][0] + 1) if versions else 1
-    return f"{root.rstrip('/')}/v_{nxt:06d}"
+    fs, _ = _fs(spark, root)
+    jvm = spark._jvm
+    while True:
+        candidate = f"{root.rstrip('/')}/v_{nxt:06d}"
+        marker = jvm.org.apache.hadoop.fs.Path(candidate, STAGING_MARKER)
+        try:
+            fs.create(marker, False).close()
+            return candidate
+        except Exception:
+            # Somebody else claimed this number between our listing and
+            # our create — theirs, move on.  Anything that is NOT the
+            # already-exists race (permissions, bad scheme, …) re-raises
+            # rather than spinning.
+            if fs.exists(marker) or fs.exists(
+                jvm.org.apache.hadoop.fs.Path(candidate)
+            ):
+                nxt += 1
+                continue
+            raise
 
 
 def commit_index_version(spark: SparkSession, staged_path: str) -> str:

@@ -134,3 +134,29 @@ def test_rebuild_on_versioned_root_commits_new_version(spark, sf_dir, tmp_path):
     # v1 untouched by the commit
     assert spark.read.parquet(v1).count() == n_v1
     assert spark.read.parquet(live).select("vec_id").distinct().count() == 200
+
+
+def test_begin_claims_exclusively_under_race(spark, tmp_path):
+    """Two rebuilds racing for the next version must never share a
+    staging path: the _STAGING marker create is the atomic arbiter.
+    Simulated race: claim v2 out-of-band AFTER the loser's listing
+    would have seen it free — begin must skip to v3."""
+    from realtime_cdc_pipeline_docker_spark.operators.index_commit import (
+        STAGING_MARKER,
+    )
+
+    root = str(tmp_path / "root")
+    v1 = init_index_root(spark, root)
+    _write(spark, v1, [1])
+    # a racer claims v_000002 directly (what a concurrent begin does)
+    import os
+
+    os.makedirs(f"{root}/v_000002")
+    open(f"{root}/v_000002/{STAGING_MARKER}", "w").close()
+
+    got = begin_index_version(spark, root)
+    assert got.endswith("v_000003")
+    # and the claim itself is on disk, so a THIRD caller skips both
+    assert begin_index_version(spark, root).endswith("v_000004")
+    # uncommitted claims stay invisible to readers
+    assert resolve_index_path(spark, root) == v1
