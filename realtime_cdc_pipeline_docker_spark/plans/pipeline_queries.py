@@ -1672,8 +1672,8 @@ def h23_stream_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("j7d_curation_pipeline_twin", oracle=CURATION_PIPELINE_ORACLE)
-def j7d_curation_pipeline_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+@register("j7e_curation_pipeline_twin", oracle=CURATION_PIPELINE_ORACLE)
+def j7e_curation_pipeline_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed curation pipeline, BATCH twin (§2.J7 × J1/J8/J4/J2 —
     the j2m↔h15 twin-pair discipline applied to h23): gate flags
     corpus-wide, then ONE verified-Jaccard ∪ digest-equality pair
