@@ -160,3 +160,42 @@ def test_begin_claims_exclusively_under_race(spark, tmp_path):
     assert begin_index_version(spark, root).endswith("v_000004")
     # uncommitted claims stay invisible to readers
     assert resolve_index_path(spark, root) == v1
+
+
+def test_compaction_targets_current_version_of_root(spark, sf_dir, tmp_path):
+    """compact_index_layout on a VERSIONED root compacts the current
+    committed version in place (old versions are immutable history
+    owned by prune), and the maintained-stream + compactor + resolve
+    pipeline composes."""
+    import shutil
+
+    from realtime_cdc_pipeline_docker_spark.operators.similarity import (
+        train_ivf_centroids,
+    )
+    from realtime_cdc_pipeline_docker_spark.streaming.ingest import (
+        compact_index_layout,
+        run_ivf_maintenance_stream,
+        write_arrival_waves,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(300)
+    centroids = train_ivf_centroids(emb, n_centroids=4)
+    root = str(tmp_path / "root")
+    v1 = init_index_root(spark, root)
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    write_arrival_waves(emb, src, F.col("vec_id") % 3, 3)
+    run_ivf_maintenance_stream(
+        spark, src, centroids, root, ckpt, max_files_per_trigger=1
+    )
+    # wiped replay doubles the rows, same lineage
+    shutil.rmtree(ckpt)
+    run_ivf_maintenance_stream(
+        spark, src, centroids, root, ckpt, max_files_per_trigger=1
+    )
+    stats = compact_index_layout(spark, root)
+    assert stats["rows_after"] < stats["rows_before"]
+    # compaction landed inside v1, not beside it
+    assert resolve_index_path(spark, root) == v1
+    led = spark.read.parquet(v1)
+    assert led.count() == stats["rows_after"]
+    assert led.count() == led.select("cluster", "vec_id").distinct().count()
