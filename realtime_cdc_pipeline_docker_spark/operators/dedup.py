@@ -89,6 +89,24 @@ def shingle_hashes(
 
 _MINHASH_AGGS: dict[int, list] = {}
 _BAND_ARRAYS: dict[tuple[int, int], object] = {}
+_CACHE_GATEWAY_KEY: list = []
+
+
+def _fresh_column_caches() -> None:
+    """Guard for the module-level Column caches (ADVICE r12 low):
+    cached Columns wrap py4j handles tied to the live JVM gateway, so
+    a SparkContext restarted in the same Python process would leave
+    stale handles behind.  Key both caches to the active gateway and
+    clear them when it changes — per-process memoization with
+    per-JVM-lifetime validity."""
+    from pyspark import SparkContext
+
+    active = SparkContext._active_spark_context
+    key = id(active._gateway) if active is not None else None
+    if not _CACHE_GATEWAY_KEY or _CACHE_GATEWAY_KEY[0] != key:
+        _MINHASH_AGGS.clear()
+        _BAND_ARRAYS.clear()
+        _CACHE_GATEWAY_KEY[:] = [key]
 
 
 def minhash_fingerprints(
@@ -103,17 +121,22 @@ def minhash_fingerprints(
     combined aggregate, one small row per doc, persisted.  (a·h+b)
     mod p (p = 2³¹−1, prime) is a universal-hash permutation — the mod
     is load-bearing: without it the affine map is monotonic in h and
-    every family member collapses to a function of min(h)."""
-    params = _affine_params(num_hashes)
-    sh = shingle_hashes(df, text_col, id_col, shingle_k)
-    p = F.lit((1 << 31) - 1)
-    fp = sh.groupBy("id").agg(
-        F.collect_set("h").alias("hs"),
-        *[
+    every family member collapses to a function of min(h).  The
+    ``num_hashes``-wide agg Column list is memoized per gateway
+    (``_MINHASH_AGGS``) — streaming callers pay the py4j tree build
+    once per process, not per micro-batch."""
+    _fresh_column_caches()
+    aggs = _MINHASH_AGGS.get(num_hashes)
+    if aggs is None:
+        params = _affine_params(num_hashes)
+        p = F.lit((1 << 31) - 1)
+        aggs = [F.collect_set("h").alias("hs")] + [
             F.min((F.col("h") * F.lit(a) + F.lit(b)) % p).alias(f"m{i}")
             for i, (a, b) in enumerate(params)
-        ],
-    ).persist()
+        ]
+        _MINHASH_AGGS[num_hashes] = aggs
+    sh = shingle_hashes(df, text_col, id_col, shingle_k)
+    fp = sh.groupBy("id").agg(*aggs).persist()
     track_persisted(fp)
     return fp
 
@@ -122,6 +145,7 @@ def _banded(fp: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
     """Project the signature table to one (id, band_id, band_hash) row
     per band — pure projection, no shuffle.  The band struct array is
     memoized per (bands, rows_per_band), like the minhash aggs."""
+    _fresh_column_caches()
     key = (bands, rows_per_band)
     band_arr = _BAND_ARRAYS.get(key)
     if band_arr is None:

@@ -11,8 +11,11 @@ VERSIONED layout with a tiny atomic commit marker:
 ::
 
     root/
+      _CLAIM_v_000002        (root-level claim record: reserves the
+                              number for the whole rebuild, survives
+                              the writer's overwrite of the dir)
       v_000001/  _COMMITTED  cluster=0/ cluster=1/ …
-      v_000002/  (staging — no marker yet: invisible to readers)
+      v_000002/  (staging — no _COMMITTED yet: invisible to readers)
 
 - A version directory is LIVE iff it contains the ``_COMMITTED``
   marker file.  *Current* = the highest-numbered committed version.
@@ -97,12 +100,24 @@ def current_index_version(spark: SparkSession, root: str) -> str | None:
 def resolve_index_path(spark: SparkSession, path: str) -> str:
     """The directory a reader should scan: the current committed
     version when ``path`` is a versioned root, else ``path`` itself
-    (plain pre-protocol layout).  A versioned root with only staging
-    (uncommitted) versions resolves to the root — nothing is live yet,
-    and a parquet read of the root sees no data files (markers and
-    staging subdirs are not partition dirs of the root scan)."""
+    (plain pre-protocol layout).  A versioned root whose only versions
+    are uncommitted staging dirs RAISES instead of falling back to the
+    root (ADVICE r12 low: a parquet scan of the bare root dies with an
+    opaque "unable to infer schema" — nothing-is-committed deserves a
+    first-class error, and callers like ``ivf_index_topk`` should see
+    it at resolve time, not scan time)."""
     cur = current_index_version(spark, path)
-    return cur if cur is not None else path
+    if cur is not None:
+        return cur
+    if is_index_root(spark, path):
+        raise ValueError(
+            f"resolve_index_path: {path} is a versioned index root with "
+            "no committed version — every v_NNNNNN child is an "
+            "uncommitted staging dir.  Commit one with "
+            "commit_index_version (or bootstrap with init_index_root) "
+            "before reading."
+        )
+    return path
 
 
 def init_index_root(spark: SparkSession, root: str) -> str:
@@ -121,50 +136,91 @@ def init_index_root(spark: SparkSession, root: str) -> str:
 
 
 STAGING_MARKER = "_STAGING"
+_CLAIM_RE = re.compile(r"^_CLAIM_v_(\d{6})$")
+
+
+def _list_claims(spark: SparkSession, root: str) -> list[int]:
+    """Version numbers reserved by a root-level ``_CLAIM_v_NNNNNN``
+    file — the arbiter records that survive whatever happens INSIDE
+    the claimed directory (an overwrite writer deletes and recreates
+    the dir; the claim file lives beside it, not in it)."""
+    fs, hroot = _fs(spark, root)
+    if not fs.exists(hroot):
+        return []
+    out = []
+    for status in fs.listStatus(hroot):
+        if status.isDirectory():
+            continue
+        m = _CLAIM_RE.match(status.getPath().getName())
+        if m:
+            out.append(int(m.group(1)))
+    return sorted(out)
 
 
 def begin_index_version(spark: SparkSession, root: str) -> str:
     """CLAIM the next version directory.  Listing max+1 alone is a
     race — two concurrent rebuilds would both see the same number
     free and clobber each other's staging writes — so the claim is
-    arbitrated by an EXCLUSIVE ``_STAGING`` marker create
-    (``FileSystem.create(overwrite=false)``, atomic on HDFS/POSIX and
-    a conditional PUT on object stores): the loser gets
-    FileAlreadyExists and retries with the next number.  The claimed
-    dir counts in ``_list_versions`` (so later begins skip past it)
-    but stays invisible to readers until ``commit_index_version``;
-    the index writer's ``mode("overwrite")`` replaces the marker along
-    with the dir, which is fine — the marker's only job is winning
-    the race at claim time.
+    arbitrated by an EXCLUSIVE create of a ROOT-LEVEL
+    ``_CLAIM_v_NNNNNN`` file (``FileSystem.create(overwrite=false)``):
+    the loser gets FileAlreadyExists and retries with the next number.
+    The claim file lives BESIDE the version dir, not inside it
+    (VERDICT r12 #5: the pre-r13 in-dir ``_STAGING`` marker was
+    deleted by the index writer's ``mode("overwrite")`` mid-write,
+    briefly reopening the number to a pathological third claimer —
+    the root-level claim survives the entire write, so a claimed
+    number can never be re-claimed while its rebuild is in flight).
+    An in-dir ``_STAGING`` marker is still written for human
+    inspection of listings, but carries no protocol weight.
 
-    Scope of the guarantee: reader-vs-rebuild concurrency is fully
-    safe (the commit-marker design), and concurrent CLAIMS never share
-    a number.  Two rebuilds of the SAME root writing concurrently is
-    still an operational anti-pattern (an overwrite writer briefly
-    deletes its claimed dir, reopening the number to a pathological
-    third claimer) — run one rebuild at a time per root, the same
-    contract every compactor here documents."""
+    Scope of the guarantee (ADVICE r12 medium): reader-vs-rebuild
+    concurrency is fully safe on every store (the commit-marker
+    design), and concurrent claims never share a number on
+    HDFS/POSIX, where ``create(overwrite=false)`` is atomic.  S3A and
+    most Hadoop object-store connectors implement it as a non-atomic
+    existence-check-then-PUT — on those stores concurrent REBUILDS of
+    the same root fall under the standing one-rebuild-per-root
+    operational contract (the same one every compactor here
+    documents); a deployment that needs true concurrent claim
+    arbitration there should swap this create for a store-native
+    conditional write (e.g. an S3 ``If-None-Match`` PUT)."""
     versions = _list_versions(spark, root)
-    nxt = (versions[-1][0] + 1) if versions else 1
+    claims = _list_claims(spark, root)
+    nxt = max(
+        [versions[-1][0] if versions else 0] + ([claims[-1]] if claims else [0])
+    ) + 1
     fs, _ = _fs(spark, root)
     jvm = spark._jvm
     while True:
         candidate = f"{root.rstrip('/')}/v_{nxt:06d}"
-        marker = jvm.org.apache.hadoop.fs.Path(candidate, STAGING_MARKER)
+        claim = jvm.org.apache.hadoop.fs.Path(
+            f"{root.rstrip('/')}/_CLAIM_v_{nxt:06d}"
+        )
         try:
-            fs.create(marker, False).close()
-            return candidate
+            fs.create(claim, False).close()
         except Exception:
             # Somebody else claimed this number between our listing and
             # our create — theirs, move on.  Anything that is NOT the
             # already-exists race (permissions, bad scheme, …) re-raises
             # rather than spinning.
-            if fs.exists(marker) or fs.exists(
+            if fs.exists(claim) or fs.exists(
                 jvm.org.apache.hadoop.fs.Path(candidate)
             ):
                 nxt += 1
                 continue
             raise
+        # Won the number — but an out-of-band staging dir (created
+        # without a claim file, e.g. by a pre-r13 writer) may already
+        # occupy it; treat that as a lost race and keep moving.
+        if fs.exists(jvm.org.apache.hadoop.fs.Path(candidate)):
+            nxt += 1
+            continue
+        hcand = jvm.org.apache.hadoop.fs.Path(candidate)
+        fs.mkdirs(hcand)
+        fs.create(
+            jvm.org.apache.hadoop.fs.Path(hcand, STAGING_MARKER), True
+        ).close()
+        return candidate
 
 
 def commit_index_version(spark: SparkSession, staged_path: str) -> str:
@@ -215,7 +271,26 @@ def prune_index_versions(
         doomed = (ok and n not in keep_committed) or (not ok and n < current_n)
         if doomed:
             fs.delete(jvm.org.apache.hadoop.fs.Path(p), True)
+            # the root-level claim record goes with its version
+            fs.delete(
+                jvm.org.apache.hadoop.fs.Path(
+                    f"{root.rstrip('/')}/_CLAIM_v_{n:06d}"
+                ),
+                False,
+            )
             removed.append(p)
         else:
             kept.append(p)
+    # Orphan claims (claim file, no version dir) older than current are
+    # abandoned pre-write crashes; newer ones may be a claim-to-write
+    # window in flight and are left alone — same rule as staging dirs.
+    live_numbers = {n for n, _, _ in _list_versions(spark, root)}
+    for n in _list_claims(spark, root):
+        if n < current_n and n not in live_numbers:
+            fs.delete(
+                jvm.org.apache.hadoop.fs.Path(
+                    f"{root.rstrip('/')}/_CLAIM_v_{n:06d}"
+                ),
+                False,
+            )
     return {"removed": removed, "kept": kept}

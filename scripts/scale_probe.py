@@ -32,8 +32,16 @@ shifted ids) and prints one JSON line per (probe, scale):
   incremental substring dedup (h16 shape).  Claim: the gbucket-pruned
   semi-join probe keeps probe-batch wall ~flat as the gram ledger
   grows 10x.
+- ``curation_ledger_growth``: the same fixed-batch axis for the
+  composed curation pipeline's ledgers (h23 shape, VERDICT r12 #1 —
+  the last unbounded-state surface without a growth measurement).
+  Claim: all three survivor-ledger probes (gbucket digest, bucket
+  band index, dbucket curated-hs fetch) are bucket-pruned, so
+  probe-batch wall ~flat as the at-rest ledgers grow 10x.
 
 Usage: python scripts/scale_probe.py [sf_dir] [scales...]
+       python scripts/scale_probe.py [sf_dir] compaction
+       python scripts/scale_probe.py [sf_dir] curation
 """
 
 from __future__ import annotations
@@ -76,6 +84,12 @@ def main() -> int:
     if "compaction" in sys.argv[2:]:
         spark = get_session(app="scale-probe")
         probe_ledger_compaction(spark, sf_dir)
+        return 0
+    if "curation" in sys.argv[2:]:
+        spark = get_session(app="scale-probe")
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        probe_curation_growth(spark, docs, [1, 10])
+        probe_curation_compaction(spark, sf_dir)
         return 0
     scales = [int(s) for s in sys.argv[2:]] or [1, 10]
     spark = get_session(app="scale-probe")
@@ -472,7 +486,186 @@ def main() -> int:
 
     probe_index_growth(spark, docs, scales)
     probe_gram_ledger_growth(spark, docs, scales)
+    probe_curation_growth(spark, docs, scales)
     return 0
+
+
+def probe_curation_growth(spark, docs, scales) -> None:
+    """h23's version of the index_growth probe (VERDICT r12 #1): one
+    FIXED probe batch against 1×/10× AT-REST curation ledgers.
+
+    Growth axis: unlike h15's letter-rotation replicas (which the
+    composed pipeline's QUALITY gates would reject — rotation destroys
+    stopword/quality structure), the build corpus is a 1×/10× slice of
+    REAL fixture documents (rank-ordered by doc_id), so gate pass
+    rates are natural and all three survivor ledgers genuinely grow
+    ~10×.  The fixed probe batch holds the build constant: 200 exact
+    re-texts of build docs at fresh ids (each runs the full gate
+    stack, then HITS the gbucket-pruned digest probe and drops) + 200
+    held-out documents never ingested at any scale (each runs the
+    whole pipeline and mostly appends).  The benchmark is a fixed
+    held-out slice so the decontamination gate's broadcast side is
+    scale-invariant.  Claim: probe-batch wall ~flat from 1× to 10×
+    ledgers — per-batch cost tracks the BATCH, the 100 TB contract."""
+    import shutil
+    import tempfile
+
+    from realtime_cdc_pipeline_docker_spark.streaming.ingest import (
+        run_curation_pipeline_stream,
+        write_arrival_wave,
+    )
+
+    ids = sorted(r[0] for r in docs.select("doc_id").collect())
+    per_scale = 400
+    need = per_scale * max(scales)
+    assert len(ids) >= need + 440, "fixture too small for held-out slices"
+    base = docs.withColumn("lang", F.lit("en")).withColumn(
+        "source", F.lit("probe")
+    ).withColumn("n_chars", F.length("text").cast("long"))
+    # held-out regions (top of the id range): fresh probe docs + bench
+    fresh_lo, fresh_hi = ids[-440], ids[-240]
+    bench = base.filter(F.col("doc_id") >= ids[-40]).select("text")
+    probe_dup = (
+        base.filter(F.col("doc_id") <= ids[199])
+        .withColumn("doc_id", F.col("doc_id") + 50_000_000)
+    )
+    probe_new = (
+        base.filter(
+            (F.col("doc_id") >= fresh_lo) & (F.col("doc_id") < fresh_hi)
+        )
+        .limit(200)
+        .withColumn("doc_id", F.col("doc_id") + 60_000_000)
+    )
+    probe_batch = probe_dup.unionByName(probe_new).persist()
+    probe_batch.count()
+
+    for scale in scales:
+        work = tempfile.mkdtemp(prefix=f"curation_growth_{scale}x_")
+        try:
+            build = base.filter(F.col("doc_id") <= ids[per_scale * scale - 1])
+            src, log = f"{work}/src", f"{work}/log"
+            write_arrival_wave(build, src, 0)
+            run_curation_pipeline_stream(
+                spark, src, bench, log, f"{work}/ckpt", index_buckets=32
+            )
+            ledger_rows = {
+                sub: spark.read.parquet(f"{log}/{sub}").count()
+                for sub in ("curated", "index", "digests")
+            }
+
+            write_arrival_wave(probe_batch, src, 1)
+            t0 = time.time()
+            out = run_curation_pipeline_stream(
+                spark, src, bench, log, f"{work}/ckpt", index_buckets=32
+            )
+            sec = round(time.time() - t0, 2)
+            probe_surv = out.filter(
+                (F.col("doc_id") >= 50_000_000) & F.col("survived")
+            ).count()
+            print(
+                json.dumps(
+                    {
+                        "probe": "curation_ledger_growth",
+                        "scale": scale,
+                        "curated_rows": ledger_rows["curated"],
+                        "index_rows": ledger_rows["index"],
+                        "digest_rows": ledger_rows["digests"],
+                        "probe_batch_docs": 400,
+                        "probe_survivors": probe_surv,
+                        "probe_batch_sec": sec,
+                    }
+                ),
+                flush=True,
+            )
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+    probe_batch.unpersist()
+
+
+def probe_curation_compaction(spark, sf_dir: str, n_batches: int = 8) -> None:
+    """VERDICT r12 #1's second row: ``compact_curation_ledgers`` after
+    ``n_batches`` micro-batches PLUS a full wiped-checkpoint replay
+    (every ledger row duplicated, one file per ledger per batch) —
+    files/rows must fold and the stream's read-back relation
+    (doc_id, quarantined, passed_quality, survived) must be IDENTICAL
+    before and after (post-compaction parity, the
+    h15/h16/ivfpq-probe methodology)."""
+    import shutil
+    import tempfile
+
+    from realtime_cdc_pipeline_docker_spark.streaming.ingest import (
+        compact_curation_ledgers,
+        run_curation_pipeline_stream,
+        write_arrival_wave,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).withColumn("lang", F.lit("en")).withColumn(
+        "source", F.lit("probe")
+    ).withColumn("n_chars", F.length("text").cast("long"))
+    bench = docs.filter(F.col("doc_id") % 101 == 0).select("text")
+
+    def read_back(log):
+        audit = spark.read.parquet(f"{log}/audit").dropDuplicates(["doc_id"])
+        accepted = (
+            spark.read.parquet(f"{log}/curated").select("doc_id").distinct()
+        )
+        return sorted(
+            (r["doc_id"], r["quarantined"], r["passed_quality"], r["__s"])
+            for r in audit.join(
+                accepted.withColumn("__s", F.lit(True)), "doc_id", "left"
+            ).fillna({"__s": False}).collect()
+        )
+
+    work = tempfile.mkdtemp(prefix="curation_compaction_")
+    try:
+        src, log = f"{work}/src", f"{work}/log"
+        for b in range(n_batches):
+            write_arrival_wave(
+                docs.filter(F.col("doc_id") % n_batches == b), src, b
+            )
+        for ckpt_round in range(2):  # 2nd run = wiped-checkpoint replay
+            shutil.rmtree(f"{work}/ckpt", ignore_errors=True)
+            run_curation_pipeline_stream(
+                spark, src, bench, log, f"{work}/ckpt",
+                max_files_per_trigger=1,
+            )
+        files_before = {
+            sub: len(spark.read.parquet(f"{log}/{sub}").inputFiles())
+            for sub in ("curated", "index", "digests", "audit")
+        }
+        t0 = time.time()
+        relation_before = read_back(log)
+        fold_before = round(time.time() - t0, 2)
+        stats = compact_curation_ledgers(spark, log)
+        t0 = time.time()
+        relation_after = read_back(log)
+        fold_after = round(time.time() - t0, 2)
+        print(
+            json.dumps(
+                {
+                    "probe": "curation_ledger_compaction",
+                    "n_batches": n_batches,
+                    "files_before": files_before,
+                    "files_after": {
+                        sub: stats[sub]["files_after"] for sub in stats
+                    },
+                    "rows_before": {
+                        sub: stats[sub]["rows_before"] for sub in stats
+                    },
+                    "rows_after": {
+                        sub: stats[sub]["rows_after"] for sub in stats
+                    },
+                    "fold_sec_before": fold_before,
+                    "fold_sec_after": fold_after,
+                    "read_back_parity": relation_before == relation_after,
+                }
+            ),
+            flush=True,
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 def probe_gram_ledger_growth(spark, docs, scales) -> None:

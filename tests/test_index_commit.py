@@ -138,9 +138,11 @@ def test_rebuild_on_versioned_root_commits_new_version(spark, sf_dir, tmp_path):
 
 def test_begin_claims_exclusively_under_race(spark, tmp_path):
     """Two rebuilds racing for the next version must never share a
-    staging path: the _STAGING marker create is the atomic arbiter.
-    Simulated race: claim v2 out-of-band AFTER the loser's listing
-    would have seen it free — begin must skip to v3."""
+    staging path: the root-level _CLAIM file create is the atomic
+    arbiter (on HDFS/POSIX — see the begin docstring for the
+    object-store scope).  Simulated race: a pre-r13-style racer
+    occupies v2 out-of-band (staging dir, no claim file) AFTER the
+    loser's listing would have seen it free — begin must skip to v3."""
     from realtime_cdc_pipeline_docker_spark.operators.index_commit import (
         STAGING_MARKER,
     )
@@ -160,6 +162,77 @@ def test_begin_claims_exclusively_under_race(spark, tmp_path):
     assert begin_index_version(spark, root).endswith("v_000004")
     # uncommitted claims stay invisible to readers
     assert resolve_index_path(spark, root) == v1
+
+
+def test_claim_survives_writer_overwrite_window(spark, tmp_path):
+    """VERDICT r12 #5 — the third-claimer interleave: a staged writer
+    using mode("overwrite") briefly DELETES its claimed dir; the
+    root-level _CLAIM file keeps the number reserved through that
+    window, so an interleaved begin can never re-claim it."""
+    import shutil
+
+    root = str(tmp_path / "root")
+    v1 = init_index_root(spark, root)
+    _write(spark, v1, [1])
+    v2 = begin_index_version(spark, root)
+    assert v2.endswith("v_000002")
+    # the overwrite writer's delete phase: the claimed dir is GONE
+    shutil.rmtree(v2)
+    # a third claimer interleaving exactly here must skip to v3
+    assert begin_index_version(spark, root).endswith("v_000003")
+    # the in-flight writer completes its overwrite write and commits
+    spark.createDataFrame([(1,), (2,)], "vec_id long").write.mode(
+        "overwrite"
+    ).parquet(v2)
+    assert commit_index_version(spark, v2) == v2
+    assert resolve_index_path(spark, root) == v2
+    assert spark.read.parquet(resolve_index_path(spark, root)).count() == 2
+
+
+def test_resolve_raises_on_staging_only_root(spark, tmp_path):
+    """ADVICE r12 low: a versioned root whose only versions are
+    uncommitted staging dirs must raise a descriptive error at resolve
+    time, not an opaque schema-inference failure at scan time."""
+    root = str(tmp_path / "root")
+    staged = begin_index_version(spark, root)
+    _write(spark, staged, [1])
+    with pytest.raises(ValueError, match="no committed version"):
+        resolve_index_path(spark, root)
+    # committing makes the same root resolve normally
+    commit_index_version(spark, staged)
+    assert resolve_index_path(spark, root) == staged
+
+
+def test_prune_clears_claim_records(spark, tmp_path):
+    """prune removes the _CLAIM record with its version, and clears
+    orphan claims (file, no dir) older than current — while leaving a
+    newer in-flight claim alone."""
+    import os
+
+    root = str(tmp_path / "root")
+    v1 = init_index_root(spark, root)
+    _write(spark, v1, [1])
+    v2 = begin_index_version(spark, root)
+    _write(spark, v2, [1, 2])
+    commit_index_version(spark, v2)
+    # orphan OLD claim: simulate a pre-write crash at v_000001's era
+    # by deleting v1's dir after prune marks it… instead craft directly:
+    # prune removes v1 (keep=1) and must take _CLAIM_v_000002's sibling
+    # records only when their versions go.
+    v3 = begin_index_version(spark, root)  # in-flight, newer: kept
+    out = prune_index_versions(spark, root, keep=1)
+    assert v1 in out["removed"]
+    names = set(os.listdir(root))
+    # v2's claim record still present (v2 kept), v3's present (in flight)
+    assert "_CLAIM_v_000002" in names and "_CLAIM_v_000003" in names
+    # an abandoned orphan claim older than current is swept next prune
+    os.remove(f"{root}/_CLAIM_v_000003")
+    open(f"{root}/_CLAIM_v_000001", "w").close()
+    import shutil
+
+    shutil.rmtree(v3)
+    prune_index_versions(spark, root, keep=1)
+    assert "_CLAIM_v_000001" not in set(os.listdir(root))
 
 
 def test_compaction_targets_current_version_of_root(spark, sf_dir, tmp_path):

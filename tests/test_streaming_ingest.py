@@ -1624,6 +1624,34 @@ def test_media_stream_oversized_buckets_are_observable(spark, tmp_path):
     assert over.filter("side = 'batch' AND n_members = 2").count() > 0
     assert over.filter("side = 'probe' AND n_members = 2").count() > 0
 
+    # ADVICE r12 low: the oversized ledger has a compactor too — a
+    # wiped-checkpoint replay re-appends identical rows; compaction
+    # folds them back to exactly the pre-replay relation.
+    import shutil
+
+    from realtime_cdc_pipeline_docker_spark.streaming.ingest import (
+        compact_media_ledgers,
+    )
+
+    key = lambda r: (  # noqa: E731
+        r["side"], r["band_no"], r["band_bits"],
+        r["n_members"], r["__batch_id"], r["__run_tag"],
+    )
+    before_replay = sorted(key(r) for r in over.collect())
+    shutil.rmtree(str(tmp_path / "ckpt"))
+    run_media_dedup_stream(
+        spark, src, log, str(tmp_path / "ckpt"),
+        max_files_per_trigger=1, max_bucket_size=1,
+    )
+    replayed = spark.read.parquet(f"{log}/oversized")
+    assert replayed.count() == 2 * len(before_replay)
+    stats = compact_media_ledgers(spark, log)
+    assert stats["oversized"]["rows_after"] == len(before_replay)
+    after = sorted(
+        key(r) for r in spark.read.parquet(f"{log}/oversized").collect()
+    )
+    assert after == before_replay
+
 
 def test_write_arrival_waves_tolerates_empty_wave(spark, tmp_path):
     """ADVICE r11 low: a wave value with no matching rows is skipped
@@ -1737,6 +1765,27 @@ def test_ivfpq_rebuild_restores_adc_recall_after_drift(spark, sf_dir, tmp_path):
         )
     part = plan.split("PartitionFilters", 1)
     assert len(part) == 2 and "cluster" in part[1].split("]", 1)[0]
+
+    # (e) VERDICT r12 #3 — prune AFTER the quality gate passed: the
+    # explicit GC removes v1, the live version and its recall are
+    # untouched, and a reader that resolved before the prune still
+    # completes on the current version's files.
+    from realtime_cdc_pipeline_docker_spark.operators.index_commit import (
+        prune_index_versions,
+    )
+
+    reader = spark.read.parquet(resolve_index_path(spark, root))
+    pruned = prune_index_versions(spark, root, keep=1)
+    assert v1 in pruned["removed"] and live in pruned["kept"]
+    assert resolve_index_path(spark, root) == live
+    assert reader.count() == len(want)
+    approx_after = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivfpq_index_topk(
+            spark, root, queries, new_c, new_cb, k=5, nprobe=6
+        ).collect()
+    }
+    assert approx_after == approx
 
 
 def test_maintained_index_compaction_preserves_state(spark, sf_dir, tmp_path):
