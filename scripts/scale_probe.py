@@ -516,9 +516,21 @@ def probe_curation_growth(spark, docs, scales) -> None:
     )
 
     ids = sorted(r[0] for r in docs.select("doc_id").collect())
-    per_scale = 400
-    need = per_scale * max(scales)
-    assert len(ids) >= need + 440, "fixture too small for held-out slices"
+    per_scale = min(400, (len(ids) - 440) // max(scales))
+    if per_scale < 40:
+        # real-document slices (not replicas — the quality gates reject
+        # rotated text) need a table ≥ ~10×40+440 rows: use sf0.1
+        print(
+            json.dumps(
+                {
+                    "probe": "curation_ledger_growth",
+                    "skipped": f"fixture has {len(ids)} docs; needs >=840 "
+                    "(run against sf0.1)",
+                }
+            ),
+            flush=True,
+        )
+        return
     base = docs.withColumn("lang", F.lit("en")).withColumn(
         "source", F.lit("probe")
     ).withColumn("n_chars", F.length("text").cast("long"))
