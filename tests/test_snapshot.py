@@ -1,0 +1,211 @@
+"""Versioned snapshot table (operators/snapshot.py): MERGE-apply
+semantics, copy-on-write bucket pruning, tombstone arbitration, time
+travel, diff, vacuum, and GC — the lake-side ReplacingMergeTree
+contract (reference: cdc_processor.py sink + clickhouse/init.sql DDL)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from realtime_cdc_pipeline_docker_spark.operators.snapshot import (
+    init_snapshot_table,
+    merge_apply,
+    prune_snapshot_versions,
+    read_snapshot,
+    snapshot_diff,
+    snapshot_versions,
+    vacuum_tombstones,
+)
+
+
+def _changes(spark, rows):
+    """rows: (id, v, op, val)"""
+    return spark.createDataFrame(
+        rows, "id BIGINT, v BIGINT, op STRING, val STRING"
+    )
+
+
+@pytest.fixture()
+def root(tmp_path):
+    return str(tmp_path / "tbl")
+
+
+def _init(spark, root, num_buckets=4):
+    init_snapshot_table(
+        spark, root, key_cols=["id"], version_col="v", num_buckets=num_buckets
+    )
+
+
+def _state(spark, root, **kw):
+    return {
+        (r["id"], r["v"], r["val"])
+        for r in read_snapshot(spark, root, **kw).collect()
+    }
+
+
+def test_merge_upsert_and_delete(spark, root):
+    _init(spark, root)
+    merge_apply(
+        spark,
+        root,
+        _changes(spark, [(1, 1, "c", "a"), (2, 1, "c", "b"), (3, 1, "c", "c")]),
+    )
+    merge_apply(
+        spark,
+        root,
+        _changes(spark, [(2, 2, "u", "B"), (3, 2, "d", "c"), (4, 2, "c", "d")]),
+    )
+    assert _state(spark, root) == {(1, 1, "a"), (2, 2, "B"), (4, 2, "d")}
+
+
+def test_version_arbitration_and_idempotent_replay(spark, root):
+    _init(spark, root)
+    wave = _changes(spark, [(1, 5, "c", "new"), (2, 5, "c", "x")])
+    merge_apply(spark, root, wave)
+    # A LATE change with an older version loses.
+    merge_apply(spark, root, _changes(spark, [(1, 3, "u", "stale")]))
+    assert _state(spark, root) == {(1, 5, "new"), (2, 5, "x")}
+    # Replaying an applied batch byte-for-byte is a no-op.
+    before = _state(spark, root)
+    merge_apply(spark, root, wave)
+    assert _state(spark, root) == before
+
+
+def test_delete_tombstone_beats_late_older_update(spark, root):
+    _init(spark, root)
+    merge_apply(spark, root, _changes(spark, [(1, 1, "c", "a")]))
+    merge_apply(spark, root, _changes(spark, [(1, 3, "d", "a")]))
+    # The delete is a TOMBSTONE: a replayed v=2 update must not
+    # resurrect the key.
+    merge_apply(spark, root, _changes(spark, [(1, 2, "u", "zombie")]))
+    assert _state(spark, root) == set()
+    tombs = read_snapshot(spark, root, include_tombstones=True).collect()
+    assert [(r["id"], r["v"], r["_deleted"]) for r in tombs] == [(1, 3, True)]
+
+
+def test_copy_on_write_prunes_untouched_buckets(spark, root):
+    """A merge touching one key rewrites ONLY that key's bucket: every
+    other bucket's manifest entry — and its physical files — carry
+    forward unchanged.  This is the O(touched)-not-O(table) claim."""
+    _init(spark, root, num_buckets=8)
+    merge_apply(
+        spark,
+        root,
+        _changes(spark, [(i, 1, "c", f"r{i}") for i in range(64)]),
+    )
+    v2 = spark.read.parquet(f"{root}/v_000002/manifest")
+    paths_v2 = {r["kbucket"]: r["relpath"] for r in v2.collect()}
+    merge_apply(spark, root, _changes(spark, [(7, 2, "u", "R7")]))
+    v3 = spark.read.parquet(f"{root}/v_000003/manifest")
+    paths_v3 = {r["kbucket"]: r["relpath"] for r in v3.collect()}
+    changed = {b for b in paths_v3 if paths_v3[b] != paths_v2.get(b)}
+    assert len(changed) == 1  # exactly the bucket id=7 hashes to
+    carried = set(paths_v2) - changed
+    assert carried and all(paths_v3[b] == paths_v2[b] for b in carried)
+    # the carried relpaths still point at v_000002's physical files
+    assert all(paths_v3[b].startswith("data/v_000002/") for b in carried)
+    # and the merged state is right
+    assert (7, 2, "R7") in _state(spark, root)
+    assert (8, 1, "r8") in _state(spark, root)
+
+
+def test_time_travel_reads_old_version(spark, root):
+    _init(spark, root)
+    merge_apply(spark, root, _changes(spark, [(1, 1, "c", "a"), (2, 1, "c", "b")]))
+    merge_apply(spark, root, _changes(spark, [(1, 2, "u", "A"), (2, 2, "d", "b")]))
+    assert snapshot_versions(spark, root) == [1, 2, 3]
+    assert _state(spark, root, version=2) == {(1, 1, "a"), (2, 1, "b")}
+    assert _state(spark, root) == {(1, 2, "A")}
+
+
+def test_snapshot_diff_labels(spark, root):
+    _init(spark, root)
+    merge_apply(
+        spark,
+        root,
+        _changes(spark, [(1, 1, "c", "a"), (2, 1, "c", "b"), (3, 1, "c", "c")]),
+    )
+    merge_apply(
+        spark,
+        root,
+        _changes(spark, [(1, 2, "u", "A"), (3, 2, "d", "c"), (4, 2, "c", "d")]),
+    )
+    got = {
+        (r["change_type"], r["id"])
+        for r in snapshot_diff(spark, root, 2, 3).collect()
+    }
+    assert got == {("update", 1), ("delete", 3), ("insert", 4)}
+    # diff against the empty bootstrap version: everything is an insert
+    got0 = {
+        (r["change_type"], r["id"])
+        for r in snapshot_diff(spark, root, 1, 2).collect()
+    }
+    assert got0 == {("insert", 1), ("insert", 2), ("insert", 3)}
+
+
+def test_vacuum_tombstones_horizon(spark, root):
+    _init(spark, root)
+    merge_apply(spark, root, _changes(spark, [(1, 1, "c", "a"), (2, 1, "c", "b")]))
+    merge_apply(spark, root, _changes(spark, [(1, 2, "d", "a"), (2, 5, "d", "b")]))
+    vacuum_tombstones(spark, root, below_version=3)
+    tombs = {
+        (r["id"], r["v"])
+        for r in read_snapshot(spark, root, include_tombstones=True)
+        .filter(F.col("_deleted"))
+        .collect()
+    }
+    # v=2 tombstone dropped (below horizon), v=5 kept
+    assert tombs == {(2, 5)}
+    assert _state(spark, root) == set()
+
+
+def test_schema_evolution_on_merge(spark, root):
+    _init(spark, root)
+    merge_apply(spark, root, _changes(spark, [(1, 1, "c", "a")]))
+    wider = spark.createDataFrame(
+        [(2, 2, "c", "b", "extra")],
+        "id BIGINT, v BIGINT, op STRING, val STRING, note STRING",
+    )
+    merge_apply(spark, root, wider)
+    rows = {
+        (r["id"], r["val"], r["note"])
+        for r in read_snapshot(spark, root).collect()
+    }
+    assert rows == {(1, "a", None), (2, "b", "extra")}
+
+
+def test_prune_gc_keeps_referenced_data(spark, root):
+    _init(spark, root, num_buckets=4)
+    merge_apply(
+        spark, root, _changes(spark, [(i, 1, "c", f"r{i}") for i in range(16)])
+    )
+    merge_apply(spark, root, _changes(spark, [(1, 2, "u", "R1")]))
+    merge_apply(spark, root, _changes(spark, [(2, 3, "u", "R2")]))
+    state_before = _state(spark, root)
+    res = prune_snapshot_versions(spark, root, keep=2)
+    # v_000002's data tree is still referenced by the kept manifests
+    # (its untouched buckets were carried forward) and must survive.
+    assert "data/v_000002" not in res["removed_data"]
+    assert os.path.isdir(f"{root}/data/v_000002")
+    assert _state(spark, root) == state_before
+    # old manifests gone, current + one prior kept
+    assert snapshot_versions(spark, root) == [3, 4]
+    # time travel to a pruned version now fails cleanly
+    with pytest.raises(ValueError):
+        read_snapshot(spark, root, version=2)
+
+
+def test_prune_gc_removes_orphan_data(spark, root):
+    _init(spark, root, num_buckets=2)
+    merge_apply(spark, root, _changes(spark, [(1, 1, "c", "a"), (2, 1, "c", "b")]))
+    # rewrite BOTH buckets so v_000002's data is fully superseded
+    merge_apply(spark, root, _changes(spark, [(1, 2, "u", "A"), (2, 2, "u", "B")]))
+    merge_apply(spark, root, _changes(spark, [(1, 3, "u", "AA"), (2, 3, "u", "BB")]))
+    res = prune_snapshot_versions(spark, root, keep=2)
+    assert "data/v_000002" in res["removed_data"]
+    assert not os.path.isdir(f"{root}/data/v_000002")
+    assert _state(spark, root) == {(1, 3, "AA"), (2, 3, "BB")}
+    assert _state(spark, root, version=3) == {(1, 2, "A"), (2, 2, "B")}
