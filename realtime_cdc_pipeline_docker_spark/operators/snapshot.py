@@ -74,6 +74,31 @@ _DELETED = "_deleted"
 _KBUCKET = "kbucket"
 
 
+def _manifest_df(spark: SparkSession, rows: list[tuple[int, str]]) -> DataFrame:
+    """(kbucket, relpath) DataFrame from driver-side rows WITHOUT
+    ``spark.createDataFrame(rows)``: on this Spark build, writing a
+    Python-rows LocalRelation to parquet pays a ~4-6 s constant (vs
+    0.2-0.7 s for a ``range``-derived plan — measured, PERF.md
+    §Round-13), and a merge writes a manifest every call.  The
+    literal-struct inline keeps the whole manifest in the query plan;
+    rows are bounded by num_buckets, a table constant."""
+    if not rows:
+        return spark.range(0).select(
+            F.col("id").cast("int").alias(_KBUCKET),
+            F.lit("").alias("relpath"),
+        )
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(int(b)).cast("int").alias(_KBUCKET),
+                F.lit(p).alias("relpath"),
+            )
+            for b, p in rows
+        ]
+    )
+    return spark.range(1).select(F.inline(entries))
+
+
 def _read_meta(spark: SparkSession, root: str) -> dict:
     fs, _ = _fs(spark, root)
     jvm = spark._jvm
@@ -128,8 +153,9 @@ def init_snapshot_table(
     # v_000001's manifest: an empty (kbucket, relpath) relation.  An
     # explicit empty parquet write (not a missing dir) so readers of
     # ANY committed version take one code path.
-    empty = spark.createDataFrame([], f"{_KBUCKET} INT, relpath STRING")
-    empty.coalesce(1).write.mode("overwrite").parquet(f"{live}/manifest")
+    _manifest_df(spark, []).coalesce(1).write.mode("overwrite").parquet(
+        f"{live}/manifest"
+    )
     return live
 
 
@@ -261,9 +287,8 @@ def merge_apply(
     new_rows = [
         {_KBUCKET: b, "relpath": f"{data_rel}/kb={b}"} for b in touched
     ] + carry_rows
-    spark.createDataFrame(
-        [(r[_KBUCKET], r["relpath"]) for r in new_rows],
-        f"{_KBUCKET} INT, relpath STRING",
+    _manifest_df(
+        spark, [(r[_KBUCKET], r["relpath"]) for r in new_rows]
     ).coalesce(1).write.mode("overwrite").parquet(f"{staged}/manifest")
     return commit_index_version(spark, staged)
 
@@ -413,9 +438,8 @@ def vacuum_tombstones(
         for b in hit
         if b in nonempty
     ] + keep_rows
-    spark.createDataFrame(
-        [(r[_KBUCKET], r["relpath"]) for r in new_rows],
-        f"{_KBUCKET} INT, relpath STRING",
+    _manifest_df(
+        spark, [(r[_KBUCKET], r["relpath"]) for r in new_rows]
     ).coalesce(1).write.mode("overwrite").parquet(f"{staged}/manifest")
     return commit_index_version(spark, staged)
 

@@ -715,3 +715,130 @@ def m4_multi_table_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("qty_c2") * F.col("price_c2")).cast("long").alias("gross_c4"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# M5-M7: CDC MERGE into a versioned lake snapshot (operators/snapshot.py)
+# ---------------------------------------------------------------------------
+
+# One snapshot table shared by m5/m6/m7, built once per (process, sf):
+# the three CDC waves mirror the m3/e1 envelope fixture (INSERT
+# processing/NULL-total -> UPDATE final state -> DELETE keys = 0 mod
+# 10), applied through merge_apply instead of a read-time collapse.
+# Version map after the build: v1 = empty bootstrap, v2 = post-insert,
+# v3 = post-update, v4 = post-delete (current).
+_SNAPSHOT_ROOTS: dict[str, str] = {}
+
+
+def _ensure_orders_snapshot(spark: SparkSession, sf_dir: str) -> str:
+    root = _SNAPSHOT_ROOTS.get(sf_dir)
+    if root is not None:
+        return root
+    from ..operators.snapshot import init_snapshot_table, merge_apply
+
+    work = _work_dir("order_snapshot", sf_dir)
+    root = f"{work}/tbl"
+    orders = load_table(spark, sf_dir, "orders")
+
+    def wave(version, op, status_col, total_col, flt=None):
+        df = orders if flt is None else orders.filter(flt)
+        return df.select(
+            F.col("o_orderkey").alias("id"),
+            F.col("o_custkey").alias("customer_id"),
+            F.col("o_orderdate").alias("order_date"),
+            status_col.alias("status"),
+            total_col.alias("total_amount"),
+            F.lit(version).cast("bigint").alias("v"),
+            F.lit(op).alias("op"),
+        )
+
+    init_snapshot_table(
+        spark, root, key_cols=["id"], version_col="v", num_buckets=16
+    )
+    merge_apply(
+        spark,
+        root,
+        wave(1, "c", F.lit("processing"), F.lit(None).cast("double")),
+    )
+    merge_apply(
+        spark, root, wave(2, "u", F.col("o_orderstatus"), F.col("o_totalprice"))
+    )
+    merge_apply(
+        spark,
+        root,
+        wave(
+            3,
+            "d",
+            F.col("o_orderstatus"),
+            F.col("o_totalprice"),
+            flt=F.col("o_orderkey") % 10 == 0,
+        ),
+    )
+    _SNAPSHOT_ROOTS[sf_dir] = root
+    return root
+
+
+_SNAPSHOT_COLS = ("id", "customer_id", "order_date", "status", "total_amount")
+
+
+@register("m5_merge_apply_snapshot", oracle=_FINAL_STATE_ORACLE)
+def m5_merge_apply_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO a versioned lake snapshot (§2.A2/E1 x
+    operators/snapshot.py): the m3 CDC waves applied as three
+    merge_apply batches against a copy-on-write bucketed parquet table
+    committed through the atomic marker protocol — the lake-side form
+    of the reference's ClickHouse ReplacingMergeTree sink
+    (cdc_processor.py:104-114, clickhouse/init.sql).  Same oracle as
+    e1/h: the merged table IS the latest-state relation.  Scale shape:
+    each merge rewrites only the buckets its batch touches and carries
+    the rest forward by manifest reference; deletes are tombstones, so
+    replayed or out-of-order envelopes cannot resurrect a key."""
+    from ..operators.snapshot import read_snapshot
+
+    root = _ensure_orders_snapshot(spark, sf_dir)
+    return read_snapshot(spark, root).select(*_SNAPSHOT_COLS)
+
+
+@register(
+    "m6_snapshot_time_travel",
+    oracle="""
+    SELECT o_orderkey AS id, o_custkey AS customer_id,
+           o_orderdate AS order_date, o_orderstatus AS status,
+           o_totalprice AS total_amount
+    FROM orders
+    """,
+)
+def m6_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel (§2.A2 ext): read the snapshot AS OF version 3 —
+    after the UPDATE wave, before the DELETE wave — so every key is
+    visible with its final payload, including the keys the current
+    version has tombstoned.  An old version is just an old manifest;
+    its files stay live until prune_snapshot_versions retires them,
+    so the read is an ordinary pruned parquet scan, not a log replay."""
+    from ..operators.snapshot import read_snapshot
+
+    root = _ensure_orders_snapshot(spark, sf_dir)
+    return read_snapshot(spark, root, version=3).select(*_SNAPSHOT_COLS)
+
+
+@register(
+    "m7_snapshot_diff",
+    oracle="""
+    SELECT 'delete' AS change_type, o_orderkey AS id
+    FROM orders WHERE o_orderkey % 10 = 0
+    UNION ALL
+    SELECT 'update' AS change_type, o_orderkey AS id
+    FROM orders WHERE o_orderkey % 10 <> 0
+    """,
+)
+def m7_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (§2.A2 ext): row-level change set between the
+    post-insert version (v2) and the current post-delete version (v4)
+    — every surviving key updated (processing -> final), every key =
+    0 mod 10 deleted.  The diff joins ONLY buckets whose manifest
+    entry differs between the two versions (a carried-forward bucket
+    cannot contain a change), so its cost tracks the changed data."""
+    from ..operators.snapshot import snapshot_diff
+
+    root = _ensure_orders_snapshot(spark, sf_dir)
+    return snapshot_diff(spark, root, 2, 4)
