@@ -74,26 +74,31 @@ _DELETED = "_deleted"
 _KBUCKET = "kbucket"
 
 
-def _manifest_df(spark: SparkSession, rows: list[tuple[int, str]]) -> DataFrame:
-    """(kbucket, relpath) DataFrame from driver-side rows WITHOUT
+def _manifest_df(
+    spark: SparkSession, rows: list[tuple[int, str, str]]
+) -> DataFrame:
+    """(kbucket, relpath, role) DataFrame from driver-side rows WITHOUT
     ``spark.createDataFrame(rows)``: on this Spark build, writing a
     Python-rows LocalRelation to parquet pays a ~4-6 s constant (vs
     0.2-0.7 s for a ``range``-derived plan — measured, PERF.md
     §Round-13), and a merge writes a manifest every call.  The
     literal-struct inline keeps the whole manifest in the query plan;
-    rows are bounded by num_buckets, a table constant."""
+    rows are bounded by num_buckets × (1 + deltas-per-bucket), and
+    deltas are folded by compaction — a bounded plan tree."""
     if not rows:
         return spark.range(0).select(
             F.col("id").cast("int").alias(_KBUCKET),
             F.lit("").alias("relpath"),
+            F.lit("").alias("role"),
         )
     entries = F.array(
         *[
             F.struct(
                 F.lit(int(b)).cast("int").alias(_KBUCKET),
                 F.lit(p).alias("relpath"),
+                F.lit(role).alias("role"),
             )
-            for b, p in rows
+            for b, p, role in rows
         ]
     )
     return spark.range(1).select(F.inline(entries))
@@ -163,6 +168,38 @@ def _manifest(spark: SparkSession, version_path: str) -> DataFrame:
     return spark.read.parquet(f"{version_path}/manifest")
 
 
+_SCHEMA_FILE = "_SCHEMA.json"
+
+
+def _write_schema(spark: SparkSession, version_path: str, df: DataFrame) -> None:
+    """Persist the version's data schema beside its manifest, so a
+    version whose manifest is EMPTY (a vacuum emptied the table) still
+    reads as an empty, correctly-typed relation instead of an error."""
+    _write_small_file(
+        spark, f"{version_path.rstrip('/')}/{_SCHEMA_FILE}", df.schema.json()
+    )
+
+
+def _read_schema(spark: SparkSession, version_path: str):
+    from pyspark.sql import types as T
+
+    fs, _ = _fs(spark, version_path)
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(
+        f"{version_path.rstrip('/')}/{_SCHEMA_FILE}"
+    )
+    if not fs.exists(path):
+        return None
+    stream = fs.open(path)
+    try:
+        raw = bytes(
+            jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        ).decode("utf-8")
+    finally:
+        stream.close()
+    return T.StructType.fromJson(json.loads(raw))
+
+
 def _version_path(spark: SparkSession, root: str, version: int | None) -> str:
     """Committed version dir for ``version`` (None = current)."""
     if version is None:
@@ -200,6 +237,22 @@ def _read_manifest_data(
     return spark.read.option("mergeSchema", "true").parquet(*paths)
 
 
+def _collapse(df: DataFrame, key_cols, version_col: str) -> DataFrame:
+    """Latest-wins collapse over stored rows: (version desc, upsert-
+    over-delete) — the read-time half of the merge contract.  Exact
+    duplicate (key, version) rows (MOR replay appends) carry identical
+    payloads by contract, so the row_number pick is value-deterministic
+    even where it is row-arbitrary."""
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(version_col).desc(), F.col(_DELETED).asc()
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 def merge_apply(
     spark: SparkSession,
     root: str,
@@ -207,19 +260,37 @@ def merge_apply(
     *,
     op_col: str = "op",
     delete_op: str = "d",
+    mode: str = "cow",
 ) -> str:
     """MERGE a CDC change batch into the snapshot table at ``root`` and
     commit the result as a new version; returns the new live path.
 
-    Scale shape: the change batch is hashed to ``kbucket`` and ONLY
-    the touched buckets are read back, collapsed, and rewritten — the
-    untouched buckets' files are carried forward by manifest
-    reference, never copied (asserted byte-identical in
-    tests/test_snapshot.py).  The touched-bucket list is a bounded
-    collect (≤ num_buckets integers, a table constant — never
-    data-sized).  The collapse itself is one hash shuffle of
-    (touched base ∪ changes) on the key — batch-plus-touched-sized,
-    not table-sized."""
+    Two physical strategies, one logical contract:
+
+    - ``mode="cow"`` (copy-on-write, default): touched buckets are
+      read back, collapsed with the batch, and REWRITTEN; untouched
+      buckets carry forward by manifest reference, never copied
+      (asserted byte-identical in tests/test_snapshot.py).  Reads stay
+      collapse-free.  Right for WIDE change waves, where the rewrite
+      is mostly the batch itself.
+    - ``mode="mor"`` (merge-on-read): the batch is APPENDED as
+      bucket-partitioned delta files — cost is O(batch) regardless of
+      table size — and readers collapse base ∪ deltas at read time
+      (``_collapse``).  Right for NARROW scattered batches, where COW
+      would rewrite ``min(num_buckets, batch_keys)`` buckets ≈ the
+      whole table to change a handful of rows (hash bucketing spreads
+      any scattered batch across every bucket — write amplification =
+      table/batch).  ``compact_snapshot_deltas`` folds deltas back
+      into their buckets; a COW merge of a bucket folds its deltas as
+      a side effect.  The measured crossover is in PERF.md §Round-13.
+
+    The touched-bucket list is a bounded collect (≤ num_buckets
+    integers, a table constant — never data-sized).  The COW collapse
+    is one hash shuffle of (touched base ∪ changes) on the key —
+    batch-plus-touched-sized, not table-sized; the MOR append is
+    shuffle-free beyond the batch's own bucket partitioning."""
+    if mode not in ("cow", "mor"):
+        raise ValueError(f"merge_apply: unknown mode {mode!r}")
     meta = _read_meta(spark, root)
     key_cols, version_col, nbuckets = (
         meta["key_cols"],
@@ -250,6 +321,27 @@ def merge_apply(
     cur_path = _version_path(spark, root, None)
     manifest_rows = [r.asDict() for r in _manifest(spark, cur_path).collect()]
     touched_set = set(touched)
+
+    if mode == "mor":
+        staged = begin_index_version(spark, root)
+        version_name = staged.rstrip("/").rsplit("/", 1)[-1]
+        data_rel = f"data/{version_name}"
+        norm.withColumn("kb", F.col(_KBUCKET)).repartition(
+            max(len(touched), 1), _KBUCKET
+        ).write.partitionBy("kb").mode("overwrite").parquet(
+            f"{root.rstrip('/')}/{data_rel}"
+        )
+        new_rows = manifest_rows + [
+            {_KBUCKET: b, "relpath": f"{data_rel}/kb={b}", "role": "delta"}
+            for b in touched
+        ]
+        _manifest_df(
+            spark,
+            [(r[_KBUCKET], r["relpath"], r["role"]) for r in new_rows],
+        ).coalesce(1).write.mode("overwrite").parquet(f"{staged}/manifest")
+        _write_schema(spark, staged, norm)
+        return commit_index_version(spark, staged)
+
     base_rows = [r for r in manifest_rows if r[_KBUCKET] in touched_set]
     carry_rows = [r for r in manifest_rows if r[_KBUCKET] not in touched_set]
 
@@ -264,8 +356,22 @@ def merge_apply(
         stacked = base.withColumn("_src", F.lit(0)).unionByName(
             stacked, allowMissingColumns=True
         )
+    # Tie order: upsert beats delete at the SAME version (the
+    # golden-sequence semantics latest_state implements as sign desc,
+    # tests/test_streaming.py GOLDEN key 4), THEN stored-first.
+    # _deleted must rank BEFORE _src so the rule is order-independent:
+    # if stored-first ranked higher, a delete+upsert pair sharing a
+    # version would resolve differently depending on which arrived in
+    # an earlier batch (stream != batch — caught by
+    # test_merge_stream_multi_batch_equals_single_batch).  With this
+    # order the winner is max(version, upsert-over-delete, stored) — a
+    # commutative/associative choice, so any partitioning of the
+    # delivery into batches converges to the same relation.  Two
+    # same-version upserts with DIFFERENT payloads are outside the
+    # contract ((key, version) determines the payload).
     w = Window.partitionBy(*key_cols).orderBy(
         F.col(version_col).desc(),
+        F.col(_DELETED).asc(),
         F.col("_src").asc(),
     )
     collapsed = (
@@ -285,11 +391,13 @@ def merge_apply(
     ).mode("overwrite").parquet(f"{root.rstrip('/')}/{data_rel}")
 
     new_rows = [
-        {_KBUCKET: b, "relpath": f"{data_rel}/kb={b}"} for b in touched
+        {_KBUCKET: b, "relpath": f"{data_rel}/kb={b}", "role": "base"}
+        for b in touched
     ] + carry_rows
     _manifest_df(
-        spark, [(r[_KBUCKET], r["relpath"]) for r in new_rows]
+        spark, [(r[_KBUCKET], r["relpath"], r["role"]) for r in new_rows]
     ).coalesce(1).write.mode("overwrite").parquet(f"{staged}/manifest")
+    _write_schema(spark, staged, collapsed)
     return commit_index_version(spark, staged)
 
 
@@ -309,10 +417,20 @@ def read_snapshot(
     rows = [r.asDict() for r in _manifest(spark, vpath).collect()]
     df = _read_manifest_data(spark, root, rows, None)
     if df is None:
-        raise ValueError(
-            f"snapshot {root} version {version} is empty — no buckets "
-            "have been written yet"
-        )
+        schema = _read_schema(spark, vpath)
+        if schema is None:
+            raise ValueError(
+                f"snapshot {root} version {version} is empty — no "
+                "buckets have been written yet"
+            )
+        # table legitimately emptied (vacuum dropped the last rows):
+        # an empty relation with the version's recorded schema
+        return spark.createDataFrame([], schema)
+    if any(r["role"] == "delta" for r in rows):
+        # MOR read path: collapse base ∪ deltas per key.  Pure-COW
+        # versions skip this — their reads stay shuffle-free, which is
+        # the reason COW exists.
+        df = _collapse(df, meta["key_cols"], meta["version_col"])
     if not include_tombstones:
         df = df.filter(~F.col(_DELETED))
     return df
@@ -342,19 +460,30 @@ def snapshot_diff(
     key_cols, version_col = meta["key_cols"], meta["version_col"]
     pa = _version_path(spark, root, v_from)
     pb = _version_path(spark, root, v_to)
-    rows_a = {r[_KBUCKET]: r["relpath"] for r in _manifest(spark, pa).collect()}
-    rows_b = {r[_KBUCKET]: r["relpath"] for r in _manifest(spark, pb).collect()}
+
+    def by_bucket(vpath: str) -> dict[int, list[str]]:
+        out: dict[int, list[str]] = {}
+        for r in _manifest(spark, vpath).collect():
+            out.setdefault(r[_KBUCKET], []).append(r["relpath"])
+        return {b: sorted(ps) for b, ps in out.items()}
+
+    rows_a, rows_b = by_bucket(pa), by_bucket(pb)
     changed = [
         b
         for b in set(rows_a) | set(rows_b)
         if rows_a.get(b) != rows_b.get(b)
     ]
-    a = _read_manifest_data(
-        spark, root, [{"relpath": rows_a[b]} for b in changed if b in rows_a], None
-    )
-    b = _read_manifest_data(
-        spark, root, [{"relpath": rows_b[b]} for b in changed if b in rows_b], None
-    )
+
+    def side_df(rows: dict[int, list[str]]) -> DataFrame | None:
+        sel = [
+            {"relpath": p}
+            for b in changed
+            if b in rows
+            for p in rows[b]
+        ]
+        return _read_manifest_data(spark, root, sel, None)
+
+    a, b = side_df(rows_a), side_df(rows_b)
     keyed = [F.col(k) for k in key_cols]
     if a is None and b is None:
         return spark.createDataFrame(
@@ -364,6 +493,10 @@ def snapshot_diff(
     def visible(df: DataFrame | None, side: str) -> DataFrame | None:
         if df is None:
             return None
+        # collapse first: with MOR deltas a bucket holds superseded
+        # versions and replay duplicates; the diff compares VISIBLE
+        # states, not raw files
+        df = _collapse(df, key_cols, version_col)
         return df.filter(~F.col(_DELETED)).select(
             *keyed, F.col(version_col).alias(f"{side}_version")
         )
@@ -399,7 +532,11 @@ def vacuum_tombstones(
     ``below_version`` with those rows dropped, committed as a new
     snapshot version.  Run only when no change older than the horizon
     can still arrive (the standing compactor contract) — after this,
-    a replayed pre-horizon change would RESURRECT its key."""
+    a replayed pre-horizon change would RESURRECT its key.  The
+    rewrite COLLAPSES first (a MOR bucket holds superseded versions;
+    dropping a dead tombstone row file-wise while an older upsert of
+    the same key survived in the base would resurrect the key), so a
+    vacuumed bucket comes out compacted as a side effect."""
     meta = _read_meta(spark, root)
     version_col = meta["version_col"]
     cur = _version_path(spark, root, None)
@@ -416,8 +553,12 @@ def vacuum_tombstones(
         return cur
     hit_set = set(hit)
     keep_rows = [r for r in rows if r[_KBUCKET] not in hit_set]
-    rewrite = _read_manifest_data(
-        spark, root, [r for r in rows if r[_KBUCKET] in hit_set], None
+    rewrite = _collapse(
+        _read_manifest_data(
+            spark, root, [r for r in rows if r[_KBUCKET] in hit_set], None
+        ),
+        meta["key_cols"],
+        version_col,
     ).filter(~dead)
     staged = begin_index_version(spark, root)
     version_name = staged.rstrip("/").rsplit("/", 1)[-1]
@@ -434,14 +575,68 @@ def vacuum_tombstones(
         r[0] for r in rewrite.select(_KBUCKET).distinct().collect()
     }
     new_rows = [
-        {_KBUCKET: b, "relpath": f"{data_rel}/kb={b}"}
+        {_KBUCKET: b, "relpath": f"{data_rel}/kb={b}", "role": "base"}
         for b in hit
         if b in nonempty
     ] + keep_rows
     _manifest_df(
-        spark, [(r[_KBUCKET], r["relpath"]) for r in new_rows]
+        spark, [(r[_KBUCKET], r["relpath"], r["role"]) for r in new_rows]
     ).coalesce(1).write.mode("overwrite").parquet(f"{staged}/manifest")
+    _write_schema(spark, staged, rewrite)
     return commit_index_version(spark, staged)
+
+
+def compact_snapshot_deltas(spark: SparkSession, root: str) -> dict:
+    """Fold every bucket's MOR delta files back into one base file set
+    per bucket, committed as a new version — the maintenance half of
+    ``mode="mor"``.  The visible relation is unchanged (collapse
+    semantics are applied once, at compaction, instead of at every
+    read); read-time collapse cost and manifest width return to the
+    pure-COW floor.  Standing compactor contract: one maintenance
+    writer per root between runs.  Returns {compacted_buckets,
+    manifest_rows_before, manifest_rows_after} (no-op dict when there
+    are no deltas)."""
+    meta = _read_meta(spark, root)
+    cur = _version_path(spark, root, None)
+    rows = [r.asDict() for r in _manifest(spark, cur).collect()]
+    hit = sorted({r[_KBUCKET] for r in rows if r["role"] == "delta"})
+    if not hit:
+        return {
+            "compacted_buckets": 0,
+            "manifest_rows_before": len(rows),
+            "manifest_rows_after": len(rows),
+        }
+    hit_set = set(hit)
+    keep_rows = [r for r in rows if r[_KBUCKET] not in hit_set]
+    folded = _collapse(
+        _read_manifest_data(
+            spark, root, [r for r in rows if r[_KBUCKET] in hit_set], None
+        ),
+        meta["key_cols"],
+        meta["version_col"],
+    )
+    staged = begin_index_version(spark, root)
+    version_name = staged.rstrip("/").rsplit("/", 1)[-1]
+    data_rel = f"data/{version_name}"
+    folded.withColumn("kb", F.col(_KBUCKET)).repartition(
+        max(len(hit), 1), _KBUCKET
+    ).write.partitionBy("kb").mode("overwrite").parquet(
+        f"{root.rstrip('/')}/{data_rel}"
+    )
+    new_rows = [
+        {_KBUCKET: b, "relpath": f"{data_rel}/kb={b}", "role": "base"}
+        for b in hit
+    ] + keep_rows
+    _manifest_df(
+        spark, [(r[_KBUCKET], r["relpath"], r["role"]) for r in new_rows]
+    ).coalesce(1).write.mode("overwrite").parquet(f"{staged}/manifest")
+    _write_schema(spark, staged, folded)
+    commit_index_version(spark, staged)
+    return {
+        "compacted_buckets": len(hit),
+        "manifest_rows_before": len(rows),
+        "manifest_rows_after": len(new_rows),
+    }
 
 
 def prune_snapshot_versions(

@@ -842,3 +842,107 @@ def m7_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     root = _ensure_orders_snapshot(spark, sf_dir)
     return snapshot_diff(spark, root, 2, 4)
+
+
+@register("h24_stream_merge_apply", oracle=_FINAL_STATE_ORACLE)
+def h24_stream_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC stream maintaining the lake snapshot DIRECTLY (§2.H x
+    operators/snapshot.py): the envelope file stream is merged into
+    the copy-on-write snapshot table one commit per micro-batch
+    (streaming/pipeline.py:run_cdc_merge_stream) — the production
+    counterpart of h_stream_cdc_orders, which appends a change log and
+    collapses on read.  maxFilesPerTrigger=3 forces multiple
+    micro-batches over the 8-part fixture, so the COW manifest chain
+    and cross-batch version arbitration both run under the gate.
+    Same oracle as e1/h/m5: stream-merged table == batch-merged table
+    == collapsed log == SQL golden state."""
+    from ..operators.snapshot import init_snapshot_table, read_snapshot
+    from ..sources.cdc import orders_envelope_json_dir
+    from ..streaming.pipeline import run_cdc_merge_stream
+
+    work = _work_dir("cdc_merge_stream", sf_dir)
+    root = f"{work}/tbl"
+    init_snapshot_table(
+        spark, root, key_cols=["id"], version_col="ts_ms", num_buckets=16
+    )
+    run_cdc_merge_stream(
+        spark,
+        envelope_dir=orders_envelope_json_dir(spark, sf_dir),
+        root=root,
+        checkpoint_dir=f"{work}/ckpt",
+        payload_schema=ORDERS_PAYLOAD_SCHEMA,
+        max_files_per_trigger=3,
+    )
+    return read_snapshot(spark, root).select(*_SNAPSHOT_COLS)
+
+
+@register(
+    "m8_merge_on_read_snapshot",
+    oracle="""
+    SELECT c_custkey AS id, c_name AS name,
+           c_mktsegment AS segment, c_acctbal AS acctbal
+    FROM customer WHERE c_custkey % 7 <> 0
+    """,
+)
+def m8_merge_on_read_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read snapshot maintenance (§2.A2 ext, the narrow-batch
+    half of operators/snapshot.py): a customer table bootstrapped with
+    one COW wave, then maintained by MOR merges — update + delete
+    batches APPEND bucket-partitioned delta files (O(batch) whatever
+    the table size) and the READ collapses base ∪ deltas per key,
+    tombstones last.  This is the write-amplification escape hatch COW
+    cannot give a scattered batch (hash bucketing spreads any such
+    batch across every bucket, so a COW merge would rewrite the whole
+    table to change a handful of rows); compact_snapshot_deltas folds
+    the deltas back on the maintenance schedule (probe + parity in
+    tests/test_snapshot.py and scripts/scale_probe.py).  The returned
+    relation runs THROUGH the MOR collapse path — the oracle re-derives
+    the final state independently."""
+    from ..operators.snapshot import (
+        init_snapshot_table,
+        merge_apply,
+        read_snapshot,
+    )
+
+    work = _work_dir("mor_snapshot", sf_dir)
+    root = f"{work}/tbl"
+    cust = load_table(spark, sf_dir, "customer")
+
+    def wave(version, op, segment_col, acctbal_col, flt=None):
+        df = cust if flt is None else cust.filter(flt)
+        return df.select(
+            F.col("c_custkey").alias("id"),
+            F.col("c_name").alias("name"),
+            segment_col.alias("segment"),
+            acctbal_col.alias("acctbal"),
+            F.lit(version).cast("bigint").alias("v"),
+            F.lit(op).alias("op"),
+        )
+
+    init_snapshot_table(
+        spark, root, key_cols=["id"], version_col="v", num_buckets=8
+    )
+    merge_apply(
+        spark,
+        root,
+        wave(1, "c", F.lit("UNKNOWN"), F.lit(None).cast("double")),
+    )
+    merge_apply(
+        spark,
+        root,
+        wave(2, "u", F.col("c_mktsegment"), F.col("c_acctbal")),
+        mode="mor",
+    )
+    merge_apply(
+        spark,
+        root,
+        wave(
+            3,
+            "d",
+            F.col("c_mktsegment"),
+            F.col("c_acctbal"),
+            flt=F.col("c_custkey") % 7 == 0,
+        ),
+        mode="mor",
+    )
+    return read_snapshot(spark, root).select("id", "name", "segment", "acctbal")

@@ -39,9 +39,18 @@ shifted ids) and prints one JSON line per (probe, scale):
   band index, dbucket curated-hs fetch) are bucket-pruned, so
   probe-batch wall ~flat as the at-rest ledgers grow 10x.
 
+- ``snapshot_merge_growth``: a FIXED scattered change batch against a
+  1x/10x snapshot table (operators/snapshot.py), under BOTH physical
+  merge strategies.  Claim: MOR merge is ~flat (O(batch) delta
+  append); COW merge of a scattered batch ~tracks table size (it
+  rewrites every touched bucket) — the printed contrast is the
+  reason both modes exist.  Compaction timed with visible-state
+  parity.
+
 Usage: python scripts/scale_probe.py [sf_dir] [scales...]
        python scripts/scale_probe.py [sf_dir] compaction
        python scripts/scale_probe.py [sf_dir] curation
+       python scripts/scale_probe.py [sf_dir] snapshot
 """
 
 from __future__ import annotations
@@ -90,6 +99,10 @@ def main() -> int:
         docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
         probe_curation_growth(spark, docs, [1, 10])
         probe_curation_compaction(spark, sf_dir)
+        return 0
+    if "snapshot" in sys.argv[2:]:
+        spark = get_session(app="scale-probe")
+        probe_snapshot_merge(spark, sf_dir, [1, 10])
         return 0
     scales = [int(s) for s in sys.argv[2:]] or [1, 10]
     spark = get_session(app="scale-probe")
@@ -1029,3 +1042,115 @@ def probe_ledger_compaction(spark, sf_dir: str, n_batches: int = 24) -> None:
 
 if __name__ == "__main__":
     raise SystemExit(main())
+
+
+def probe_snapshot_merge(spark, sf_dir: str, scales) -> None:
+    """The snapshot table's growth axis (operators/snapshot.py): what a
+    FIXED narrow change batch costs against a 1x vs 10x table, under
+    each physical merge strategy.
+
+    Expectations, stated before the numbers: MOR merge appends
+    O(batch) delta files — ~flat across table scale.  COW merge of a
+    SCATTERED batch touches ~every hash bucket and therefore rewrites
+    ~the whole table — cost ~tracks table size.  That contrast is the
+    reason both modes exist; the probe prints it instead of asserting
+    it away.  Compaction (the MOR maintenance cost) is also timed,
+    with a visible-state parity check before/after.
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from realtime_cdc_pipeline_docker_spark.catalog import load_table as _lt
+    from realtime_cdc_pipeline_docker_spark.operators.snapshot import (
+        compact_snapshot_deltas,
+        init_snapshot_table,
+        merge_apply,
+        read_snapshot,
+    )
+
+    orders = _lt(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("total"),
+    )
+    base_max = orders.agg(F.max("id")).collect()[0][0]
+    work = tempfile.mkdtemp(prefix="snapshot_probe_")
+    try:
+        for scale in scales:
+            big = orders
+            for r in range(1, scale):
+                big = big.unionByName(
+                    orders.select(
+                        (F.col("id") + 10_000_000 * r).alias("id"),
+                        "status",
+                        "total",
+                    )
+                )
+            bootstrap = big.select(
+                "id",
+                "status",
+                "total",
+                F.lit(1).cast("bigint").alias("v"),
+                F.lit("c").alias("op"),
+            )
+            # Fixed probe batch at EVERY scale: 1000 updates + 500
+            # deletes of base-range keys (present at all scales) + 500
+            # inserts of fresh keys -- scattered, so COW must touch
+            # ~every bucket.
+            upd = orders.filter(F.col("id") % 15 == 1).limit(1000).select(
+                "id", F.lit("P").alias("status"),
+                (F.col("total") + 1).alias("total"),
+                F.lit(2).cast("bigint").alias("v"), F.lit("u").alias("op"))
+            dele = orders.filter(F.col("id") % 15 == 2).limit(500).select(
+                "id", "status", "total",
+                F.lit(2).cast("bigint").alias("v"), F.lit("d").alias("op"))
+            ins = orders.filter(F.col("id") % 15 == 3).limit(500).select(
+                (F.col("id") + 777_000_000).alias("id"), "status", "total",
+                F.lit(2).cast("bigint").alias("v"), F.lit("c").alias("op"))
+            batch = upd.unionByName(dele).unionByName(ins).persist()
+            n_batch = batch.count()
+
+            for mode in ("mor", "cow"):
+                root = f"{work}/tbl_{scale}_{mode}"
+                init_snapshot_table(
+                    spark, root, key_cols=["id"], version_col="v",
+                    num_buckets=32,
+                )
+                t0 = time.time()
+                merge_apply(spark, root, bootstrap)
+                t_boot = time.time() - t0
+
+                t0 = time.time()
+                merge_apply(spark, root, batch, mode=mode)
+                t_merge = time.time() - t0
+
+                t0 = time.time()
+                n_visible = read_snapshot(spark, root).count()
+                t_read = time.time() - t0
+
+                row = {
+                    "probe": "snapshot_merge_growth",
+                    "scale": scale,
+                    "mode": mode,
+                    "batch_rows": n_batch,
+                    "bootstrap_sec": round(t_boot, 2),
+                    "merge_sec": round(t_merge, 2),
+                    "read_sec": round(t_read, 2),
+                    "visible_rows": n_visible,
+                }
+                if mode == "mor":
+                    state_before = n_visible
+                    t0 = time.time()
+                    stats = compact_snapshot_deltas(spark, root)
+                    row["compact_sec"] = round(time.time() - t0, 2)
+                    t0 = time.time()
+                    n_after = read_snapshot(spark, root).count()
+                    row["read_after_compact_sec"] = round(time.time() - t0, 2)
+                    row["compact_parity"] = bool(n_after == state_before)
+                    row["compacted_buckets"] = stats["compacted_buckets"]
+                print(json.dumps(row), flush=True)
+            batch.unpersist()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -11,6 +11,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from realtime_cdc_pipeline_docker_spark.operators.snapshot import (
+    compact_snapshot_deltas,
     init_snapshot_table,
     merge_apply,
     prune_snapshot_versions,
@@ -209,3 +210,124 @@ def test_prune_gc_removes_orphan_data(spark, root):
     assert not os.path.isdir(f"{root}/data/v_000002")
     assert _state(spark, root) == {(1, 3, "AA"), (2, 3, "BB")}
     assert _state(spark, root, version=3) == {(1, 2, "A"), (2, 2, "B")}
+
+
+# ---------------------------------------------------------------------------
+# Merge-on-read mode: delta appends, read-time collapse, compaction
+# ---------------------------------------------------------------------------
+
+
+def test_mor_merge_equals_cow_merge(spark, tmp_path):
+    """The two physical strategies implement ONE logical contract: the
+    same change sequence applied cow-only and mor-only yields the same
+    visible relation, including tombstone arbitration."""
+    waves = [
+        [(i, 1, "c", f"r{i}") for i in range(20)],
+        [(3, 2, "u", "R3"), (4, 2, "d", "x"), (21, 2, "c", "new")],
+        [(4, 1, "u", "zombie"), (5, 3, "u", "R5")],  # late older update
+    ]
+    roots = {}
+    for mode in ("cow", "mor"):
+        root = str(tmp_path / mode)
+        _init(spark, root)
+        for wv in waves:
+            merge_apply(spark, root, _changes(spark, wv), mode=mode)
+        roots[mode] = _state(spark, root)
+    assert roots["cow"] == roots["mor"]
+    assert (4, 1, "zombie") not in roots["mor"]
+
+
+def test_mor_append_does_not_rewrite_base(spark, tmp_path):
+    """A MOR merge appends delta entries and carries EVERY existing
+    manifest row forward — zero base rewrite, O(batch) whatever the
+    table size (the write-amplification fix COW cannot give a narrow
+    scattered batch)."""
+    root = str(tmp_path / "tbl")
+    _init(spark, root, num_buckets=8)
+    merge_apply(
+        spark, root, _changes(spark, [(i, 1, "c", f"r{i}") for i in range(64)])
+    )
+    v2 = {
+        (r["kbucket"], r["relpath"], r["role"])
+        for r in spark.read.parquet(f"{root}/v_000002/manifest").collect()
+    }
+    merge_apply(spark, root, _changes(spark, [(7, 2, "u", "R7")]), mode="mor")
+    v3 = {
+        (r["kbucket"], r["relpath"], r["role"])
+        for r in spark.read.parquet(f"{root}/v_000003/manifest").collect()
+    }
+    assert v2 < v3  # every old row carried forward verbatim
+    added = v3 - v2
+    assert len(added) == 1 and next(iter(added))[2] == "delta"
+    assert next(iter(added))[1].startswith("data/v_000003/")
+    assert (7, 2, "R7") in _state(spark, root)
+
+
+def test_mor_replay_is_visible_noop(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    _init(spark, root)
+    merge_apply(spark, root, _changes(spark, [(1, 1, "c", "a"), (2, 1, "c", "b")]))
+    batch = _changes(spark, [(1, 2, "u", "A"), (2, 2, "d", "b")])
+    merge_apply(spark, root, batch, mode="mor")
+    before = _state(spark, root)
+    merge_apply(spark, root, batch, mode="mor")  # redelivery
+    assert _state(spark, root) == before == {(1, 2, "A")}
+
+
+def test_compact_snapshot_deltas_parity_and_fold(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    _init(spark, root, num_buckets=4)
+    merge_apply(
+        spark, root, _changes(spark, [(i, 1, "c", f"r{i}") for i in range(16)])
+    )
+    for v in (2, 3, 4):
+        merge_apply(
+            spark,
+            root,
+            _changes(spark, [(v, v, "u", f"R{v}"), (100 + v, v, "c", "n")]),
+            mode="mor",
+        )
+    before = _state(spark, root)
+    stats = compact_snapshot_deltas(spark, root)
+    assert stats["compacted_buckets"] >= 1
+    assert stats["manifest_rows_after"] <= stats["manifest_rows_before"]
+    # post-compaction manifest carries no deltas and the relation is
+    # IDENTICAL — collapse applied once instead of at every read
+    cur = max(snapshot_versions(spark, root))
+    roles = {
+        r["role"]
+        for r in spark.read.parquet(
+            f"{root}/v_{cur:06d}/manifest"
+        ).collect()
+    }
+    assert roles == {"base"}
+    assert _state(spark, root) == before
+    # idempotent: a second compaction is a no-op
+    assert compact_snapshot_deltas(spark, root)["compacted_buckets"] == 0
+
+
+def test_mor_diff_compares_visible_states(spark, tmp_path):
+    """Diff over MOR versions must collapse before comparing: a delta
+    bucket holds superseded versions and replay duplicates."""
+    root = str(tmp_path / "tbl")
+    _init(spark, root)
+    merge_apply(spark, root, _changes(spark, [(1, 1, "c", "a"), (2, 1, "c", "b")]))
+    merge_apply(spark, root, _changes(spark, [(1, 2, "u", "A")]), mode="mor")
+    merge_apply(spark, root, _changes(spark, [(2, 3, "d", "b")]), mode="mor")
+    got = {
+        (r["change_type"], r["id"])
+        for r in snapshot_diff(spark, root, 2, 4).collect()
+    }
+    assert got == {("update", 1), ("delete", 2)}
+
+
+def test_vacuum_collapses_mor_bucket(spark, tmp_path):
+    """A dead tombstone in a delta must not resurrect the key's older
+    base upsert: vacuum collapses before dropping."""
+    root = str(tmp_path / "tbl")
+    _init(spark, root)
+    merge_apply(spark, root, _changes(spark, [(1, 1, "c", "a")]))
+    merge_apply(spark, root, _changes(spark, [(1, 2, "d", "a")]), mode="mor")
+    vacuum_tombstones(spark, root, below_version=10)
+    assert _state(spark, root) == set()
+    assert read_snapshot(spark, root, include_tombstones=True).count() == 0

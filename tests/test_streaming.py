@@ -327,3 +327,102 @@ def test_ivm_aggregate_stream_incremental_and_restart(spark, tmp_path):
     # No-data restart: a no-op.
     view = {r["segment"]: r["revenue_cents"] for r in run().collect()}
     assert view == {"A": 2500, "B": 500}
+
+
+# ---------------------------------------------------------------------------
+# run_cdc_merge_stream: CDC stream -> versioned lake snapshot
+# (streaming/pipeline.py x operators/snapshot.py)
+# ---------------------------------------------------------------------------
+
+
+def _merge_stream(spark, src, root, ckpt, **kw):
+    from realtime_cdc_pipeline_docker_spark.streaming.pipeline import (
+        run_cdc_merge_stream,
+    )
+
+    run_cdc_merge_stream(spark, src, root, ckpt, PAYLOAD, **kw)
+
+
+def _snapshot_state(spark, root):
+    from realtime_cdc_pipeline_docker_spark.operators.snapshot import (
+        read_snapshot,
+    )
+
+    rows = read_snapshot(spark, root).collect()
+    return {r["id"]: (r["status"], r["total_amount"]) for r in rows}
+
+
+def _init_tbl(spark, root):
+    from realtime_cdc_pipeline_docker_spark.operators.snapshot import (
+        init_snapshot_table,
+    )
+
+    init_snapshot_table(
+        spark, root, key_cols=["id"], version_col="ts_ms", num_buckets=4
+    )
+
+
+def test_merge_stream_golden_semantics(spark, tmp_path):
+    """The stream-merged snapshot reproduces the golden final state —
+    including the late-stale-update loss and the same-ts delete/upsert
+    tiebreak latest_state resolves as sign desc."""
+    src = str(tmp_path / "src")
+    _write_jsonl(src, GOLDEN)
+    root = str(tmp_path / "tbl")
+    _init_tbl(spark, root)
+    _merge_stream(spark, src, root, str(tmp_path / "ckpt"))
+    assert _snapshot_state(spark, root) == EXPECTED_FINAL
+
+
+def test_merge_stream_multi_batch_equals_single_batch(spark, tmp_path):
+    """Splitting the delivery into per-file micro-batches (each its own
+    merge commit, with cross-batch version arbitration) converges to
+    the same relation as one batch."""
+    src = str(tmp_path / "src")
+    for i, e in enumerate(GOLDEN):
+        _write_jsonl(src, [e], name=f"part-{i}.json")
+    root = str(tmp_path / "tbl")
+    _init_tbl(spark, root)
+    _merge_stream(
+        spark, src, root, str(tmp_path / "ckpt"), max_files_per_trigger=1
+    )
+    assert _snapshot_state(spark, root) == EXPECTED_FINAL
+    from realtime_cdc_pipeline_docker_spark.operators.snapshot import (
+        snapshot_versions,
+    )
+
+    # one commit per non-empty micro-batch on top of the bootstrap
+    assert len(snapshot_versions(spark, root)) == len(GOLDEN) + 1
+
+
+def test_merge_stream_wiped_checkpoint_replay_converges(spark, tmp_path):
+    """At-least-once delivery: wiping the checkpoint and re-running the
+    whole stream re-merges every batch; version arbitration (stored row
+    wins ties) makes the visible relation IDENTICAL."""
+    src = str(tmp_path / "src")
+    _write_jsonl(src, GOLDEN)
+    root = str(tmp_path / "tbl")
+    _init_tbl(spark, root)
+    _merge_stream(spark, src, root, str(tmp_path / "ckpt1"))
+    before = _snapshot_state(spark, root)
+    _merge_stream(spark, src, root, str(tmp_path / "ckpt2"))  # full replay
+    assert _snapshot_state(spark, root) == before == EXPECTED_FINAL
+
+
+def test_merge_stream_restart_no_new_data_commits_nothing(spark, tmp_path):
+    """A restart on the SAME checkpoint with no new input produces no
+    micro-batch work and no version churn."""
+    from realtime_cdc_pipeline_docker_spark.operators.snapshot import (
+        snapshot_versions,
+    )
+
+    src = str(tmp_path / "src")
+    _write_jsonl(src, GOLDEN)
+    root = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    _init_tbl(spark, root)
+    _merge_stream(spark, src, root, ckpt)
+    versions = snapshot_versions(spark, root)
+    _merge_stream(spark, src, root, ckpt)  # same checkpoint, no new files
+    assert snapshot_versions(spark, root) == versions
+    assert _snapshot_state(spark, root) == EXPECTED_FINAL
