@@ -1040,8 +1040,6 @@ def probe_ledger_compaction(spark, sf_dir: str, n_batches: int = 24) -> None:
         shutil.rmtree(work, ignore_errors=True)
 
 
-if __name__ == "__main__":
-    raise SystemExit(main())
 
 
 def probe_snapshot_merge(spark, sf_dir: str, scales) -> None:
@@ -1123,8 +1121,16 @@ def probe_snapshot_merge(spark, sf_dir: str, scales) -> None:
                 t_boot = time.time() - t0
 
                 t0 = time.time()
-                merge_apply(spark, root, batch, mode=mode)
+                new_live = merge_apply(spark, root, batch, mode=mode)
                 t_merge = time.time() - t0
+                # write amplification, in DATA: rows physically written
+                # by the probe merge's version (COW: every touched
+                # bucket's rewrite ~= the table for a scattered batch;
+                # MOR: the batch).  At fixture scale the SECONDS are
+                # job-overhead-bound and hide this term -- the rewritten
+                # row count is the honest scale observable.
+                vname = new_live.rstrip("/").rsplit("/", 1)[-1]
+                rewritten = spark.read.parquet(f"{root}/data/{vname}").count()
 
                 t0 = time.time()
                 n_visible = read_snapshot(spark, root).count()
@@ -1137,6 +1143,7 @@ def probe_snapshot_merge(spark, sf_dir: str, scales) -> None:
                     "batch_rows": n_batch,
                     "bootstrap_sec": round(t_boot, 2),
                     "merge_sec": round(t_merge, 2),
+                    "rows_rewritten": rewritten,
                     "read_sec": round(t_read, 2),
                     "visible_rows": n_visible,
                 }
@@ -1154,3 +1161,7 @@ def probe_snapshot_merge(spark, sf_dir: str, scales) -> None:
             batch.unpersist()
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
