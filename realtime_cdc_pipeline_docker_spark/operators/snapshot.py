@@ -436,6 +436,86 @@ def read_snapshot(
     return df
 
 
+def lookup_snapshot(
+    spark: SparkSession,
+    root: str,
+    keys: list,
+    *,
+    version: int | None = None,
+) -> DataFrame:
+    """Point lookup: the visible rows for ``keys``, reading ONLY the
+    buckets those keys hash to — the serving-path read.  The key →
+    bucket hash is evaluated JVM-side on a literal relation (one tiny
+    job, no table scan), the manifest is pruned to the hit buckets,
+    and the scan's input files are exactly those buckets' files
+    (asserted via ``inputFiles()`` in tests).  At 100 TB with
+    thousands of buckets this is an O(keys/num_buckets · bucket_size)
+    read, not a table scan.  ``keys``: scalars for a single-column
+    key, tuples for a composite key."""
+    meta = _read_meta(spark, root)
+    key_cols, version_col, nbuckets = (
+        meta["key_cols"],
+        meta["version_col"],
+        meta["num_buckets"],
+    )
+    if not keys:
+        raise ValueError("lookup_snapshot: empty key list")
+    tuples = [k if isinstance(k, tuple) else (k,) for k in keys]
+    if any(len(t) != len(key_cols) for t in tuples):
+        raise ValueError(
+            f"lookup_snapshot: keys must have {len(key_cols)} column(s)"
+        )
+    vpath = _version_path(spark, root, version)
+    # Key literals MUST carry the table's exact key types: xxhash64 is
+    # type-sensitive (hash(13::int) != hash(13::bigint)), so an uncast
+    # Python literal would probe the WRONG bucket.  The per-version
+    # _SCHEMA.json records the stored types.
+    schema = _read_schema(spark, vpath)
+    key_type = {
+        f.name: f.dataType.simpleString()
+        for f in (schema.fields if schema is not None else [])
+        if f.name in key_cols
+    }
+
+    def _key_lit(v, c):
+        lit = F.lit(v)
+        return (lit.cast(key_type[c]) if c in key_type else lit).alias(c)
+
+    # literal key relation (the _manifest_df pattern — never
+    # createDataFrame(python_rows) on a hot path)
+    entries = F.array(
+        *[
+            F.struct(*[_key_lit(v, c) for v, c in zip(t, key_cols)])
+            for t in tuples
+        ]
+    )
+    key_df = spark.range(1).select(F.inline(entries))
+    bucket_of = key_df.withColumn(
+        _KBUCKET,
+        F.pmod(F.xxhash64(*[F.col(k) for k in key_cols]), F.lit(nbuckets)).cast(
+            "int"
+        ),
+    )
+    hit = {r[_KBUCKET] for r in bucket_of.select(_KBUCKET).distinct().collect()}
+    rows = [
+        r.asDict()
+        for r in _manifest(spark, vpath).collect()
+        if r[_KBUCKET] in hit
+    ]
+    df = _read_manifest_data(spark, root, rows, None)
+    if df is None:
+        schema = _read_schema(spark, vpath)
+        if schema is None:
+            raise ValueError(
+                f"lookup_snapshot: {root} version {version} has no data"
+            )
+        return spark.createDataFrame([], schema).drop(_DELETED)
+    df = df.join(F.broadcast(key_df), on=key_cols, how="left_semi")
+    if any(r["role"] == "delta" for r in rows):
+        df = _collapse(df, key_cols, version_col)
+    return df.filter(~F.col(_DELETED))
+
+
 def snapshot_versions(spark: SparkSession, root: str) -> list[int]:
     """Committed version numbers, ascending."""
     return [n for n, _, ok in _list_versions(spark, root) if ok]

@@ -101,6 +101,8 @@ def run_cdc_merge_stream(
     version_col: str = "ts_ms",
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
+    mode: str = "cow",
+    compact_every: int | None = None,
 ) -> None:
     """CDC stream → versioned lake SNAPSHOT: each micro-batch is one
     ``merge_apply`` commit against the copy-on-write snapshot table at
@@ -123,8 +125,15 @@ def run_cdc_merge_stream(
 
     The snapshot table must exist (``init_snapshot_table``); empty
     micro-batches commit nothing (no version churn on idle triggers).
+
+    ``mode`` picks the physical merge per micro-batch (COW for wide
+    batches, MOR delta appends for the narrow continuous case —
+    operators/snapshot.py's trade table); with MOR, ``compact_every``
+    folds the deltas back every Nth micro-batch (batch_id cadence, so
+    a checkpoint replay re-compacts the same batches — idempotent:
+    compaction never changes the visible relation).
     """
-    from ..operators.snapshot import merge_apply
+    from ..operators.snapshot import compact_snapshot_deltas, merge_apply
 
     reader = spark.readStream.schema(DEBEZIUM_ENVELOPE_SCHEMA)
     if max_files_per_trigger is not None:
@@ -135,7 +144,9 @@ def run_cdc_merge_stream(
         changes = batch_df.withColumnRenamed("ts_ms", version_col).drop("sign")
         if changes.isEmpty():
             return
-        merge_apply(spark, root, changes)
+        merge_apply(spark, root, changes, mode=mode)
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            compact_snapshot_deltas(spark, root)
 
     writer = decoded.writeStream.foreachBatch(merge_batch).option(
         "checkpointLocation", checkpoint_dir

@@ -331,3 +331,38 @@ def test_vacuum_collapses_mor_bucket(spark, tmp_path):
     vacuum_tombstones(spark, root, below_version=10)
     assert _state(spark, root) == set()
     assert read_snapshot(spark, root, include_tombstones=True).count() == 0
+
+
+def test_lookup_snapshot_prunes_to_key_buckets(spark, tmp_path):
+    """The point-lookup path reads ONLY the buckets the keys hash to —
+    asserted on the scan's actual input files, not just the result."""
+    from realtime_cdc_pipeline_docker_spark.operators.snapshot import (
+        lookup_snapshot,
+    )
+
+    root = str(tmp_path / "tbl")
+    _init(spark, root, num_buckets=16)
+    merge_apply(
+        spark, root, _changes(spark, [(i, 1, "c", f"r{i}") for i in range(256)])
+    )
+    df = lookup_snapshot(spark, root, [7, 13])
+    got = {(r["id"], r["val"]) for r in df.collect()}
+    assert got == {(7, "r7"), (13, "r13")}
+    touched_dirs = {f.split("/kb=")[1].split("/")[0] for f in df.inputFiles()}
+    assert len(touched_dirs) <= 2  # at most one bucket per key, of 16
+
+
+def test_lookup_snapshot_sees_mor_deltas_and_tombstones(spark, tmp_path):
+    from realtime_cdc_pipeline_docker_spark.operators.snapshot import (
+        lookup_snapshot,
+    )
+
+    root = str(tmp_path / "tbl")
+    _init(spark, root)
+    merge_apply(spark, root, _changes(spark, [(1, 1, "c", "a"), (2, 1, "c", "b")]))
+    merge_apply(
+        spark, root, _changes(spark, [(1, 2, "u", "A"), (2, 2, "d", "b")]),
+        mode="mor",
+    )
+    rows = {(r["id"], r["val"]) for r in lookup_snapshot(spark, root, [1, 2]).collect()}
+    assert rows == {(1, "A")}  # update visible, tombstone filtered

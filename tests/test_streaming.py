@@ -426,3 +426,34 @@ def test_merge_stream_restart_no_new_data_commits_nothing(spark, tmp_path):
     _merge_stream(spark, src, root, ckpt)  # same checkpoint, no new files
     assert snapshot_versions(spark, root) == versions
     assert _snapshot_state(spark, root) == EXPECTED_FINAL
+
+
+def test_merge_stream_mor_with_compaction_cadence(spark, tmp_path):
+    """MOR per-batch merges with compact_every fold deltas mid-stream;
+    the final relation matches the golden state and the final manifest
+    is delta-free when the cadence lands on the last batch."""
+    from realtime_cdc_pipeline_docker_spark.operators.snapshot import (
+        snapshot_versions,
+    )
+
+    src = str(tmp_path / "src")
+    for i, e in enumerate(GOLDEN):
+        _write_jsonl(src, [e], name=f"part-{i}.json")
+    root = str(tmp_path / "tbl")
+    _init_tbl(spark, root)
+    _merge_stream(
+        spark,
+        src,
+        root,
+        str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+        mode="mor",
+        compact_every=2,
+    )
+    assert _snapshot_state(spark, root) == EXPECTED_FINAL
+    cur = max(snapshot_versions(spark, root))
+    roles = {
+        r["role"]
+        for r in spark.read.parquet(f"{root}/v_{cur:06d}/manifest").collect()
+    }
+    assert roles == {"base"}  # 10 batches, cadence 2 -> last batch compacts
