@@ -219,7 +219,7 @@ def _version_path(spark: SparkSession, root: str, version: int | None) -> str:
 
 
 def _read_manifest_data(
-    spark: SparkSession, root: str, manifest_rows: list, schema_hint: str | None
+    spark: SparkSession, root: str, manifest_rows: list
 ) -> DataFrame | None:
     """The union of the data dirs a manifest names, or None when the
     manifest is empty.  One ``spark.read.parquet(*paths)`` — every
@@ -284,6 +284,10 @@ def merge_apply(
       into their buckets; a COW merge of a bucket folds its deltas as
       a side effect.  The measured crossover is in PERF.md §Round-13.
 
+    Column names ``kbucket`` and ``_deleted`` are RESERVED (the
+    physical bucket id and tombstone flag); a change batch must not
+    carry payload columns with those names.
+
     The touched-bucket list is a bounded collect (≤ num_buckets
     integers, a table constant — never data-sized).  The COW collapse
     is one hash shuffle of (touched base ∪ changes) on the key —
@@ -345,7 +349,7 @@ def merge_apply(
     base_rows = [r for r in manifest_rows if r[_KBUCKET] in touched_set]
     carry_rows = [r for r in manifest_rows if r[_KBUCKET] not in touched_set]
 
-    base = _read_manifest_data(spark, root, base_rows, None)
+    base = _read_manifest_data(spark, root, base_rows)
     # Highest version wins; tie → the STORED row (_src 0 ranks before
     # the change's 1) so replaying an already-applied batch is a no-op.
     # allowMissingColumns widens the schema when a change batch adds a
@@ -415,7 +419,7 @@ def read_snapshot(
     meta = _read_meta(spark, root)
     vpath = _version_path(spark, root, version)
     rows = [r.asDict() for r in _manifest(spark, vpath).collect()]
-    df = _read_manifest_data(spark, root, rows, None)
+    df = _read_manifest_data(spark, root, rows)
     if df is None:
         schema = _read_schema(spark, vpath)
         if schema is None:
@@ -502,7 +506,7 @@ def lookup_snapshot(
         for r in _manifest(spark, vpath).collect()
         if r[_KBUCKET] in hit
     ]
-    df = _read_manifest_data(spark, root, rows, None)
+    df = _read_manifest_data(spark, root, rows)
     if df is None:
         schema = _read_schema(spark, vpath)
         if schema is None:
@@ -561,14 +565,22 @@ def snapshot_diff(
             if b in rows
             for p in rows[b]
         ]
-        return _read_manifest_data(spark, root, sel, None)
+        return _read_manifest_data(spark, root, sel)
 
     a, b = side_df(rows_a), side_df(rows_b)
     keyed = [F.col(k) for k in key_cols]
     if a is None and b is None:
-        return spark.createDataFrame(
-            [], "change_type STRING, " + ", ".join(f"{k} BIGINT" for k in key_cols)
+        # no bucket differs → empty diff, typed from the stored schema
+        # (BIGINT fallback only for pre-schema-file versions)
+        schema = _read_schema(spark, pb) or _read_schema(spark, pa)
+        types = {
+            f.name: f.dataType.simpleString()
+            for f in (schema.fields if schema is not None else [])
+        }
+        cols = ", ".join(
+            f"{k} {types.get(k, 'bigint').upper()}" for k in key_cols
         )
+        return spark.createDataFrame([], f"change_type STRING, {cols}")
 
     def visible(df: DataFrame | None, side: str) -> DataFrame | None:
         if df is None:
@@ -621,7 +633,7 @@ def vacuum_tombstones(
     version_col = meta["version_col"]
     cur = _version_path(spark, root, None)
     rows = [r.asDict() for r in _manifest(spark, cur).collect()]
-    df = _read_manifest_data(spark, root, rows, None)
+    df = _read_manifest_data(spark, root, rows)
     dead = F.col(_DELETED) & (F.col(version_col) < F.lit(below_version))
     if df is None:
         return cur
@@ -635,7 +647,7 @@ def vacuum_tombstones(
     keep_rows = [r for r in rows if r[_KBUCKET] not in hit_set]
     rewrite = _collapse(
         _read_manifest_data(
-            spark, root, [r for r in rows if r[_KBUCKET] in hit_set], None
+            spark, root, [r for r in rows if r[_KBUCKET] in hit_set]
         ),
         meta["key_cols"],
         version_col,
@@ -690,7 +702,7 @@ def compact_snapshot_deltas(spark: SparkSession, root: str) -> dict:
     keep_rows = [r for r in rows if r[_KBUCKET] not in hit_set]
     folded = _collapse(
         _read_manifest_data(
-            spark, root, [r for r in rows if r[_KBUCKET] in hit_set], None
+            spark, root, [r for r in rows if r[_KBUCKET] in hit_set]
         ),
         meta["key_cols"],
         meta["version_col"],
