@@ -237,6 +237,32 @@ def _read_manifest_data(
     return spark.read.option("mergeSchema", "true").parquet(*paths)
 
 
+def _commit_from_parent(
+    spark: SparkSession, root: str, staged: str, parent: str
+) -> str:
+    """Commit ``staged`` after verifying the table's current version is
+    still the ``parent`` this writer merged against.  The table
+    carries the repo's standing ONE-WRITER-PER-ROOT contract (same as
+    every compactor and index rebuild here): the claim protocol
+    prevents two writers from clobbering each other's FILES, but two
+    concurrent merges would both base on the same parent manifest and
+    the later commit would silently drop the earlier one's changes
+    (lost update).  This check turns that silent loss into a loud
+    error for everything but a commit racing inside the
+    check-to-marker window — best-effort DETECTION under the serial
+    contract, not serializability; a store with a conditional-PUT
+    marker create could close the window."""
+    now = current_index_version(spark, root)
+    if now != parent:
+        raise RuntimeError(
+            f"merge conflict on {root}: merged against {parent} but the "
+            f"current version is now {now} — another writer committed "
+            "during this merge.  The table contract is one writer per "
+            "root; re-run the merge against the new current version."
+        )
+    return commit_index_version(spark, staged)
+
+
 def _collapse(df: DataFrame, key_cols, version_col: str) -> DataFrame:
     """Latest-wins collapse over stored rows: (version desc, upsert-
     over-delete) — the read-time half of the merge contract.  Exact
@@ -344,7 +370,7 @@ def merge_apply(
             [(r[_KBUCKET], r["relpath"], r["role"]) for r in new_rows],
         ).coalesce(1).write.mode("overwrite").parquet(f"{staged}/manifest")
         _write_schema(spark, staged, norm)
-        return commit_index_version(spark, staged)
+        return _commit_from_parent(spark, root, staged, cur_path)
 
     base_rows = [r for r in manifest_rows if r[_KBUCKET] in touched_set]
     carry_rows = [r for r in manifest_rows if r[_KBUCKET] not in touched_set]
@@ -402,7 +428,7 @@ def merge_apply(
         spark, [(r[_KBUCKET], r["relpath"], r["role"]) for r in new_rows]
     ).coalesce(1).write.mode("overwrite").parquet(f"{staged}/manifest")
     _write_schema(spark, staged, collapsed)
-    return commit_index_version(spark, staged)
+    return _commit_from_parent(spark, root, staged, cur_path)
 
 
 def read_snapshot(
@@ -617,6 +643,43 @@ def snapshot_diff(
     )
 
 
+def change_data_feed(
+    spark: SparkSession,
+    root: str,
+    v_from: int,
+    v_to: int,
+) -> DataFrame:
+    """The CDC envelope BETWEEN two committed versions: one row per key
+    whose visible state changed, carrying ``op`` (c/u/d) and the
+    ``v_to``-side payload (NULL payload for deletes) — i.e. the change
+    stream a DOWNSTREAM consumer would need to replicate the table
+    from ``v_from`` to ``v_to``, re-derived from the snapshots
+    themselves.  This closes the loop with the ingest side: a CDC
+    stream merges INTO the table (run_cdc_merge_stream), and this
+    feeds the same envelope shape OUT — Delta's change-data-feed
+    semantics, computed bucket-pruned like ``snapshot_diff`` (only
+    buckets whose manifest entries differ are read)."""
+    meta = _read_meta(spark, root)
+    key_cols, version_col = meta["key_cols"], meta["version_col"]
+    diff = snapshot_diff(spark, root, v_from, v_to)
+    to_state = read_snapshot(spark, root, version=v_to)
+    op = (
+        F.when(F.col("change_type") == "insert", F.lit("c"))
+        .when(F.col("change_type") == "update", F.lit("u"))
+        .otherwise(F.lit("d"))
+    )
+    payload_cols = [
+        c
+        for c in to_state.columns
+        if c not in (*key_cols, _KBUCKET, _DELETED)
+    ]
+    # deletes have no v_to-side payload: left join NULL-fills them
+    return (
+        diff.join(to_state.drop(_KBUCKET, _DELETED), on=key_cols, how="left")
+        .select(op.alias("op"), *key_cols, *payload_cols)
+    )
+
+
 def vacuum_tombstones(
     spark: SparkSession, root: str, *, below_version: int
 ) -> str:
@@ -675,7 +738,7 @@ def vacuum_tombstones(
         spark, [(r[_KBUCKET], r["relpath"], r["role"]) for r in new_rows]
     ).coalesce(1).write.mode("overwrite").parquet(f"{staged}/manifest")
     _write_schema(spark, staged, rewrite)
-    return commit_index_version(spark, staged)
+    return _commit_from_parent(spark, root, staged, cur)
 
 
 def compact_snapshot_deltas(spark: SparkSession, root: str) -> dict:
@@ -723,7 +786,7 @@ def compact_snapshot_deltas(spark: SparkSession, root: str) -> dict:
         spark, [(r[_KBUCKET], r["relpath"], r["role"]) for r in new_rows]
     ).coalesce(1).write.mode("overwrite").parquet(f"{staged}/manifest")
     _write_schema(spark, staged, folded)
-    commit_index_version(spark, staged)
+    _commit_from_parent(spark, root, staged, cur)
     return {
         "compacted_buckets": len(hit),
         "manifest_rows_before": len(rows),

@@ -946,3 +946,32 @@ def m8_merge_on_read_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         mode="mor",
     )
     return read_snapshot(spark, root).select("id", "name", "segment", "acctbal")
+
+
+@register(
+    "m9_change_data_feed",
+    oracle="""
+    SELECT 'u' AS op, o_orderkey AS id, o_custkey AS customer_id,
+           o_orderdate AS order_date, o_orderstatus AS status,
+           o_totalprice AS total_amount, CAST(2 AS BIGINT) AS v
+    FROM orders WHERE o_orderkey % 10 <> 0
+    UNION ALL
+    SELECT 'd', o_orderkey, CAST(NULL AS BIGINT), CAST(NULL AS TIMESTAMP),
+           CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT)
+    FROM orders WHERE o_orderkey % 10 = 0
+    """,
+)
+def m9_change_data_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change data feed (§2.A2 ext): the CDC envelope BETWEEN two
+    snapshot versions, re-derived from the snapshots themselves —
+    op 'u' + the v_to payload for every surviving key (the update wave
+    bumped each version 1→2), op 'd' with NULL payload for the
+    tombstoned keys.  Closes the loop with h24: a CDC stream merges
+    INTO the table, this feeds the same envelope shape OUT to a
+    downstream replica, bucket-pruned like the diff it derives from.
+    Delta-CDF semantics on plain parquet + the atomic marker
+    protocol."""
+    from ..operators.snapshot import change_data_feed
+
+    root = _ensure_orders_snapshot(spark, sf_dir)
+    return change_data_feed(spark, root, 2, 4)

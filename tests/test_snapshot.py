@@ -366,3 +366,64 @@ def test_lookup_snapshot_sees_mor_deltas_and_tombstones(spark, tmp_path):
     )
     rows = {(r["id"], r["val"]) for r in lookup_snapshot(spark, root, [1, 2]).collect()}
     assert rows == {(1, "A")}  # update visible, tombstone filtered
+
+
+def test_change_data_feed_envelope(spark, tmp_path):
+    """CDF between two versions: op c/u/d with the v_to payload,
+    NULL payload for deletes — the envelope a downstream replica
+    needs."""
+    from realtime_cdc_pipeline_docker_spark.operators.snapshot import (
+        change_data_feed,
+    )
+
+    root = str(tmp_path / "tbl")
+    _init(spark, root)
+    merge_apply(
+        spark,
+        root,
+        _changes(spark, [(1, 1, "c", "a"), (2, 1, "c", "b"), (3, 1, "c", "c")]),
+    )
+    merge_apply(
+        spark,
+        root,
+        _changes(spark, [(1, 2, "u", "A"), (3, 2, "d", "c"), (4, 2, "c", "d")]),
+    )
+    rows = {
+        (r["op"], r["id"], r["val"], r["v"])
+        for r in change_data_feed(spark, root, 2, 3).collect()
+    }
+    assert rows == {
+        ("u", 1, "A", 2),
+        ("d", 3, None, None),
+        ("c", 4, "d", 2),
+    }
+
+
+def test_concurrent_merge_conflict_detected(spark, tmp_path):
+    """Two writers merging against the same parent: the second commit
+    must fail loudly (lost-update detection), not silently drop the
+    first writer's changes.  Simulated by committing an out-of-band
+    version between a merge's read and its commit."""
+    from unittest import mock
+
+    from realtime_cdc_pipeline_docker_spark.operators import snapshot as snap
+
+    root = str(tmp_path / "tbl")
+    _init(spark, root)
+    merge_apply(spark, root, _changes(spark, [(1, 1, "c", "a")]))
+
+    real_begin = snap.begin_index_version
+
+    def racing_begin(spark_, root_):
+        staged = real_begin(spark_, root_)
+        # another writer lands a full merge while ours is mid-flight
+        with mock.patch.object(snap, "begin_index_version", real_begin):
+            merge_apply(spark_, root_, _changes(spark_, [(9, 9, "c", "z")]))
+        return staged
+
+    with mock.patch.object(snap, "begin_index_version", racing_begin):
+        with pytest.raises(RuntimeError, match="merge conflict"):
+            merge_apply(spark, root, _changes(spark, [(2, 2, "c", "b")]))
+    # the racing writer's change survived; ours was rejected, not lost
+    assert (9, 9, "z") in _state(spark, root)
+    assert (2, 2, "b") not in _state(spark, root)
