@@ -28,6 +28,7 @@ import struct
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..functions import vec_cosine, vec_dot
 
@@ -407,6 +408,230 @@ def centroid_ranks_expr(vec_col: str, centroids: list[list[float]]) -> F.Column:
     return F.array_sort(scored)["idx"]
 
 
+# ---------------------------------------------------------------------------
+# Arrow-native assignment twins (round-13 optimization).
+#
+# The literal-expression forms above inline n_centroids×dim (and for PQ
+# k×dim more) float literals into the plan.  That is the right call for
+# a prepared, run-many-times plan — but a MICRO-BATCH caller builds a
+# fresh DataFrame per batch, and classic PySpark analyzes EAGERLY on
+# every transformation, so each batch re-pays Catalyst analysis of the
+# ~10⁴-node tree (measured 1.2–2.0 s/batch, scripts/opt_probe.py ivfpq)
+# on top of ~0.5 ms/row evaluation.  The guide-§4.2 answer is one
+# vectorized Arrow pass: a tiny constant-size plan (one MapInArrow
+# node), NumPy math inside.
+#
+# BIT-EXACTNESS CONTRACT (what makes this a safe swap, pinned by
+# tests/test_similarity.py::test_arrow_assignment_bitexact_*):
+# every float op replicates the expression form's op sequence exactly —
+# * vec_dot folds left-to-right: acc=0.0; acc = acc + v[i]*c[i].  The
+#   NumPy twin runs the same per-element IEEE-754 double ops in the
+#   same order via a sequential loop over dims of vectorized (mul,
+#   add) — identical bits, because each NumPy elementwise op is the
+#   same single f64 instruction per element.
+# * float32 inputs are widened to f64 first (exact), matching the
+#   expressions' x.cast("double").
+# * vec_normalize: norm² folds left-to-right from 0.0, then sqrt (IEEE
+#   correctly-rounded in both), then per-element division.
+# * centroid_ranks_expr = array_sort over (neg, idx) structs = stable
+#   argsort of neg (ties → lowest idx).  pq_best_expr = array_min over
+#   (d2, code) structs = first-occurrence argmin (ties → lowest code);
+#   its d2 starts at the FIRST term (no 0.0 seed), replicated.
+# Because the floats carry identical bits, every tie/compare decides
+# identically, so the emitted integers (clusters, codes) are equal —
+# not approximately, but row-for-row.  Degenerate vectors (null or
+# wrong length): the expression form's dots come out all-null, every
+# (neg, idx) struct ties, and the stable sort yields ranks [0, 1, …] —
+# the arrow form emits the same [0..assign) clusters (and [0]*m codes,
+# matching array_min's all-null-d2 tie → lowest code) explicitly.
+# All-NaN vectors tie the same way on both paths (probed in round 13).
+# The one intentional divergence: the PQ expression form RAISES
+# (ANSI element_at) on a wrong-LENGTH vector — out of the fixture
+# contract entirely — where the arrow form treats it like null.
+# ---------------------------------------------------------------------------
+
+
+def _vecs_np(col, dim: int):
+    """(valid_mask, V) from an Arrow list column: f64 matrix of the
+    valid (non-null, exactly ``dim``-long) vectors, widened exactly."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    lengths = pc.list_value_length(col)
+    valid = pc.fill_null(
+        pc.and_kleene(
+            col.is_valid(), pc.equal(lengths, pa.scalar(dim, lengths.type))
+        ),
+        False,
+    )
+    valid_np = valid.to_numpy(zero_copy_only=False).astype(bool)
+    taken = col.filter(pa.array(valid_np))
+    flat = taken.flatten().to_numpy(zero_copy_only=False)
+    V = np.asarray(flat, dtype=np.float64).reshape(-1, dim)
+    return valid_np, V
+
+
+def _seq_dots_np(V, C):
+    """vec_dot twin: acc=0.0; acc = acc + v[i]*c[i] over dims in order
+    — same IEEE-754 double sequence as the codegen fold, so same bits."""
+    import numpy as np
+
+    acc = np.zeros((V.shape[0], C.shape[0]), dtype=np.float64)
+    with np.errstate(invalid="ignore", over="ignore"):
+        for i in range(V.shape[1]):
+            acc = acc + V[:, i : i + 1] * C[:, i][None, :]
+    return acc
+
+
+def _cluster_ranks_np(V, C, top: int):
+    """centroid_ranks_expr twin: stable argsort over -dot (ties →
+    lowest centroid index, = array_sort over (neg, idx) structs)."""
+    import numpy as np
+
+    neg = -_seq_dots_np(V, C)
+    return np.argsort(neg, axis=1, kind="stable")[:, :top]
+
+
+def _normalize_np(V):
+    """vec_normalize twin: norm² folded left-to-right from 0.0."""
+    import numpy as np
+
+    acc = np.zeros(V.shape[0], dtype=np.float64)
+    with np.errstate(invalid="ignore", divide="ignore", over="ignore"):
+        for i in range(V.shape[1]):
+            acc = acc + V[:, i] * V[:, i]
+        return V / np.sqrt(acc)[:, None]
+
+
+def _pq_codes_np(NV, CB, m: int):
+    """pq_best_expr twin per subspace: d2 accumulates term-by-term in
+    dim order starting from the first term; argmin ties → lowest code."""
+    import numpy as np
+
+    n, dim = NV.shape
+    dsub = dim // m
+    codes = np.empty((n, m), dtype=np.int64)
+    with np.errstate(invalid="ignore", over="ignore"):
+        for sub in range(m):
+            acc = None
+            for i in range(dsub):
+                col = sub * dsub + i
+                d = NV[:, col][:, None] - CB[:, col][None, :]
+                t = d * d
+                acc = t if acc is None else acc + t
+            codes[:, sub] = np.argmin(acc, axis=1)
+    return codes
+
+
+def assign_ivf_arrow(
+    df: DataFrame,
+    centroids: list[list[float]],
+    assign: int,
+    vec_col: str = "embedding",
+    cluster_col: str = "cluster",
+) -> DataFrame:
+    """Row-passthrough IVF assignment: every input column survives,
+    plus ``cluster_col`` (int) exploded over the ``assign`` nearest
+    centroids — bit-identical rows to
+    ``withColumn(c, explode(slice(centroid_ranks_expr(vec), 1, assign)))``
+    but through ONE MapInArrow node (constant plan size, vectorized
+    math; see the bit-exactness contract above)."""
+    import numpy as np
+
+    C = np.asarray(centroids, dtype=np.float64)
+    dim = C.shape[1]
+    a = int(assign)
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(cluster_col, T.IntegerType())]
+    )
+    vec_idx = df.columns.index(vec_col)
+
+    def gen(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            valid, V = _vecs_np(b.column(vec_idx), dim)
+            all_ranks = np.tile(np.arange(a, dtype=np.int64), (b.num_rows, 1))
+            if valid.any():
+                all_ranks[valid] = _cluster_ranks_np(V, C, a)
+            idx = np.repeat(np.arange(b.num_rows), a)
+            tbl = pa.Table.from_batches([b]).take(pa.array(idx))
+            clusters = pa.array(all_ranks.ravel(), pa.int32())
+            yield from (
+                tbl.append_column(cluster_col, clusters)
+                .combine_chunks()
+                .to_batches()
+            )
+
+    return df.mapInArrow(gen, out_schema)
+
+
+def ivfpq_indexed_arrow(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    codebook: list[list[float]],
+    m: int,
+    assign: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Arrow twin of the expression-built ``_ivfpq_indexed`` relation
+    ``(id, vec, __cluster, codes[m])`` — normalization, spherical
+    cluster ranks and PQ codes in one vectorized pass (bit-exactness
+    contract above; equality pinned by test)."""
+    import numpy as np
+
+    C = np.asarray(centroids, dtype=np.float64)
+    CB = np.asarray(codebook, dtype=np.float64)
+    dim = C.shape[1]
+    a = int(assign)
+    narrow = corpus.select(id_col, vec_col)
+    out_schema = T.StructType(
+        list(narrow.schema.fields)
+        + [
+            T.StructField("__cluster", T.IntegerType()),
+            T.StructField("codes", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    def gen(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            valid, V = _vecs_np(b.column(1), dim)
+            all_ranks = np.tile(np.arange(a, dtype=np.int64), (b.num_rows, 1))
+            all_codes = np.zeros((b.num_rows, m), dtype=np.int64)
+            if valid.any():
+                NV = _normalize_np(V)
+                all_ranks[valid] = _cluster_ranks_np(NV, C, a)
+                all_codes[valid] = _pq_codes_np(NV, CB, m)
+            idx = np.repeat(np.arange(b.num_rows), a)
+            tbl = pa.Table.from_batches([b]).take(pa.array(idx))
+            clusters = pa.array(all_ranks.ravel(), pa.int32())
+            code_vals = pa.array(
+                np.repeat(all_codes, a, axis=0).ravel(), pa.int64()
+            )
+            offsets = pa.array(
+                np.arange(0, (len(idx) + 1) * m, m, dtype=np.int32)
+            )
+            code_arr = pa.ListArray.from_arrays(offsets, code_vals)
+            yield from (
+                tbl.append_column("__cluster", clusters)
+                .append_column("codes", code_arr)
+                .combine_chunks()
+                .to_batches()
+            )
+
+    return narrow.mapInArrow(gen, out_schema)
+
+
 def ivf_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -454,10 +679,10 @@ def ivf_ann_topk(
     if assign <= 1:
         c = corpus.withColumn("__cluster", nearest_centroid_expr(vec_col, centroids))
     else:
-        c = corpus.withColumn(
-            "__cluster",
-            F.explode(F.slice(centroid_ranks_expr(vec_col, centroids), 1, assign)),
-        )
+        # arrow twin of explode(slice(centroid_ranks_expr)) — bit-exact
+        # (contract above); one constant-size MapInArrow node instead
+        # of the n_centroids×dim literal tree
+        c = assign_ivf_arrow(corpus, centroids, assign, vec_col, "__cluster")
     q = (
         queries.select(query_id_col, F.col(vec_col).alias("__qvec"))
         .withColumn(
@@ -501,10 +726,9 @@ def write_ivf_index(
     probe side needs no widening.  Clustered by ``cluster`` before the
     write: one file per list per job, not tasks×lists slivers (same
     hygiene as the ingest log)."""
-    indexed = corpus.withColumn(
-        "cluster",
-        F.explode(F.slice(centroid_ranks_expr(vec_col, centroids), 1, assign)),
-    )
+    # arrow twin of explode(slice(centroid_ranks_expr)) — bit-exact
+    # (contract above), constant plan size at any centroid count
+    indexed = assign_ivf_arrow(corpus, centroids, assign, vec_col, "cluster")
     (
         indexed.repartition("cluster")
         .write.mode("overwrite")
@@ -1085,8 +1309,36 @@ def _ivfpq_indexed(
     """The IVF-PQ index relation ``(id, vec, __cluster*, codes[m])`` —
     spherical cluster assignment with boundary replication + PQ codes
     over UNIT vectors (unit-sphere L2 is monotone in cosine).
-    ``exprs`` takes a ``prepare_ivfpq_exprs`` dict for micro-batch
-    callers."""
+
+    Round-13: delegates to ``ivfpq_indexed_arrow`` (one MapInArrow
+    node, constant plan size — removes both the per-batch Catalyst
+    analysis of the k·dim literal trees and their ~0.5 ms/row
+    evaluation; bit-exactness contract + pin above).  Pass ``exprs``
+    (a ``prepare_ivfpq_exprs`` dict) to force the literal-expression
+    form — kept as the plan-literal reference and for the equality
+    test."""
+    if exprs is not None:
+        return _ivfpq_indexed_expr(
+            corpus, centroids, codebook, m, assign, id_col, vec_col, exprs
+        )
+    return ivfpq_indexed_arrow(
+        corpus, centroids, codebook, m, assign, id_col, vec_col
+    )
+
+
+def _ivfpq_indexed_expr(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    codebook: list[list[float]],
+    m: int,
+    assign: int,
+    id_col: str,
+    vec_col: str,
+    exprs: dict | None = None,
+) -> DataFrame:
+    """The literal-expression form of ``_ivfpq_indexed`` (pre-round-13
+    default): the k·dim centroid + codebook trees inlined as plan
+    literals.  ``exprs`` takes a ``prepare_ivfpq_exprs`` dict."""
     from ..functions import vec_normalize
 
     if exprs is None:

@@ -104,6 +104,25 @@ def _manifest_df(
     return spark.range(1).select(F.inline(entries))
 
 
+def _concurrent_snapshot_writes(*writes) -> None:
+    """Run a merge's independent STAGED writes concurrently (guide
+    §2.6): the data files and the manifest/schema land under
+    uncommitted locations whose visibility is gated on the final
+    atomic marker, so their relative completion order is irrelevant —
+    a crash that finishes any subset leaves an invisible staging dir,
+    exactly as with the old sequential order.  Exceptions propagate so
+    a failed write still fails the merge (no marker is created)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    if len(writes) == 1:
+        writes[0]()
+        return
+    with ThreadPoolExecutor(max_workers=len(writes)) as pool:
+        futures = [pool.submit(w) for w in writes]
+        for f in futures:
+            f.result()
+
+
 def _read_meta(spark: SparkSession, root: str) -> dict:
     fs, _ = _fs(spark, root)
     jvm = spark._jvm
@@ -356,20 +375,31 @@ def merge_apply(
         staged = begin_index_version(spark, root)
         version_name = staged.rstrip("/").rsplit("/", 1)[-1]
         data_rel = f"data/{version_name}"
-        norm.withColumn("kb", F.col(_KBUCKET)).repartition(
-            max(len(touched), 1), _KBUCKET
-        ).write.partitionBy("kb").mode("overwrite").parquet(
-            f"{root.rstrip('/')}/{data_rel}"
-        )
         new_rows = manifest_rows + [
             {_KBUCKET: b, "relpath": f"{data_rel}/kb={b}", "role": "delta"}
             for b in touched
         ]
-        _manifest_df(
-            spark,
-            [(r[_KBUCKET], r["relpath"], r["role"]) for r in new_rows],
-        ).coalesce(1).write.mode("overwrite").parquet(f"{staged}/manifest")
-        _write_schema(spark, staged, norm)
+
+        def _write_data() -> None:
+            norm.withColumn("kb", F.col(_KBUCKET)).repartition(
+                max(len(touched), 1), _KBUCKET
+            ).write.partitionBy("kb").mode("overwrite").parquet(
+                f"{root.rstrip('/')}/{data_rel}"
+            )
+
+        def _write_manifest() -> None:
+            _manifest_df(
+                spark,
+                [(r[_KBUCKET], r["relpath"], r["role"]) for r in new_rows],
+            ).coalesce(1).write.mode("overwrite").parquet(f"{staged}/manifest")
+            _write_schema(spark, staged, norm)
+
+        # The manifest names the data paths, not their contents, and
+        # both land under UNCOMMITTED locations (visibility = the final
+        # marker) — so the two write jobs are independent and overlap
+        # (guide §2.6); a crash between them leaves an uncommitted
+        # staging dir either way.
+        _concurrent_snapshot_writes(_write_data, _write_manifest)
         return _commit_from_parent(spark, root, staged, cur_path)
 
     base_rows = [r for r in manifest_rows if r[_KBUCKET] in touched_set]
@@ -414,20 +444,27 @@ def merge_apply(
     version_name = staged.rstrip("/").rsplit("/", 1)[-1]  # v_NNNNNN
     data_rel = f"data/{version_name}"
     out = collapsed.withColumn("kb", F.col(_KBUCKET))
-    # One write job for all touched buckets; kb= dirs give the manifest
-    # a per-bucket address while kbucket stays a regular column.
-    out.repartition(max(len(touched), 1), _KBUCKET).write.partitionBy(
-        "kb"
-    ).mode("overwrite").parquet(f"{root.rstrip('/')}/{data_rel}")
-
     new_rows = [
         {_KBUCKET: b, "relpath": f"{data_rel}/kb={b}", "role": "base"}
         for b in touched
     ] + carry_rows
-    _manifest_df(
-        spark, [(r[_KBUCKET], r["relpath"], r["role"]) for r in new_rows]
-    ).coalesce(1).write.mode("overwrite").parquet(f"{staged}/manifest")
-    _write_schema(spark, staged, collapsed)
+
+    def _write_data() -> None:
+        # One write job for all touched buckets; kb= dirs give the
+        # manifest a per-bucket address while kbucket stays a regular
+        # column.
+        out.repartition(max(len(touched), 1), _KBUCKET).write.partitionBy(
+            "kb"
+        ).mode("overwrite").parquet(f"{root.rstrip('/')}/{data_rel}")
+
+    def _write_manifest() -> None:
+        _manifest_df(
+            spark, [(r[_KBUCKET], r["relpath"], r["role"]) for r in new_rows]
+        ).coalesce(1).write.mode("overwrite").parquet(f"{staged}/manifest")
+        _write_schema(spark, staged, collapsed)
+
+    # Independent uncommitted writes — overlap them (see the MOR arm).
+    _concurrent_snapshot_writes(_write_data, _write_manifest)
     return _commit_from_parent(spark, root, staged, cur_path)
 
 

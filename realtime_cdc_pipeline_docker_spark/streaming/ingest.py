@@ -165,6 +165,35 @@ def _ledger_is_small(
     return True
 
 
+def _concurrent_writes(*writes) -> None:
+    """Run a micro-batch's independent ledger appends CONCURRENTLY
+    (optimization guide §2.6 — overlap independent jobs: actions are
+    only sequential because driver code calls them sequentially, and a
+    small batch's append job is mostly scheduling + file-commit latency
+    that another append's tasks can back-fill).
+
+    Safe here because each append is an idempotent parquet append to
+    its OWN directory, every input DataFrame is already persisted (or
+    derived from one), and no append reads another's output within the
+    batch: the ledger probes of batch N+1 read what batch N wrote, and
+    the (tag, batch)-keyed replay exclusion never depends on the order
+    appends landed WITHIN a batch — a crash that commits any subset is
+    healed by the same replay contract as the old sequential form
+    (foreachBatch re-runs the batch; own-(tag, batch) rows are
+    invisible to the probes and duplicate appends collapse in the
+    read-back).  Exceptions propagate so a failed append still fails
+    the batch.  Single-element calls just run inline."""
+    if len(writes) == 1:
+        writes[0]()
+        return
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(writes)) as pool:
+        futures = [pool.submit(w) for w in writes]
+        for f in futures:
+            f.result()
+
+
 def write_arrival_waves(
     df: DataFrame, src_dir: str, wave_expr, n_waves: int
 ) -> None:
@@ -692,29 +721,38 @@ def run_neardup_ingest_stream(
             .persist()
         )
         try:
-            (
-                survivors.repartition("dbucket")
-                .write.mode("append")
-                .partitionBy("dbucket")
-                .parquet(docs_dir)
-            )
-            (
-                nb.join(
-                    survivors.select(F.col("doc_id").alias("id")), "id"
+            # materialize once, then overlap the two independent ledger
+            # appends (guide §2.6; safety argument at _concurrent_writes)
+            survivors.count()
+
+            def _append_docs() -> None:
+                (
+                    survivors.repartition("dbucket")
+                    .write.mode("append")
+                    .partitionBy("dbucket")
+                    .parquet(docs_dir)
                 )
-                .select(
-                    F.col("id").alias("doc_id"),
-                    "band_id",
-                    "band_hash",
-                    "bucket",
-                    F.lit(batch_id).alias("__batch_id"),
-                    F.lit(run_tag).alias("__run_tag"),
+
+            def _append_index() -> None:
+                (
+                    nb.join(
+                        survivors.select(F.col("doc_id").alias("id")), "id"
+                    )
+                    .select(
+                        F.col("id").alias("doc_id"),
+                        "band_id",
+                        "band_hash",
+                        "bucket",
+                        F.lit(batch_id).alias("__batch_id"),
+                        F.lit(run_tag).alias("__run_tag"),
+                    )
+                    .repartition("bucket")
+                    .write.mode("append")
+                    .partitionBy("bucket")
+                    .parquet(index_dir)
                 )
-                .repartition("bucket")
-                .write.mode("append")
-                .partitionBy("bucket")
-                .parquet(index_dir)
-            )
+
+            _concurrent_writes(_append_docs, _append_index)
         finally:
             survivors.unpersist()
             fp.unpersist()
@@ -1197,52 +1235,74 @@ def run_curation_pipeline_stream(
                 .persist()
             )
             to_unpersist.append(survivors)
-            (
-                survivors.repartition("dbucket")
-                .write.mode("append")
-                .partitionBy("dbucket")
-                .parquet(curated_dir)
-            )
-            (
-                nb.join(survivors.select(F.col("doc_id").alias("id")), "id")
-                .select(
-                    F.col("id").alias("doc_id"),
-                    "band_id",
-                    "band_hash",
-                    "bucket",
-                    F.lit(batch_id).alias("__batch_id"),
-                    F.lit(run_tag).alias("__run_tag"),
+            # materialize survivors BEFORE the concurrent appends so
+            # all four writers read the cached rows instead of racing
+            # to compute the dedup DAG
+            survivors.count()
+
+            def _append_curated() -> None:
+                (
+                    survivors.repartition("dbucket")
+                    .write.mode("append")
+                    .partitionBy("dbucket")
+                    .parquet(curated_dir)
                 )
-                .repartition("bucket")
-                .write.mode("append")
-                .partitionBy("bucket")
-                .parquet(index_dir)
-            )
-            (
-                survivors.select(
-                    "digest",
-                    "doc_id",
-                    "__batch_id",
-                    "__run_tag",
-                    gbucket_expr.alias("gbucket"),
+
+            def _append_index() -> None:
+                (
+                    nb.join(
+                        survivors.select(F.col("doc_id").alias("id")), "id"
+                    )
+                    .select(
+                        F.col("id").alias("doc_id"),
+                        "band_id",
+                        "band_hash",
+                        "bucket",
+                        F.lit(batch_id).alias("__batch_id"),
+                        F.lit(run_tag).alias("__run_tag"),
+                    )
+                    .repartition("bucket")
+                    .write.mode("append")
+                    .partitionBy("bucket")
+                    .parquet(index_dir)
                 )
-                .repartition("gbucket")
-                .write.mode("append")
-                .partitionBy("gbucket")
-                .parquet(digests_dir)
-            )
-            # content-addressed gate flags (no lineage: pure per-doc).
-            # Bucket-partitioned like the other three ledgers (VERDICT
-            # r12 #4: the earlier coalesce(1) serialized the whole
-            # batch's flags — one row per ingested doc — through a
-            # single task at production batch widths).
-            (
-                marked.select("doc_id", "quarantined", "passed_quality")
-                .withColumn("abucket", dbucket_expr)
-                .repartition("abucket")
-                .write.mode("append")
-                .partitionBy("abucket")
-                .parquet(audit_dir)
+
+            def _append_digests() -> None:
+                (
+                    survivors.select(
+                        "digest",
+                        "doc_id",
+                        "__batch_id",
+                        "__run_tag",
+                        gbucket_expr.alias("gbucket"),
+                    )
+                    .repartition("gbucket")
+                    .write.mode("append")
+                    .partitionBy("gbucket")
+                    .parquet(digests_dir)
+                )
+
+            def _append_audit() -> None:
+                # content-addressed gate flags (no lineage: pure
+                # per-doc).  Bucket-partitioned like the other three
+                # ledgers (VERDICT r12 #4: the earlier coalesce(1)
+                # serialized the whole batch's flags — one row per
+                # ingested doc — through a single task at production
+                # batch widths).
+                (
+                    marked.select("doc_id", "quarantined", "passed_quality")
+                    .withColumn("abucket", dbucket_expr)
+                    .repartition("abucket")
+                    .write.mode("append")
+                    .partitionBy("abucket")
+                    .parquet(audit_dir)
+                )
+
+            # The four ledger appends are independent (distinct dirs,
+            # persisted inputs): overlap their job-scheduling + commit
+            # latency (guide §2.6; safety argument at _concurrent_writes)
+            _concurrent_writes(
+                _append_curated, _append_index, _append_digests, _append_audit
             )
         finally:
             for df_ in to_unpersist:
@@ -1596,26 +1656,34 @@ def run_substring_dedup_stream(
             .withColumn("dbucket", dbucket_expr)
         )
         try:
-            (
-                cleaned.repartition("dbucket")
-                .write.mode("append")
-                .partitionBy("dbucket")
-                .parquet(docs_dir)
-            )
-            (
-                grams.select("gh", "gbucket")
-                .distinct()
-                .select(
-                    "gh",
-                    F.lit(batch_id).alias("__batch_id"),
-                    F.lit(run_tag).alias("__run_tag"),
-                    "gbucket",
+            # Two independent ledger appends over the persisted
+            # toks/grams — overlap them (guide §2.6; safety argument at
+            # _concurrent_writes)
+            def _append_docs() -> None:
+                (
+                    cleaned.repartition("dbucket")
+                    .write.mode("append")
+                    .partitionBy("dbucket")
+                    .parquet(docs_dir)
                 )
-                .repartition("gbucket")
-                .write.mode("append")
-                .partitionBy("gbucket")
-                .parquet(grams_dir)
-            )
+
+            def _append_grams() -> None:
+                (
+                    grams.select("gh", "gbucket")
+                    .distinct()
+                    .select(
+                        "gh",
+                        F.lit(batch_id).alias("__batch_id"),
+                        F.lit(run_tag).alias("__run_tag"),
+                        "gbucket",
+                    )
+                    .repartition("gbucket")
+                    .write.mode("append")
+                    .partitionBy("gbucket")
+                    .parquet(grams_dir)
+                )
+
+            _concurrent_writes(_append_docs, _append_grams)
         finally:
             for df_ in to_unpersist:
                 df_.unpersist()
@@ -2217,28 +2285,36 @@ def run_media_dedup_stream(
                 .persist()
             )
             try:
-                (
-                    survivors.repartition("dbucket")
-                    .write.mode("append")
-                    .partitionBy("dbucket")
-                    .parquet(docs_dir)
-                )
-                (
-                    slices.join(
-                        survivors.select("doc_id"), "doc_id", "left_semi"
+                # materialize once, then overlap the independent
+                # appends (guide §2.6; safety at _concurrent_writes)
+                survivors.count()
+
+                def _append_docs() -> None:
+                    (
+                        survivors.repartition("dbucket")
+                        .write.mode("append")
+                        .partitionBy("dbucket")
+                        .parquet(docs_dir)
                     )
-                    .select(
-                        "doc_id", "band_no", "band_bits", "dhash",
-                        F.lit(batch_id).alias("__batch_id"),
-                        F.lit(run_tag).alias("__run_tag"),
-                        "bucket",
+
+                def _append_index() -> None:
+                    (
+                        slices.join(
+                            survivors.select("doc_id"), "doc_id", "left_semi"
+                        )
+                        .select(
+                            "doc_id", "band_no", "band_bits", "dhash",
+                            F.lit(batch_id).alias("__batch_id"),
+                            F.lit(run_tag).alias("__run_tag"),
+                            "bucket",
+                        )
+                        .repartition("bucket")
+                        .write.mode("append")
+                        .partitionBy("bucket")
+                        .parquet(index_dir)
                     )
-                    .repartition("bucket")
-                    .write.mode("append")
-                    .partitionBy("bucket")
-                    .parquet(index_dir)
-                )
-                if over_rows:
+
+                def _append_oversized() -> None:
                     # companion observable for skipped over-cap buckets
                     # (the stream-side twin of the batch operator's
                     # oversized_dhash_buckets output): one tiny append
@@ -2251,6 +2327,11 @@ def run_media_dedup_stream(
                     ).coalesce(1).write.mode("append").parquet(
                         f"{log_dir}/oversized"
                     )
+
+                writes = [_append_docs, _append_index]
+                if over_rows:
+                    writes.append(_append_oversized)
+                _concurrent_writes(*writes)
             finally:
                 survivors.unpersist()
         finally:
@@ -2431,7 +2512,7 @@ def run_ivf_maintenance_stream(
 
     Returns ``(cluster, n_vectors, n_batches, growth_skew_permille)``."""
     from ..operators.index_commit import resolve_index_path
-    from ..operators.similarity import centroid_ranks_expr
+    from ..operators.similarity import assign_ivf_arrow
 
     from .windows import _scoped_confs
 
@@ -2439,19 +2520,18 @@ def run_ivf_maintenance_stream(
 
     index_dir = resolve_index_path(spark, index_dir)
     run_tag = _hashlib.md5(checkpoint_dir.encode()).hexdigest()[:12]
-    # Build the n_centroids×dim literal tree ONCE per lineage: Column
-    # construction is py4j round-trips, and rebuilding it inside
-    # foreachBatch charged every micro-batch for it (the h22
-    # decomposition, PERF.md round-12; same economics here).
-    cluster_col = F.explode(
-        F.slice(centroid_ranks_expr("embedding", centroids), 1, assign)
-    )
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        # Arrow-native assignment (round-13, guide §4.2): bit-exact
+        # twin of explode(slice(centroid_ranks_expr)) through ONE
+        # MapInArrow node — a constant-size plan, so the per-batch
+        # Catalyst analysis the literal tree used to pay (the h22
+        # decomposition, scripts/opt_probe.py ivfpq) is gone, and the
+        # per-row evaluation is vectorized NumPy.
         (
-            batch_df.withColumn("cluster", cluster_col)
+            assign_ivf_arrow(batch_df, centroids, assign, "embedding", "cluster")
             .withColumn("__batch_id", F.lit(batch_id))
             .withColumn("__run_tag", F.lit(run_tag))
             .repartition("cluster")
@@ -2805,21 +2885,23 @@ def run_ivfpq_maintenance_stream(
     import hashlib as _hashlib
 
     from ..operators.index_commit import resolve_index_path
-    from ..operators.similarity import _ivfpq_indexed, prepare_ivfpq_exprs
+    from ..operators.similarity import _ivfpq_indexed
     from .windows import _scoped_confs
 
     index_dir = resolve_index_path(spark, index_dir)
     run_tag = _hashlib.md5(checkpoint_dir.encode()).hexdigest()[:12]
-    # Both literal trees (centroids + codebook) built ONCE per lineage
-    # and rebound per batch — rebuilding them inside foreachBatch was
-    # the dominant term of this stream's wall (measured 5–8.5 s of
-    # py4j Column construction vs 0.6–1.9 s execution per batch at
-    # fixture scale; PERF.md round-12 decomposition).
-    prepared = prepare_ivfpq_exprs(centroids, codebook, m, assign)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        # Arrow-native IVF-PQ pass (round-13, guide §4.2): one
+        # MapInArrow node computes normalization, cluster ranks and PQ
+        # codes vectorized — bit-exact twin of the literal-expression
+        # form (operators/similarity.py contract + test).  This
+        # removes BOTH round-12 cost terms: the once-per-lineage 5–8 s
+        # py4j tree build (prepare_ivfpq_exprs, no longer needed) and
+        # the ~1.2–2 s/batch Catalyst re-analysis + interpreted
+        # evaluation of the bound trees (scripts/opt_probe.py ivfpq).
         (
             _ivfpq_indexed(
                 batch_df.select("vec_id", "embedding"),
@@ -2829,7 +2911,6 @@ def run_ivfpq_maintenance_stream(
                 assign,
                 "vec_id",
                 "embedding",
-                exprs=prepared,
             )
             .withColumnRenamed("__cluster", "cluster")
             .withColumn("__batch_id", F.lit(batch_id))

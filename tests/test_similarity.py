@@ -612,6 +612,74 @@ def test_table_assignment_matches_literal_expression(spark, sf_dir):
     assert literal == table and literal
 
 
+def test_arrow_assignment_bitexact_vs_expression(spark, sf_dir):
+    """Round-13 optimization pin: the Arrow/NumPy assignment twins
+    (assign_ivf_arrow, ivfpq_indexed_arrow) must reproduce the
+    literal-expression forms ROW-FOR-ROW — same clusters (incl. rank
+    order and ties) and same PQ codes — because they replicate the
+    expressions' exact IEEE-754 op sequence (the bit-exactness
+    contract in operators/similarity.py).  Null and wrong-length
+    vectors drop on both paths (the explode-over-null behavior)."""
+    from realtime_cdc_pipeline_docker_spark.operators.similarity import (
+        _ivfpq_indexed_expr,
+        assign_ivf_arrow,
+        centroid_ranks_expr,
+        ivfpq_indexed_arrow,
+        seed_codebook,
+        train_ivf_centroids,
+    )
+    from realtime_cdc_pipeline_docker_spark.functions import vec_normalize
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    nan = float("nan")
+    bad = spark.createDataFrame(
+        [(10_000_001, None, 0), (10_000_003, [nan] * 64, 0)],
+        "vec_id bigint, embedding array<float>, label int",
+    )
+    # wrong-LENGTH vectors only exercise the cluster path: the PQ
+    # expression form raises (ANSI element_at) on them — out of the
+    # fixture contract; the arrow form treats them like null.
+    short = spark.createDataFrame(
+        [(10_000_002, [1.0, 2.0], 0)],
+        "vec_id bigint, embedding array<float>, label int",
+    )
+    mixed = emb.unionByName(bad)
+    cents = train_ivf_centroids(emb, n_centroids=16)
+
+    cluster_in = mixed.unionByName(short)
+    expr_rows = sorted(
+        (r["vec_id"], r["c"])
+        for r in cluster_in.withColumn(
+            "c", F.explode(F.slice(centroid_ranks_expr("embedding", cents), 1, 2))
+        )
+        .select("vec_id", "c")
+        .collect()
+    )
+    arrow_rows = sorted(
+        (r["vec_id"], r["c"])
+        for r in assign_ivf_arrow(cluster_in, cents, 2, "embedding", "c")
+        .select("vec_id", "c")
+        .collect()
+    )
+    assert expr_rows == arrow_rows and expr_rows
+
+    normed = emb.select("vec_id", vec_normalize("embedding").alias("embedding"))
+    codebook = seed_codebook(normed, k=16)
+    expr_pq = sorted(
+        (r["vec_id"], r["__cluster"], tuple(r["codes"]))
+        for r in _ivfpq_indexed_expr(
+            mixed, cents, codebook, 8, 2, "vec_id", "embedding"
+        ).collect()
+    )
+    arrow_pq = sorted(
+        (r["vec_id"], r["__cluster"], tuple(r["codes"]))
+        for r in ivfpq_indexed_arrow(
+            mixed, cents, codebook, 8, 2, "vec_id", "embedding"
+        ).collect()
+    )
+    assert expr_pq == arrow_pq and expr_pq
+
+
 def test_assignment_and_dedup_keep_unassignable_vectors(spark, sf_dir):
     """Rows whose embedding is null or empty must not vanish:
     assign_clusters_table returns them with a NULL cluster (the same

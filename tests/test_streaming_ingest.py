@@ -1674,6 +1674,43 @@ def test_write_arrival_waves_tolerates_empty_wave(spark, tmp_path):
     assert back.count() == 3
 
 
+def test_concurrent_writes_completes_all_and_propagates_errors(spark, tmp_path):
+    """Round-13 optimization: the multi-append streams overlap their
+    per-batch ledger appends via ``_concurrent_writes`` (guide §2.6).
+    Contract pinned here: every append lands (the pool joins before
+    returning), a failing append raises so the batch still fails, and
+    the single-write path runs inline."""
+    import pytest
+
+    from realtime_cdc_pipeline_docker_spark.streaming.ingest import (
+        _concurrent_writes,
+    )
+
+    df = spark.range(100).withColumn("b", F.pmod("id", F.lit(4)).cast("int"))
+
+    def mk(path):
+        def w():
+            df.repartition("b").write.mode("append").partitionBy("b").parquet(
+                path
+            )
+
+        return w
+
+    paths = [str(tmp_path / f"led{i}") for i in range(4)]
+    _concurrent_writes(*[mk(p) for p in paths])
+    for p in paths:
+        assert spark.read.parquet(p).count() == 100
+
+    def boom():
+        raise RuntimeError("append failed")
+
+    with pytest.raises(RuntimeError, match="append failed"):
+        _concurrent_writes(mk(str(tmp_path / "ok")), boom)
+    # inline single-write path
+    _concurrent_writes(mk(str(tmp_path / "solo")))
+    assert spark.read.parquet(str(tmp_path / "solo")).count() == 100
+
+
 def test_ivfpq_rebuild_restores_adc_recall_after_drift(spark, sf_dir, tmp_path):
     """VERDICT r11 #2 — the IVF-PQ lifecycle hole, closed: maintain
     under FROZEN centroids AND codebook trained on HALF the
