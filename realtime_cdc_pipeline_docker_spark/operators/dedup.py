@@ -1820,7 +1820,13 @@ def incremental_wave_fold(
                 .select(F.col("id_b").alias("doc_id"))
             )
             dropped = dropped.unionByName(matched)
-        surv_w = wave.join(dropped, "doc_id", "left_anti")
+        # Persist each wave's survivor table (tiny: O(wave) ids): wave
+        # w's subtree is otherwise re-executed inside every later
+        # wave's `matched` join AND the final flag join — Spark does
+        # not dedupe repeated uncached subtrees (round-13 optimization;
+        # the `sym` persist above only covers the pair table).
+        surv_w = wave.join(dropped, "doc_id", "left_anti").persist()
+        track_persisted(surv_w)
         survivors = (
             surv_w if survivors is None else survivors.unionByName(surv_w)
         )

@@ -1879,9 +1879,16 @@ def run_decontaminate_stream(
             .persist()
         )
         try:
-            marked.filter("quarantined").write.mode("append").parquet(quar_dir)
-            marked.filter(~F.col("quarantined")).write.mode("append").parquet(
-                clean_dir
+            # the two gate-side appends are independent — overlap them
+            # (guide §2.6; safety argument at _concurrent_writes)
+            marked.count()
+            _concurrent_writes(
+                lambda: marked.filter("quarantined")
+                .write.mode("append")
+                .parquet(quar_dir),
+                lambda: marked.filter(~F.col("quarantined"))
+                .write.mode("append")
+                .parquet(clean_dir),
             )
         finally:
             marked.unpersist()
@@ -2696,9 +2703,16 @@ def run_semantic_decontaminate_stream(
             .persist()
         )
         try:
-            marked.filter("quarantined").write.mode("append").parquet(quar_dir)
-            marked.filter(~F.col("quarantined")).write.mode("append").parquet(
-                clean_dir
+            # the two gate-side appends are independent — overlap them
+            # (guide §2.6; safety argument at _concurrent_writes)
+            marked.count()
+            _concurrent_writes(
+                lambda: marked.filter("quarantined")
+                .write.mode("append")
+                .parquet(quar_dir),
+                lambda: marked.filter(~F.col("quarantined"))
+                .write.mode("append")
+                .parquet(clean_dir),
             )
         finally:
             marked.unpersist()
