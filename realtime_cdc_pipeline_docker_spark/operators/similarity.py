@@ -510,6 +510,9 @@ def _pq_codes_np(NV, CB, m: int):
     import numpy as np
 
     n, dim = NV.shape
+    assert dim % m == 0, (
+        f"PQ subspace split: dim {dim} not divisible by m {m}"
+    )  # the expression form's contract — never silently truncate tail dims
     dsub = dim // m
     codes = np.empty((n, m), dtype=np.int64)
     with np.errstate(invalid="ignore", over="ignore"):
@@ -541,7 +544,10 @@ def assign_ivf_arrow(
 
     C = np.asarray(centroids, dtype=np.float64)
     dim = C.shape[1]
-    a = int(assign)
+    # slice(ranks, 1, assign) degrades gracefully when assign exceeds
+    # the centroid count (it returns all n_centroids ranks); clamp so
+    # the twin matches instead of a NumPy broadcast error (ADVICE r13).
+    a = min(int(assign), len(centroids))
     out_schema = T.StructType(
         list(df.schema.fields) + [T.StructField(cluster_col, T.IntegerType())]
     )
@@ -588,7 +594,10 @@ def ivfpq_indexed_arrow(
     C = np.asarray(centroids, dtype=np.float64)
     CB = np.asarray(codebook, dtype=np.float64)
     dim = C.shape[1]
-    a = int(assign)
+    assert dim % m == 0, (
+        f"PQ subspace split: dim {dim} not divisible by m {m}"
+    )
+    a = min(int(assign), len(centroids))  # match slice() semantics (ADVICE r13)
     narrow = corpus.select(id_col, vec_col)
     out_schema = T.StructType(
         list(narrow.schema.fields)
@@ -601,11 +610,32 @@ def ivfpq_indexed_arrow(
     def gen(batches):
         import numpy as np
         import pyarrow as pa
+        import pyarrow.compute as pc
 
         for b in batches:
             if b.num_rows == 0:
                 continue
-            valid, V = _vecs_np(b.column(1), dim)
+            vec = b.column(1)
+            # The expression twin RAISES on a wrong-LENGTH vector (ANSI
+            # element_at into the missing subspace position); silently
+            # assigning clusters [0..assign) with all-zero codes would
+            # corrupt the index on malformed embeddings (ADVICE r13).
+            lengths = pc.list_value_length(vec)
+            wrong = pc.fill_null(
+                pc.and_kleene(
+                    vec.is_valid(),
+                    pc.not_equal(lengths, pa.scalar(dim, lengths.type)),
+                ),
+                False,
+            )
+            n_wrong = pc.sum(pc.cast(wrong, pa.int64())).as_py() or 0
+            if n_wrong:
+                raise ValueError(
+                    f"ivfpq_indexed_arrow: {n_wrong} vector(s) with "
+                    f"length != {dim} — malformed embeddings must not "
+                    "enter the PQ index (the expression form raises too)"
+                )
+            valid, V = _vecs_np(vec, dim)
             all_ranks = np.tile(np.arange(a, dtype=np.int64), (b.num_rows, 1))
             all_codes = np.zeros((b.num_rows, m), dtype=np.int64)
             if valid.any():
@@ -627,6 +657,179 @@ def ivfpq_indexed_arrow(
                 .append_column("codes", code_arr)
                 .combine_chunks()
                 .to_batches()
+            )
+
+    return narrow.mapInArrow(gen, out_schema)
+
+
+def semantic_gate_hits_arrow(
+    corpus: DataFrame,
+    bench_rows: list,
+    t_permille: int,
+    id_col: str = "cid",
+    qc_col: str = "qc",
+    nc2_col: str = "nc2",
+) -> DataFrame:
+    """Arrow twin of the semantic-decontamination gate's
+    ``corpus.crossJoin(broadcast(bench))`` + integer-cosine filter +
+    ``groupBy(id).agg(count, min(bid))`` (j8d / h21 / the semantic
+    gate stream): one MapInArrow pass computing, per corpus row, the
+    number of benchmark hits and the smallest hitting benchmark id —
+    rows with zero hits are NOT emitted, exactly like the expression
+    form's inner groupBy over the filtered pairs.
+
+    EXACTNESS CONTRACT (simpler than the float contract above —
+    everything here is integer):
+
+    * inputs are the ALREADY-QUANTIZED micro-unit components
+      (``qc``/``qb`` array<long>, produced by the same JVM ``round(x *
+      1e6)`` expressions both engines run — quantization never moves
+      into NumPy, so the one genuinely float-sensitive step stays
+      byte-identical);
+    * dot products and norms are exact int64 sums (the expression
+      form's ``aggregate(zip_with(...))`` long fold is the same exact
+      integer regardless of association); a pre-checked magnitude
+      bound (dim · max|qc| · max|qb| < 2⁶²) guards the vectorized
+      matmul, with an arbitrary-precision object-dtype fallback when a
+      batch exceeds it — exact either way, never silently wrapped;
+    * the cross-multiplied gate ``dot²·10⁶ ≥ t²·‖c‖²·‖b‖²`` is decided
+      in float64 only where a conservative relative-error band (1e-9,
+      vs the ≤ ~5e-16 true bound of two roundings per side) makes the
+      comparison provably decisive, and re-decided in Python
+      arbitrary-precision integers for every border pair — so the
+      emitted hit set equals the DECIMAL(38,0) expression form's on
+      every input, including exact-threshold ties.
+
+    Degenerate rows replicate the expression semantics: a corpus row
+    whose ``qc`` is null / wrong-length / null-element (→ null dot in
+    ``zip_with``) or whose ``nc2`` is null can never pass the filter —
+    no hits emitted; benchmark rows with the same defects are excluded
+    from the matrix for the same reason.  ``bench_rows`` is the
+    collected (bid, qb, nb2) benchmark — tiny by the gate's contract
+    (eval suites), the same rows the expression form broadcasts."""
+    import numpy as np
+
+    t2 = int(t_permille) * int(t_permille)
+    valid_bench = [
+        r
+        for r in bench_rows
+        if r["qb"] is not None
+        and r["nb2"] is not None
+        and all(x is not None for x in r["qb"])
+    ]
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("n_bench_hits", T.LongType()),
+            T.StructField("first_bench_id", T.LongType()),
+        ]
+    )
+    narrow = corpus.select(id_col, qc_col, nc2_col)
+    if valid_bench:
+        dims = {len(r["qb"]) for r in valid_bench}
+        if len(dims) != 1:
+            raise ValueError(
+                f"semantic_gate_hits_arrow: benchmark dims differ: {dims}"
+            )
+        (dim,) = dims
+    if not valid_bench:
+        return narrow.sparkSession.createDataFrame([], out_schema)
+
+    QB = np.asarray([list(r["qb"]) for r in valid_bench], dtype=np.int64)
+    NB2 = np.asarray([int(r["nb2"]) for r in valid_bench], dtype=np.int64)
+    BIDS = np.asarray([int(r["bid"]) for r in valid_bench], dtype=np.int64)
+    max_qb = int(np.abs(QB).max()) if QB.size else 0
+
+    def gen(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        NB2_f = NB2.astype(np.float64)
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            ids = b.column(0)
+            qc = b.column(1)
+            nc2 = b.column(2)
+            lengths = pc.list_value_length(qc)
+            valid = pc.fill_null(
+                pc.and_kleene(
+                    pc.and_kleene(
+                        qc.is_valid(),
+                        pc.equal(lengths, pa.scalar(dim, lengths.type)),
+                    ),
+                    nc2.is_valid(),
+                ),
+                False,
+            ).to_numpy(zero_copy_only=False).astype(bool)
+            if valid.any():
+                taken = qc.filter(pa.array(valid))
+                flat = taken.flatten()
+                if flat.null_count:
+                    # rows with null ELEMENTS → null dot on the
+                    # expression path → never a hit; drop them too
+                    isnull = pc.is_null(flat).to_numpy(zero_copy_only=False)
+                    row_lens = np.full(int(valid.sum()), dim)
+                    starts = np.zeros(len(row_lens) + 1, dtype=np.int64)
+                    np.cumsum(row_lens, out=starts[1:])
+                    bad = np.add.reduceat(isnull.astype(np.int64), starts[:-1]) > 0
+                    vidx = np.nonzero(valid)[0]
+                    valid[vidx[bad]] = False
+                    taken = qc.filter(pa.array(valid))
+                    flat = taken.flatten()
+            if not valid.any():
+                continue
+            V = np.asarray(
+                flat.to_numpy(zero_copy_only=False), dtype=np.int64
+            ).reshape(-1, dim)
+            nc2v = nc2.filter(pa.array(valid)).to_numpy(zero_copy_only=False)
+            nc2v = np.asarray(nc2v, dtype=np.int64)
+            max_qc = int(np.abs(V).max()) if V.size else 0
+            if dim * max_qc * max_qb < 2**62:
+                dots = V @ QB.T  # exact int64, bound checked above
+            else:
+                dots = np.asarray(
+                    V.astype(object) @ QB.T.astype(object)
+                )  # arbitrary-precision, exact
+            pos = dots > 0
+            dots_f = np.asarray(dots, dtype=np.float64)
+            L = dots_f * dots_f * 1.0e6
+            R = float(t2) * nc2v.astype(np.float64)[:, None] * NB2_f[None, :]
+            sure_ge = L >= R * (1.0 + 1e-9)
+            sure_lt = L <= R * (1.0 - 1e-9)
+            hit = pos & sure_ge
+            border = pos & ~(sure_ge | sure_lt)
+            if border.any():
+                for i, j in zip(*np.nonzero(border)):
+                    hit[i, j] = (
+                        int(dots[i, j]) ** 2 * 1_000_000
+                        >= t2 * int(nc2v[i]) * int(NB2[j])
+                    )
+            n_hits = hit.sum(axis=1).astype(np.int64)
+            has_hit = n_hits > 0
+            if not has_hit.any():
+                continue
+            first = np.where(hit, BIDS[None, :], np.iinfo(np.int64).max).min(
+                axis=1
+            )
+            ids_np = np.asarray(
+                ids.filter(pa.array(valid)).to_numpy(zero_copy_only=False),
+                dtype=np.int64,
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids_np[has_hit], pa.int64()),
+                    pa.array(n_hits[has_hit], pa.int64()),
+                    pa.array(first[has_hit], pa.int64()),
+                ],
+                schema=pa.schema(
+                    [
+                        (id_col, pa.int64()),
+                        ("n_bench_hits", pa.int64()),
+                        ("first_bench_id", pa.int64()),
+                    ]
+                ),
             )
 
     return narrow.mapInArrow(gen, out_schema)

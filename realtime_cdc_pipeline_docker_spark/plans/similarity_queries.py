@@ -1352,15 +1352,46 @@ def j8d_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = corpus.withColumn("nc2", isum(F.zip_with("qc", "qc", lambda a, b: a * b)))
     bench = bench.withColumn("nb2", isum(F.zip_with("qb", "qb", lambda a, b: a * b)))
+    # Round-14 (guide §4.2, VERDICT r13 #6): the batch × bench integer
+    # dot products run as ONE MapInArrow pass (int64 matmul + the
+    # exact cross-multiplied gate — exactness contract at
+    # semantic_gate_hits_arrow) instead of a BroadcastNestedLoopJoin
+    # exploding |corpus|·|bench| rows through per-pair zip_with folds
+    # and a groupBy exchange.  Quantization (the one float-sensitive
+    # step) stays in the JVM expressions above; the benchmark side is
+    # tiny by the gate's contract — the same rows the crossJoin
+    # broadcast.  The expression form this replaces is kept as the
+    # reference twin in _semantic_hits_expr (parity pinned by
+    # tests/test_similarity.py::test_semantic_gate_arrow_bitexact).
+    from ..operators.similarity import semantic_gate_hits_arrow
+
+    hits = semantic_gate_hits_arrow(
+        corpus, bench.collect(), 900, id_col="cid"
+    )
+    return hits.select(
+        F.col("cid").alias("vec_id"), "n_bench_hits", "first_bench_id"
+    )
+
+
+def _semantic_hits_expr(corpus: DataFrame, bench: DataFrame, t_permille: int) -> DataFrame:
+    """The literal-expression semantic gate j8d ran through round 13 —
+    kept as the plan-literal reference twin for the arrow path's
+    bit-exactness test (the centroid_ranks_expr / _ivfpq_indexed_expr
+    pattern): crossJoin(broadcast(bench)) + per-pair integer zip_with
+    dot + the DECIMAL(38,0) cross-multiplied cosine gate."""
+    isum = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    t2 = int(t_permille) * int(t_permille)
     pairs = corpus.crossJoin(F.broadcast(bench)).withColumn(
         "dot", isum(F.zip_with("qc", "qb", lambda a, b: a * b))
     )
-    dec = lambda c: c.cast("decimal(38,0)")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     hits = pairs.filter(
         (F.col("dot") > 0)
         & (
             dec(F.col("dot")) * dec(F.col("dot")) * F.lit(1_000_000)
-            >= F.lit(810_000) * dec(F.col("nc2")) * dec(F.col("nb2"))
+            >= F.lit(t2) * dec(F.col("nc2")) * dec(F.col("nb2"))
         )
     )
     return hits.groupBy(F.col("cid").alias("vec_id")).agg(

@@ -1879,16 +1879,18 @@ def run_decontaminate_stream(
             .persist()
         )
         try:
-            # the two gate-side appends are independent — overlap them
-            # (guide §2.6; safety argument at _concurrent_writes)
-            marked.count()
-            _concurrent_writes(
-                lambda: marked.filter("quarantined")
-                .write.mode("append")
-                .parquet(quar_dir),
-                lambda: marked.filter(~F.col("quarantined"))
-                .write.mode("append")
-                .parquet(clean_dir),
+            # SEQUENTIAL appends, on purpose (round-14 revert of the
+            # round-13 overlap): these are two SINGLE-FILE writes over
+            # a small gate table — there is nothing for a second job's
+            # tasks to back-fill, and the extra count() job the overlap
+            # needed cost more than it saved (driver r13: h17 0.58×,
+            # h21 0.68× vs the drift band; VERDICT r13 #2).  The first
+            # write materializes the persisted plan for the second.
+            # _concurrent_writes stays for the ≥2-heavy-append streams
+            # (h15/h16/h19/h23), where the overlap measured a real win.
+            marked.filter("quarantined").write.mode("append").parquet(quar_dir)
+            marked.filter(~F.col("quarantined")).write.mode("append").parquet(
+                clean_dir
             )
         finally:
             marked.unpersist()
@@ -2625,17 +2627,21 @@ def run_semantic_decontaminate_stream(
     comparison anywhere, so stream == batch == SQL oracle row-for-row.
 
     The check is STATELESS per vector given the at-rest benchmark
-    (persisted across batches with its quantized components + norms
-    precomputed): one broadcast nested-loop over the batch per
-    micro-batch, zero shuffle on the corpus side, zero streaming
-    state — replay and redelivery append byte-identical rows that
-    collapse in the read-back (the h17 idempotence argument, no
-    ledger probes needed).
+    (quantized + norm-precomputed ONCE per stream, collected
+    driver-side — it is eval-suite-sized by contract): one MapInArrow
+    pass per micro-batch computes the batch × |benchmark| integer dot
+    products as an exact int64 matmul (round-14, guide §4.2;
+    exactness contract at similarity.semantic_gate_hits_arrow — the
+    cross-multiplied gate is decided identically to the DECIMAL(38,0)
+    expression form on every input).  Zero shuffle on the corpus
+    side, zero streaming state — replay and redelivery append
+    byte-identical rows that collapse in the read-back (the h17
+    idempotence argument, no ledger probes needed).
 
     100 TB shape: per-batch cost is batch × |benchmark| integer dot
-    products under whole-stage codegen (the j8d broadcast plan); eval
-    suites are thousands of vectors, so the benchmark side stays
-    broadcast-sized by construction.
+    products in one vectorized pass; eval suites are thousands of
+    vectors, so the benchmark side stays driver/executor-memory-sized
+    by construction (the same bound the broadcast form had).
 
     Returns ``(vec_id, quarantined, n_bench_hits, first_bench_id)``
     for every ingested vector (first_bench_id NULL for clean rows)."""
@@ -2648,15 +2654,22 @@ def run_semantic_decontaminate_stream(
     isum = lambda arr: F.aggregate(  # noqa: E731
         arr, F.lit(0).cast("long"), lambda acc, x: acc + x
     )
-    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
-    t2 = cos_threshold_permille * cos_threshold_permille
 
-    bench = (
-        benchmark.select(F.col("vec_id").alias("bid"), q(F.col("embedding")).alias("qb"))
-        .withColumn("nb2", isum(F.zip_with("qb", "qb", lambda a, b: a * b)))
-        .persist()
-    )
-    bench.count()
+    # Quantized benchmark collected ONCE per stream (tiny by the gate's
+    # contract — eval suites): round-14 moves the per-batch
+    # batch × bench integer dot products from a BroadcastNestedLoopJoin
+    # over per-pair zip_with folds (plus a groupBy exchange per batch)
+    # into ONE MapInArrow pass — int64 matmul with the exact
+    # cross-multiplied gate; exactness contract and degenerate-row
+    # semantics at operators/similarity.py:semantic_gate_hits_arrow.
+    # Quantization (the float-sensitive step) stays in the JVM
+    # expressions above, identically for bench and batch sides.
+    from ..operators.similarity import semantic_gate_hits_arrow
+
+    bench = benchmark.select(
+        F.col("vec_id").alias("bid"), q(F.col("embedding")).alias("qb")
+    ).withColumn("nb2", isum(F.zip_with("qb", "qb", lambda a, b: a * b)))
+    bench_rows = bench.collect()
 
     out_schema = T.StructType(
         [
@@ -2673,21 +2686,8 @@ def run_semantic_decontaminate_stream(
         corpus = batch_df.select(
             F.col("vec_id"), q(F.col("embedding")).alias("qc")
         ).withColumn("nc2", isum(F.zip_with("qc", "qc", lambda a, b: a * b)))
-        hits = (
-            corpus.crossJoin(F.broadcast(bench))
-            .withColumn("dot", isum(F.zip_with("qc", "qb", lambda a, b: a * b)))
-            .filter(
-                (F.col("dot") > 0)
-                & (
-                    dec(F.col("dot")) * dec(F.col("dot")) * F.lit(1_000_000)
-                    >= F.lit(t2) * dec(F.col("nc2")) * dec(F.col("nb2"))
-                )
-            )
-            .groupBy("vec_id")
-            .agg(
-                F.count(F.lit(1)).alias("n_bench_hits"),
-                F.min("bid").cast("long").alias("first_bench_id"),
-            )
+        hits = semantic_gate_hits_arrow(
+            corpus, bench_rows, cos_threshold_permille, id_col="vec_id"
         )
         marked = (
             batch_df.select("vec_id")
@@ -2703,16 +2703,13 @@ def run_semantic_decontaminate_stream(
             .persist()
         )
         try:
-            # the two gate-side appends are independent — overlap them
-            # (guide §2.6; safety argument at _concurrent_writes)
-            marked.count()
-            _concurrent_writes(
-                lambda: marked.filter("quarantined")
-                .write.mode("append")
-                .parquet(quar_dir),
-                lambda: marked.filter(~F.col("quarantined"))
-                .write.mode("append")
-                .parquet(clean_dir),
+            # SEQUENTIAL appends, on purpose — same round-14 revert as
+            # run_decontaminate_stream above (single-file writes, the
+            # overlap's extra count() job was a net loss; VERDICT r13
+            # #2).  The first write materializes the persisted plan.
+            marked.filter("quarantined").write.mode("append").parquet(quar_dir)
+            marked.filter(~F.col("quarantined")).write.mode("append").parquet(
+                clean_dir
             )
         finally:
             marked.unpersist()
@@ -2737,7 +2734,6 @@ def run_semantic_decontaminate_stream(
             .start()
             .awaitTermination()
         )
-    bench.unpersist()
     parts = [
         df
         for df in (

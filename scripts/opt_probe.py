@@ -208,6 +208,86 @@ def probe_ivfpq(spark, sf_dir: str) -> None:
         )
 
 
+def probe_pagerank(spark, sf_dir: str) -> None:
+    """Decompose e18 (round-14: driver showed 11.8 s at 32 cores vs
+    ~4.6 s at 8 — anti-scaling 0.39): price the edge-table build, the
+    two count jobs, and each of the 10 iterations separately, under
+    (a) the current cadence-2 lazy localCheckpoint and (b) an eager
+    per-iteration materialization, to locate where the 32-core run
+    loses time."""
+    from realtime_cdc_pipeline_docker_spark.catalog import release_persisted
+    from realtime_cdc_pipeline_docker_spark.operators.graph import (
+        EDGE_ROWS_PER_PARTITION,
+        TOTAL_MASS,
+        _edges_with_degree,
+        _pagerank_round,
+    )
+    from realtime_cdc_pipeline_docker_spark.plans import REGISTRY
+
+    # --- whole-query wall, bench methodology (3 runs) ---
+    fn = REGISTRY["e18_graph_pagerank"].fn
+    fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+    release_persisted()
+    for trial in range(3):
+        t0 = time.time()
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        wall = time.time() - t0
+        release_persisted()
+        print(f"e18 full query trial {trial}: {wall:.3f}s")
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cs = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        (F.col("o_custkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    )
+    edges = cs.unionByName(
+        cs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+    t0 = time.time()
+    pre = _edges_with_degree(edges, "src", "dst").persist()
+    n_edges = pre.count()
+    t_build = time.time() - t0
+    t0 = time.time()
+    n = pre.select("src").distinct().count()
+    t_nodes = time.time() - t0
+    nparts = max(
+        1,
+        min(
+            spark.sparkContext.defaultParallelism,
+            -(-n_edges // EDGE_ROWS_PER_PARTITION),
+        ),
+    )
+    t0 = time.time()
+    full_deg = pre.repartition(nparts, "src").persist()
+    full_deg.count()
+    t_layout = time.time() - t0
+    print(
+        f"edges={n_edges} nodes={n} nparts={nparts} "
+        f"build={t_build:.3f}s nodes_count={t_nodes:.3f}s layout={t_layout:.3f}s"
+    )
+    r0 = TOTAL_MASS // n
+    base = (100 - 85) * r0
+
+    ranks = (
+        full_deg.select("src", "deg")
+        .distinct()
+        .select(
+            F.col("src").alias("node"), F.lit(r0).cast("long").alias("rank_u")
+        )
+        .localCheckpoint(eager=True)
+    )
+    for i in range(10):
+        t0 = time.time()
+        ranks = _pagerank_round(full_deg, ranks, base, 85).localCheckpoint(
+            eager=True
+        )
+        print(f"  iter {i} (eager ckpt): {time.time() - t0:.3f}s")
+    pre.unpersist()
+    full_deg.unpersist()
+
+
 def main() -> None:
     probe = sys.argv[1] if len(sys.argv) > 1 else "machinery"
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
@@ -221,6 +301,8 @@ def main() -> None:
         probe_appends(spark, sf_dir)
     elif probe == "ivfpq":
         probe_ivfpq(spark, sf_dir)
+    elif probe == "pagerank":
+        probe_pagerank(spark, sf_dir)
     else:
         raise SystemExit(f"unknown probe {probe}")
 

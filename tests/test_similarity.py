@@ -716,3 +716,163 @@ def test_assignment_and_dedup_keep_unassignable_vectors(spark, sf_dir):
     assert 10_000_001 in kept and 10_000_002 in kept
     assert kept[10_000_001]["cluster"] is None
     assert not kept[10_000_001]["oversized"]
+
+
+def test_semantic_gate_arrow_bitexact(spark, sf_dir):
+    """Round-14 optimization pin: semantic_gate_hits_arrow (one
+    MapInArrow int64-matmul pass) must reproduce the
+    crossJoin(broadcast) + DECIMAL(38,0) expression gate ROW-FOR-ROW —
+    everything in the gate is exact integer arithmetic, so the only
+    risks are overflow (guarded: magnitude-checked matmul with an
+    arbitrary-precision fallback) and the float64 comparison band
+    (border pairs re-decided in Python ints).  Exercised on (a) the
+    j8d fixture relation including its planted cosine-1 copies and
+    (b) crafted integer vectors sitting EXACTLY on the threshold
+    (dot²·10⁶ == t²·nc2·nb2 — the border-fallback path), just above,
+    just below, negative-dot, zero, null, wrong-length and
+    null-element rows."""
+    from realtime_cdc_pipeline_docker_spark.operators.similarity import (
+        semantic_gate_hits_arrow,
+    )
+    from realtime_cdc_pipeline_docker_spark.plans.similarity_queries import (
+        _semantic_hits_expr,
+    )
+
+    def both(corpus, bench):
+        expr = sorted(
+            (r["vec_id"], r["n_bench_hits"], r["first_bench_id"])
+            for r in _semantic_hits_expr(corpus, bench, 900).collect()
+        )
+        arrow = sorted(
+            (r["cid"], r["n_bench_hits"], r["first_bench_id"])
+            for r in semantic_gate_hits_arrow(
+                corpus, bench.collect(), 900, id_col="cid"
+            ).collect()
+        )
+        return expr, arrow
+
+    # (a) the j8d fixture relation (quantized through the same JVM
+    # expressions the declared query uses)
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = lambda c: F.transform(  # noqa: E731
+        c, lambda x: F.round(x.cast("double") * 1_000_000).cast("long")
+    )
+    isum = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    bench = (
+        emb.filter(F.col("vec_id") % 40 == 0)
+        .select(F.col("vec_id").alias("bid"), q(F.col("embedding")).alias("qb"))
+        .withColumn("nb2", isum(F.zip_with("qb", "qb", lambda a, b: a * b)))
+    )
+    corpus = (
+        emb.filter(F.col("vec_id") % 40 != 0)
+        .select(F.col("vec_id").alias("cid"), F.col("embedding"))
+        .unionByName(
+            emb.filter(F.col("vec_id") % 120 == 0).select(
+                (F.col("vec_id") + 1_000_000).alias("cid"),
+                F.transform(
+                    "embedding", lambda x: x * F.lit(2.0).cast("float")
+                ).alias("embedding"),
+            )
+        )
+        .select("cid", q(F.col("embedding")).alias("qc"))
+        .withColumn("nc2", isum(F.zip_with("qc", "qc", lambda a, b: a * b)))
+    )
+    expr, arrow = both(corpus, bench)
+    assert expr == arrow and expr  # planted copies guarantee hits
+
+    # (b) crafted exact-threshold integers.  qb=(3,0,0,0), nb2=9;
+    # qc=(9,3,3,1), nc2=100, dot=27: dot²·10⁶ = 729e6 == 810000·100·9
+    # — EXACT tie, must hit (>=) through the border fallback.
+    rows = [
+        (1, [9, 3, 3, 1]),      # exact tie -> hit
+        (2, [9, 3, 3, 2]),      # nc2=103 -> just below -> no hit
+        (3, [9, 3, 3, 0]),      # nc2=99  -> just above -> hit
+        (4, [-9, -3, -3, -1]),  # dot = -27 -> no hit (dot > 0 gate)
+        (5, [0, 0, 0, 0]),      # dot = 0 -> no hit
+        (6, None),              # null vector -> no hit
+        (7, [1, 2]),            # wrong length -> null dot -> no hit
+        (8, [6, 2, 2, 9999]),   # big tail, dot=18: below -> no hit
+        (9, [300, 0, 0, 0]),    # scaled copy, cosine 1 -> hit
+    ]
+    corpus2 = spark.createDataFrame(
+        rows, "cid long, qc array<long>"
+    ).withColumn("nc2", isum(F.zip_with("qc", "qc", lambda a, b: a * b)))
+    bench2 = spark.createDataFrame(
+        [(100, [3, 0, 0, 0]), (200, [0, 3, 0, 0])],
+        "bid long, qb array<long>",
+    ).withColumn("nb2", isum(F.zip_with("qb", "qb", lambda a, b: a * b)))
+    expr2, arrow2 = both(corpus2, bench2)
+    assert expr2 == arrow2
+    hit_ids = {t[0] for t in arrow2}
+    assert 1 in hit_ids and 3 in hit_ids and 9 in hit_ids
+    assert {2, 4, 5, 6, 7, 8}.isdisjoint(hit_ids)
+
+    # null-ELEMENT row: null dot on the expression path -> no hit on
+    # either (built separately: createDataFrame infers the None slot)
+    corpus3 = spark.createDataFrame(
+        [(10, [9, None, 3, 1])], "cid long, qc array<long>"
+    ).withColumn("nc2", isum(F.zip_with("qc", "qc", lambda a, b: a * b)))
+    expr3, arrow3 = both(corpus3, bench2)
+    assert expr3 == arrow3 == []
+
+    # empty benchmark -> empty result on both paths
+    expr4, arrow4 = both(corpus2, bench2.filter(F.lit(False)))
+    assert expr4 == arrow4 == []
+
+
+def test_arrow_assignment_hardening(spark, sf_dir):
+    """ADVICE r13 pins: (1) assign > n_centroids clamps to the
+    slice(ranks, 1, assign) semantics instead of a NumPy broadcast
+    error; (2) the PQ arrow path RAISES on wrong-length vectors (the
+    expression form's ANSI element_at behavior) instead of silently
+    indexing them under clusters [0..assign) with all-zero codes; (3)
+    dim not divisible by m is an assertion, never a silent tail
+    truncation."""
+    from realtime_cdc_pipeline_docker_spark.operators.similarity import (
+        assign_ivf_arrow,
+        centroid_ranks_expr,
+        ivfpq_indexed_arrow,
+        seed_codebook,
+        train_ivf_centroids,
+    )
+    from realtime_cdc_pipeline_docker_spark.functions import vec_normalize
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(50)
+    cents = train_ivf_centroids(emb, n_centroids=4)
+
+    # (1) assign=9 > 4 centroids: expression slice yields all 4 ranks
+    expr_rows = sorted(
+        (r["vec_id"], r["c"])
+        for r in emb.withColumn(
+            "c", F.explode(F.slice(centroid_ranks_expr("embedding", cents), 1, 9))
+        ).select("vec_id", "c").collect()
+    )
+    arrow_rows = sorted(
+        (r["vec_id"], r["c"])
+        for r in assign_ivf_arrow(emb, cents, 9, "embedding", "c")
+        .select("vec_id", "c")
+        .collect()
+    )
+    assert expr_rows == arrow_rows and expr_rows
+
+    normed = emb.select("vec_id", vec_normalize("embedding").alias("embedding"))
+    codebook = seed_codebook(normed, k=8)
+
+    # (2) wrong-length vector -> the PQ arrow path fails the job
+    bad = emb.select("vec_id", "embedding").unionByName(
+        spark.createDataFrame(
+            [(10_000_009, [1.0, 2.0])], "vec_id bigint, embedding array<float>"
+        )
+    )
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+
+    with _pytest.raises(Exception) as exc:
+        ivfpq_indexed_arrow(bad, cents, codebook, 8, 2, "vec_id", "embedding").collect()
+    assert "length" in str(exc.value) or isinstance(exc.value, Py4JJavaError)
+
+    # (3) dim % m != 0 -> loud assert at build time
+    with _pytest.raises(AssertionError):
+        ivfpq_indexed_arrow(emb, cents, codebook, 7, 2, "vec_id", "embedding")
